@@ -1,0 +1,39 @@
+"""frafka_spark — a PySpark-native analytics engine.
+
+A from-scratch engine with the capabilities of qntfy/frafka (a Kafka
+Source/Sink library for the frizzle message-bus framework — see
+SURVEY.md §0-§2 Tier A), re-expressed Spark-first:
+
+- batch relational surface (scans, joins, aggregations, windows,
+  set ops, scalar functions, UDFs) on the DataFrame API, letting
+  Catalyst plan the physical execution;
+- a Structured-Streaming parity layer for frafka's source/sink/
+  ack/fail/DLQ semantics (``frafka_spark.streaming``);
+- LLM-data-pipeline operators (dedup, similarity search, text
+  analysis, multimodal columns) designed for 100 TB scale.
+
+Every declared query is registered in ``frafka_spark.registry`` with a
+DuckDB oracle for differential correctness testing.
+"""
+
+from frafka_spark.registry import QUERIES, get_queries, get_oracle_sql  # noqa: F401
+from frafka_spark.session import get_spark  # noqa: F401
+
+__version__ = "0.1.0"
+
+
+def load_all() -> None:
+    """Import every query-defining module so the registry is populated."""
+    # Imports are side-effecting: each module registers its queries.
+    from frafka_spark.operators import (  # noqa: F401
+        aggregations,
+        joins,
+        projections,
+        scans,
+        setops,
+        sorts,
+        stream_batch,
+        windows,
+    )
+    from frafka_spark.functions import scalar, udfs  # noqa: F401
+    from frafka_spark.llm import dedup, similarity, text  # noqa: F401

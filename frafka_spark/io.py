@@ -1,0 +1,39 @@
+"""Table IO for the fixture star schema (TESTDATA.md / FIXTURES.md).
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``. Reads go
+through ``spark.read.parquet`` so Catalyst gets predicate pushdown and
+column pruning for free (verified by plan assertions in
+``tests/test_plans.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql use)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults follow SURVEY.md §6: one shared session, shuffle
+partitions ~ cores (AQE coalesces down when partitions are small),
+UTC session timezone so timestamp semantics match the DuckDB oracle,
+Arrow enabled for the pandas-UDF path.
+
+At 100 TB these settings change shape, not kind: shuffle partitions
+scale with cluster cores (or are left to AQE's
+``spark.sql.adaptive.coalescePartitions.initialPartitionNum``), AQE
+skew-join stays on, and CBO + table stats get enabled for join
+reordering (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "frafka-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession with engine defaults."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # 32 MiB broadcast threshold: every dim table in the fixture star
+        # schema broadcasts; at 100 TB the dims are still ≤ GBs vs a
+        # multi-TB fact table, so broadcasting dims remains correct.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
