@@ -27,9 +27,24 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame."""
+    """Load one fixture table as a DataFrame.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it as raw
+    nanos (``spark.sql.legacy.parquet.nanosAsLong`` — runtime-settable)
+    and rebuild a microsecond timestamp with exact integer division;
+    ``x / 1000`` in double would lose precision at 2024-epoch-nanos
+    magnitude (~1.7e18 > 2^53).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

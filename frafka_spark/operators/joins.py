@@ -1,1 +1,344 @@
-"""Placeholder - queries land in a later milestone this round."""
+"""B3 — joins.
+
+The reference joins nothing — correlation across streams is left to
+user code [SURVEY.md §2 Tier A13]. Here joins are declarative and
+Catalyst picks the physical strategy; the queries are shaped so the
+*right* strategy is available at 100 TB:
+
+- dimension joins (nation/region/customer/supplier) broadcast — no
+  shuffle of the fact table (``q_join_broadcast`` pins the hint; the
+  rest stay under ``spark.sql.autoBroadcastJoinThreshold``);
+- fact-to-fact equi-joins (lineitem⋈orders) shuffle on the join key
+  and AQE handles skew — at scale these become bucketed co-located
+  joins (see plans/scale_notes.md);
+- the theta self-join aggregates instead of materializing the
+  quadratic pair set;
+- the as-of join is the join+window formulation (Spark has no native
+  as-of): candidates via range-predicated join, winner via
+  ``row_number()=1`` with an explicit total order — the same pattern
+  scales by key-partitioning, and ties are broken deterministically
+  (latest o_orderdate, then max o_orderkey) per SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frafka_spark.functions.determinism import dec_sum, sql_dec_sum
+from frafka_spark.io import table
+from frafka_spark.registry import query
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment,
+           round(o.o_totalprice, 4) AS price,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer (Catalyst picks broadcast/SMJ)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("o_totalprice", 4).alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT n.n_name,
+           count(*) AS n_items,
+           {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join: fact table never shuffles for dim lookups.
+
+    ``F.broadcast`` is pinned so the plan is BroadcastHashJoin at any
+    scale — supplier/nation stay ≪ executor memory while lineitem is
+    the 100 TB side.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    return (
+        li.join(dim, li.l_suppkey == dim.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way star join: local-supplier revenue by nation."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           coalesce({sql_dec_sum('o.o_totalprice')}, 0.0) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                      AND o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: customers kept even with zero matching orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dec_sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH hi_cust AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+    ),
+    big_orders AS (
+        SELECT o_custkey, count(*) AS n_big
+        FROM orders WHERE o_totalprice > 250000 GROUP BY o_custkey
+    )
+    SELECT coalesce(h.c_custkey, b.o_custkey) AS custkey,
+           coalesce(h.c_name, 'NO_ACCOUNT') AS name,
+           coalesce(b.n_big, 0) AS n_big,
+           (h.c_custkey IS NULL) AS only_orders,
+           (b.o_custkey IS NULL) AS only_account
+    FROM hi_cust h
+    FULL OUTER JOIN big_orders b ON h.c_custkey = b.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on both sides."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    hi = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_name")
+    big = (
+        o.filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    j = hi.join(big, hi.c_custkey == big.o_custkey, "full")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.coalesce("c_name", F.lit("NO_ACCOUNT")).alias("name"),
+        F.coalesce("n_big", F.lit(0)).alias("n_big"),
+        F.col("c_custkey").isNull().alias("only_orders"),
+        F.col("o_custkey").isNull().alias("only_account"),
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, p.p_type
+    FROM part p
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49
+    )
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): parts ever shipped in near-max quantity."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 4) AS acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no urgent orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 4).alias("acctbal")
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name, (r.r_regionkey = n.n_regionkey) AS is_home
+    FROM region r
+    CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two smallest dims (5 × 25)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name", "n_name", (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home")
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle=f"""
+    SELECT s1.s_suppkey,
+           s1.s_name,
+           CAST(count(s2.s_suppkey) AS BIGINT) AS n_richer,
+           coalesce({sql_dec_sum('s2.s_acctbal - s1.s_acctbal')}, 0.0) AS gap_sum
+    FROM supplier s1
+    LEFT JOIN supplier s2 ON s2.s_acctbal > s1.s_acctbal
+    GROUP BY s1.s_suppkey, s1.s_name
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) self-join, aggregated so output stays linear.
+
+    Physically a broadcast nested-loop join; the quadratic pair set is
+    consumed by the aggregate, never materialized. At true scale this
+    exact shape (rank-vs-all) would be rewritten as a window over a
+    global sort — the theta join is declared to exercise BNLJ.
+    """
+    s = table(spark, sf_dir, "supplier")
+    s1 = s.select(
+        F.col("s_suppkey"), F.col("s_name"), F.col("s_acctbal").alias("bal1")
+    )
+    s2 = s.select(F.col("s_suppkey").alias("k2"), F.col("s_acctbal").alias("bal2"))
+    return (
+        s1.join(F.broadcast(s2), F.col("bal2") > F.col("bal1"), "left")
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("k2").alias("n_richer"),
+            F.coalesce(
+                dec_sum(F.col("bal2") - F.col("bal1")), F.lit(0.0)
+            ).alias("gap_sum"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH cand AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC NULLS LAST,
+                            o.o_orderkey DESC NULLS LAST
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS asof_date,
+           round(o_totalprice, 4) AS asof_price
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event, per user.
+
+    Spark has no native as-of operator; this is the canonical
+    join+window formulation — range-predicated left join builds the
+    candidate set, ``row_number()=1`` over (o_orderdate DESC,
+    o_orderkey DESC) picks the winner with a deterministic tiebreak
+    [SURVEY.md §7 hard-list #3]. Scales by partitioning on the equi
+    key (user_id): candidates stay within one shuffle partition.
+    """
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cand = e.join(
+        o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "left"
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_date"),
+            F.round("o_totalprice", 4).alias("asof_price"),
+        )
+    )
