@@ -1,1 +1,336 @@
-"""Placeholder - queries land in a later milestone this round."""
+"""B8 — scalar function families.
+
+One wide query per family (SURVEY.md §2 B8), each column exercising
+one function, aliased identically on both sides. All of these are
+built-in ``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd;
+nothing here leaves the executor's generated code, which is the
+100 TB requirement (a Python UDF doing any of this would add an
+Arrow/pickle boundary per batch).
+
+Cross-engine conventions handled here (SURVEY.md §5.4):
+- day-of-week: Spark ``dayofweek`` is 1=Sunday..7, DuckDB
+  ``dayofweek`` is 0=Sunday..6 → oracle adds 1;
+- ``floor``/``ceil``: Spark returns BIGINT, DuckDB DOUBLE → cast;
+- double→int casts: Spark truncates, DuckDB rounds → never cast a
+  fractional double to int directly, go through ``floor``;
+- transcendentals (pow/exp/ln) differ in the last ulp between libm
+  implementations → rounded to 6 digits (outputs are non-exact
+  decimals, so tie risk is negligible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frafka_spark.io import table
+from frafka_spark.registry import query
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           lower(p_brand) AS lo,
+           trim('  ' || p_type || ' ') AS trimmed,
+           substr(p_name, 1, 5) AS first5,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat_ws('|', p_brand, p_type) AS joined,
+           replace(p_type, ' ', '_') AS underscored,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           reverse(p_brand) AS rev,
+           string_split(p_type, ' ') AS words,
+           contains(p_type, 'BRUSHED') AS has_brushed,
+           starts_with(p_type, 'PROMO') AS is_promo
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case/trim/substr/length/concat/replace/pad/split."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("trimmed"),
+        F.substring("p_name", 1, 5).alias("first5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+        F.replace("p_type", F.lit(" "), F.lit("_")).alias("underscored"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.reverse("p_brand").alias("rev"),
+        F.split("p_type", " ").alias("words"),
+        F.col("p_type").contains("BRUSHED").alias("has_brushed"),
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+    )
+
+
+@query(
+    "q_fn_regexp",
+    oracle=r"""
+    SELECT p_partkey, p_name,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           regexp_matches(p_type, '^(ECONOMY|PROMO)') AS is_cheap_tier
+    FROM part
+    """,
+)
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family: extract with group, global replace, match.
+
+    Patterns restricted to the RE2 ∩ Java-regex common dialect.
+    """
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", r"[aeiou]", "*").alias("devoweled"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_cheap_tier"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INT)
+               AS days_to_2002,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_s,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: extract/trunc/add/diff/epoch/format.
+
+    Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6, so the
+    oracle adds 1 (SURVEY.md §5.4).
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "plus30"
+        ),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_2002"),
+        F.unix_timestamp("o_orderdate").alias("unix_s"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           round(abs(l_discount - 0.05), 6) AS abs_dev,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(pow(l_discount + 1, 3), 6) AS disc_cubed,
+           round(ln(l_extendedprice + 1), 6) AS price_ln,
+           round(log10(l_extendedprice + 1), 6) AS price_log10,
+           round(exp(l_discount), 6) AS disc_exp,
+           l_partkey % 7 AS part_mod,
+           CAST(sign(l_discount - 0.05) AS INT) AS disc_sign
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/floor/ceil/sqrt/pow/ln/log10/exp/mod/sign."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.pow(F.col("l_discount") + 1, 3), 6).alias("disc_cubed"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        (F.col("l_partkey") % 7).alias("part_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+@query(
+    "q_fn_cond",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END AS tier,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg,
+           greatest(round(c_acctbal, 4), 0.0) AS bal_floor0,
+           least(CAST(c_nationkey AS INT), 10) AS nation_cap,
+           (CASE WHEN c_acctbal > 9000 THEN 1 ELSE 0 END
+            + CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS score
+    FROM customer
+    """,
+)
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE WHEN / coalesce / nullif / greatest / least."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("tier"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("REDACTED")
+        ).alias("seg"),
+        F.greatest(F.round("c_acctbal", 4), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_nationkey"), F.lit(10)).alias("nation_cap"),
+        (
+            F.when(F.col("c_acctbal") > 9000, 1).otherwise(0)
+            + F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0)
+        ).alias("score"),
+    )
+
+
+@query(
+    "q_fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(o_totalprice AS VARCHAR) AS price_str,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+           CAST(floor(o_totalprice) AS DOUBLE) AS price_refloat,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date_str,
+           CAST(CAST('42' AS INT) + o_orderkey AS BIGINT) AS plus42,
+           CAST('3.5' AS DOUBLE) + 0.0 AS lit_double,
+           CAST(o_orderstatus = 'F' AS INT) AS status_int
+    FROM orders
+    """,
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family: string↔int↔double↔date round-trips.
+
+    Fractional double→int goes through ``floor`` (Spark truncates,
+    DuckDB rounds — direct casts are not portable).
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("o_totalprice").cast("string").alias("price_str"),
+        F.floor("o_totalprice").alias("price_int"),
+        F.floor("o_totalprice").cast("double").alias("price_refloat"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("date_str"),
+        (F.lit("42").cast("int") + F.col("o_orderkey")).alias("plus42"),
+        (F.lit("3.5").cast("double") + 0.0).alias("lit_double"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("status_int"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[64] AS DOUBLE) AS last_val,
+           embedding[1:3]::DOUBLE[] AS head3,
+           list_sort(embedding[1:5])::DOUBLE[] AS sorted_head5,
+           list_contains(embedding, 0.0) AS has_zero,
+           list_reverse(embedding[1:3])::DOUBLE[] AS head3_rev
+    FROM embeddings
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size/element_at/slice/sort/contains/reverse.
+
+    Pure selection over float32 elements — no arithmetic. Outputs are
+    widened to double on BOTH sides: float32→float64 widening is
+    exact, while raw float32 cells stringify differently depending on
+    the collection path (Arrow vs row-based toPandas), which breaks
+    the driver's value hash.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", 64).cast("double").alias("last_val"),
+        F.slice("embedding", 1, 3).cast("array<double>").alias("head3"),
+        F.sort_array(F.slice("embedding", 1, 5)).cast("array<double>").alias(
+            "sorted_head5"
+        ),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
+        F.reverse(F.slice("embedding", 1, 3)).cast("array<double>").alias("head3_rev"),
+    )
+
+
+@query(
+    "q_fn_explode",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    HAVING count(*) >= 10
+    """,
+)
+def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (UNNEST): word frequencies over the documents corpus."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           (json_extract_string(props, '$.missing') IS NULL) AS missing_is_null
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: path extraction from the ``props`` column."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        (k.cast("int") % 10).alias("k_bucket"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )

@@ -1,1 +1,160 @@
-"""Placeholder - queries land in a later milestone this round."""
+"""B11 — UDF / UDAF / UDTF surface.
+
+The reference's "transform hook" is arbitrary user Go code between
+Receive and Send [SURVEY.md §2 Tier A13]; the Spark equivalents are
+the Python UDF tiers, in descending preference:
+
+1. Don't — use built-ins (everything in functions/scalar.py).
+2. ``@pandas_udf`` — Arrow-batched, vectorized, ~10-100× faster than
+   row-at-a-time; the only acceptable Python on a 100 TB hot path.
+3. Row ``F.udf`` — declared here because the operator exists; the
+   docstring is the warning.
+
+Each UDF's logic is intentionally SQL-expressible so the DuckDB
+oracle can mirror it exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from frafka_spark.io import table
+from frafka_spark.registry import query
+
+
+@query(
+    "q_udf_python",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 250000 THEN 'platinum'
+                WHEN o_totalprice > 100000 THEN 'gold'
+                ELSE 'standard' END AS tier,
+           CAST(length(o_orderpriority) + (o_orderkey % 3) AS BIGINT) AS fee_units
+    FROM orders
+    """,
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path, declared for parity)."""
+
+    @F.udf("string")
+    def tier(price: float) -> str:
+        if price > 250000:
+            return "platinum"
+        if price > 100000:
+            return "gold"
+        return "standard"
+
+    @F.udf("long")
+    def fee_units(priority: str, orderkey: int) -> int:
+        return len(priority) + (orderkey % 3)
+
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        tier("o_totalprice").alias("tier"),
+        fee_units("o_orderpriority", "o_orderkey").alias("fee_units"),
+    )
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+    SELECT event_id,
+           round(ln(1 + value), 6) AS log_value,
+           round(value / 200.0, 6) AS unit_scaled
+    FROM events
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches, numpy kernel)."""
+
+    @pandas_udf("double")
+    def log1p_vec(v: pd.Series) -> pd.Series:
+        return pd.Series(np.log1p(v.to_numpy()))
+
+    @pandas_udf("double")
+    def unit_scale(v: pd.Series) -> pd.Series:
+        return v / 200.0
+
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.round(log1p_vec("value"), 6).alias("log_value"),
+        F.round(unit_scale("value"), 6).alias("unit_scaled"),
+    )
+
+
+@query(
+    "q_udaf_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS weighted_avg_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF: quantity-weighted mean price.
+
+    Values are lexsorted inside the UDF so the float reduction order
+    is independent of shuffle arrival order (run-to-run determinism).
+    """
+
+    @pandas_udf("double")
+    def weighted_mean(x: pd.Series, w: pd.Series) -> float:
+        xv, wv = x.to_numpy(np.float64), w.to_numpy(np.float64)
+        order = np.lexsort((wv, xv))
+        xv, wv = xv[order], wv[order]
+        return float(np.sum(xv * wv) / np.sum(wv))
+
+    @pandas_udf("long")
+    def n_rows(x: pd.Series) -> int:
+        # Spark disallows mixing pandas grouped-agg UDFs with built-in
+        # aggregates in one agg(), so the count is a pandas UDF too.
+        return len(x)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_mean("l_extendedprice", "l_quantity"), 4).alias(
+            "weighted_avg_price"
+        ),
+        n_rows("l_orderkey").alias("n"),
+    )
+
+
+@query(
+    "q_udtf",
+    oracle="""
+    SELECT o.o_orderkey,
+           t.n,
+           round(o.o_totalprice / 3, 6) AS installment,
+           CAST(t.n = 3 AS BOOLEAN) AS is_final
+    FROM orders o, generate_series(1, 3) t(n)
+    WHERE o.o_totalprice > 300000
+    """,
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one row in → three installment rows out (lateral)."""
+
+    @udtf(returnType="n bigint, installment double, is_final boolean")
+    class SplitInstallments:
+        def eval(self, price: float):
+            for n in range(1, 4):
+                yield n, price / 3, n == 3
+
+    spark.udtf.register("fs_split_installments", SplitInstallments)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("fs_orders_udtf")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.n, round(t.installment, 6) AS installment, t.is_final
+        FROM fs_orders_udtf o,
+             LATERAL fs_split_installments(o.o_totalprice) t
+        WHERE o.o_totalprice > 300000
+        """
+    )

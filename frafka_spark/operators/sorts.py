@@ -1,1 +1,103 @@
-"""Placeholder - queries land in a later milestone this round."""
+"""B6 — sorts, limits, top-k.
+
+The driver's value hash is order-insensitive, so sort correctness is
+encoded as *data*: a ``row_number`` position column proves the total
+order, and top-k queries prove the selected set. Every order carries
+a unique tiebreak (SURVEY.md §2 rule 2).
+
+Physical notes: ``orderBy().limit(k)`` becomes
+``TakeOrderedAndProject`` — each task keeps a k-heap and the driver
+merges, no global sort, which is exactly the 100 TB-safe plan.
+Top-k *per group* is the window + ``row_number() <= k`` pattern: one
+shuffle on the group key, per-partition sort, no global anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frafka_spark.io import table
+from frafka_spark.registry import query
+
+
+@query(
+    "q_sort_multi",
+    oracle="""
+    WITH s AS (
+        SELECT s_suppkey, s_name,
+               nullif(s_nationkey, 3) AS nk,
+               round(s_acctbal, 4) AS bal
+        FROM supplier
+    )
+    SELECT s_suppkey, s_name, nk, bal,
+           row_number() OVER (
+               ORDER BY nk DESC NULLS LAST, bal ASC, s_suppkey ASC
+           ) AS sort_pos
+    FROM s
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort (desc nulls-last, asc) encoded as a position column."""
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.nullif(F.col("s_nationkey"), F.lit(3)).alias("nk"),
+        F.round("s_acctbal", 4).alias("bal"),
+    )
+    w = Window.orderBy(
+        F.col("nk").desc_nulls_last(), F.col("bal").asc(), F.col("s_suppkey").asc()
+    )
+    return s.withColumn("sort_pos", F.row_number().over(w))
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject (per-task k-heaps)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("price"))
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_custkey, c_name, round(c_acctbal, 4) AS bal,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+               ) AS rn
+        FROM customer
+    )
+    SELECT c_mktsegment, c_custkey, c_name, bal, rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 richest customers per market segment (window + filter)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("bal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )

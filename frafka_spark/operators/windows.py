@@ -1,1 +1,238 @@
-"""Placeholder - queries land in a later milestone this round."""
+"""B5 — window functions.
+
+Every window ``ORDER BY`` carries a unique tiebreak key (SURVEY.md §2
+determinism rule 2): ``row_number`` over a non-unique order is
+nondeterministic in *any* engine. Ranking functions that must see
+ties (``rank``/``dense_rank``) get a separate, deliberately
+tie-producing window.
+
+Windowed float sums use the same exact-DECIMAL trick as the
+aggregates (determinism.py): a running sum of doubles is
+order-defined but still accumulates differently across engines'
+internal states, while decimal accumulation is exact.
+
+Scale note: all windows here partition by a key (user_id, priority,
+segment) — state per partition is bounded and Spark distributes
+partitions across executors. The only global-order window
+(``q_win_ntile``) is the pattern to *avoid* at 100 TB (single-task
+sort); it's declared because the operator exists, with the range
+partitioner note in plans/scale_notes.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frafka_spark.functions.determinism import DEC
+from frafka_spark.io import table
+from frafka_spark.registry import query
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           rank()       OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS rnk,
+           dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS drnk,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank over a tie-producing order; row_number with tiebreak."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    w_ties = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    w_uniq = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.row_number().over(w_uniq).alias("rn"),
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           lag(event_type)     OVER w AS prev_type,
+           lead(event_type)    OVER w AS next_type,
+           lag(event_type, 2, 'NONE') OVER w AS prev2_type,
+           round(value - lag(value) OVER w, 6) AS delta_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with offsets and defaults over per-user event sequences."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("event_type", 2, "NONE").over(w).alias("prev2_type"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_value"),
+    )
+
+
+@query(
+    "q_win_running",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_n
+    FROM events
+    """,
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum/count per user (unbounded-preceding row frame)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@query(
+    "q_win_moving",
+    oracle="""
+    SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                 / count(*) OVER w, 4) AS moving_avg,
+           CAST(min(value) OVER w AS DOUBLE) AS moving_min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average/min over a bounded 3-row frame."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("moving_avg"),
+        F.min("value").over(w).cast("double").alias("moving_min"),
+    )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist over a global order (see scale note)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_win_first_last",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           first_value(l_partkey) OVER w AS first_part,
+           last_value(l_partkey)  OVER w AS last_part,
+           nth_value(l_partkey, 2) OVER w AS second_part
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value with an explicit full-partition frame.
+
+    (l_orderkey, l_linenumber) is NOT unique in the fixtures (verified
+    at sf0.01: 45832 distinct of 60000 rows), so the order adds
+    l_partkey, l_suppkey — remaining ties are fully identical rows,
+    which makes the windowed values deterministic.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_partkey").over(w).alias("first_part"),
+        F.last("l_partkey").over(w).alias("last_part"),
+        F.nth_value("l_partkey", 2).over(w).alias("second_part"),
+    )
+
+
+@query(
+    "q_win_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(o_totalprice, 4) AS price,
+           count(*) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+               RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW
+           ) AS n_within_10k
+    FROM orders
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric order key (peers within a value band).
+
+    The Python ``WindowSpec.rangeBetween`` only accepts integral
+    bounds, so the fractional-capable RANGE frame goes through Spark
+    SQL — same Catalyst plan either way.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("fs_orders_range")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_orderpriority,
+               round(o_totalprice, 4) AS price,
+               count(*) OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+                   RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW
+               ) AS n_within_10k
+        FROM fs_orders_range
+        """
+    )
