@@ -1,0 +1,72 @@
+"""FrSink — the frafka Sink re-expressed as Structured Streaming.
+
+frafka's Sink is an async Kafka producer: ``Send(msg, topic)``
+(partition chosen by Kafka), delivery reports surfacing failures on
+an events channel, flush-on-close [upstream: frafka/sink.go §
+InitSink/Send/Close — SURVEY.md §2 Tier A9-A12]. The Spark analogs:
+
+- per-record topic routing = a ``topic`` column on the output frame
+  (the Kafka sink reads it per row — exact ``Send(msg, topic)``
+  parity);
+- delivery guarantees = micro-batch epoch commit (at-least-once to
+  Kafka, like the reference);
+- flush/close = epoch boundary — every batch is fully produced
+  before its offsets commit (Tier A12);
+- delivery reports = StreamingQueryListener (see pipeline.py).
+
+File/memory variants exist for this broker-less test environment.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter
+
+from frafka_spark.streaming.config import sink_options_from_env
+
+
+@dataclass
+class FrSink:
+    fmt: str
+    options: dict[str, str] = field(default_factory=dict)
+    output_mode: str = "append"
+
+    @classmethod
+    def kafka(cls, env=None, **overrides) -> "FrSink":
+        """Kafka producer sink from frafka-style env config.
+
+        If the frame has a ``topic`` column it routes per record
+        (frafka ``Send(msg, topic)``); otherwise set a fixed
+        ``topic`` option.
+        """
+        opts = sink_options_from_env(env)
+        opts.update(overrides)
+        return cls("kafka", opts)
+
+    @classmethod
+    def parquet(cls, path: str) -> "FrSink":
+        return cls("parquet", {"path": path})
+
+    @classmethod
+    def memory(cls, name: str, output_mode: str = "append") -> "FrSink":
+        return cls("memory", {"queryName": name}, output_mode)
+
+    def configure(self, writer: DataStreamWriter) -> DataStreamWriter:
+        writer = writer.format(self.fmt).outputMode(self.output_mode)
+        for k, v in self.options.items():
+            if k == "queryName":
+                writer = writer.queryName(v)
+            else:
+                writer = writer.option(k, v)
+        return writer
+
+    def write_batch(self, df: DataFrame) -> None:
+        """Batch-mode write (used inside foreachBatch pipelines)."""
+        if self.fmt == "memory":
+            raise ValueError("memory sink is stream-only; use configure()")
+        writer = df.write.format(self.fmt).mode("append")
+        for k, v in self.options.items():
+            writer = writer.option(k, v)
+        writer.save()

@@ -1,0 +1,347 @@
+"""Streaming parity-layer tests (SURVEY.md §5.3.2).
+
+Mirrors the reference's integration-test strategy — round-trips
+through a source and sink with Ack/Fail bookkeeping
+[upstream: frafka/kafka_integration_test.go — SURVEY.md §5.1] — but
+replayed from files with Trigger.AvailableNow instead of a live
+Kafka (none exists in this environment, FIXTURES.md § streaming).
+
+Covers: file-replay round-trip, per-record Fail→DLQ split, the
+Events() feed, watermark late-data drop, dropDuplicatesWithinWatermark,
+stream-static join, stream-stream join, applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from frafka_spark.io import table
+from frafka_spark.streaming.pipeline import Pipeline, record_transform
+from frafka_spark.streaming.sink import FrSink
+from frafka_spark.streaming.source import FrSource
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Fixture events re-written as 4 µs-timestamp parquet files."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    table(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _stream_events(spark, path, files_per_trigger=2):
+    return FrSource.files(
+        spark, path, EVENTS_DDL, max_files_per_trigger=files_per_trigger
+    )
+
+
+def test_file_replay_roundtrip(spark, events_dir, tmp_path):
+    """Replay→transform→sink equals the batch computation (A2/A10)."""
+    out = str(tmp_path / "out")
+
+    def transform(df):
+        return df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "value"
+        )
+
+    pipe = Pipeline(
+        source=_stream_events(spark, events_dir),
+        transform=transform,
+        sink=FrSink.parquet(out),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    pipe.run_to_completion()
+
+    got = spark.read.parquet(out)
+    want = transform(table(spark, SF_DIR, "events"))
+    assert got.count() == want.count()
+    assert got.select(F.sum("event_id")).first()[0] == want.select(
+        F.sum("event_id")
+    ).first()[0]
+
+
+def test_dlq_split_ack_fail(spark, events_dir, tmp_path):
+    """Per-record Fail routes to the DLQ; batch still commits (A5/A7).
+
+    The direct analog of frafka's Fail-path tests: poison records
+    (value > 195 here) raise inside the per-record transform; they
+    must land in the fail sink with the error attached while every
+    healthy record is processed and acked.
+    """
+    out, dlq = str(tmp_path / "out"), str(tmp_path / "dlq")
+
+    def per_record(rec: dict) -> dict:
+        if rec["value"] > 195.0:
+            raise ValueError(f"poison value {rec['value']:.1f}")
+        return {"event_id": rec["event_id"], "score": rec["value"] * 2.0}
+
+    pipe = Pipeline(
+        source=_stream_events(spark, events_dir),
+        transform=record_transform(per_record, "event_id bigint, score double"),
+        sink=FrSink.parquet(out),
+        fail_sink=FrSink.parquet(dlq),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    pipe.run_to_completion()
+
+    events = table(spark, SF_DIR, "events")
+    n_total = events.count()
+    n_poison = events.filter(F.col("value") > 195.0).count()
+    assert n_poison > 0, "fixture should contain poison rows"
+
+    good = spark.read.parquet(out)
+    bad = spark.read.parquet(dlq)
+    assert good.count() == n_total - n_poison  # Ack'd
+    assert bad.count() == n_poison  # Fail'd → DLQ
+    assert bad.filter(F.col("_fr_error").contains("poison value")).count() == n_poison
+    # DLQ keeps the original payload for replay (frizzle FailSink parity).
+    assert bad.filter(F.col("_fr_source").isNull()).count() == 0
+
+
+def test_events_feed(spark, events_dir, tmp_path):
+    """The async Events() feed surfaces progress + termination (A11)."""
+    pipe = Pipeline(
+        source=_stream_events(spark, events_dir),
+        transform=lambda df: df.select("event_id"),
+        sink=FrSink.parquet(str(tmp_path / "out")),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    pipe.run_to_completion()
+    time.sleep(1.0)  # listener callbacks are async
+    kinds = {e.kind for e in pipe.events()}
+    assert "progress" in kinds
+    assert "error" not in kinds
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late rows beyond the watermark are excluded from window aggs (B9).
+
+    Two-phase replay through one checkpoint: query 1 processes the
+    on-time file and commits its watermark (max ts − 10 min) to the
+    checkpoint WAL; query 2 restarts from the checkpoint and sees only
+    the late file — its rows are weeks behind the restored watermark
+    and must be dropped by the stateful aggregation. (A single
+    multi-file run would depend on intra-query file ordering, which
+    FileStreamSource doesn't guarantee.)
+    """
+    import glob
+    import shutil
+
+    e = table(spark, SF_DIR, "events").filter(F.col("user_id") < 20)
+    on_time = e.filter(F.col("ts") >= F.lit("2024-01-03"))
+    late = e.filter(F.col("ts") < F.lit("2024-01-02"))
+    assert late.count() > 0
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+
+    def stage(df, name):
+        phase = str(tmp_path / f"phase_{name}")
+        df.coalesce(1).write.parquet(phase)
+        (part,) = glob.glob(f"{phase}/part-*.parquet")
+        shutil.copy(part, f"{src_dir}/{name}.parquet")
+
+    def run_available_now():
+        stream = FrSource.files(
+            spark, src_dir, EVENTS_DDL, max_files_per_trigger=1
+        ).stream()
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.select("w.start", "w.end", "user_id", "n")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage(on_time, "f0_on_time")
+    run_available_now()
+    stage(late, "f1_late")
+    run_available_now()
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    # Nothing from the late file's time range may appear...
+    assert out.filter(F.col("start") < F.lit("2024-01-02")).count() == 0
+    # ...while every on-time row whose window closed is accounted for.
+    max_ts = on_time.agg(F.max("ts")).first()[0]
+    closed = on_time.filter(
+        F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    ).count()
+    assert out.agg(F.coalesce(F.sum("n"), F.lit(0))).first()[0] == closed
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup: redelivered ids collapse to one row (B9).
+
+    Simulates the at-least-once redelivery the reference exhibits on
+    crash-between-deliver-and-commit (SURVEY.md §2 Tier A4 note).
+    """
+    e = table(spark, SF_DIR, "events").filter(F.col("user_id") < 10)
+    dup_dir = str(tmp_path / "dups")
+    # The same events written twice = exact redelivery.
+    e.coalesce(1).write.mode("overwrite").parquet(dup_dir)
+    e.coalesce(1).write.mode("append").parquet(dup_dir)
+
+    stream = FrSource.files(spark, dup_dir, EVENTS_DDL, max_files_per_trigger=1).stream()
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.sql("SELECT count(DISTINCT event_id), count(*) FROM dedup_out").first()
+    assert n[0] == e.count()
+    assert n[1] == e.count()  # no duplicate emissions
+
+
+def test_stream_static_join(spark, events_dir, tmp_path):
+    """Stream ⋈ static dimension (broadcast — no stream state) (B9)."""
+    customers = table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = _stream_events(spark, events_dir).stream()
+    joined = stream.join(F.broadcast(customers), "user_id").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want = (
+        table(spark, SF_DIR, "events").join(customers, "user_id").count()
+    )
+    assert spark.sql("SELECT count(*) FROM ss_join_out").first()[0] == want
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-range condition."""
+    e = table(spark, SF_DIR, "events").filter(F.col("user_id") < 30)
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    c_dir, p_dir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks.coalesce(2).write.mode("overwrite").parquet(c_dir)
+    purchases.coalesce(2).write.mode("overwrite").parquet(p_dir)
+
+    cs = (
+        FrSource.files(spark, c_dir, EVENTS_DDL, max_files_per_trigger=None)
+        .stream()
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    ps = (
+        FrSource.files(spark, p_dir, EVENTS_DDL, max_files_per_trigger=None)
+        .stream()
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = cs.join(
+        ps,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss2_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = (
+        clicks.alias("c")
+        .join(
+            purchases.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .count()
+    )
+    assert spark.sql("SELECT count(*) FROM ss2_out").first()[0] == want
+
+
+def test_apply_in_pandas_with_state(spark, events_dir, tmp_path):
+    """Arbitrary stateful op: per-user running counts across batches (B9)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_per_user(key, pdfs, state: GroupState):
+        if state.exists:
+            (n,) = state.get
+        else:
+            n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_so_far": [n]})
+
+    stream = _stream_events(spark, events_dir, files_per_trigger=1).stream()
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_per_user,
+        outputStructType="user_id bigint, n_so_far bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.sql(
+        "SELECT user_id, max(n_so_far) AS n FROM state_out GROUP BY user_id"
+    )
+    want = table(spark, SF_DIR, "events").groupBy("user_id").count()
+    diff = (
+        got.join(want, "user_id")
+        .filter(F.col("n") != F.col("count"))
+        .count()
+    )
+    assert diff == 0
+    assert got.count() == want.count()
