@@ -1,1 +1,313 @@
-"""Placeholder - queries land in a later milestone this round."""
+"""B10 — deduplication operators (exact → near-dup ladder).
+
+The operators a 100 TB training-data pipeline runs before anything
+else. All are expressed portably enough to be DuckDB-oracle-checked
+(beyond SURVEY.md §2's plan, which expected rows-only checks here):
+hashes are md5 hex strings compared lexicographically (fixed-width
+lowercase hex ⇒ string order ≡ numeric order), so Spark and the
+oracle compute identical signatures with no engine-specific hashing.
+
+Scale shapes:
+- exact dedup: hash-groupBy — one shuffle on the digest, min-id wins;
+- MinHash/LSH: per-doc signature (narrow), band keys → bucket join —
+  candidate pairs only ever meet inside a band bucket, never the
+  quadratic cross join;
+- SimHash: per-doc bit signature, bucket by signature;
+- n-gram Jaccard: inverted-index join on shingle hashes (pairs must
+  share ≥1 shingle), then exact Jaccard on the candidates;
+- embedding near-dup: see similarity.py (same bucket-join idea in
+  vector space).
+
+A Spark-ML ``MinHashLSH`` variant is property-tested in
+tests/test_llm_ops.py (its hash family is JVM-internal, so it can't
+be oracle-checked; the declared queries use the portable signatures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frafka_spark.io import table
+from frafka_spark.registry import query
+
+N_MINHASH = 8  # minhash permutations (seeds 0..7)
+BAND_ROWS = 2  # rows per LSH band → 4 bands
+JACCARD_THRESHOLD = 0.5
+NGRAM_THRESHOLD = 0.3
+
+
+@query(
+    "q_llm_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies,
+           (count(*) > 1) AS is_duplicated
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: one shuffle, min-id canonical."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+        (F.count("*") > 1).alias("is_duplicated"),
+    )
+
+
+def _shingle_sql(src: str = "documents") -> str:
+    """DuckDB: (doc_id, distinct 3-word shingle hash) pairs."""
+    return f"""
+        SELECT DISTINCT doc_id,
+               unnest([md5(concat_ws(' ', words[i], words[i+1], words[i+2]))
+                       for i in generate_series(1, len(words) - 2)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM {src})
+    """
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark: (doc_id, distinct 3-word shingle hash) pairs."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            )
+        ),
+    )
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
+    )
+
+
+@query(
+    "q_llm_dedup_near",
+    oracle=f"""
+    WITH shingles AS ({_shingle_sql()}),
+    minhash AS (
+        SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
+        FROM shingles, (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // {BAND_ROWS} AS band,
+               string_agg(mh, '|' ORDER BY seed) AS band_key
+        FROM minhash GROUP BY doc_id, seed // {BAND_ROWS}
+    ),
+    candidates AS (
+        SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM bands b1 JOIN bands b2
+          ON b1.band = b2.band AND b1.band_key = b2.band_key
+         AND b1.doc_id < b2.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               count(*) FILTER (sb.sh IS NOT NULL) AS n_inter,
+               count(DISTINCT sa.sh) AS n_a
+        FROM candidates c
+        JOIN shingles sa ON sa.doc_id = c.doc_a
+        LEFT JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    sized AS (
+        SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    )
+    SELECT v.doc_a, v.doc_b,
+           round(CAST(v.n_inter AS DOUBLE)
+                 / (v.n_a + sz.n_sh - v.n_inter), 4) AS jaccard
+    FROM verified v JOIN sized sz ON sz.doc_id = v.doc_b
+    WHERE CAST(v.n_inter AS DOUBLE) / (v.n_a + sz.n_sh - v.n_inter)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: shingle → minhash → band → bucket-join.
+
+    The full scalable pipeline: 8 portable minhashes per doc (min of
+    md5(seed|shingle) — string min ≡ numeric min on fixed-width hex),
+    banded 2-per-band into 4 LSH bands, candidate pairs from band-
+    bucket equality joins only, then *exact* Jaccard verification of
+    candidates. At 100 TB the band join is the only pairwise step and
+    its fan-in is bounded by bucket size, not corpus size.
+    """
+    sh = _shingles(spark, sf_dir).cache()
+    seeds = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("seed"))
+    minhash = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws("|", "seed", "sh"))).alias("mh"))
+    )
+    bands = (
+        minhash.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seed", "mh"))
+                    ),
+                    lambda s: s["mh"],
+                ),
+                "|",
+            ).alias("band_key")
+        )
+    )
+    b1 = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"),
+        F.col("band_key").alias("band_key_b"),
+    )
+    candidates = (
+        b1.join(
+            b2,
+            (b1.band == b2.band_b)
+            & (b1.band_key == b2.band_key_b)
+            & (b1.doc_a < b2.doc_b),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("sh").alias("sh_b"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    verified = (
+        candidates.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb_doc")) & (F.col("sh") == F.col("sh_b")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("sh_b").alias("n_inter"),
+            F.countDistinct("sh").alias("n_a"),
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), "n_sh"), "doc_b"
+        )
+    )
+    jaccard = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_sh") - F.col("n_inter")
+    )
+    return verified.filter(jaccard >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_bit_sql(j: int) -> str:
+    # hex char j of md5(word) ≥ '8' ⇒ bit contribution +1 else −1.
+    return (
+        f"CASE WHEN sum(CASE WHEN substr(md5(word), {j + 1}, 1) >= '8' "
+        f"THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+    )
+
+
+@query(
+    "q_llm_dedup_simhash",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id,
+               concat({", ".join(_simhash_bit_sql(j) for j in range(_SIMHASH_BITS))})
+                   AS simhash
+        FROM words GROUP BY doc_id
+    )
+    SELECT simhash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_doc_id,
+           (count(*) > 1) AS is_bucket_dup
+    FROM sigs GROUP BY simhash
+    """,
+)
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup: sign-aggregated 16-bit signature, bucket by it.
+
+    Each word votes ±1 per bit position (bit j = high bit of hex char
+    j of md5(word)); the signature is the sign vector. Duplicate and
+    near-duplicate docs collapse into the same bucket; Hamming-ball
+    probing would extend recall (multi-probe noted in scale_notes).
+    """
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    bits = [
+        F.when(
+            F.sum(
+                F.when(F.substring(F.md5("word"), j + 1, 1) >= "8", 1).otherwise(-1)
+            )
+            > 0,
+            "1",
+        ).otherwise("0")
+        for j in range(_SIMHASH_BITS)
+    ]
+    sigs = w.groupBy("doc_id").agg(F.concat(*bits).alias("simhash"))
+    return sigs.groupBy("simhash").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+        (F.count("*") > 1).alias("is_bucket_dup"),
+    )
+
+
+@query(
+    "q_llm_dedup_ngram",
+    oracle=f"""
+    WITH shingles AS ({_shingle_sql()}),
+    sized AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    pair_inter AS (
+        SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
+        FROM shingles s1 JOIN shingles s2
+          ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+        GROUP BY s1.doc_id, s2.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(p.n_inter AS DOUBLE)
+                 / (a.n_sh + b.n_sh - p.n_inter), 4) AS jaccard
+    FROM pair_inter p
+    JOIN sized a ON a.doc_id = p.doc_a
+    JOIN sized b ON b.doc_id = p.doc_b
+    WHERE CAST(p.n_inter AS DOUBLE) / (a.n_sh + b.n_sh - p.n_inter)
+          >= {NGRAM_THRESHOLD}
+    """,
+)
+def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index join (no cross join).
+
+    Pairs meet only through shared shingles — the exact-similarity
+    baseline the MinHash pipeline approximates. The shingle join is
+    the scalable formulation (shuffle on shingle hash; hot shingles
+    would be dropped as stop-shingles at 100 TB, see scale_notes).
+    """
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    s1 = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    s2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        s1.join(s2, (F.col("sh") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+    )
+    jaccard = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return jac.filter(jaccard >= NGRAM_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
+    )

@@ -1,1 +1,238 @@
-"""Placeholder - queries land in a later milestone this round."""
+"""B10 — similarity search over the embedding column.
+
+Three tiers, all DuckDB-oracle-checked:
+
+- ``q_llm_sim_cosine``  — brute-force top-1 cosine neighbor (the
+  correctness baseline; O(n²) — fine at fixture scale, the thing the
+  IVF path replaces at 100 TB);
+- ``q_llm_sim_ann``     — IVF-style ANN: deterministic coarse
+  centroids, assign-to-nearest, search within the cell only. The
+  pairwise step shrinks from n² to Σ|cell|² — the scale path;
+- ``q_llm_dedup_embed`` — embedding-cosine near-dup pairs above a
+  threshold (the semantic-dedup operator).
+
+Float discipline: embeddings are float32 at rest; both engines cast
+to float64 *before* any arithmetic, and both compute dot products as
+left-to-right sequential sums over the same 64 elements (Spark
+``aggregate(zip_with(...))`` ≡ DuckDB ``list_dot_product``) —
+verified bitwise-identical in the differential tests. Cosine values
+are only rounded for display; ranking uses the raw doubles with
+vec_id tiebreaks.
+
+A Spark-ML ``BucketedRandomProjectionLSH`` variant lives in
+tests/test_llm_ops.py as a recall@k property test (its random
+hyperplanes are JVM-seeded, so no SQL oracle can mirror them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frafka_spark.io import table
+from frafka_spark.registry import query
+
+CENTROID_MOD = 50  # vec_id % 50 == 0 → deterministic coarse centroids
+EMBED_DUP_THRESHOLD = 0.4  # max pairwise cosine in fixtures is ~0.51
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right dot product (matches list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+
+
+_SQL_VECS = """
+    vecs AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    )
+"""
+
+
+@query(
+    "q_llm_sim_cosine",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    scored AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+               list_dot_product(a.emb, b.emb) / (a.norm * b.norm) AS cos,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_dot_product(a.emb, b.emb) / (a.norm * b.norm) DESC,
+                            b.vec_id ASC
+               ) AS rn
+        FROM vecs a CROSS JOIN vecs b
+        WHERE a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, neighbor_label, round(cos, 6) AS cosine
+    FROM scored WHERE rn = 1
+    """,
+)
+def q_llm_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-1 neighbor per vector (exact baseline)."""
+    v = _vectors(spark, sf_dir)
+    a = v.select(
+        F.col("vec_id"), F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a")
+    )
+    b = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "neighbor_id", "neighbor_label", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@query(
+    "q_llm_sim_ann",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    cents AS (
+        SELECT vec_id AS cent_id, emb AS cemb, norm AS cnorm
+        FROM vecs WHERE vec_id % {CENTROID_MOD} = 0
+    ),
+    assigned AS (
+        SELECT vec_id, emb, norm, cent_id,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_dot_product(emb, cemb) / (norm * cnorm) DESC,
+                            cent_id ASC
+               ) AS rn
+        FROM vecs CROSS JOIN cents
+    ),
+    cells AS (SELECT vec_id, emb, norm, cent_id FROM assigned WHERE rn = 1),
+    scored AS (
+        SELECT a.vec_id, a.cent_id, b.vec_id AS neighbor_id,
+               list_dot_product(a.emb, b.emb) / (a.norm * b.norm) AS cos,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_dot_product(a.emb, b.emb) / (a.norm * b.norm) DESC,
+                            b.vec_id ASC
+               ) AS rn
+        FROM cells a JOIN cells b
+          ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, cent_id, neighbor_id, round(cos, 6) AS cosine
+    FROM scored WHERE rn = 1
+    """,
+)
+def q_llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to centroids, search the cell.
+
+    Centroids are the vectors with vec_id % 50 == 0 (deterministic —
+    a k-means fit would be seed-fragile across engines). Each vector
+    joins only its cell: the n² pairwise scan becomes Σ|cell|², and
+    the cell join key (cent_id) is the shuffle key — this is the
+    shape that scales to 10⁹ vectors with a trained codebook.
+    """
+    v = _vectors(spark, sf_dir)
+    cents = v.filter((F.col("vec_id") % CENTROID_MOD) == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = _dot(F.col("emb"), F.col("cemb")) / (F.col("norm") * F.col("cnorm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    cells = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "norm", "cent_id")
+    )
+    a = cells.select(
+        "vec_id", "cent_id", F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a")
+    )
+    b = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cent_id").alias("cent_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    w_top = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cent_id") == F.col("cent_b"))
+            & (F.col("vec_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@query(
+    "q_llm_dedup_embed",
+    oracle=f"""
+    WITH {_SQL_VECS}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           (a.label = b.label) AS same_label,
+           round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS cosine
+    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb) / (a.norm * b.norm)
+          >= {EMBED_DUP_THRESHOLD}
+    """,
+)
+def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (semantic dedup).
+
+    Brute pair scan above threshold — at 100 TB the same filter runs
+    after the IVF cell join (pairs only within a cell), trading exact
+    recall for Σ|cell|² cost; threshold tuned to the fixture's cosine
+    range (max ≈ 0.51, FIXTURES profiling).
+    """
+    v = _vectors(spark, sf_dir)
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= EMBED_DUP_THRESHOLD)
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.col("label_a") == F.col("label_b")).alias("same_label"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

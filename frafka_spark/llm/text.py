@@ -1,1 +1,286 @@
-"""Placeholder - queries land in a later milestone this round."""
+"""B10 — text-analysis operators for LLM-data pipelines.
+
+Everything here is built-in-function Spark (JVM-side, codegen'd) over
+the ``documents`` corpus — the shapes a 100 TB training-data pipeline
+needs: profiling, quality scoring, token counting, language ID,
+fingerprinting. Heuristic constants (stopwords, language markers) are
+single-sourced in Python and injected into BOTH the Spark plan and
+the DuckDB oracle so the two can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frafka_spark.functions.determinism import sql_dec_avg
+from frafka_spark.io import table
+from frafka_spark.registry import query
+
+STOPWORDS = ("a", "the")
+
+# Marker words per language for the scoring heuristic. The synthetic
+# corpus shares one vocabulary across langs, so this demonstrates the
+# operator shape (marker/n-gram scoring with deterministic argmax) —
+# on real multilingual text the lists would be per-language n-grams.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("batch", "window", "stream"),
+    "en": ("the", "a", "table"),
+    "es": ("query", "data", "value"),
+    "fr": ("join", "merge", "group"),
+    "zh": ("hash", "scan", "sort"),
+}
+
+# "BPE-ish" pre-tokenizer: letter runs, digit runs, or single
+# non-alphanumeric glyphs — the GPT-2-style split, minus unicode
+# categories the fixture corpus doesn't contain.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "q_llm_text_stats",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           (CAST(length(text) AS BIGINT) = n_chars) AS n_chars_ok,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_words,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_word_len,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document profiling: chars/words/uniq/avg-len/BPE-ish tokens.
+
+    ``n_chars_ok`` recomputes the fixture's stored char count — a
+    built-in data-quality assertion (FIXTURES.md documents note).
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        (F.length("text").cast("bigint") == F.col("n_chars")).alias("n_chars_ok"),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_uniq_words"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(words),
+            4,
+        ).alias("avg_word_len"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_tokens_bpe"),
+    )
+
+
+@query(
+    "q_llm_tokens",
+    oracle=f"""
+    SELECT lang, word, count(*) AS n
+    FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    WHERE word NOT IN ({_sql_list(STOPWORDS)})
+    GROUP BY lang, word
+    HAVING count(*) >= 5
+    """,
+)
+def q_llm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + stopword-filter + per-language term frequencies."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(~F.col("word").isin(*STOPWORDS))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+def _lang_score_sql(markers) -> str:
+    terms = " + ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{m}'))" for m in markers
+    )
+    return f"CAST({terms} AS INT)"
+
+
+@query(
+    "q_llm_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql(LANG_MARKERS['de'])} AS s_de,
+               {_lang_score_sql(LANG_MARKERS['en'])} AS s_en,
+               {_lang_score_sql(LANG_MARKERS['es'])} AS s_es,
+               {_lang_score_sql(LANG_MARKERS['fr'])} AS s_fr,
+               {_lang_score_sql(LANG_MARKERS['zh'])} AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+           CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+                WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+                WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang,
+           (CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+                WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+                WHEN s_fr THEN 'fr' ELSE 'zh' END = lang) AS is_match
+    FROM scored
+    """,
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with deterministic argmax.
+
+    Ties resolve to the alphabetically-first language (the CASE tests
+    langs in alphabetical order) — identical on both sides.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def score(markers):
+        s = F.lit(0)
+        for m in markers:
+            s = s + F.size(F.filter(words, lambda w: w == F.lit(m)))
+        return s.cast("int")
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        score(LANG_MARKERS["de"]).alias("s_de"),
+        score(LANG_MARKERS["en"]).alias("s_en"),
+        score(LANG_MARKERS["es"]).alias("s_es"),
+        score(LANG_MARKERS["fr"]).alias("s_fr"),
+        score(LANG_MARKERS["zh"]).alias("s_zh"),
+    )
+    best = F.greatest("s_de", "s_en", "s_es", "s_fr", "s_zh")
+    predicted = (
+        F.when(F.col("s_de") == best, "de")
+        .when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_fr") == best, "fr")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "*",
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("is_match"),
+    )
+
+
+@query(
+    "q_llm_quality",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                                          w -> w IN ({_sql_list(STOPWORDS)}))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS stopword_ratio,
+               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS uniq_ratio,
+               round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS mean_word_len
+        FROM documents
+    )
+    SELECT doc_id, lang, n_words, stopword_ratio, uniq_ratio, mean_word_len,
+           (CASE WHEN n_words BETWEEN 20 AND 90 THEN 1 ELSE 0 END
+            + CASE WHEN stopword_ratio < 0.10 THEN 1 ELSE 0 END
+            + CASE WHEN uniq_ratio > 0.30 THEN 1 ELSE 0 END) AS quality_score,
+           (CASE WHEN n_words BETWEEN 20 AND 90 THEN 1 ELSE 0 END
+            + CASE WHEN stopword_ratio < 0.10 THEN 1 ELSE 0 END
+            + CASE WHEN uniq_ratio > 0.30 THEN 1 ELSE 0 END) >= 2 AS keep
+    FROM feat
+    """,
+)
+def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length/stopword/uniqueness gates).
+
+    The classic pre-training corpus filter: cheap per-doc features →
+    threshold votes → keep/drop decision, all codegen'd columns.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    feat = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.round(
+            F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast(
+                "double"
+            )
+            / n_words,
+            4,
+        ).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(words)).cast("double") / n_words, 4).alias(
+            "uniq_ratio"
+        ),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_words,
+            4,
+        ).alias("mean_word_len"),
+    )
+    score = (
+        F.when(F.col("n_words").between(20, 90), 1).otherwise(0)
+        + F.when(F.col("stopword_ratio") < 0.10, 1).otherwise(0)
+        + F.when(F.col("uniq_ratio") > 0.30, 1).otherwise(0)
+    )
+    return feat.select(
+        "*", score.alias("quality_score"), (score >= 2).alias("keep")
+    )
+
+
+@query(
+    "q_llm_fingerprint",
+    oracle="""
+    WITH shingled AS (
+        SELECT doc_id,
+               unnest([md5(concat_ws(' ', words[i], words[i+1], words[i+2]))
+                       for i in generate_series(1, len(words) - 2)]) AS shingle_hash
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    )
+    SELECT doc_id,
+           min(shingle_hash) AS fingerprint,
+           CAST(count(DISTINCT shingle_hash) AS BIGINT) AS n_shingles
+    FROM shingled
+    GROUP BY doc_id
+    """,
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash over rolling 3-word shingles.
+
+    Winnowing-style content fingerprint — identical texts collide,
+    near-identical texts collide with probability ~ Jaccard. md5 hex
+    is compared lexicographically (fixed-width lowercase hex ⇒ string
+    order = numeric order) so no hex→int conversion is needed on
+    either engine.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            )
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(shingles).alias("shingle_hash"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("shingle_hash").alias("fingerprint"),
+            F.countDistinct("shingle_hash").alias("n_shingles"),
+        )
+    )

@@ -1,0 +1,184 @@
+"""Property tests for LLM ops that no SQL oracle can mirror
+(SURVEY.md §5.3.3): Spark-ML LSH variants (JVM-internal hash
+families), IVF ANN quality vs the brute-force baseline, and the
+multimodal decode plumbing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import frafka_spark
+from frafka_spark.io import table
+from frafka_spark.llm.multimodal import (
+    documents_as_media,
+    extract_image_features,
+    sample_frames,
+)
+from frafka_spark.registry import QUERIES
+
+from tests.conftest import SF_DIR
+
+frafka_spark.load_all()
+
+
+@pytest.fixture(scope="module")
+def planted_dup_pairs(spark):
+    """Ground truth: planted near-dup pairs (shingle Jaccard ≥ 0.9).
+
+    The fixture plants *near* duplicates (no byte-identical docs exist
+    at sf0.01 — verified); the exact n-gram Jaccard query computes the
+    true pair set, and 0.9 isolates the planted ones (observed range
+    0.90–0.99 vs ≤0.5 background).
+    """
+    ngram = QUERIES["q_llm_dedup_ngram"].fn(spark, SF_DIR)
+    return {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram.filter(F.col("jaccard") >= 0.9).collect()
+    }
+
+
+def test_minhash_candidates_cover_planted_dups(spark, duck, planted_dup_pairs):
+    """Every planted near-dup pair must surface in the declared
+    MinHash-LSH output (deterministic md5 signatures ⇒ a fixed
+    band-collision outcome for this corpus; all 25 planted pairs
+    collide)."""
+    assert planted_dup_pairs, "fixture should contain planted duplicates"
+    near = QUERIES["q_llm_dedup_near"].fn(spark, SF_DIR)
+    got = {(r["doc_a"], r["doc_b"]) for r in near.collect()}
+    missing = planted_dup_pairs - got
+    assert not missing, f"LSH missed planted pairs: {sorted(missing)[:5]}"
+
+
+def test_spark_ml_minhash_lsh_agrees(spark, planted_dup_pairs):
+    """Spark ML MinHashLSH (JVM hash family) also recovers the planted
+    duplicates — the non-portable twin of q_llm_dedup_near."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    d = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    tokens = Tokenizer(inputCol="text", outputCol="words").transform(d)
+    tf = HashingTF(
+        inputCol="words", outputCol="features", numFeatures=1 << 14
+    ).transform(tokens)
+    # (every fixture doc has words, so no empty-vector filtering needed)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    ).fit(tf)
+    joined = model.approxSimilarityJoin(tf, tf, 0.5, distCol="jaccard_dist")
+    got = {
+        (min(r["datasetA"]["doc_id"], r["datasetB"]["doc_id"]),
+         max(r["datasetA"]["doc_id"], r["datasetB"]["doc_id"]))
+        for r in joined.filter("datasetA.doc_id != datasetB.doc_id").collect()
+    }
+    recall = len(got & planted_dup_pairs) / len(planted_dup_pairs)
+    assert recall >= 0.9, f"ML MinHashLSH recall {recall:.2f}"
+
+
+def test_brp_lsh_ann_recall(spark):
+    """BucketedRandomProjectionLSH approx-join recall vs brute force.
+
+    Seeded (42) so the measurement is stable; the bound is set loose
+    under the measured value so fixture regeneration noise can't flip
+    it (SURVEY.md §7 hard-list #5).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    e = table(spark, SF_DIR, "embeddings").select(
+        "vec_id", to_vec("embedding").alias("features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=2.0, numHashTables=4, seed=42,
+    ).fit(e)
+    # Candidate pairs within Euclidean distance 1.5 (generous radius).
+    cand = model.approxSimilarityJoin(e, e, 1.5, distCol="dist").filter(
+        "datasetA.vec_id < datasetB.vec_id"
+    )
+    got = {
+        (r["datasetA"]["vec_id"], r["datasetB"]["vec_id"]) for r in cand.collect()
+    }
+
+    # Brute-force truth at the same radius.
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, SF_DIR, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    truth = set()
+    mat = np.stack([emb[i] for i in ids])
+    d2 = ((mat[:, None, :] - mat[None, :, :]) ** 2).sum(-1)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if d2[i, j] <= 1.5**2:
+                truth.add((ids[i], ids[j]))
+    assert truth, "radius should capture some true pairs"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"ANN recall {recall:.2f} below floor"
+
+
+def test_ivf_ann_quality_vs_brute(spark, duck):
+    """IVF ANN neighbor quality: cosine of the ANN pick stays within a
+    fixed fraction of the brute-force top-1 on average."""
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in QUERIES["q_llm_sim_cosine"].fn(spark, SF_DIR).collect()
+    }
+    ann = {
+        r["vec_id"]: r["cosine"]
+        for r in QUERIES["q_llm_sim_ann"].fn(spark, SF_DIR).collect()
+    }
+    assert set(ann) <= set(brute)
+    # ANN must cover nearly every vector (singleton cells excepted).
+    assert len(ann) >= 0.95 * len(brute)
+    mean_brute = np.mean([brute[v] for v in ann])
+    mean_ann = np.mean([ann[v] for v in ann])
+    assert mean_ann >= 0.5 * mean_brute, (mean_ann, mean_brute)
+    # Exact agreement wherever the true NN shares the cell:
+    agree = sum(1 for v in ann if abs(ann[v] - brute[v]) < 1e-9)
+    assert agree / len(ann) >= 0.1
+
+
+def test_multimodal_feature_extraction(spark):
+    """Binary decode plumbing: schema, shapes, deterministic values."""
+    media = documents_as_media(spark, SF_DIR)
+    feats = extract_image_features(media)
+    assert feats.schema.simpleString() == (
+        "struct<doc_id:bigint,width:int,height:int,n_bytes:bigint,"
+        "mean_intensity:double,histogram:array<int>>"
+    )
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    docs = {r["doc_id"]: r for r in table(spark, SF_DIR, "documents").collect()}
+    assert rows.keys() == docs.keys()
+    # Spot-verify against a local recompute of the same stub decoder.
+    for doc_id in list(rows)[:10]:
+        payload = docs[doc_id]["text"].encode()
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        side = int(np.sqrt(arr.size))
+        img = arr[: side * side].reshape(side, side)
+        r = rows[doc_id]
+        assert r["n_bytes"] == len(payload)
+        assert (r["width"], r["height"]) == (side, side)
+        assert abs(r["mean_intensity"] - img.mean()) < 1e-9
+        assert len(r["histogram"]) == 8
+
+
+def test_multimodal_frame_sampling(spark):
+    """1→N frame expansion matches per-doc byte math."""
+    media = documents_as_media(spark, SF_DIR).limit(50)
+    frames = sample_frames(media, every_n_bytes=64)
+    got = (
+        frames.groupBy("doc_id")
+        .agg(F.count("*").alias("n_frames"), F.sum("frame_bytes").alias("total"))
+        .collect()
+    )
+    docs = {r["doc_id"]: r["n_chars"] for r in
+            table(spark, SF_DIR, "documents").collect()}
+    assert got, "sampler emitted nothing"
+    for r in got:
+        n = docs[r["doc_id"]]
+        assert r["n_frames"] == -(-n // 64)  # ceil
+        assert r["total"] == n
