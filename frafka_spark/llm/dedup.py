@@ -139,27 +139,32 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     its fan-in is bounded by bucket size, not corpus size.
     """
     sh = _shingles(spark, sf_dir).cache()
-    seeds = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("seed"))
-    minhash = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws("|", "seed", "sh"))).alias("mh"))
+    # All 8 minhashes in ONE hash-aggregate (8 min() columns over the
+    # shingle rows) — a single shuffle on doc_id, instead of the naive
+    # (shingle × seed) expansion + per-seed aggregate + band re-agg.
+    minhash = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), "sh"))).alias(f"mh{seed}")
+            for seed in range(N_MINHASH)
+        ]
     )
-    bands = (
-        minhash.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("seed", "mh"))
-                    ),
-                    lambda s: s["mh"],
-                ),
-                "|",
-            ).alias("band_key")
-        )
-    )
+    band_cols = [
+        F.concat_ws(
+            "|", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        ).alias(f"bk{b}")
+        for b in range(N_MINHASH // BAND_ROWS)
+    ]
+    bands = minhash.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"bk{b}").alias("band_key"))
+                    for b in range(N_MINHASH // BAND_ROWS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key")
     b1 = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "band_key"
     )

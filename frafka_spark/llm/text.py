@@ -276,11 +276,10 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    return (
-        d.select("doc_id", F.explode(shingles).alias("shingle_hash"))
-        .groupBy("doc_id")
-        .agg(
-            F.min("shingle_hash").alias("fingerprint"),
-            F.countDistinct("shingle_hash").alias("n_shingles"),
-        )
+    # Per-doc reduction stays inside the row (array_min / array_distinct)
+    # — a pure projection, no explode and no shuffle at any scale.
+    return d.select(
+        "doc_id",
+        F.array_min(shingles).alias("fingerprint"),
+        F.size(F.array_distinct(shingles)).cast("bigint").alias("n_shingles"),
     )
