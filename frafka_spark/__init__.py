@@ -28,11 +28,13 @@ def load_all() -> None:
     from frafka_spark.operators import (  # noqa: F401
         aggregations,
         joins,
+        pivots,
         projections,
         scans,
         setops,
         sorts,
         stream_batch,
+        subqueries,
         windows,
     )
     from frafka_spark.functions import scalar, udfs  # noqa: F401

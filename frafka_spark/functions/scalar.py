@@ -334,3 +334,83 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k.cast("int") % 10).alias("k_bucket"),
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
     )
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_type) AS type_sha256,
+           md5(concat(p_brand, '|', p_type)) AS brand_type_md5
+    FROM part
+    """,
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest family (portable md5 / sha-256 hex)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_type", 256).alias("type_sha256"),
+        F.md5(F.concat("p_brand", F.lit("|"), "p_type")).alias("brand_type_md5"),
+    )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_size & 15 AS low_bits,
+           p_size | 64 AS with_flag,
+           xor(p_size, 21) AS xored,
+           p_size << 3 AS shifted_l,
+           p_size >> 2 AS shifted_r
+    FROM part
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND/OR/XOR/shifts."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").bitwiseAND(F.lit(15)).alias("low_bits"),
+        F.col("p_size").bitwiseOR(F.lit(64)).alias("with_flag"),
+        F.col("p_size").bitwiseXOR(F.lit(21)).alias("xored"),
+        F.shiftleft(F.col("p_size"), 3).alias("shifted_l"),
+        F.shiftright(F.col("p_size"), 2).alias("shifted_r"),
+    )
+
+
+@query(
+    "q_fn_struct",
+    oracle="""
+    SELECT c_custkey,
+           to_json(struct_pack(name := c_name, nation := c_nationkey)) AS packed,
+           struct_pack(name := c_name, nation := c_nationkey).name AS unpacked_name,
+           struct_pack(seg := c_mktsegment,
+                       bal := round(c_acctbal, 4)).bal AS unpacked_bal
+    FROM customer
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (nested type) build + field access + JSON serialization.
+
+    Struct-typed output cells normalize differently across collection
+    paths, so the declared columns are the JSON form and the unpacked
+    scalar fields (to_json output is byte-identical across engines —
+    verified).
+    """
+    c = table(spark, sf_dir, "customer")
+    packed = F.struct(
+        F.col("c_name").alias("name"), F.col("c_nationkey").alias("nation")
+    )
+    packed2 = F.struct(
+        F.col("c_mktsegment").alias("seg"), F.round("c_acctbal", 4).alias("bal")
+    )
+    return c.select(
+        "c_custkey",
+        F.to_json(packed).alias("packed"),
+        packed.getField("name").alias("unpacked_name"),
+        packed2.getField("bal").alias("unpacked_bal"),
+    )

@@ -304,3 +304,54 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
         F.round(F.max("o_totalprice"), 4).alias("p_max"),
     )
+
+
+@query(
+    "q_agg_minmax_by",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, event_id) AS last_type,
+           arg_min(event_type, event_id) AS first_type,
+           arg_max(round(value, 4), event_id) AS last_value,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-max aggregation) over a unique ordering key.
+
+    event_id is unique, so the arg-extremum is deterministic — the
+    rule that makes these declarable (ties on the ordering value are
+    engine-arbitrary).
+    """
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by(F.round("value", 4), F.col("event_id")).alias("last_value"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity <= 50.0) AS all_qty_in_range,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           bool_and(l_tax >= 0.0) AS all_tax_nonneg,
+           bool_or(l_quantity > 100.0) AS any_qty_over_100
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (universal / existential per group)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") <= 50.0).alias("all_qty_in_range"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bool_and(F.col("l_tax") >= 0.0).alias("all_tax_nonneg"),
+        F.bool_or(F.col("l_quantity") > 100.0).alias("any_qty_over_100"),
+    )

@@ -139,3 +139,45 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event_id"),
         F.count("*").alias("n_dups"),
     )
+
+
+@query(
+    "q_stream_sliding",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT unnest([
+                   to_timestamp(floor(epoch(ts) / 1800) * 1800),
+                   to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)
+               ]) AS w_start,
+               event_type, value
+        FROM events
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           {sql_dec_sum('value')} AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h width, 30 min slide): each event lands in 2
+    overlapping windows.
+
+    Spark's ``window(ts, '1 hour', '30 minutes')`` assigns epoch-
+    aligned buckets; the oracle derives the same two window starts per
+    event arithmetically (floor to the 30-min grid, and that minus one
+    slide) — SURVEY §2 B9 called this fragile, but the epoch-grid
+    formulation is exact.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dec_sum("value", "total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,139 @@
+"""Coverage for ▣-tier items (SURVEY.md §2): operators that exist in
+the engine but aren't oracle-declared — map functions (no map fixture
+column / DuckDB map-hash friction), TF-IDF (Spark ML), the rate test
+source, and the frafka env-config shim (Tier A14).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from frafka_spark.io import table
+from frafka_spark.streaming.config import (
+    sink_options_from_env,
+    source_options_from_env,
+)
+from frafka_spark.streaming.source import FrSource
+
+from tests.conftest import SF_DIR
+
+
+def test_map_functions(spark):
+    """create_map / map_keys / map_values / element_at / map_concat."""
+    d = table(spark, SF_DIR, "documents").limit(100)
+    m = d.select(
+        "doc_id",
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("meta"),
+    )
+    out = m.select(
+        "doc_id",
+        F.map_keys("meta").alias("ks"),
+        F.map_values("meta").alias("vs"),
+        F.element_at("meta", "lang").alias("lang"),
+        F.map_concat(
+            "meta", F.create_map(F.lit("v"), F.lit("1"))
+        ).alias("merged"),
+    )
+    rows = out.collect()
+    docs = {r["doc_id"]: r for r in d.collect()}
+    for r in rows:
+        assert r["ks"] == ["lang", "source"]
+        assert r["vs"] == [docs[r["doc_id"]]["lang"], docs[r["doc_id"]]["source"]]
+        assert r["lang"] == docs[r["doc_id"]]["lang"]
+        assert r["merged"]["v"] == "1" and len(r["merged"]) == 3
+
+
+def test_tfidf_pipeline(spark):
+    """HashingTF + IDF over documents: ranking property, not magic
+    numbers — ubiquitous words get ~zero idf, the rare 'dup' marker
+    scores high."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    d = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    words = Tokenizer(inputCol="text", outputCol="words").transform(d)
+    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=1 << 12).transform(
+        words
+    )
+    model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    # idf vector: every common word ≈ 0 (df ≈ N), rare words > 2.
+    import numpy as np
+
+    idf = np.array(model.idf.toArray())
+    htf = HashingTF(inputCol="w", outputCol="v", numFeatures=1 << 12)
+    common_idx = (
+        htf.transform(spark.createDataFrame([(["table"],)], ["w"]))
+        .first()["v"]
+        .indices[0]
+    )
+    rare_idx = (
+        htf.transform(spark.createDataFrame([(["dup"],)], ["w"]))
+        .first()["v"]
+        .indices[0]
+    )
+    assert idf[common_idx] < 0.5, "ubiquitous word should have ~zero idf"
+    assert idf[rare_idx] > 2.0, "rare marker word should have high idf"
+
+
+def test_rate_source(spark, tmp_path):
+    """The rate test source produces monotonically increasing rows."""
+    src = FrSource.rate(spark, rows_per_second=500)
+    q = (
+        src.stream()
+        .writeStream.format("memory")
+        .queryName("rate_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 15
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) FROM rate_out").first()[0]
+            if n >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # At-least-once memory sink: assert coverage, not exact-once.
+    mx, distinct = spark.sql(
+        "SELECT max(value), count(DISTINCT value) FROM rate_out"
+    ).first()
+    assert distinct >= 100, f"rate source produced only {distinct} distinct rows"
+    assert mx >= distinct - 1  # values are a dense 0..max sequence
+
+
+def test_env_config_shim():
+    """frafka's env-var surface maps onto Spark Kafka options (A14)."""
+    env = {
+        "KAFKA_BROKERS": "b1:9092,b2:9092",
+        "KAFKA_TOPICS": "in1,in2",
+        "KAFKA_CONSUMER_GROUP": "grp",
+        "KAFKA_CONSUME_LATEST": "true",
+        "KAFKA_MAX_OFFSETS_PER_TRIGGER": "50000",
+    }
+    opts = source_options_from_env(env)
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "in1,in2",
+        "kafka.group.id": "grp",
+        "startingOffsets": "latest",
+        "maxOffsetsPerTrigger": "50000",
+    }
+    assert source_options_from_env({})["startingOffsets"] == "earliest"
+    sink = sink_options_from_env({"KAFKA_BROKERS": "b:9092", "KAFKA_TOPIC": "out"})
+    assert sink == {"kafka.bootstrap.servers": "b:9092", "topic": "out"}
+
+
+def test_kafka_source_recipe_shape(spark):
+    """FrSource.kafka builds the right readStream recipe (no broker in
+    this environment — asserting the declarative construction only)."""
+    src = FrSource.kafka(
+        spark, env={"KAFKA_BROKERS": "b:9092", "KAFKA_TOPICS": "t"}
+    )
+    assert src.fmt == "kafka"
+    assert src.options["kafka.bootstrap.servers"] == "b:9092"
+    assert src.options["subscribe"] == "t"
