@@ -32,6 +32,7 @@ def load_all() -> None:
         projections,
         scans,
         setops,
+        showcase,
         sorts,
         stream_batch,
         subqueries,
