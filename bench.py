@@ -45,7 +45,11 @@ def main() -> None:
 
     def run(fn) -> float:
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one broken query must not sink the suite
+            print(f"bench: query failed: {exc}", file=sys.stderr)
+            return -1.0
         return time.perf_counter() - t0
 
     run(queries["q_agg_group"])  # warm-up: JVM JIT + parquet footer cache

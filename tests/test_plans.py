@@ -11,6 +11,14 @@ whole-stage codegen.
 from __future__ import annotations
 
 import frafka_spark
+from frafka_spark.plans.inspect import (
+    has_partial_aggregation,
+    plan_str,
+    pushed_filters,
+    python_eval_nodes,
+    read_schemas,
+    uses_broadcast_join,
+)
 from frafka_spark.registry import QUERIES
 
 from tests.conftest import SF_DIR
@@ -18,56 +26,47 @@ from tests.conftest import SF_DIR
 frafka_spark.load_all()
 
 
-def _plan(spark, name: str) -> str:
-    import contextlib
-    import io
+def _df(spark, name: str):
+    return QUERIES[name].fn(spark, SF_DIR)
 
-    df = QUERIES[name].fn(spark, SF_DIR)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+
+def _plan(spark, name: str) -> str:
+    return plan_str(_df(spark, name))
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    plan = _plan(spark, "q_scan_filter_pushdown")
-    assert "PushedFilters:" in plan
-    pushed = next(l for l in plan.splitlines() if "PushedFilters:" in l)
+    (pushed,) = pushed_filters(_df(spark, "q_scan_filter_pushdown"))
     assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
 
 
 def test_column_pruning_in_read_schema(spark):
-    plan = _plan(spark, "q_scan_project")
-    schema_line = next(l for l in plan.splitlines() if "ReadSchema:" in l)
+    (schema,) = read_schemas(_df(spark, "q_scan_project"))
     # 3 of 11 lineitem columns survive into the scan.
-    assert "l_orderkey" in schema_line
-    assert "l_extendedprice" in schema_line
+    assert "l_orderkey" in schema
+    assert "l_extendedprice" in schema
     for dropped in ("l_shipdate", "l_discount", "l_returnflag", "l_partkey"):
-        assert dropped not in schema_line, f"{dropped} not pruned: {schema_line}"
+        assert dropped not in schema, f"{dropped} not pruned: {schema}"
 
 
 def test_dim_join_broadcasts(spark):
-    plan = _plan(spark, "q_join_broadcast")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    df = _df(spark, "q_join_broadcast")
+    assert uses_broadcast_join(df)
+    assert "SortMergeJoin" not in plan_str(df)
 
 
 def test_multiway_join_broadcasts_dims(spark):
     # nation/region (and under the 32 MB threshold, customer/supplier)
     # must broadcast — the 100 TB fact table never shuffles for dims.
-    plan = _plan(spark, "q_join_multiway")
-    assert "BroadcastHashJoin" in plan
+    assert uses_broadcast_join(_df(spark, "q_join_multiway"))
 
 
 def test_agg_partial_combine_before_shuffle(spark):
-    plan = _plan(spark, "q_agg_group")
+    df = _df(spark, "q_agg_group")
+    plan = plan_str(df)
     # Two HashAggregate nodes = map-side partial + final merge, and the
     # partial functions must appear BEFORE the Exchange.
     assert plan.count("HashAggregate") >= 2, plan
-    assert "partial_sum" in plan, plan
-    assert plan.index("partial_sum") > plan.index("Exchange"), (
-        "partial aggregation did not precede the shuffle"
-    )
+    assert has_partial_aggregation(df)
 
 
 def test_topk_avoids_global_sort(spark):
@@ -80,6 +79,21 @@ def test_semi_anti_stay_joins(spark):
     # EXISTS/NOT EXISTS must plan as semi/anti joins, not aggregates.
     assert "LeftSemi" in _plan(spark, "q_join_semi")
     assert "LeftAnti" in _plan(spark, "q_join_anti")
+
+
+def test_python_boundary_inventory(spark):
+    # The ONLY declared queries with Python in the plan are the ones
+    # whose semantics require it (UDF surface + GEMM kernels).
+    py_expected = {
+        "q_udf_python", "q_udf_pandas", "q_udaf_pandas", "q_udtf",
+        "q_llm_sim_cosine", "q_llm_dedup_embed",
+    }
+    for name in sorted(QUERIES):
+        nodes = python_eval_nodes(_df(spark, name))
+        if name in py_expected:
+            assert nodes, f"{name} should cross the Python boundary"
+        else:
+            assert not nodes, f"{name} unexpectedly uses Python: {nodes}"
 
 
 def test_scalar_functions_stay_in_codegen(spark):
