@@ -92,7 +92,9 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udaf_pandas",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
                AS weighted_avg_price,
            count(*) AS n
     FROM lineitem
@@ -102,16 +104,22 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg pandas UDF: quantity-weighted mean price.
 
-    Values are lexsorted inside the UDF so the float reduction order
-    is independent of shuffle arrival order (run-to-run determinism).
+    Both sides sum exactly (integer-scaled int64 in the UDF, DECIMAL
+    in the oracle), so the pre-round doubles are bitwise identical
+    regardless of shuffle arrival order or engine parallelism.
     """
 
     @pandas_udf("double")
     def weighted_mean(x: pd.Series, w: pd.Series) -> float:
-        xv, wv = x.to_numpy(np.float64), w.to_numpy(np.float64)
-        order = np.lexsort((wv, xv))
-        xv, wv = xv[order], wv[order]
-        return float(np.sum(xv * wv) / np.sum(wv))
+        # Exact integer-scaled arithmetic (inputs have ≤2 decimals):
+        # scaled sums are exact int64 (≪2^53), so the result is
+        # independent of accumulation order — the UDF-side analog of
+        # the DECIMAL(38,6) discipline in determinism.py. A float
+        # reduction here would differ from the oracle's sum order in
+        # the last ulp and occasionally cross the rounding boundary.
+        xi = np.rint(x.to_numpy(np.float64) * 100).astype(np.int64)
+        wi = np.rint(w.to_numpy(np.float64) * 100).astype(np.int64)
+        return float(xi @ wi) / 100.0 / float(wi.sum())
 
     @pandas_udf("long")
     def n_rows(x: pd.Series) -> int:

@@ -68,23 +68,39 @@ def _shingle_sql(src: str = "documents") -> str:
     """
 
 
+def _shingle_array(words):  # shared with llm/text.py's fingerprint
+    """Array of md5(3-word shingle); EMPTY for docs under 3 words.
+
+    ``sequence(0, size-3)`` alone is a trap: for a 2-word doc it
+    yields the *descending* [0, -1] and the transform indexes past
+    the array (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) — while the DuckDB
+    oracle's ``generate_series`` returns empty. The when-guard keeps
+    both sides at "no shingles" for short docs.
+    """
+    from pyspark.sql import functions as F
+
+    return F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark: (doc_id, distinct 3-word shingle hash) pairs."""
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-                F.element_at(words, i + 3),
-            )
-        ),
-    )
     return d.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
+        "doc_id", F.explode(F.array_distinct(_shingle_array(words))).alias("sh")
     )
 
 
@@ -138,6 +154,11 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. At 100 TB the band join is the only pairwise step and
     its fan-in is bounded by bucket size, not corpus size.
     """
+    # cache(): the shingle set feeds 3 branches of this one DAG
+    # (minhash, verification, sizes). MEMORY_AND_DISK blocks are
+    # LRU-evictable, so repeated invocations degrade to recompute
+    # rather than leak; an explicit lifecycle would need an eager
+    # action + unpersist, which the lazy queries() contract precludes.
     sh = _shingles(spark, sf_dir).cache()
     # All 8 minhashes in ONE hash-aggregate (8 min() columns over the
     # shingle rows) — a single shuffle on doc_id, instead of the naive

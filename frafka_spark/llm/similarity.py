@@ -61,6 +61,23 @@ _SQL_VECS = """
 """
 
 
+def _broadcast_unit_matrix(spark: SparkSession, sf_dir: str):
+    """Shared GEMM build side: (ids, labels, row-normalized matrix),
+    broadcast once — analogous to a broadcast join's build side. The
+    corpus here is the fixture table; at scale the broadcast side is
+    a query set or IVF codebook (module docstring)."""
+    import numpy as np
+
+    rows = (
+        _vectors(spark, sf_dir).select("vec_id", "label", "emb").orderBy("vec_id").collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    labels = np.array([r["label"] for r in rows], dtype=np.int32)
+    mat = np.array([r["emb"] for r in rows], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return spark.sparkContext.broadcast((ids, labels, unit))
+
+
 @query(
     "q_llm_sim_cosine",
     oracle=f"""
@@ -100,14 +117,7 @@ def q_llm_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    rows = (
-        _vectors(spark, sf_dir).select("vec_id", "label", "emb").orderBy("vec_id").collect()
-    )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    labels = np.array([r["label"] for r in rows], dtype=np.int32)
-    mat = np.array([r["emb"] for r in rows], dtype=np.float64)
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, labels, unit))
+    bc = _broadcast_unit_matrix(spark, sf_dir)
 
     def topk(batches):
         b_ids, b_labels, b_unit = bc.value
@@ -242,14 +252,7 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    rows = (
-        _vectors(spark, sf_dir).select("vec_id", "label", "emb").orderBy("vec_id").collect()
-    )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    labels = np.array([r["label"] for r in rows], dtype=np.int32)
-    mat = np.array([r["emb"] for r in rows], dtype=np.float64)
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, labels, unit))
+    bc = _broadcast_unit_matrix(spark, sf_dir)
 
     def pairs(batches):
         b_ids, b_labels, b_unit = bc.value

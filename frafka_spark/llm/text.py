@@ -263,23 +263,20 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = numeric order) so no hex→int conversion is needed on
     either engine.
     """
+    from frafka_spark.llm.dedup import _shingle_array
+
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-                F.element_at(words, i + 3),
-            )
-        ),
-    )
+    shingles = _shingle_array(words)  # short-doc-safe (empty array)
     # Per-doc reduction stays inside the row (array_min / array_distinct)
     # — a pure projection, no explode and no shuffle at any scale.
-    return d.select(
-        "doc_id",
-        F.array_min(shingles).alias("fingerprint"),
-        F.size(F.array_distinct(shingles)).cast("bigint").alias("n_shingles"),
+    # Docs under 3 words have no shingles: the oracle's unnest emits no
+    # rows for them, so they are filtered here too (row-set parity).
+    return (
+        d.filter(F.size(words) >= 3)
+        .select(
+            "doc_id",
+            F.array_min(shingles).alias("fingerprint"),
+            F.size(F.array_distinct(shingles)).cast("bigint").alias("n_shingles"),
+        )
     )

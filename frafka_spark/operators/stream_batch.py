@@ -57,7 +57,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          >= INTERVAL 30 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -67,7 +67,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions AS (
         SELECT user_id, ts, value,
                sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_id
         FROM flagged
@@ -145,9 +145,14 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_sliding",
     oracle=f"""
     WITH expanded AS (
+        -- TIMESTAMP '1970-01-01' + to_seconds(...) stays a naive
+        -- TIMESTAMP; to_timestamp() would return TIMESTAMPTZ and make
+        -- strftime output depend on the DuckDB session TimeZone.
         SELECT unnest([
-                   to_timestamp(floor(epoch(ts) / 1800) * 1800),
-                   to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)
+                   TIMESTAMP '1970-01-01'
+                       + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)),
+                   TIMESTAMP '1970-01-01'
+                       + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT))
                ]) AS w_start,
                event_type, value
         FROM events

@@ -46,11 +46,33 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_partial_aggregation(df: DataFrame) -> bool:
-    """Map-side combine present and located before the shuffle."""
+    """Map-side combine present and located BELOW the shuffle.
+
+    Uses the formatted plan's numbered detail sections: children carry
+    lower node numbers than parents, so a partial aggregate feeding an
+    Exchange has a smaller number. (Raw substring order would be
+    vacuous — the tree header always prints Exchange before any
+    detail line.)
+    """
+    import re
+
     plan = plan_str(df)
-    return "partial_" in plan and (
-        "Exchange" not in plan or plan.index("partial_") > plan.index("Exchange")
-    )
+    sections = re.split(r"\n\n(?=\(\d+\) )", plan)
+    partial_nodes = [
+        int(m.group(1))
+        for s in sections
+        if (m := re.match(r"\((\d+)\) \w*HashAggregate", s)) and "partial_" in s
+    ]
+    exchange_nodes = [
+        int(m.group(1))
+        for s in sections
+        if (m := re.match(r"\((\d+)\) Exchange", s))
+    ]
+    if not partial_nodes:
+        return False
+    if not exchange_nodes:
+        return True  # no shuffle at all (single-partition agg)
+    return min(partial_nodes) < min(exchange_nodes)
 
 
 def python_eval_nodes(df: DataFrame) -> list[str]:

@@ -49,6 +49,27 @@ from frafka_spark.streaming.source import FrSource
 ERROR_COL = "_fr_error"
 
 
+def _ddl_field_names(ddl: str) -> list[str]:
+    """Top-level field names of a DDL schema string.
+
+    A naive ``split(',')`` breaks on parameterized types
+    (``map<string,string>``, ``decimal(18,2)``) — only commas at
+    bracket depth 0 separate fields.
+    """
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl + ","):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            field = ddl[start:i].strip()
+            if field:
+                names.append(field.split()[0].strip("`"))
+            start = i + 1
+    return names
+
+
 def record_transform(
     fn: Callable[[dict], dict | None],
     output_schema: str,
@@ -67,9 +88,7 @@ def record_transform(
     full_schema = f"{output_schema}, {ERROR_COL} string, _fr_source string"
 
     def apply(df: DataFrame) -> DataFrame:
-        out_names = [
-            c.strip().split()[0] for c in output_schema.split(",")
-        ]
+        out_names = _ddl_field_names(output_schema)
 
         def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -98,10 +117,16 @@ class PipelineEvent:
 
     kind: str  # "progress" | "terminated" | "error"
     detail: str
+    query_id: str = ""
 
 
 class PipelineListener(StreamingQueryListener):
     """Drainable async event feed — frafka's Events() channel analog.
+
+    Scoped to one pipeline: events are filtered by the query ids this
+    pipeline started (a StreamingQueryListener is session-global, so
+    without the filter one pipeline would see every other pipeline's
+    progress and failures).
 
     [upstream: frizzle § Eventer; frafka/sink.go § delivery-report
     loop — SURVEY.md §2 Tier A11]
@@ -109,29 +134,51 @@ class PipelineListener(StreamingQueryListener):
 
     def __init__(self) -> None:
         self._events: list[PipelineEvent] = []
+        self._query_ids: set[str] = set()
         self._lock = threading.Lock()
 
-    def onQueryStarted(self, event) -> None:
+    def watch(self, query_id: str) -> None:
         with self._lock:
-            self._events.append(PipelineEvent("progress", "query started"))
+            self._query_ids.add(str(query_id))
 
-    def onQueryProgress(self, event) -> None:
+    def _mine(self, query_id) -> bool:
+        with self._lock:
+            return str(query_id) in self._query_ids
+
+    def onQueryStarted(self, event) -> None:
+        # start events arrive before Pipeline.start() learns the id;
+        # record them keyed by id and filter at drain time instead.
         with self._lock:
             self._events.append(
-                PipelineEvent("progress", f"batch={event.progress.batchId}")
+                PipelineEvent("progress", "query started", str(event.id))
             )
+
+    def onQueryProgress(self, event) -> None:
+        if self._mine(event.progress.id):
+            with self._lock:
+                self._events.append(
+                    PipelineEvent(
+                        "progress",
+                        f"batch={event.progress.batchId}",
+                        str(event.progress.id),
+                    )
+                )
 
     def onQueryIdle(self, event) -> None:
         pass
 
     def onQueryTerminated(self, event) -> None:
-        kind = "error" if event.exception else "terminated"
-        with self._lock:
-            self._events.append(PipelineEvent(kind, str(event.exception or "clean")))
+        if self._mine(event.id):
+            kind = "error" if event.exception else "terminated"
+            with self._lock:
+                self._events.append(
+                    PipelineEvent(kind, str(event.exception or "clean"), str(event.id))
+                )
 
     def drain(self) -> list[PipelineEvent]:
         with self._lock:
-            out, self._events = self._events, []
+            out = [e for e in self._events if e.query_id in self._query_ids]
+            self._events = []
         return out
 
 
@@ -154,7 +201,16 @@ class Pipeline:
         self.checkpoint = checkpoint
         self.name = name
         self.listener = PipelineListener()
-        self._memory_rows: list = []
+        self._listener_registered = False
+        if fail_sink is not None and "memory" in (sink.fmt, fail_sink.fmt):
+            # The DLQ split runs inside foreachBatch, which writes both
+            # sinks in batch mode — the memory sink is stream-only, so
+            # the split would silently never run (or crash mid-batch).
+            raise ValueError(
+                "fail_sink routing requires batch-writable sinks "
+                "(parquet/kafka) on both the main and fail side; "
+                "got memory"
+            )
 
     # -- the foreachBatch body: transform, split, double-write, commit --
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -179,19 +235,30 @@ class Pipeline:
     def start(self, available_now: bool = True):
         """Start the query (Trigger.AvailableNow for bounded replays)."""
         spark = self.source.spark
-        spark.streams.addListener(self.listener)
+        if not self._listener_registered:
+            spark.streams.addListener(self.listener)
+            self._listener_registered = True
         stream = self.source.stream()
-        needs_split = self.fail_sink is not None or self.transform is not None
-        if needs_split and self.sink.fmt != "memory":
-            writer = stream.writeStream.foreachBatch(self._process_batch)
-        else:
+        if self.sink.fmt == "memory":
+            # memory sink is stream-only: write the transformed stream
+            # directly (constructor already rejected fail_sink here).
             writer = self.sink.configure(self.transform(stream).writeStream)
+        else:
+            writer = stream.writeStream.foreachBatch(self._process_batch)
         writer = writer.queryName(self.name)
         if self.checkpoint:
             writer = writer.option("checkpointLocation", self.checkpoint)
         if available_now:
             writer = writer.trigger(availableNow=True)
-        return writer.start()
+        q = writer.start()
+        self.listener.watch(q.id)
+        return q
+
+    def close(self) -> None:
+        """Deregister the session-global listener (frafka Close parity)."""
+        if self._listener_registered:
+            self.source.spark.streams.removeListener(self.listener)
+            self._listener_registered = False
 
     def run_to_completion(self) -> None:
         """Replay the whole bounded source and stop (test harness)."""

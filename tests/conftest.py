@@ -28,6 +28,10 @@ def spark():
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
+    # Deliberately NOT UTC: the driver's DuckDB session timezone is out
+    # of our control, so every declared oracle must be TZ-independent —
+    # a shifted test TZ makes any dependence fail here first.
+    con.execute("SET TimeZone = 'America/New_York'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
