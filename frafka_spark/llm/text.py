@@ -263,20 +263,21 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = numeric order) so no hex→int conversion is needed on
     either engine.
     """
-    from frafka_spark.llm.dedup import _shingle_array
+    from frafka_spark.llm.dedup import _shingles
 
-    d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    shingles = _shingle_array(words)  # short-doc-safe (empty array)
-    # Per-doc reduction stays inside the row (array_min / array_distinct)
-    # — a pure projection, no explode and no shuffle at any scale.
-    # Docs under 3 words have no shingles: the oracle's unnest emits no
-    # rows for them, so they are filtered here too (row-set parity).
+    # Explode once + hash-aggregate over the shared shingle pipeline:
+    # the md5 transform is evaluated exactly once per document (a
+    # pure-projection array_min + size(array_distinct) pair evaluates
+    # the shingle array twice — measured ~2× slower), short docs drop
+    # out exactly like the oracle's unnest, and the aggregate is one
+    # row per doc so the shuffle is narrow at any scale. Sharing the
+    # plan fragment with the dedup queries also lets Spark's cache
+    # manager reuse their cached shingles when both run in a session.
     return (
-        d.filter(F.size(words) >= 3)
-        .select(
-            "doc_id",
-            F.array_min(shingles).alias("fingerprint"),
-            F.size(F.array_distinct(shingles)).cast("bigint").alias("n_shingles"),
+        _shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.min("sh").alias("fingerprint"),
+            F.count("sh").cast("bigint").alias("n_shingles"),
         )
     )
