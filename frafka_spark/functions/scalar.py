@@ -414,3 +414,74 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed.getField("name").alias("unpacked_name"),
         packed2.getField("bal").alias("unpacked_bal"),
     )
+
+
+@query(
+    "q_fn_trig",
+    oracle="""
+    SELECT p_partkey,
+           round(sin(p_size / 10.0), 6) AS s,
+           round(cos(p_size / 10.0), 6) AS c,
+           round(tan(p_size / 25.0), 6) AS t,
+           round(atan2(CAST(p_size AS DOUBLE), 7.0), 6) AS at2,
+           round(degrees(p_size / 50.0), 6) AS deg,
+           round(radians(CAST(p_size AS DOUBLE)), 6) AS rad
+    FROM part
+    """,
+)
+def q_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric family (libm last-ulp differences absorbed by the
+    6-digit round on non-exact-decimal outputs)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.sin(F.col("p_size") / 10.0), 6).alias("s"),
+        F.round(F.cos(F.col("p_size") / 10.0), 6).alias("c"),
+        F.round(F.tan(F.col("p_size") / 25.0), 6).alias("t"),
+        F.round(F.atan2(F.col("p_size").cast("double"), F.lit(7.0)), 6).alias("at2"),
+        F.round(F.degrees(F.col("p_size") / 50.0), 6).alias("deg"),
+        F.round(F.radians(F.col("p_size").cast("double")), 6).alias("rad"),
+    )
+
+
+@query(
+    "q_fn_levenshtein",
+    oracle="""
+    SELECT p_partkey, p_type,
+           levenshtein(p_type, 'PROMO BURNISHED STEEL') AS dist_promo,
+           levenshtein(p_brand, 'Brand#1') AS dist_brand,
+           (levenshtein(p_type, 'PROMO BURNISHED STEEL') <= 10) AS near_promo
+    FROM part
+    """,
+)
+def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance — the string-similarity primitive fuzzy dedup
+    builds on (both engines implement classic Levenshtein)."""
+    p = table(spark, sf_dir, "part")
+    d1 = F.levenshtein("p_type", F.lit("PROMO BURNISHED STEEL"))
+    return p.select(
+        "p_partkey",
+        "p_type",
+        d1.alias("dist_promo"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).alias("dist_brand"),
+        (d1 <= 10).alias("near_promo"),
+    )
+
+
+@query(
+    "q_fn_posexplode",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def q_fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: UNNEST WITH ORDINALITY (oracle zips parallel
+    unnests, which DuckDB aligns positionally)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )

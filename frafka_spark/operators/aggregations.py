@@ -355,3 +355,24 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_tax") >= 0.0).alias("all_tax_nonneg"),
         F.bool_or(F.col("l_quantity") > 100.0).alias("any_qty_over_100"),
     )
+
+
+@query(
+    "q_agg_median",
+    oracle="""
+    SELECT c_mktsegment,
+           round(median(c_acctbal), 4) AS med_bal,
+           round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+           count(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated) per group."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.median("c_acctbal"), 4).alias("med_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+        F.count("*").alias("n"),
+    )
