@@ -1,0 +1,82 @@
+"""Hypothesis property tests (SURVEY.md §5.3.3): the as-of join
+pattern vs a per-row Python reference on generated inputs — the
+operator whose tie/boundary semantics SURVEY §7 ranks hardest (#3).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def spark_asof(spark, events: list[tuple], orders: list[tuple]):
+    """The q_join_asof formulation on arbitrary (id, key, t) inputs."""
+    e = spark.createDataFrame(
+        pd.DataFrame(events, columns=["event_id", "user_id", "t"]),
+        schema="event_id long, user_id long, t long",
+    )
+    o = spark.createDataFrame(
+        pd.DataFrame(orders, columns=["order_id", "custkey", "ot"]),
+        schema="order_id long, custkey long, ot long",
+    )
+    cand = e.join(o, (o.custkey == e.user_id) & (o.ot <= e.t), "left")
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("ot").desc_nulls_last(), F.col("order_id").desc_nulls_last()
+    )
+    return {
+        (r["event_id"], r["order_id"])
+        for r in cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "order_id")
+        .collect()
+    }
+
+
+def python_asof(events: list[tuple], orders: list[tuple]):
+    """Oracle: per-event linear scan with the documented tiebreak
+    (latest ot ≤ t; ties → max order_id; no match → None)."""
+    out = set()
+    for event_id, user_id, t in events:
+        best = None
+        for order_id, custkey, ot in orders:
+            if custkey == user_id and ot <= t:
+                if best is None or (ot, order_id) > (best[1], best[0]):
+                    best = (order_id, ot)
+        out.add((event_id, best[0] if best else None))
+    return out
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),  # event_id (uniquified below)
+            st.integers(0, 3),  # user_id: few keys → dense matches
+            st.integers(0, 50),  # event time
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+    orders=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),  # order_id (uniquified below)
+            st.integers(0, 3),  # custkey
+            st.integers(0, 50),  # order time — duplicates LIKELY → tie paths
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_asof_join_matches_python_reference(spark, events, orders):
+    assert spark_asof(spark, events, orders) == python_asof(events, orders)

@@ -345,3 +345,106 @@ def test_apply_in_pandas_with_state(spark, events_dir, tmp_path):
     )
     assert diff == 0
     assert got.count() == want.count()
+
+
+def test_pipeline_checkpoint_recovery(spark, tmp_path):
+    """Restarting a Pipeline on the same checkpoint resumes without
+    reprocessing (A4/A8: Ack durability + clean Stop/Close).
+
+    Phase 1 processes the initial file set and stops; phase 2 sees one
+    new file. The sink must hold each input row exactly once — a
+    restart that replayed acked offsets would duplicate phase-1 rows.
+    """
+    import glob
+    import shutil
+
+    src_dir, out = str(tmp_path / "src"), str(tmp_path / "out")
+    os.makedirs(src_dir)
+    e = table(spark, SF_DIR, "events")
+
+    def stage(df, name):
+        phase = str(tmp_path / f"phase_{name}")
+        df.coalesce(1).write.parquet(phase)
+        (part,) = glob.glob(f"{phase}/part-*.parquet")
+        shutil.copy(part, f"{src_dir}/{name}.parquet")
+
+    def run_once():
+        pipe = Pipeline(
+            source=FrSource.files(spark, src_dir, EVENTS_DDL),
+            transform=lambda df: df.select("event_id", "user_id"),
+            sink=FrSink.parquet(out),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        pipe.run_to_completion()
+        pipe.close()
+
+    first = e.filter(F.col("event_id") < 500)
+    second = e.filter(F.col("event_id").between(500, 599))
+    stage(first, "f0")
+    run_once()
+    assert spark.read.parquet(out).count() == first.count()
+
+    stage(second, "f1")
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == first.count() + second.count()  # no replays
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_transform_with_state(spark, events_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-key ValueState counts
+    across micro-batches (the successor API to applyInPandasWithState).
+
+    The state-server protocol needs google.protobuf, which is not in
+    this image (and installs are disallowed) — skipped when absent;
+    applyInPandasWithState above covers the stateful-op category.
+    """
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState needs protobuf (not in image)"
+    )
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_so_far": [n]})
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store (also the
+    # provider scale_notes.md prescribes for 100 TB state volumes).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = _stream_events(spark, events_dir, files_per_trigger=1).stream()
+    counted = stream.groupBy("user_id").transformWithStateInPandas(
+        CountProcessor(),
+        outputStructType="user_id bigint, n_so_far bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.sql("SELECT user_id, max(n_so_far) AS n FROM tws_out GROUP BY user_id")
+    want = table(spark, SF_DIR, "events").groupBy("user_id").count()
+    assert (
+        got.join(want, "user_id").filter(F.col("n") != F.col("count")).count() == 0
+    )
+    assert got.count() == want.count()
