@@ -138,11 +138,12 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup: shingle → minhash → band → bucket-join.
 
     The full scalable pipeline: 8 portable minhashes per doc (min of
-    md5(seed|shingle) — string min ≡ numeric min on fixed-width hex),
-    banded 2-per-band into 4 LSH bands, candidate pairs from band-
-    bucket equality joins only, then *exact* Jaccard verification of
-    candidates. At 100 TB the band join is the only pairwise step and
-    its fan-in is bounded by bucket size, not corpus size.
+    a 16-bit md5 slice per hash function — string min ≡ numeric min
+    on fixed-width hex), banded 2-per-band into 4 LSH bands,
+    candidate pairs from band-bucket equality joins only, then
+    *exact* Jaccard verification of candidates. At 100 TB the band
+    join is the only pairwise step and its fan-in is bounded by
+    bucket size, not corpus size.
     """
     # cache(): the shingle set feeds 3 branches of this one DAG
     # (minhash, verification, sizes). MEMORY_AND_DISK blocks are
@@ -331,4 +332,62 @@ def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return jac.filter(jaccard >= NGRAM_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
+    )
+
+
+@query(
+    "q_llm_decontaminate",
+    oracle=f"""
+    WITH shingles AS ({_shingle_sql()}),
+    eval_set AS (
+        SELECT doc_id, sh FROM shingles WHERE doc_id % 20 = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT s.doc_id
+        FROM shingles s
+        JOIN eval_set e ON e.sh = s.sh AND e.doc_id <> s.doc_id
+    )
+    SELECT s.doc_id,
+           (s.doc_id % 20 = 0) AS is_eval,
+           (c.doc_id IS NOT NULL) AS contaminated,
+           ((s.doc_id % 20 <> 0) AND c.doc_id IS NULL) AS keep_for_training
+    FROM (SELECT DISTINCT doc_id FROM shingles) s
+    LEFT JOIN contaminated c ON c.doc_id = s.doc_id
+    """,
+)
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop training docs sharing any
+    n-gram with the eval set.
+
+    The standard pre-training hygiene op: the eval set (here every
+    20th doc, deterministically) is shingled, and any other document
+    sharing a shingle is flagged. Same inverted-index join shape as
+    the n-gram dedup — at 100 TB the eval side is tiny and broadcast,
+    so the fact-side scan never shuffles.
+    """
+    sh = _shingles(spark, sf_dir)
+    eval_set = sh.filter((F.col("doc_id") % 20) == 0).select(
+        F.col("doc_id").alias("eval_doc"), F.col("sh").alias("eval_sh")
+    )
+    contaminated = (
+        sh.join(
+            F.broadcast(eval_set),
+            (F.col("sh") == F.col("eval_sh")) & (F.col("doc_id") != F.col("eval_doc")),
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    docs = sh.select("doc_id").distinct()
+    return (
+        docs.join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            ((F.col("doc_id") % 20) == 0).alias("is_eval"),
+            F.coalesce("hit", F.lit(False)).alias("contaminated"),
+            (
+                ((F.col("doc_id") % 20) != 0)
+                & ~F.coalesce("hit", F.lit(False))
+            ).alias("keep_for_training"),
+        )
     )

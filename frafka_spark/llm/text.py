@@ -281,3 +281,53 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("sh").cast("bigint").alias("n_shingles"),
         )
     )
+
+
+@query(
+    "q_llm_repetition",
+    oracle="""
+    WITH bigrams AS (
+        SELECT doc_id,
+               unnest([words[i] || ' ' || words[i+1]
+                       for i in generate_series(1, len(words) - 1)]) AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ),
+    counts AS (
+        SELECT doc_id, bg, count(*) AS n
+        FROM bigrams GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           CAST(max(n) AS INT) AS top_bigram_n,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS repetition_ratio,
+           (CAST(max(n) AS DOUBLE) / sum(n) > 0.2) AS is_repetitive
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring: top-bigram share of all bigrams per doc.
+
+    The degenerate-text filter (boilerplate, keyboard mashing, table
+    dumps repeat n-grams). Two narrow hash-aggregates; the bigram
+    explode is the only wide step and shuffles (doc_id, bigram) pairs.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat_ws(" ", F.slice("w", i, 2)),
+    )
+    counts = (
+        w.filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+    )
+    ratio = F.max("n").cast("double") / F.sum("n")
+    return counts.groupBy("doc_id").agg(
+        F.max("n").cast("int").alias("top_bigram_n"),
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        F.round(ratio, 4).alias("repetition_ratio"),
+        (ratio > 0.2).alias("is_repetitive"),
+    )
