@@ -137,3 +137,48 @@ def test_kafka_source_recipe_shape(spark):
     assert src.fmt == "kafka"
     assert src.options["kafka.bootstrap.servers"] == "b:9092"
     assert src.options["subscribe"] == "t"
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted skew join ≡ plain join (operators/skew.py)."""
+    from frafka_spark.operators.skew import salted_join
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    s = table(spark, SF_DIR, "supplier").select("s_suppkey", "s_nationkey")
+    plain = li.join(s, li.l_suppkey == s.s_suppkey).groupBy("s_nationkey").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    )
+    salted = salted_join(li, s, li.l_suppkey == s.s_suppkey, n_salts=4).groupBy(
+        "s_nationkey"
+    ).agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    diff = plain.join(salted, "s_nationkey").filter(
+        (plain.n != salted.n)
+    ).count()
+    assert diff == 0
+    assert plain.count() == salted.count()
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate: the join plans with NO Exchange on
+    either side — the zero-shuffle fact⋈fact join scale_notes.md
+    promises from the bucketed layout."""
+    from frafka_spark.plans.inspect import plan_str, shuffle_count
+    from frafka_spark.sources.batch import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+        li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed_table(o, "fs_orders_bkt", "o_orderkey", n_buckets=8)
+        write_bucketed_table(li, "fs_lineitem_bkt", "l_orderkey", n_buckets=8)
+        bo = spark.table("fs_orders_bkt")
+        bl = spark.table("fs_lineitem_bkt")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        assert shuffle_count(joined) == 0, plan_str(joined)
+        # and it still computes the right thing
+        want = o.join(li, o.o_orderkey == li.l_orderkey).count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS fs_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS fs_lineitem_bkt")
