@@ -40,7 +40,7 @@ from frafka_spark.registry import query
            replace(p_type, ' ', '_') AS underscored,
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
            reverse(p_brand) AS rev,
-           string_split(p_type, ' ') AS words,
+           array_to_string(string_split(p_type, ' '), '|') AS words,
            contains(p_type, 'BRUSHED') AS has_brushed,
            starts_with(p_type, 'PROMO') AS is_promo
     FROM part
@@ -60,7 +60,8 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace("p_type", F.lit(" "), F.lit("_")).alias("underscored"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
         F.reverse("p_brand").alias("rev"),
-        F.split("p_type", " ").alias("words"),
+        # serialized — the driver's canonicalizer cannot hash list cells
+        F.concat_ws("|", F.split("p_type", " ")).alias("words"),
         F.col("p_type").contains("BRUSHED").alias("has_brushed"),
         F.col("p_type").startswith("PROMO").alias("is_promo"),
     )
@@ -258,34 +259,49 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(embedding) AS INT) AS dim,
            CAST(embedding[1] AS DOUBLE) AS first_val,
            CAST(embedding[64] AS DOUBLE) AS last_val,
-           embedding[1:3]::DOUBLE[] AS head3,
-           list_sort(embedding[1:5])::DOUBLE[] AS sorted_head5,
+           array_to_string([CAST(x AS DECIMAL(24,6))::VARCHAR
+                            for x in embedding[1:3]::DOUBLE[]], ',') AS head3,
+           array_to_string([CAST(x AS DECIMAL(24,6))::VARCHAR
+                            for x in list_sort(embedding[1:5])::DOUBLE[]], ',')
+               AS sorted_head5,
            list_contains(embedding, 0.0) AS has_zero,
-           list_reverse(embedding[1:3])::DOUBLE[] AS head3_rev
+           array_to_string([CAST(x AS DECIMAL(24,6))::VARCHAR
+                            for x in list_reverse(embedding[1:3])::DOUBLE[]], ',')
+               AS head3_rev
     FROM embeddings
     """,
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family: size/element_at/slice/sort/contains/reverse.
 
-    Pure selection over float32 elements — no arithmetic. Outputs are
-    widened to double on BOTH sides: float32→float64 widening is
-    exact, while raw float32 cells stringify differently depending on
-    the collection path (Arrow vs row-based toPandas), which breaks
-    the driver's value hash.
+    Pure selection over float32 elements — no arithmetic. Array
+    outputs are serialized to comma-joined fixed-6-decimal strings
+    (float32→float64 widening first, which is exact): the driver's
+    canonicalizer cannot hash raw list cells, and DECIMAL(24,6)
+    string rendering is byte-identical across both engines (raw
+    double→string is NOT: Spark prints 1.23E-4 where DuckDB prints
+    0.000123).
     """
+
+    def _ser(arr):
+        return F.concat_ws(
+            ",", F.transform(arr, lambda x: x.cast("decimal(24,6)").cast("string"))
+        )
+
     e = table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         F.element_at("embedding", 64).cast("double").alias("last_val"),
-        F.slice("embedding", 1, 3).cast("array<double>").alias("head3"),
-        F.sort_array(F.slice("embedding", 1, 5)).cast("array<double>").alias(
-            "sorted_head5"
-        ),
+        _ser(F.slice("embedding", 1, 3).cast("array<double>")).alias("head3"),
+        _ser(
+            F.sort_array(F.slice("embedding", 1, 5)).cast("array<double>")
+        ).alias("sorted_head5"),
         F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
-        F.reverse(F.slice("embedding", 1, 3)).cast("array<double>").alias("head3_rev"),
+        _ser(F.reverse(F.slice("embedding", 1, 3)).cast("array<double>")).alias(
+            "head3_rev"
+        ),
     )
 
 

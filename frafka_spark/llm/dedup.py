@@ -188,9 +188,18 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"),
         F.col("band_key").alias("band_key_b"),
     )
+    # NO broadcast hints anywhere below: every relation here is
+    # O(corpus) — bands are 4 rows/doc, candidates are unbounded on
+    # duplicate-heavy corpora (the very case dedup exists for), sizes
+    # are 1 row/doc. All joins shuffle on their keys ((band,
+    # band_key), doc_a, doc_b); LSH banding bounds per-bucket fan-in,
+    # so the shuffle join is the 100 TB-safe plan. Catalyst/AQE may
+    # still size-broadcast at fixture scale — that's runtime-adaptive,
+    # not a hint that would force a driver OOM at 10⁹ docs
+    # (plan-asserted hint-free in tests/test_plans.py).
     candidates = (
         b1.join(
-            F.broadcast(b2),  # 4 band rows per doc — always tiny vs corpus
+            b2,
             (b1.band == b2.band_b)
             & (b1.band_key == b2.band_key_b)
             & (b1.doc_a < b2.doc_b),
@@ -202,7 +211,7 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("sh").alias("sh_b"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     verified = (
-        F.broadcast(candidates).join(sa, "doc_a")  # candidate pairs ≪ shingles
+        candidates.join(sa, "doc_a")
         .join(
             sb,
             (F.col("doc_b") == F.col("sb_doc")) & (F.col("sh") == F.col("sh_b")),
@@ -213,10 +222,7 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("sh_b").alias("n_inter"),
             F.countDistinct("sh").alias("n_a"),
         )
-        .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), "n_sh")),
-            "doc_b",
-        )
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), "n_sh"), "doc_b")
     )
     jaccard = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_sh") - F.col("n_inter")

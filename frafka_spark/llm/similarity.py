@@ -9,7 +9,9 @@ Three tiers, all DuckDB-oracle-checked:
   centroids, assign-to-nearest, search within the cell only. The
   pairwise step shrinks from n² to Σ|cell|² — the scale path;
 - ``q_llm_dedup_embed`` — embedding-cosine near-dup pairs above a
-  threshold (the semantic-dedup operator).
+  threshold *within an IVF cell* (the semantic-dedup operator —
+  cluster-then-dedup-within-cluster, the formulation that scales:
+  no all-pairs scan and no driver-side corpus round-trip).
 
 Float discipline: embeddings are float32 at rest; both engines cast
 to float64 *before* any arithmetic, and both compute dot products as
@@ -61,16 +63,30 @@ _SQL_VECS = """
 """
 
 
+MAX_GEMM_BUILD_ROWS = 1_000_000  # ~512 MB of float64 at dim 64
+
+
 def _broadcast_unit_matrix(spark: SparkSession, sf_dir: str):
-    """Shared GEMM build side: (ids, labels, row-normalized matrix),
-    broadcast once — analogous to a broadcast join's build side. The
-    corpus here is the fixture table; at scale the broadcast side is
-    a query set or IVF codebook (module docstring)."""
+    """Bounded GEMM build side: (ids, labels, row-normalized matrix),
+    broadcast once — analogous to a broadcast join's build side.
+
+    This is the ONLY driver-side collect in the engine, and it is
+    deliberately bounded: the build side of a brute-force scorer must
+    be a query set / codebook that fits one machine (here the fixture
+    embeddings table). A corpus-sized input fails fast with the
+    scale-path pointer instead of silently OOMing the driver.
+    """
     import numpy as np
 
-    rows = (
-        _vectors(spark, sf_dir).select("vec_id", "label", "emb").orderBy("vec_id").collect()
-    )
+    v = _vectors(spark, sf_dir).select("vec_id", "label", "emb")
+    n = v.count()
+    if n > MAX_GEMM_BUILD_ROWS:
+        raise ValueError(
+            f"brute-force build side has {n} rows (> {MAX_GEMM_BUILD_ROWS}); "
+            "use the IVF cell path (q_llm_sim_ann / q_llm_dedup_embed) "
+            "for corpus-scale similarity"
+        )
+    rows = v.orderBy("vec_id").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     labels = np.array([r["label"] for r in rows], dtype=np.int32)
     mat = np.array([r["emb"] for r in rows], dtype=np.float64)
@@ -144,16 +160,16 @@ def q_llm_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_llm_sim_ann",
-    oracle=f"""
-    WITH {_SQL_VECS},
+# IVF cell assignment, shared by q_llm_sim_ann and q_llm_dedup_embed:
+# deterministic coarse centroids (vec_id % CENTROID_MOD == 0), each
+# vector assigned to its max-cosine centroid with cent_id tiebreak.
+_SQL_CELLS = f"""
     cents AS (
         SELECT vec_id AS cent_id, emb AS cemb, norm AS cnorm
         FROM vecs WHERE vec_id % {CENTROID_MOD} = 0
     ),
     assigned AS (
-        SELECT vec_id, emb, norm, cent_id,
+        SELECT vec_id, label, emb, norm, cent_id,
                row_number() OVER (
                    PARTITION BY vec_id
                    ORDER BY list_dot_product(emb, cemb) / (norm * cnorm) DESC,
@@ -161,7 +177,42 @@ def q_llm_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rn
         FROM vecs CROSS JOIN cents
     ),
-    cells AS (SELECT vec_id, emb, norm, cent_id FROM assigned WHERE rn = 1),
+    cells AS (SELECT vec_id, label, emb, norm, cent_id FROM assigned WHERE rn = 1)
+"""
+
+
+def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid (IVF).
+
+    The centroid set is the *codebook*: bounded by construction (a
+    trained k-means would have fixed k), so broadcasting it is the
+    legitimate small-side broadcast — the corpus side streams through
+    a crossJoin against it with no shuffle and no driver round-trip.
+    """
+    v = _vectors(spark, sf_dir)
+    cents = v.filter((F.col("vec_id") % CENTROID_MOD) == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = _dot(F.col("emb"), F.col("cemb")) / (F.col("norm") * F.col("cnorm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "emb", "norm", "cent_id")
+    )
+
+
+@query(
+    "q_llm_sim_ann",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    {_SQL_CELLS},
     scored AS (
         SELECT a.vec_id, a.cent_id, b.vec_id AS neighbor_id,
                list_dot_product(a.emb, b.emb) / (a.norm * b.norm) AS cos,

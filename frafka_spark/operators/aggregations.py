@@ -268,17 +268,27 @@ def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT lang,
-           list_sort(array_agg(doc_id)) AS doc_ids,
+           array_to_string(list_sort(array_agg(doc_id)), ',') AS doc_ids,
            count(*) AS n_docs
     FROM documents
     GROUP BY lang
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered list aggregation (collect_list + sort_array)."""
+    """Ordered list aggregation (collect_list + sort_array).
+
+    The sorted list is serialized to a comma-joined string: the
+    driver's canonicalizer sorts result rows with pandas, which
+    cannot hash raw list cells (CORRECTNESS_r01 hard FAIL) — and a
+    string cell is also the only array representation both engines
+    render identically. Sort happens numerically BEFORE the string
+    cast on both sides.
+    """
     d = table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list("doc_id")).cast("array<string>")
+        ).alias("doc_ids"),
         F.count("*").alias("n_docs"),
     )
 

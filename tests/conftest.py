@@ -89,6 +89,12 @@ def assert_query_matches_oracle(spark, duck, name: str, sf_dir: str = SF_DIR):
     spec = QUERIES[name]
     sdf = spec.fn(spark, sf_dir)
     engine_pdf = sdf.toPandas()
+    # Replicate the driver's canonicalizer exactly: it sorts rows with
+    # pandas sort_values over ALL columns, which raises TypeError on
+    # list/array cells. Round 1's q_agg_collect passed locally but
+    # failed the driver precisely because this step was missing.
+    if len(engine_pdf):
+        engine_pdf.sort_values(by=sorted(engine_pdf.columns))
     if spec.oracle is None:
         assert len(engine_pdf) >= 0  # rows-only check
         return engine_pdf
