@@ -243,10 +243,10 @@ def _simhash_bit_sql(j: int) -> str:
     )
 
 
-@query(
-    "q_llm_dedup_simhash",
-    oracle=f"""
-    WITH words AS (
+# (doc_id, 16-char bit-string signature) — shared by the exact-bucket
+# and multi-probe SimHash queries.
+_SIMHASH_SIG_SQL = f"""
+    words AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS word
         FROM documents
     ),
@@ -256,21 +256,11 @@ def _simhash_bit_sql(j: int) -> str:
                    AS simhash
         FROM words GROUP BY doc_id
     )
-    SELECT simhash,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           min(doc_id) AS keep_doc_id,
-           (count(*) > 1) AS is_bucket_dup
-    FROM sigs GROUP BY simhash
-    """,
-)
-def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash dedup: sign-aggregated 16-bit signature, bucket by it.
+"""
 
-    Each word votes ±1 per bit position (bit j = high bit of hex char
-    j of md5(word)); the signature is the sign vector. Duplicate and
-    near-duplicate docs collapse into the same bucket; Hamming-ball
-    probing would extend recall (multi-probe noted in scale_notes).
-    """
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_SIMHASH_SIG_SQL``: sign-aggregated signature."""
     d = table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     bits = [
@@ -283,11 +273,100 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise("0")
         for j in range(_SIMHASH_BITS)
     ]
-    sigs = w.groupBy("doc_id").agg(F.concat(*bits).alias("simhash"))
+    return w.groupBy("doc_id").agg(F.concat(*bits).alias("simhash"))
+
+
+@query(
+    "q_llm_dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_SQL}
+    SELECT simhash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_doc_id,
+           (count(*) > 1) AS is_bucket_dup
+    FROM sigs GROUP BY simhash
+    """,
+)
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup: sign-aggregated 16-bit signature, bucket by it.
+
+    Each word votes ±1 per bit position (bit j = high bit of hex char
+    j of md5(word)); the signature is the sign vector. Duplicate and
+    near-duplicate docs collapse into the same bucket; near-misses at
+    Hamming distance 1 are recovered by ``q_llm_dedup_simhash_probe``.
+    """
+    sigs = _simhash_sigs(spark, sf_dir)
     return sigs.groupBy("simhash").agg(
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("keep_doc_id"),
         (F.count("*") > 1).alias("is_bucket_dup"),
+    )
+
+
+@query(
+    "q_llm_dedup_simhash_probe",
+    oracle=f"""
+    WITH {_SIMHASH_SIG_SQL},
+    probes AS (
+        SELECT doc_id, simhash,
+               unnest(list_append(
+                   [concat(substr(simhash, 1, j),
+                           CASE WHEN substr(simhash, j + 1, 1) = '1'
+                                THEN '0' ELSE '1' END,
+                           substr(simhash, j + 2))
+                    for j in generate_series(0, {_SIMHASH_BITS - 1})],
+                   simhash)) AS probe
+        FROM sigs
+    )
+    SELECT DISTINCT p.doc_id AS doc_a, s.doc_id AS doc_b,
+           CAST(CASE WHEN p.simhash = s.simhash THEN 0 ELSE 1 END AS INT)
+               AS hamming
+    FROM probes p JOIN sigs s
+      ON p.probe = s.simhash AND p.doc_id < s.doc_id
+    """,
+)
+def q_llm_dedup_simhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash multi-probe: recover near-miss pairs at Hamming ≤ 1.
+
+    Exact-bucket SimHash (``q_llm_dedup_simhash``) only ever recalls
+    *identical* signatures. Here each doc emits 17 probe keys — its
+    own signature plus all 16 one-bit flips — joined against the
+    plain signatures: a pair collides iff Hamming(sig_a, sig_b) ≤ 1,
+    the probe side strictly bounding the ball. The expansion factor
+    is constant (bits + 1), so the shuffle grows 17×, not
+    quadratically — the standard multi-probe LSH recall/IO trade.
+    """
+    sigs = _simhash_sigs(spark, sf_dir)
+    flips = [
+        F.concat(
+            F.substring("simhash", 1, j),
+            F.when(F.substring("simhash", j + 1, 1) == "1", "0").otherwise("1"),
+            F.substring("simhash", j + 2, _SIMHASH_BITS),
+        )
+        for j in range(_SIMHASH_BITS)
+    ]
+    probes = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        F.explode(F.array(*flips, F.col("simhash"))).alias("probe"),
+    )
+    anchors = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+    )
+    return (
+        probes.join(
+            anchors,
+            (F.col("probe") == F.col("sig_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("sig_a") == F.col("sig_b"), 0)
+            .otherwise(1)
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
     )
 
 

@@ -237,23 +237,7 @@ def q_llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cell join key (cent_id) is the shuffle key — this is the
     shape that scales to 10⁹ vectors with a trained codebook.
     """
-    v = _vectors(spark, sf_dir)
-    cents = v.filter((F.col("vec_id") % CENTROID_MOD) == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("emb").alias("cemb"),
-        F.col("norm").alias("cnorm"),
-    )
-    ccos = _dot(F.col("emb"), F.col("cemb")) / (F.col("norm") * F.col("cnorm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cent_id").asc()
-    )
-    cells = (
-        v.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", ccos)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "norm", "cent_id")
-    )
+    cells = _cells(spark, sf_dir)
     a = cells.select(
         "vec_id", "cent_id", F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a")
     )
@@ -283,49 +267,60 @@ def q_llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_llm_dedup_embed",
     oracle=f"""
-    WITH {_SQL_VECS}
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    WITH {_SQL_VECS},
+    {_SQL_CELLS}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cent_id,
            (a.label = b.label) AS same_label,
            round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS cosine
-    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+    FROM cells a JOIN cells b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.emb, b.emb) / (a.norm * b.norm)
           >= {EMBED_DUP_THRESHOLD}
     """,
 )
 def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (semantic dedup).
+    """Embedding-cosine near-dup pairs within an IVF cell (semantic
+    dedup, SemDeDup-style cluster-then-dedup).
 
-    Brute pair scan above threshold — at 100 TB the same filter runs
-    after the IVF cell join (pairs only within a cell), trading exact
-    recall for Σ|cell|² cost; threshold tuned to the fixture's cosine
-    range (max ≈ 0.51, FIXTURES profiling).
+    Pairs are only scored inside their coarse cell: the n² scan
+    becomes Σ|cell|², the cell id is the shuffle key, and — unlike
+    round 1's formulation — nothing is collected to the driver and
+    nothing O(corpus) is broadcast (the codebook crossJoin inside
+    ``_cells`` is the only broadcast, bounded by construction).
+    Near-identical vectors share a nearest centroid, so recall loss
+    is confined to pairs straddling a cell boundary — the standard
+    IVF trade, threshold tuned to the fixture's cosine range
+    (max ≈ 0.51, FIXTURES profiling).
     """
-    import numpy as np
-    import pandas as pd
-
-    bc = _broadcast_unit_matrix(spark, sf_dir)
-
-    def pairs(batches):
-        b_ids, b_labels, b_unit = bc.value
-        for pdf in batches:
-            q = np.array(list(pdf["emb"]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            q_ids = pdf["vec_id"].to_numpy()
-            q_labels = pdf["label"].to_numpy()
-            sims = q @ b_unit.T
-            # Each pair is emitted once, from its smaller-id row.
-            mask = (sims >= EMBED_DUP_THRESHOLD) & (q_ids[:, None] < b_ids[None, :])
-            qi, bj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "vec_a": q_ids[qi],
-                    "vec_b": b_ids[bj],
-                    "same_label": q_labels[qi] == b_labels[bj],
-                    "cosine": np.round(sims[qi, bj], 6),
-                }
-            )
-
-    v = _vectors(spark, sf_dir).select("vec_id", "label", "emb")
-    return v.mapInPandas(
-        pairs, "vec_a bigint, vec_b bigint, same_label boolean, cosine double"
+    cells = _cells(spark, sf_dir)
+    a = cells.select(
+        F.col("vec_id").alias("vec_a"),
+        "cent_id",
+        F.col("label").alias("label_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cent_id").alias("cent_b"),
+        F.col("label").alias("label_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(
+            b,
+            (F.col("cent_id") == F.col("cent_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= EMBED_DUP_THRESHOLD)
+        .select(
+            "vec_a",
+            "vec_b",
+            "cent_id",
+            (F.col("label_a") == F.col("label_b")).alias("same_label"),
+            F.round("cos", 6).alias("cosine"),
+        )
     )

@@ -86,7 +86,7 @@ def test_python_boundary_inventory(spark):
     # whose semantics require it (UDF surface + GEMM kernels).
     py_expected = {
         "q_udf_python", "q_udf_pandas", "q_udaf_pandas", "q_udtf",
-        "q_llm_sim_cosine", "q_llm_dedup_embed",
+        "q_llm_sim_cosine",
     }
     for name in sorted(QUERIES):
         nodes = python_eval_nodes(_df(spark, name))
@@ -94,6 +94,47 @@ def test_python_boundary_inventory(spark):
             assert nodes, f"{name} should cross the Python boundary"
         else:
             assert not nodes, f"{name} unexpectedly uses Python: {nodes}"
+
+
+def _plan_without_auto_broadcast(spark, name: str) -> str:
+    """Physical plan with size-based auto-broadcast disabled.
+
+    With the threshold at -1, any BroadcastExchange left in the plan
+    can only come from an explicit hint — the thing that would force
+    a driver OOM at corpus scale regardless of runtime statistics.
+    """
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        return _plan(spark, name)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_dedup_near_has_no_broadcast_hints(spark):
+    # VERDICT r1 What's-wrong #4: bands (4 rows/doc), candidates
+    # (unbounded on duplicate-heavy corpora) and sizes (1 row/doc) are
+    # all O(corpus) — none may be hint-broadcast. Size-based AQE
+    # broadcasting at fixture scale is fine; hints are not.
+    plan = _plan_without_auto_broadcast(spark, "q_llm_dedup_near")
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_dedup_embed_is_distributed_cell_join(spark):
+    # VERDICT r1 What's-wrong #5: no driver-side corpus collect and no
+    # Python kernel — a pure DataFrame join keyed on the IVF cell. The
+    # only broadcast allowed is the bounded centroid codebook feeding
+    # the cell-assignment crossJoin.
+    plan = _plan_without_auto_broadcast(spark, "q_llm_dedup_embed")
+    assert "MapInPandas" not in plan
+    assert "SortMergeJoin" in plan, plan  # the cell join shuffles on cent_id
+    import re
+
+    # count numbered plan nodes, not the tree-header echo of each node
+    bcast_joins = re.findall(r"\(\d+\) Broadcast(?:NestedLoop|Hash)Join", plan)
+    # centroid crossJoin appears once per cells() branch (a and b sides)
+    assert len(bcast_joins) <= 2, plan
 
 
 def test_scalar_functions_stay_in_codegen(spark):
