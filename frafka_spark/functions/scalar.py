@@ -501,3 +501,53 @@ def q_fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
     )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT p_partkey,
+           to_json(MAP {'brand': p_brand, 'type': p_type})::VARCHAR
+               AS attrs_json,
+           to_json(MAP {'size': p_size, 'retail_cents':
+                        CAST(round(p_retailprice * 100) AS BIGINT)})::VARCHAR
+               AS nums_json,
+           p_brand AS brand_val,
+           CAST(2 AS INT) AS n_attrs,
+           array_to_string(map_keys(MAP {'brand': p_brand,
+                                         'type': p_type}), ',')
+               AS attr_keys
+    FROM part
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: map_from_entries / element_at / size / map_keys,
+    serialized through to_json (byte-identical across engines for
+    string and integer values; the driver's canonicalizer cannot hash
+    raw map cells, same constraint as arrays).
+
+    Closes the last ▣-only B8 row from round 1 (VERDICT 'What's
+    missing' #5): map functions were pytest-only, now oracle-checked.
+    """
+    p = table(spark, sf_dir, "part")
+    attrs = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("brand").alias("key"), F.col("p_brand").alias("value")),
+            F.struct(F.lit("type").alias("key"), F.col("p_type").alias("value")),
+        )
+    )
+    nums = F.map_from_arrays(
+        F.array(F.lit("size"), F.lit("retail_cents")),
+        F.array(
+            F.col("p_size").cast("bigint"),
+            F.round(F.col("p_retailprice") * 100).cast("bigint"),
+        ),
+    )
+    return p.select(
+        "p_partkey",
+        F.to_json(attrs).alias("attrs_json"),
+        F.to_json(nums).alias("nums_json"),
+        F.element_at(attrs, "brand").alias("brand_val"),
+        F.size(attrs).alias("n_attrs"),
+        F.concat_ws(",", F.map_keys(attrs)).alias("attr_keys"),
+    )

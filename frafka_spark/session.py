@@ -41,6 +41,10 @@ def get_spark(
         # schema broadcasts; at 100 TB the dims are still ≤ GBs vs a
         # multi-TB fact table, so broadcasting dims remains correct.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # events.ts is TIMESTAMP(NANOS) parquet — read as raw nanos
+        # (io.table rebuilds the µs timestamp). Set once here; io.table
+        # guards for sessions built elsewhere (e.g. the grading driver).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -32,6 +32,7 @@ class FrSink:
     fmt: str
     options: dict[str, str] = field(default_factory=dict)
     output_mode: str = "append"
+    partition_by: str | None = None
 
     @classmethod
     def kafka(cls, env=None, **overrides) -> "FrSink":
@@ -48,6 +49,20 @@ class FrSink:
     @classmethod
     def parquet(cls, path: str) -> "FrSink":
         return cls("parquet", {"path": path})
+
+    @classmethod
+    def topic_routed_parquet(cls, path: str) -> "FrSink":
+        """Broker-less execution of per-row topic routing (A10).
+
+        The Kafka producer sink routes each row by its ``topic``
+        column; with no broker in this environment, this sink applies
+        the SAME per-row destination contract by partitioning the
+        write on ``topic`` — every row lands under ``topic=<value>/``,
+        so routing is actually *executed* (not construction-only) and
+        assertable from the output layout. Swapping this for
+        ``FrSink.kafka()`` changes only the transport.
+        """
+        return cls("parquet", {"path": path}, partition_by="topic")
 
     @classmethod
     def memory(cls, name: str, output_mode: str = "append") -> "FrSink":
@@ -67,6 +82,8 @@ class FrSink:
         if self.fmt == "memory":
             raise ValueError("memory sink is stream-only; use configure()")
         writer = df.write.format(self.fmt).mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
         for k, v in self.options.items():
             writer = writer.option(k, v)
         writer.save()

@@ -448,3 +448,50 @@ def test_transform_with_state(spark, events_dir, tmp_path):
         got.join(want, "user_id").filter(F.col("n") != F.col("count")).count() == 0
     )
     assert got.count() == want.count()
+
+
+def test_per_row_topic_routing_executes(spark, events_dir, tmp_path):
+    """A10 beyond construction: per-row topic routing actually runs.
+
+    The kafka producer sink routes each row by its ``topic`` column;
+    with no broker available, FrSink.topic_routed_parquet applies the
+    identical per-row destination contract (partitioned write on
+    ``topic``). The transform assigns topics from row content, the
+    pipeline streams through foreachBatch, and the assertion reads
+    each topic's partition back — proving destination selection
+    happened per row, not per query.
+    """
+    out = str(tmp_path / "routed")
+
+    def route(df):
+        return df.select(
+            "event_id",
+            "event_type",
+            F.when(F.col("value") > 100.0, "hot").otherwise("cold").alias("topic"),
+        )
+
+    pipe = Pipeline(
+        source=_stream_events(spark, events_dir),
+        transform=route,
+        sink=FrSink.topic_routed_parquet(out),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    pipe.run_to_completion()
+    pipe.close()
+
+    events = table(spark, SF_DIR, "events")
+    n_hot = events.filter(F.col("value") > 100.0).count()
+    n_cold = events.count() - n_hot
+    assert n_hot > 0 and n_cold > 0, "fixture should populate both topics"
+
+    hot = spark.read.parquet(f"{out}/topic=hot")
+    cold = spark.read.parquet(f"{out}/topic=cold")
+    assert hot.count() == n_hot
+    assert cold.count() == n_cold
+    # routing is content-correct, not just count-correct
+    hot_ids = {r["event_id"] for r in hot.select("event_id").collect()}
+    expect_hot = {
+        r["event_id"]
+        for r in events.filter(F.col("value") > 100.0).select("event_id").collect()
+    }
+    assert hot_ids == expect_hot
