@@ -102,8 +102,9 @@ def main() -> None:
     # the same noise reason. Under the FAIR pass a span would include
     # 7 co-running queries' contention, which says nothing about the
     # query itself.
+    seq_passes = 2 if total < 60 else 1  # overloaded box: don't double down
     times: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(seq_passes):
         for name in sorted(queries):
             t = round(run(queries[name]), 3)
             if name not in times or t < times[name]:

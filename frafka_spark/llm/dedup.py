@@ -118,10 +118,9 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
-@query(
-    "q_llm_dedup_near",
-    oracle=f"""
-    WITH shingles AS ({_shingle_sql()}),
+# MinHash→band→verify pipeline over a CTE named ``shingles`` —
+# shared verbatim by the plain and stop-shingle-capped variants.
+_NEAR_SQL_BODY = f"""
     minhash AS (
         SELECT doc_id, seed, min(substr(sh, seed * 4 + 1, 4)) AS mh
         FROM shingles, (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed)
@@ -156,22 +155,12 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM verified v JOIN sized sz ON sz.doc_id = v.doc_b
     WHERE CAST(v.n_inter AS DOUBLE) / (v.n_a + sz.n_sh - v.n_inter)
           >= {JACCARD_THRESHOLD}
-    """,
-)
-def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: shingle → minhash → band → bucket-join.
+"""
 
-    The full scalable pipeline: 8 portable minhashes per doc (min of
-    a 16-bit md5 slice per hash function — string min ≡ numeric min
-    on fixed-width hex), banded 2-per-band into 4 LSH bands,
-    candidate pairs from band-bucket equality joins only, then
-    *exact* Jaccard verification of candidates. At 100 TB the band
-    join is the only pairwise step and its fan-in is bounded by
-    bucket size, not corpus size.
-    """
-    # _shingles is cached: it feeds 3 branches of this DAG (minhash,
-    # verification, sizes) AND three sibling queries.
-    sh = _shingles(spark, sf_dir)
+
+def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
+    """MinHash→band→verify over any (doc_id, sh) relation (the Spark
+    twin of ``_NEAR_SQL_BODY``)."""
     # All 8 minhashes in ONE hash-aggregate (8 min() columns over the
     # shingle rows) — a single shuffle on doc_id. The hash family is
     # 16-bit slices of the shingle's md5 (positions 4i..4i+4 of the
@@ -251,6 +240,70 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(jaccard >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
     )
+
+
+@query(
+    "q_llm_dedup_near",
+    oracle=f"""
+    WITH shingles AS ({_shingle_sql()}),
+    {_NEAR_SQL_BODY}
+    """,
+)
+def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: shingle → minhash → band → bucket-join.
+
+    The full scalable pipeline: 8 portable minhashes per doc (min of
+    a 16-bit md5 slice per hash function — string min ≡ numeric min
+    on fixed-width hex), banded 2-per-band into 4 LSH bands,
+    candidate pairs from band-bucket equality joins only, then
+    *exact* Jaccard verification of candidates. At 100 TB the band
+    join is the only pairwise step and its fan-in is bounded by
+    bucket size, not corpus size.
+    """
+    # _shingles is cached: it feeds 3 branches of this DAG (minhash,
+    # verification, sizes) AND three sibling queries.
+    return _minhash_lsh_pairs(_shingles(spark, sf_dir))
+
+
+STOP_SHINGLE_DF = 4  # drop shingles present in more than this many docs
+
+
+@query(
+    "q_llm_dedup_near_capped",
+    oracle=f"""
+    WITH all_shingles AS ({_shingle_sql()}),
+    shingle_df AS (
+        SELECT sh, count(*) AS df FROM all_shingles GROUP BY sh
+    ),
+    shingles AS (
+        SELECT a.doc_id, a.sh
+        FROM all_shingles a JOIN shingle_df f ON f.sh = a.sh
+        WHERE f.df <= {STOP_SHINGLE_DF}
+    ),
+    {_NEAR_SQL_BODY}
+    """,
+)
+def q_llm_dedup_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with stop-shingle capping — the skew mitigation
+    scale_notes promised, now first-class.
+
+    Shingles occurring in more than STOP_SHINGLE_DF documents are
+    boilerplate: they inflate LSH bucket fan-in quadratically (a
+    shingle shared by k docs implies k² candidate meetings — the
+    inverted-index analog of join skew) while carrying no dedup
+    signal. Dropping them BEFORE the minhash bounds every bucket and
+    makes Jaccard measure distinctive content only; the identical cap
+    runs in the oracle, so the whole capped pipeline is hash-checked.
+    Same trick as salting, applied to content instead of keys.
+    """
+    sh = _shingles(spark, sf_dir)
+    sdf = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    capped = (
+        sh.join(sdf, "sh")
+        .filter(F.col("df") <= STOP_SHINGLE_DF)
+        .select("doc_id", "sh")
+    )
+    return _minhash_lsh_pairs(capped)
 
 
 _SIMHASH_BITS = 16

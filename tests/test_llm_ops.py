@@ -273,3 +273,13 @@ def test_shared_projections_partitioning(spark):
         _cells(spark, SF_DIR),
     ):
         assert df.rdd.getNumPartitions() == n
+
+
+def test_capped_lsh_keeps_planted_recall(spark, planted_dup_pairs):
+    """Stop-shingle capping must not lose the planted near-dup pairs:
+    their similarity lives in distinctive (low-df) shingles, which is
+    exactly why boilerplate shingles are safe to drop."""
+    capped = QUERIES["q_llm_dedup_near_capped"].fn(spark, SF_DIR)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    missing = planted_dup_pairs - got
+    assert not missing, f"capping lost planted pairs: {sorted(missing)[:5]}"

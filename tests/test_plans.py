@@ -117,8 +117,9 @@ def test_dedup_near_has_no_broadcast_hints(spark):
     # (unbounded on duplicate-heavy corpora) and sizes (1 row/doc) are
     # all O(corpus) — none may be hint-broadcast. Size-based AQE
     # broadcasting at fixture scale is fine; hints are not.
-    plan = _plan_without_auto_broadcast(spark, "q_llm_dedup_near")
-    assert "BroadcastExchange" not in plan, plan
+    for name in ("q_llm_dedup_near", "q_llm_dedup_near_capped"):
+        plan = _plan_without_auto_broadcast(spark, name)
+        assert "BroadcastExchange" not in plan, (name, plan)
 
 
 def test_dedup_embed_is_distributed_cell_join(spark):
