@@ -426,3 +426,104 @@ def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "source", "n_chars", hk.alias("hk")).filter(
         F.col("hk") < "2000"
     )
+
+
+_CMS_DEPTH = 4  # independent hash rows: md5 hex chars [2r+1, 2r+2]
+_CMS_MIN_N = 100  # heavy-hitter reporting threshold (exact count)
+
+
+@query(
+    "q_llm_heavy_hitters",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    sketch AS (
+        SELECT r, substr(md5(word), r * 2 + 1, 2) AS bucket,
+               CAST(count(*) AS BIGINT) AS bucket_n
+        FROM words, (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS r)
+        GROUP BY r, substr(md5(word), r * 2 + 1, 2)
+    ),
+    exact AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS exact_n
+        FROM words GROUP BY word HAVING count(*) >= {_CMS_MIN_N}
+    )
+    SELECT e.word, e.exact_n,
+           min(s.bucket_n) AS cms_est,
+           CAST(min(s.bucket_n) - e.exact_n AS BIGINT) AS overcount,
+           (min(s.bucket_n) >= e.exact_n) AS est_is_upper_bound
+    FROM exact e
+    JOIN (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS r) rs ON true
+    JOIN sketch s
+      ON s.r = rs.r AND s.bucket = substr(md5(e.word), rs.r * 2 + 1, 2)
+    GROUP BY e.word, e.exact_n
+    """,
+)
+def q_llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters via a count-min sketch, checked
+    against the exact counts.
+
+    The sketch is the mergeable-summary shape a streaming / 100 TB
+    vocabulary profiler uses: depth-4 hash rows × 256 hex buckets,
+    each row a plain hash-aggregate (map-side combinable, fixed 1 KB
+    per row regardless of corpus size), point estimate = min over
+    rows — a deterministic upper bound (``est_is_upper_bound`` is a
+    built-in proof column). The hash family is md5-hex slices, so
+    the oracle reproduces the sketch bit for bit; the exact join
+    side exists only to exhibit the estimate error, a production
+    profiler keeps just the sketch.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    words = d.repartition(n_shuffle, "doc_id").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.substring(F.md5("word"), r * 2 + 1, 2).alias("bucket"),
+            )
+            for r in range(_CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        words.select(F.explode(buckets).alias("rb"))
+        .groupBy("rb.r", "rb.bucket")
+        .agg(F.count("*").alias("bucket_n"))
+    )
+    exact = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("exact_n"))
+        .filter(F.col("exact_n") >= _CMS_MIN_N)
+    )
+    probes = exact.select(
+        "word",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("pr"),
+                        F.substring(F.md5("word"), r * 2 + 1, 2).alias("pbucket"),
+                    )
+                    for r in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("word", "exact_n", "p.pr", "p.pbucket")
+    return (
+        probes.join(
+            sketch,
+            (F.col("pr") == F.col("r")) & (F.col("pbucket") == F.col("bucket")),
+        )
+        .groupBy("word", "exact_n")
+        .agg(F.min("bucket_n").alias("cms_est"))
+        .select(
+            "word",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+            (F.col("cms_est") >= F.col("exact_n")).alias("est_is_upper_bound"),
+        )
+    )

@@ -236,3 +236,44 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM fs_orders_range
         """
     )
+
+
+def range_partitioned_row_number(
+    df: DataFrame, order_by: list[str], out: str = "rn"
+) -> DataFrame:
+    """Global row_number WITHOUT the single-task global sort.
+
+    The scale replacement for ``Window.orderBy(...)`` with no
+    partition key (which moves ALL rows to one task — Spark itself
+    warns): range-partition on the order keys, rank within each
+    partition (distributed state), then add per-partition offsets
+    computed from a partition-count aggregate that is at most
+    one row per partition — the only data that ever reaches the
+    driver, bounded by cluster width, not data size.
+
+    ``order_by`` must be a total order (include a unique tiebreak
+    key) for the result to be deterministic.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_by)
+    # cache(): the offsets branch and the final join both read this
+    # frame. Left uncached they re-execute the range exchange, whose
+    # boundaries come from a fresh SAMPLE each run — the two branches
+    # would disagree on _pid and the offsets would be garbage.
+    local = ranged.withColumn("_local_rn", F.row_number().over(w_local)).cache()
+    # partition sizes -> cumulative offsets (≤ n rows; driver-safe)
+    sizes = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 0
+    )
+    offsets = sizes.withColumn(
+        "_offset", F.coalesce(F.sum("_cnt").over(w_off) - F.col("_cnt"), F.lit(0))
+    ).select("_pid", "_offset")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_offset") + F.col("_local_rn")).cast("int"))
+        .drop("_pid", "_local_rn", "_offset")
+    )

@@ -182,3 +182,28 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS fs_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS fs_lineitem_bkt")
+
+
+def test_range_partitioned_row_number_equals_global(spark):
+    """The distributed global-rank replacement must agree with the
+    single-task Window.orderBy formulation row for row, and its plan
+    must not collapse to a single partition for the ranking step."""
+    from pyspark.sql import Window
+
+    from frafka_spark.io import table
+    from frafka_spark.operators.windows import range_partitioned_row_number
+    from frafka_spark.plans.inspect import plan_str
+
+    o = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    order = ["o_totalprice", "o_orderkey"]  # unique tiebreak
+    got = range_partitioned_row_number(o, order, out="rn")
+    w = Window.orderBy(*order)
+    want = o.withColumn("rn", F.row_number().over(w).cast("int"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the big sort never lands on one task; only the ≤n-row offset
+    # aggregate may use a single partition
+    plan = plan_str(got)
+    assert "rangepartitioning" in plan, plan
