@@ -31,6 +31,24 @@ from pyspark.sql import functions as F
 from frafka_spark.io import table
 from frafka_spark.registry import query
 
+# Shared projections already materialized, keyed by (app id, sf_dir,
+# tag). A multi-branch consumer (ngram joins the shingle relation
+# THREE ways) otherwise races all branches into the same cold cache
+# inside one action — measured 8.5 s vs 1.1 s for the identical query
+# against a pre-built cache ("Block already exists" warnings). One
+# count() per session+sf_dir pins the InMemoryRelation sequentially;
+# if the LRU ever evicts it, plans degrade to lazy recompute.
+_MATERIALIZED: set[tuple[str, str, str]] = set()
+
+
+def materialize_once(df: DataFrame, spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    if key not in _MATERIALIZED:
+        df.count()
+        _MATERIALIZED.add(key)
+    return df
+
+
 N_MINHASH = 8  # minhash permutations (seeds 0..7)
 BAND_ROWS = 2  # rows per LSH band → 4 bands
 JACCARD_THRESHOLD = 0.5
@@ -113,9 +131,10 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("w") - 2),
         lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, 3))),
     )
-    return w.select(
+    sh = w.select(
         "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
     ).cache()
+    return materialize_once(sh, spark, sf_dir, "shingles")
 
 
 # MinHash→band→verify pipeline over a CTE named ``shingles`` —
@@ -355,7 +374,8 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise("0")
         for j in range(_SIMHASH_BITS)
     ]
-    return w.groupBy("doc_id").agg(F.concat(*bits).alias("simhash")).cache()
+    sigs = w.groupBy("doc_id").agg(F.concat(*bits).alias("simhash")).cache()
+    return materialize_once(sigs, spark, sf_dir, "simhash_sigs")
 
 
 @query(
@@ -625,9 +645,35 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-graph CC formulation with a bounded-iteration contract.
     """
     pairs = q_llm_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # cache(): every propagation round references the edge list, so an
+    # uncached plan re-executes the whole n-gram pair pipeline once
+    # per reference (measured 7.7s -> ~1s at sf0.1). The edge list is
+    # two rows per near-dup pair — tiny at any corpus scale.
+    # one explode instead of a two-branch union: a union re-executes
+    # the (expensive) pair join once per branch
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .cache()
+    )
+    # Eager materialization: this is an ITERATIVE operator, and within
+    # a single lazy action the parallel subtree executions race ahead
+    # of the cache (measured: the pair pipeline re-ran ~8x, 7.2s).
+    # One count() per superstep pins each frame before the next round
+    # builds on it — the same eager-checkpoint discipline every
+    # iterative Spark algorithm (ALS, GraphX Pregel) applies.
+    edges.count()
     lbl = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("doc_id").alias("lbl")
     )
@@ -642,7 +688,12 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.least(F.col("lbl"), F.coalesce("m", F.col("lbl"))).alias("lbl"),
             )
+            # each round reads the previous labels TWICE (own row +
+            # neighbor side), so an unmaterialized chain re-executes
+            # 2^rounds times; one (doc_id, lbl) row per doc
+            .cache()
         )
+        lbl.count()
     sizes = lbl.groupBy("lbl").agg(F.count("*").alias("sz"))
     return lbl.join(sizes, "lbl").select(
         "doc_id",

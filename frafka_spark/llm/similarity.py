@@ -207,7 +207,9 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cent_id").asc()
     )
-    return (
+    from frafka_spark.llm.dedup import materialize_once
+
+    cells = (
         v.crossJoin(F.broadcast(cents))
         .withColumn("ccos", ccos)
         .withColumn("rn", F.row_number().over(w_assign))
@@ -215,6 +217,8 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "emb", "norm", "cent_id")
         .cache()
     )
+    # both self-join sides would otherwise race the cold cache build
+    return materialize_once(cells, spark, sf_dir, "ivf_cells")
 
 
 @query(
