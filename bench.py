@@ -6,7 +6,7 @@ Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 stdout line is ONE compact JSON object::
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...top-level family sums...}, "sf": 0.1}
+     "queries": {...the 10 slowest queries' seconds...}, "sf": 0.1}
 
 The ~90-entry per-query timing map goes to stderr and to
 ``bench_queries.json`` beside this script — round 1's single giant

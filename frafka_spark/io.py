@@ -57,3 +57,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql use)."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition on ``keys`` at the session's shuffle width.
+
+    The layout rule every heavy per-row pipeline here follows:
+    a single parquet file scans as 1-2 tasks (row-group bound), so
+    explode/hash/GEMM projections must fan out past the file-split
+    width BEFORE the heavy work (and before any ``.cache()``, since
+    an InMemoryRelation keeps its builder's layout). The count is
+    pinned explicitly because a bare ``repartition(col)`` is an
+    AQE-coalescible exchange that can collapse back to one
+    partition; matching ``spark.sql.shuffle.partitions`` also lets
+    downstream keyed aggregates/joins reuse the layout with no
+    extra exchange.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *keys)

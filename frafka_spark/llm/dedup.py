@@ -25,10 +25,12 @@ be oracle-checked; the declared queries use the portable signatures).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from frafka_spark.io import table
+from frafka_spark.io import fan_out, table
 from frafka_spark.registry import query
 
 # Shared projections already materialized, keyed by (app id, sf_dir,
@@ -39,13 +41,21 @@ from frafka_spark.registry import query
 # count() per session+sf_dir pins the InMemoryRelation sequentially;
 # if the LRU ever evicts it, plans degrade to lazy recompute.
 _MATERIALIZED: set[tuple[str, str, str]] = set()
+_MATERIALIZE_LOCK = threading.Lock()
 
 
-def materialize_once(df: DataFrame, spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, tag)
-    if key not in _MATERIALIZED:
-        df.count()
-        _MATERIALIZED.add(key)
+def materialize_once(
+    df: DataFrame, spark: SparkSession, sf_dir: str, tag: str
+) -> DataFrame:
+    # The lock serializes the whole build, not just the membership
+    # check: two concurrent first callers (FAIR-scheduled bench
+    # threads) would otherwise both pass an unlocked check and race
+    # the cold cache build — the exact failure this function removes.
+    with _MATERIALIZE_LOCK:
+        key = (spark.sparkContext.applicationId, sf_dir, tag)
+        if key not in _MATERIALIZED:
+            df.count()
+            _MATERIALIZED.add(key)
     return df
 
 
@@ -119,11 +129,8 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one tiny shuffle of raw text and decouples all shingle
     # consumers from the file layout (same move a cluster makes when
     # fanning a few large input splits out to many cores).
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     w = (
-        # explicit count: a bare repartition(col) is an AQE-coalescible
-        # exchange that can collapse back to 1 partition before the cache
-        d.repartition(n_shuffle, "doc_id")
+        fan_out(d, "doc_id")
         .select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= 3)
     )
@@ -360,8 +367,7 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # fan out for the same reason as _shingles: the word explode and
     # vote aggregate should run cluster-wide, not at file-split width
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    w = d.repartition(n_shuffle, "doc_id").select(
+    w = fan_out(d, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     bits = [
@@ -677,7 +683,8 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     lbl = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("doc_id").alias("lbl")
     )
-    for _ in range(_LP_ROUNDS):
+    for i in range(_LP_ROUNDS):
+        prev = lbl
         nb = lbl.select(F.col("doc_id").alias("nb_doc"), F.col("lbl").alias("nb_lbl"))
         lbl = (
             lbl.join(edges, lbl["doc_id"] == edges["src"], "left")
@@ -694,6 +701,11 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cache()
         )
         lbl.count()
+        if i > 0:
+            # the superseded round is never read again — release its
+            # blocks so they can't evict the shared projections
+            # (round 0's input is the uncached base labels frame)
+            prev.unpersist()
     sizes = lbl.groupBy("lbl").agg(F.count("*").alias("sz"))
     return lbl.join(sizes, "lbl").select(
         "doc_id",

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from frafka_spark.io import table
+from frafka_spark.io import fan_out, table
 from frafka_spark.registry import query
 
 CENTROID_MOD = 50  # vec_id % 50 == 0 → deterministic coarse centroids
@@ -193,11 +193,8 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical assignment (and each uses it on BOTH sides of its
     self-join), so the centroid scan runs once per session+sf_dir.
     """
-    # fan the dot-product-heavy assignment past the file-split width;
-    # explicit count (AQE would coalesce a bare repartition(col)) set to
-    # the session's shuffle width so the cell self-join reuses the layout
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    v = _vectors(spark, sf_dir).repartition(n_shuffle, "vec_id")
+    # fan the dot-product-heavy assignment past the file-split width
+    v = fan_out(_vectors(spark, sf_dir), "vec_id")
     cents = v.filter((F.col("vec_id") % CENTROID_MOD) == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("emb").alias("cemb"),

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from frafka_spark.functions.determinism import sql_dec_avg
-from frafka_spark.io import table
+from frafka_spark.io import fan_out, table
 from frafka_spark.registry import query
 
 STOPWORDS = ("a", "the")
@@ -313,13 +313,7 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode is the only wide step and shuffles (doc_id, bigram) pairs.
     """
     d = table(spark, sf_dir, "documents")
-    # fan the bigram explode past the file-split width (a single
-    # parquet file scans as 1-2 tasks); count pinned to the session's
-    # shuffle width so the per-doc aggregate reuses the layout
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    w = d.repartition(n_shuffle, "doc_id").select(
-        "doc_id", F.split("text", " ").alias("w")
-    )
+    w = fan_out(d, "doc_id").select("doc_id", F.split("text", " ").alias("w"))
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("w") - 1),
         lambda i: F.concat_ws(" ", F.slice("w", i, 2)),
@@ -375,8 +369,7 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     representable-decimal ties).
     """
     d = table(spark, sf_dir, "documents")
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    words = d.repartition(n_shuffle, "doc_id").select(
+    words = fan_out(d, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
@@ -474,8 +467,7 @@ def q_llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiler keeps just the sketch.
     """
     d = table(spark, sf_dir, "documents")
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    words = d.repartition(n_shuffle, "doc_id").select(
+    words = fan_out(d, "doc_id").select(
         F.explode(F.split("text", " ")).alias("word")
     )
     buckets = F.array(

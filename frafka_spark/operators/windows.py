@@ -259,21 +259,29 @@ def range_partitioned_row_number(
         "_pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_by)
-    # cache(): the offsets branch and the final join both read this
-    # frame. Left uncached they re-execute the range exchange, whose
-    # boundaries come from a fresh SAMPLE each run — the two branches
-    # would disagree on _pid and the offsets would be garbage.
-    local = ranged.withColumn("_local_rn", F.row_number().over(w_local)).cache()
+    # localCheckpoint (NOT cache): the offsets branch and the final
+    # join both read this frame, and the range exchange samples fresh
+    # boundaries on every re-execution — the two branches would
+    # disagree on _pid and the offsets would be garbage. A cache is
+    # only best-effort: an evicted block would silently recompute with
+    # NEW boundaries mid-query. Checkpointing truncates the lineage,
+    # so a lost block fails loudly instead of corrupting ranks (on a
+    # cluster prefer a reliable checkpoint dir for fault tolerance).
+    local = ranged.withColumn(
+        "_local_rn", F.row_number().over(w_local)
+    ).localCheckpoint(eager=True)
     # partition sizes -> cumulative offsets (≤ n rows; driver-safe)
     sizes = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow - 0
+        Window.unboundedPreceding, Window.currentRow
     )
     offsets = sizes.withColumn(
-        "_offset", F.coalesce(F.sum("_cnt").over(w_off) - F.col("_cnt"), F.lit(0))
+        "_offset", F.sum("_cnt").over(w_off) - F.col("_cnt")
     ).select("_pid", "_offset")
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out, (F.col("_offset") + F.col("_local_rn")).cast("int"))
+        # bigint: a global rank at the scale this function targets
+        # overflows int32
+        .withColumn(out, (F.col("_offset") + F.col("_local_rn")).cast("bigint"))
         .drop("_pid", "_local_rn", "_offset")
     )

@@ -70,6 +70,10 @@ class FrSink:
 
     def configure(self, writer: DataStreamWriter) -> DataStreamWriter:
         writer = writer.format(self.fmt).outputMode(self.output_mode)
+        if self.partition_by:
+            # keep the per-row routing contract on the streaming-writer
+            # path too, not only in write_batch
+            writer = writer.partitionBy(self.partition_by)
         for k, v in self.options.items():
             if k == "queryName":
                 writer = writer.queryName(v)

@@ -200,10 +200,17 @@ def test_range_partitioned_row_number_equals_global(spark):
     order = ["o_totalprice", "o_orderkey"]  # unique tiebreak
     got = range_partitioned_row_number(o, order, out="rn")
     w = Window.orderBy(*order)
-    want = o.withColumn("rn", F.row_number().over(w).cast("int"))
+    want = o.withColumn("rn", F.row_number().over(w).cast("bigint"))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
-    # the big sort never lands on one task; only the ≤n-row offset
-    # aggregate may use a single partition
+    # No data-sized single-task sort exists by construction: the only
+    # Window over the full data partitions by _pid (pre-checkpoint),
+    # and the post-checkpoint plan's lone Window runs over the
+    # <=n-partition offsets frame. AQE may legitimately coalesce the
+    # tiny final join output to 1 partition at fixture scale, so the
+    # output partition count is NOT asserted; the plan must simply be
+    # free of a Window ordered by the data columns.
     plan = plan_str(got)
-    assert "rangepartitioning" in plan, plan
+    import re
+    win_specs = re.findall(r"\(\d+\) Window[\s\S]*?Arguments: .*", plan)
+    assert all("o_totalprice" not in w for w in win_specs), win_specs
