@@ -334,3 +334,42 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+@query(
+    "q_llm_embed_stats",
+    oracle=f"""
+    WITH {_SQL_VECS}
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(CAST(norm AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_norm,
+           round(min(norm), 4) AS min_norm,
+           round(max(norm), 4) AS max_norm,
+           round(CAST(sum(CAST(emb[1] AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_dim0
+    FROM vecs
+    GROUP BY label
+    """,
+)
+def q_llm_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding profile: count / norm range / mean norm /
+    mean first component — the corpus-QA pass a vector pipeline runs
+    before indexing (catches unnormalized batches, dead dimensions,
+    label skew). One hash-aggregate; averages use the exact-decimal
+    sum so partition layout can't shift the hash.
+    """
+    v = _vectors(spark, sf_dir)
+    n = F.count("*")
+    return v.groupBy("label").agg(
+        n.cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("norm").cast("decimal(38,6)")).cast("double") / n, 4
+        ).alias("avg_norm"),
+        F.round(F.min("norm"), 4).alias("min_norm"),
+        F.round(F.max("norm"), 4).alias("max_norm"),
+        F.round(
+            F.sum(F.element_at("emb", 1).cast("decimal(38,6)")).cast("double") / n,
+            4,
+        ).alias("avg_dim0"),
+    )

@@ -386,3 +386,45 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covp,
+           round(covar_samp(l_discount, l_tax), 6) AS disc_tax_covs,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS price_at_zero,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics: corr / covar / linear-regression family.
+
+    All are single-pass mergeable aggregates (partial moments combine
+    across partitions), so the plan is one hash-aggregate shuffle at
+    any scale. Outputs are transcendental-free ratios of moment sums;
+    rounding absorbs the last-ulp differences between the engines'
+    accumulation orders.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covp"
+        ),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covs"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "price_per_qty"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "price_at_zero"
+        ),
+        F.regr_count("l_extendedprice", "l_quantity")
+        .cast("bigint")
+        .alias("n_pairs"),
+    )

@@ -285,3 +285,39 @@ def range_partitioned_row_number(
         .withColumn(out, (F.col("_offset") + F.col("_local_rn")).cast("bigint"))
         .drop("_pid", "_local_rn", "_offset")
     )
+
+
+@query(
+    "q_win_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(cume_dist() OVER w, 6) AS cdist,
+           round(percent_rank() OVER w, 6) AS prank,
+           nth_value(o_orderkey, 3) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS third_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: cume_dist / percent_rank /
+    nth_value, all over a keyed partition (state stays distributed —
+    the per-partition shuffle is the only wide step at any scale).
+
+    The order includes the unique o_orderkey tiebreak so ranks are a
+    total order; distribution values are rounded to 6 digits (ratios
+    of small integers — no representable-decimal tie risk).
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )

@@ -73,13 +73,27 @@ DRIVER_GRADED_GREEN: frozenset[str] = frozenset(
 
 GRADING_WINDOW = 50  # rows the driver records per round, in queries() order
 
+# Ungraded queries added AFTER the round-2 window was already full:
+# they wait behind the earlier ungraded set (notably the LLM family,
+# which must not be displaced from its first driver verification) and
+# enter the window in a later round.
+LATE_PRIORITY: frozenset[str] = frozenset(
+    {"q_win_dist", "q_agg_corr", "q_llm_embed_stats"}
+)
+
 
 def _grading_order() -> list[str]:
-    """Registration order, ungraded-first (stable within each half)."""
+    """Registration order in three tiers: ungraded, late-ungraded,
+    driver-green (stable within each tier)."""
     names = list(QUERIES)
-    return [n for n in names if n not in DRIVER_GRADED_GREEN] + [
-        n for n in names if n in DRIVER_GRADED_GREEN
+    ungraded = [
+        n
+        for n in names
+        if n not in DRIVER_GRADED_GREEN and n not in LATE_PRIORITY
     ]
+    late = [n for n in names if n in LATE_PRIORITY and n not in DRIVER_GRADED_GREEN]
+    green = [n for n in names if n in DRIVER_GRADED_GREEN]
+    return ungraded + late + green
 
 
 def get_queries() -> dict[str, QueryFn]:
