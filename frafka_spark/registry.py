@@ -46,54 +46,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Names already driver-verified green in CORRECTNESS_r01.json (48
-# full matches + q_agg_approx_distinct's by-design rows-only row).
-# The grading driver checks the first 50 queries in `queries()` order,
-# so these are listed LAST: the round-1-ungraded families (windows,
-# scalar functions, UDFs, LLM ops, q_cte) and the repaired
-# q_agg_collect grade first in round 2. Append each round's newly
-# green names here so every declared query accumulates a driver row.
-DRIVER_GRADED_GREEN: frozenset[str] = frozenset(
-    {
-        "q_agg_global", "q_agg_group", "q_agg_having", "q_agg_distinct",
-        "q_agg_approx_distinct", "q_agg_stats", "q_agg_rollup", "q_agg_cube",
-        "q_agg_gsets", "q_agg_percentile", "q_agg_minmax_by", "q_agg_bool",
-        "q_agg_median", "q_join_inner", "q_join_broadcast", "q_join_multiway",
-        "q_join_left", "q_join_full", "q_join_semi", "q_join_anti",
-        "q_join_cross", "q_join_theta", "q_join_asof", "q_pivot", "q_unpivot",
-        "q_project_expr", "q_filter_compound", "q_filter_like",
-        "q_filter_null", "q_scan_project", "q_scan_filter_pushdown",
-        "q_union_all", "q_union", "q_intersect", "q_intersect_all",
-        "q_except", "q_except_all", "q_tpch_q6_shape", "q_tpch_q3_shape",
-        "q_tpch_q18_shape", "q_sort_multi", "q_topk", "q_topk_per_group",
-        "q_stream_tumbling", "q_stream_session", "q_stream_dedup",
-        "q_stream_sliding", "q_subquery_scalar", "q_subquery_in",
-    }
-)
-
 GRADING_WINDOW = 50  # rows the driver records per round, in queries() order
 
-# Ungraded queries added AFTER the round-2 window was already full:
-# they wait behind the earlier ungraded set (notably the LLM family,
-# which must not be displaced from its first driver verification) and
-# enter the window in a later round.
-LATE_PRIORITY: frozenset[str] = frozenset(
-    {"q_win_dist", "q_agg_corr", "q_llm_embed_stats"}
-)
+
+def _verified_rounds() -> dict[str, int]:
+    """Latest round in which each query earned a passing driver row,
+    parsed from the committed ``CORRECTNESS_r*.json`` artifacts.
+
+    A row passes when it fully hash-matches its oracle, or — for
+    queries registered without an oracle — when the driver's weaker
+    rows-only check ran (``err == "no_oracle"`` with a row count).
+    Red rows (mismatch or a real error) do NOT count: the query sorts
+    as never-verified and re-enters the window immediately.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    rounds: dict[str, int] = {}
+    repo = Path(__file__).resolve().parents[1]
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.stem)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError, UnicodeDecodeError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = (
+                    row.get("err") is None
+                    and row.get("rows_match") is True
+                    and row.get("schema_match") is True
+                    and row.get("hash_match") is True
+                )
+            if ok:
+                rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
 
 
 def _grading_order() -> list[str]:
-    """Registration order in three tiers: ungraded, late-ungraded,
-    driver-green (stable within each tier)."""
+    """Least-recently-verified rotation over the driver's window.
+
+    The grading driver records CORRECTNESS rows for the first
+    ``GRADING_WINDOW`` queries in ``queries()`` order. Ordering is
+    derived from the committed CORRECTNESS artifacts, not a hardcoded
+    list: queries with no passing driver row yet (new registrations
+    and past red rows) come first in registration order, then
+    everything else ascending by the round of its latest passing row.
+    Every query therefore cycles back through the window every
+    ``ceil(N / GRADING_WINDOW)`` rounds — nothing is permanently
+    exempt from re-verification, and a regression in a previously
+    green query resurfaces within that many rounds.
+    """
     names = list(QUERIES)
-    ungraded = [
-        n
-        for n in names
-        if n not in DRIVER_GRADED_GREEN and n not in LATE_PRIORITY
-    ]
-    late = [n for n in names if n in LATE_PRIORITY and n not in DRIVER_GRADED_GREEN]
-    green = [n for n in names if n in DRIVER_GRADED_GREEN]
-    return ungraded + late + green
+    index = {n: i for i, n in enumerate(names)}
+    verified = _verified_rounds()
+    return sorted(names, key=lambda n: (verified.get(n, 0), index[n]))
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -23,9 +23,9 @@ import pyspark.sql.types as T
 import pytest
 
 from frafka_spark.registry import (
-    DRIVER_GRADED_GREEN,
     GRADING_WINDOW,
     QUERIES,
+    _verified_rounds,
     get_oracle_sql,
     get_queries,
 )
@@ -61,17 +61,18 @@ def test_all_query_schemas_driver_safe(spark):
     assert not offenders, f"driver-unsafe output columns: {offenders}"
 
 
-def test_grading_order_prioritizes_ungraded():
+def test_grading_order_is_lru_rotation():
+    """Never-verified queries lead; the rest ascend by last-pass round.
+
+    This is the rotation contract: no hardcoded exemption list, every
+    query re-enters the driver's window within ceil(N/WINDOW) rounds.
+    """
     names = list(get_queries())
-    ungraded = [n for n in names if n not in DRIVER_GRADED_GREEN]
-    # all ungraded queries precede all driver-green ones...
-    assert names[: len(ungraded)] == ungraded
-    # ...and no green query occupies a graded slot while an ungraded
-    # one waits outside the window (overflowing ungraded queries are
-    # allowed — they grade next round, tracked by the union test)
-    window = names[:GRADING_WINDOW]
-    if len(ungraded) >= GRADING_WINDOW:
-        assert all(n not in DRIVER_GRADED_GREEN for n in window)
+    verified = _verified_rounds()
+    rounds = [verified.get(n, 0) for n in names]
+    # ascending by last-verified round ⇒ never-verified (round 0)
+    # queries form a prefix and least-recently-verified fill the window
+    assert rounds == sorted(rounds), "grading order must ascend by last-verified round"
 
 
 def test_oracle_order_matches_query_order():
@@ -81,7 +82,12 @@ def test_oracle_order_matches_query_order():
 
 
 def test_correctness_union_covers_registry():
-    """Union of past driver rows + the current window ⊇ all queries."""
+    """Union of past driver rows + the current window ⊇ all queries.
+
+    No query may wait more than one round for its first driver row:
+    never-verified queries sort first, so if they all fit the window
+    they ALL grade next round — no indefinite-deferral escape hatch.
+    """
     seen: set[str] = set()
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
         try:
@@ -90,19 +96,10 @@ def test_correctness_union_covers_registry():
             pass
     if not seen:  # round 1: no driver artifact yet
         pytest.skip("no CORRECTNESS_r*.json present")
-    from frafka_spark.registry import LATE_PRIORITY
-
     window = set(list(get_queries())[:GRADING_WINDOW])
     missing = set(QUERIES) - seen - window
-    # only explicitly-queued late-priority names may wait for a later
-    # round; anything else unaccounted for is a real coverage hole
-    assert missing <= LATE_PRIORITY, (
-        f"queries with no past driver row, outside the next grading "
-        f"window, and not queued as LATE_PRIORITY: {sorted(missing - LATE_PRIORITY)}"
+    assert not missing, (
+        f"queries with no past driver row and outside the next grading "
+        f"window: {sorted(missing)} — more than GRADING_WINDOW new "
+        f"queries registered in one round"
     )
-
-
-def test_driver_green_names_exist():
-    get_queries()  # populate the registry
-    unknown = DRIVER_GRADED_GREEN - set(QUERIES)
-    assert not unknown, f"DRIVER_GRADED_GREEN has unregistered names: {sorted(unknown)}"
