@@ -254,8 +254,9 @@ def range_partitioned_row_number(
     ``order_by`` must be a total order (include a unique tiebreak
     key) for the result to be deterministic.
     """
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(n, *order_by).withColumn(
+    from frafka_spark.io import shuffle_width
+
+    ranged = df.repartitionByRange(shuffle_width(df), *order_by).withColumn(
         "_pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_by)
@@ -267,9 +268,14 @@ def range_partitioned_row_number(
     # NEW boundaries mid-query. Checkpointing truncates the lineage,
     # so a lost block fails loudly instead of corrupting ranks (on a
     # cluster prefer a reliable checkpoint dir for fault tolerance).
+    # eager=False keeps plan construction job-free (the queries()
+    # contract): the offsets broadcast is built — and the checkpoint
+    # therefore materialized, then lineage-truncated — before the
+    # probe-side stage of the same action reads it, so both readers
+    # still see ONE set of sampled boundaries.
     local = ranged.withColumn(
         "_local_rn", F.row_number().over(w_local)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # partition sizes -> cumulative offsets (≤ n rows; driver-safe)
     sizes = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(
@@ -284,6 +290,41 @@ def range_partitioned_row_number(
         # overflows int32
         .withColumn(out, (F.col("_offset") + F.col("_local_rn")).cast("bigint"))
         .drop("_pid", "_local_rn", "_offset")
+    )
+
+
+@query(
+    "q_win_rank_global_scaled",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 4) AS price,
+           CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+def q_win_rank_global_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row_number over a total order — the SCALE formulation.
+
+    Declared-query twin of ``q_win_ntile``'s anti-pattern note: a
+    bare ``Window.orderBy(...)`` funnels every row through ONE task,
+    while ``range_partitioned_row_number`` range-partitions on the
+    order keys, ranks within partitions, and reconciles with a
+    per-partition offset table bounded by cluster width (docstring
+    above). The oracle is a plain global window — so the driver's
+    hash check proves the distributed formulation produces the exact
+    global ranking. Order is total (o_orderkey is the unique
+    tiebreak); equivalence against the single-task window is also
+    pytest-pinned (tests/test_misc_ops.py).
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = range_partitioned_row_number(
+        o, ["o_totalprice", "o_orderkey"], out="rn"
+    )
+    return ranked.select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("price"),
+        "rn",
     )
 
 

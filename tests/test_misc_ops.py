@@ -214,3 +214,23 @@ def test_range_partitioned_row_number_equals_global(spark):
     import re
     win_specs = re.findall(r"\(\d+\) Window[\s\S]*?Arguments: .*", plan)
     assert all("o_totalprice" not in w for w in win_specs), win_specs
+
+
+def test_shuffle_width_clamps_plain_session_default(spark):
+    """ADVICE r2: a plain session's default 200 must not fan tiny
+    fixtures into 200 partitions — clamp to defaultParallelism × 2.
+    (Spark 4 validates the conf as numeric at set-time, so the
+    non-numeric fallback inside shuffle_width stays defensive-only.)
+    """
+    from frafka_spark.io import shuffle_width
+
+    df = spark.range(10)
+    cap = spark.sparkContext.defaultParallelism * 2
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        assert shuffle_width(df) == min(200, cap)
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        assert shuffle_width(df) == 3
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

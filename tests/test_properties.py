@@ -80,3 +80,84 @@ def python_asof(events: list[tuple], orders: list[tuple]):
 )
 def test_asof_join_matches_python_reference(spark, events, orders):
     assert spark_asof(spark, events, orders) == python_asof(events, orders)
+
+
+def python_cc(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Oracle: union-find connected components, min node id as label."""
+    parent = {i: i for i in range(1, n_nodes + 1)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in parent}
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_nodes=st.integers(8, 14),
+    edges=st.lists(
+        st.tuples(st.integers(1, 14), st.integers(1, 14)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+)
+def test_connected_components_matches_union_find(spark, n_nodes, edges):
+    """Random graphs (arbitrary diameter) agree with union-find —
+    the convergence contract ADVICE r2 asked for (a fixed-round
+    horizon would split long chains)."""
+    from frafka_spark.llm.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a <= n_nodes and b <= n_nodes]
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, n_nodes + 1)], "doc_id long"
+    )
+    sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    edf = spark.createDataFrame(sym or [(0, 0)], "src long, dst long")
+    if not sym:
+        edf = edf.filter("src <> 0")  # typed empty edge list
+    got = {
+        r["doc_id"]: r["lbl"] for r in connected_components(nodes, edf).collect()
+    }
+    assert got == python_cc(n_nodes, edges)
+
+
+def test_connected_components_diameter5_chain(spark):
+    """A planted diameter-5 chain resolves to ONE component — the
+    exact case a 3-round fixed horizon (round 2's formulation) split
+    into several clusters."""
+    from frafka_spark.llm.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 6)]
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src long, dst long"
+    )
+    got = {r["doc_id"]: r["lbl"] for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_connected_components_cap_raises(spark):
+    """Exceeding max_rounds fails LOUDLY instead of mislabeling."""
+    from frafka_spark.llm.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 6)]
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_rounds=2)
