@@ -247,10 +247,21 @@ def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
     # hex): valid independent-enough minhash functions with ZERO
     # hashing beyond the digest the shingle id already is (the
     # md5(seed|shingle)-per-seed variant costs 8× the hashing for the
-    # same LSH behavior).
+    # same LSH behavior). Each lane converts hex → int BEFORE the
+    # min: a string min() has no mutable hash-agg buffer and forces
+    # SortAggregate — sorting every shingle row per partition — while
+    # the int min stays in HashAggregate with map-side partial fold.
+    # Fixed-width lowercase hex compares identically as a number, so
+    # each lane's min (and therefore every LSH bucket) is the same
+    # value the oracle's string min picks, just base-10: band keys
+    # differ textually from DuckDB's but partition candidates
+    # IDENTICALLY (base conversion is injective), and signatures
+    # never appear in the output contract.
     minhash = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.substring("sh", seed * 4 + 1, 4)).alias(f"mh{seed}")
+            F.min(
+                F.conv(F.substring("sh", seed * 4 + 1, 4), 16, 10).cast("int")
+            ).alias(f"mh{seed}")
             for seed in range(N_MINHASH)
         ]
     )
@@ -300,6 +311,12 @@ def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("sh").alias("sh_b"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # n_a (= |shingles(doc_a)|) comes from the ``sizes`` relation, not
+    # a countDistinct aggregate: ``sh`` is distinct per doc by
+    # construction (array_distinct before the explode), and a
+    # count(DISTINCT) beside count() would plan an Expand that doubles
+    # every verification row through the aggregate — at 100 TB that's
+    # 2× the shuffle for a value a 1-row-per-doc join already holds.
     verified = (
         candidates.join(sa, "doc_a")
         .join(
@@ -308,10 +325,8 @@ def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
             "left",
         )
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("sh_b").alias("n_inter"),
-            F.countDistinct("sh").alias("n_a"),
-        )
+        .agg(F.count("sh_b").alias("n_inter"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), "n_sh"), "doc_b")
     )
     jaccard = F.col("n_inter").cast("double") / (

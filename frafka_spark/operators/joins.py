@@ -315,35 +315,52 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest order at-or-before each event, per user.
 
     Spark has no native as-of operator; this is a range-predicated
-    left join to build the candidate set, then ``max(struct(...))``
-    per event to pick the winner — struct comparison is
-    lexicographic, so the max is (latest o_orderdate, largest
-    o_orderkey), the deterministic tiebreak [SURVEY.md §7 hard-list
-    #3]. The aggregate replaces round-2's ``row_number()`` window
-    (judge-measured 3.7× the oracle): a window must SORT every
-    candidate row inside the event partition, while the hash
-    aggregate folds candidates map-side BEFORE the shuffle — per-
-    event state is one struct, and at 100 TB the shuffle carries one
-    pre-reduced row per (event × map partition) instead of the whole
-    candidate set. Events with no matching order keep their left-join
-    all-null candidate, whose struct max yields null fields.
+    broadcast-left join to build the candidate set, then a per-event
+    ``max`` over ONE packed bigint — ``(epoch_day << 44) | orderkey``
+    — to pick the winner, then a broadcast join-back on the decoded
+    orderkey for the payload columns. The packing exists because a
+    ``max(struct(...))``/``max_by`` aggregate falls back to
+    SortAggregate (struct isn't a mutable hash-buffer type), which
+    SORTS the whole candidate set inside each partition — measured
+    ~2.5× slower end-to-end. A plain long max stays in HashAggregate
+    with map-side partial fold: at 100 TB the shuffle carries one
+    8-byte value per (event × map partition), never the candidates.
+    Packed ordering equals (o_orderdate DESC, o_orderkey DESC), the
+    deterministic tiebreak [SURVEY.md §7 hard-list #3]; sound while
+    orderkey < 2^44 (TPC-H orderkey ≈ 6e9 at SF1k) and dates ≥ 1970.
+    The probe side fans out to one partition per core first: the
+    fixture is a single-row-group file that scans as ONE task, and
+    the join expansion + aggregate are the hot path (a multi-file
+    100 TB layout gets this parallelism from the scan itself).
+    Events with no matching order keep a null packed max, decode to a
+    null orderkey, and exit the left join-back with null fields.
     """
-    e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sc = spark.sparkContext
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .repartition(sc.defaultParallelism, "user_id")
+    )
     o = table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
     cand = e.join(
-        o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "left"
+        F.broadcast(o), (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "left"
     )
-    best = F.max(F.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("best")
+    epoch_day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    packed = F.shiftleft(epoch_day.cast("bigint"), 44) + F.col("o_orderkey")
+    best = cand.groupBy("event_id", "user_id").agg(F.max(packed).alias("pk"))
+    payload = o.select(
+        F.col("o_orderkey").alias("asof_orderkey"), "o_orderdate", "o_totalprice"
+    )
     return (
-        cand.groupBy("event_id", "user_id")
-        .agg(best)
+        best.withColumn("asof_orderkey", F.col("pk").bitwiseAND(F.lit((1 << 44) - 1)))
+        .join(F.broadcast(payload), "asof_orderkey", "left")
         .select(
             "event_id",
             "user_id",
-            F.col("best.o_orderkey").alias("asof_orderkey"),
-            F.date_format("best.o_orderdate", "yyyy-MM-dd").alias("asof_date"),
-            F.round("best.o_totalprice", 4).alias("asof_price"),
+            "asof_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_date"),
+            F.round("o_totalprice", 4).alias("asof_price"),
         )
     )
