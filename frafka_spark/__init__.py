@@ -27,6 +27,7 @@ def load_all() -> None:
     # Imports are side-effecting: each module registers its queries.
     from frafka_spark.operators import (  # noqa: F401
         aggregations,
+        analytics,
         joins,
         pivots,
         projections,

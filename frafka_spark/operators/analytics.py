@@ -1,0 +1,215 @@
+"""Event-analytics composites: funnel and cohort retention.
+
+Beyond SURVEY.md §2's per-operator inventory, these are the two
+event-stream shapes every product-analytics workload runs (and the
+reference's Kafka-transport users feed into exactly such queries
+downstream): a staged conversion funnel and a cohort-retention
+matrix. Both are expressed as compositions of the engine's existing
+operators — filtered per-key min-aggregates chained by shuffle joins
+on ``user_id`` — so Catalyst plans them with map-side partial
+aggregation and one hash partitioning reused across stages.
+
+Scale shape (100 TB lens): every intermediate relation here is
+O(users) or O(users × days), never O(events²); all joins key on
+``user_id`` so AQE can reuse one exchange layout end-to-end, and
+nothing is collected or broadcast (user-count relations are unbounded
+— at fixture scale AQE may size-broadcast them at runtime, which is
+fine because that decision is data-driven, not a hint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frafka_spark.io import fan_out, table
+from frafka_spark.registry import query
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t0
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t1
+        GROUP BY e.user_id
+    ),
+    stages AS (
+        SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+    )
+    SELECT stage, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / (SELECT n_users FROM stages WHERE stage = '1_view'), 4)
+               AS pct_of_entry
+    FROM stages
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: view → click-after-view →
+    purchase-after-click, counted per stage.
+
+    Each stage is a filtered per-user ``min(ts)`` aggregate joined to
+    the previous stage's timestamp — the ordered-sequence semantics
+    (a click only counts AFTER that user's first view) without any
+    window sort: per-user state is one timestamp, folded map-side.
+    All three stage relations hash-partition on ``user_id``, so the
+    chain is one shuffle layout deep regardless of event volume; the
+    final counts are three 1-row aggregates unioned with the entry
+    count joined back for conversion percentage.
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage_after(etype: str, prev: DataFrame | None, t_prev: str, t_out: str) -> DataFrame:
+        s = e.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") >= F.col(t_prev))
+        return s.groupBy("user_id").agg(F.min("ts").alias(t_out))
+
+    v = stage_after("view", None, "", "t0")
+    c = stage_after("click", v, "t0", "t1")
+    p = stage_after("purchase", c, "t1", "t2")
+    stages = (
+        v.agg(F.lit("1_view").alias("stage"), F.count("*").alias("n_users"))
+        .unionAll(c.agg(F.lit("2_click"), F.count("*")))
+        .unionAll(p.agg(F.lit("3_purchase"), F.count("*")))
+    )
+    entry = stages.filter(F.col("stage") == "1_view").select(
+        F.col("n_users").alias("n_entry")
+    )
+    return stages.crossJoin(entry).select(
+        "stage",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("n_entry"), 4).alias(
+            "pct_of_entry"
+        ),
+    )
+
+
+@query(
+    "q_events_retention",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS c_day
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS a_day FROM events
+    )
+    SELECT strftime(c.c_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', c.c_day, a.a_day) AS INT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM active a JOIN cohort c ON c.user_id = a.user_id
+    WHERE date_diff('day', c.c_day, a.a_day) BETWEEN 0 AND 7
+    GROUP BY c.c_day, date_diff('day', c.c_day, a.a_day)
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users first seen on day D still active on
+    D+k, for k ∈ [0, 7].
+
+    The distinct (user, day) projection collapses event volume to at
+    most one row per user-day BEFORE the cohort join, so the wide
+    side of the join is O(users × active days), not O(events). After
+    the distinct, each (cohort, offset) group counts rows — a plain
+    ``count(*)``, because a user contributes at most one row per day
+    by construction; no countDistinct Expand needed.
+    """
+    e = table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("c_day"))
+    active = e.select("user_id", F.to_date("ts").alias("a_day")).distinct()
+    off = F.datediff(F.col("a_day"), F.col("c_day"))
+    return (
+        active.join(cohort, "user_id")
+        .filter((off >= 0) & (off <= 7))
+        .groupBy(
+            F.date_format("c_day", "yyyy-MM-dd").alias("cohort_day"),
+            off.cast("int").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@query(
+    "q_llm_bigram_lm",
+    oracle="""
+    WITH words AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+    ),
+    bi AS (
+        SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+                       for i in generate_series(1, len(w) - 1)]) AS b
+        FROM words
+    ),
+    counts AS (
+        SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS n
+        FROM bi GROUP BY b.w1, b.w2
+    ),
+    firsts AS (
+        SELECT w1, CAST(sum(n) AS BIGINT) AS n_first FROM counts GROUP BY w1
+    )
+    SELECT c.w1, c.w2, c.n, f.n_first,
+           round(CAST(c.n AS DOUBLE) / f.n_first, 4) AS p_next
+    FROM counts c JOIN firsts f ON f.w1 = c.w1
+    WHERE c.n >= 20
+    """,
+)
+def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model statistics: count(w1 w2) and the
+    conditional next-word probability P(w2 | w1).
+
+    The n-gram-LM profile a training-data pipeline runs to spot
+    boilerplate and estimate corpus diversity. One bigram explode
+    (each pair built with a single ``slice``, same codegen rule as
+    the shingle pipeline), one (w1, w2) hash-aggregate, and the
+    first-word totals DERIVED from that aggregate by a second
+    roll-up — the corpus is never exploded twice (round 2's
+    tfidf/heavy-hitters lesson). The w1-keyed join shuffles both
+    sides on w1; vocabulary relations are Zipf-skewed but bounded by
+    |vocab|², and the ``n >= 20`` floor keeps the output the head of
+    the distribution.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = (
+        fan_out(d, "doc_id")  # single-row-group file scans as 1 task
+        .select(F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.slice("w", i, 2),
+    )
+    counts = (
+        w.select(F.explode(pairs).alias("p"))
+        .select(F.col("p")[0].alias("w1"), F.col("p")[1].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+    firsts = counts.groupBy("w1").agg(F.sum("n").alias("n_first"))
+    return (
+        counts.filter(F.col("n") >= 20)
+        .join(firsts, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n",
+            "n_first",
+            F.round(F.col("n").cast("double") / F.col("n_first"), 4).alias("p_next"),
+        )
+    )
