@@ -75,3 +75,73 @@ def test_lakehouse_stubs_fail_actionably(spark):
         read_delta(spark, "/tmp/nope")
     with pytest.raises(NotImplementedError, match="iceberg"):
         read_iceberg(spark, "iceberg.db.t")
+
+
+def _file_spans(path: str, cols: list[str]) -> dict[str, float]:
+    """Mean per-file (max-min) span of each column, normalized by the
+    column's global span — the fraction of the value range a scan of
+    one file must consider. Small = prunable."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert files
+    lo: dict[str, list] = {c: [] for c in cols}
+    hi: dict[str, list] = {c: [] for c in cols}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in cols:
+            stats = [
+                md.row_group(g).column(idx[c]).statistics
+                for g in range(md.num_row_groups)
+            ]
+            lo[c].append(min(s.min for s in stats))
+            hi[c].append(max(s.max for s in stats))
+    out = {}
+    for c in cols:
+        gspan = max(hi[c]) - min(lo[c])
+        spans = [h - l for h, l in zip(hi[c], lo[c])]
+        out[c] = (sum(spans) / len(spans)) / gspan
+    return out
+
+
+def test_zorder_write_narrows_file_stats_on_every_dimension(spark, tmp_path):
+    """Z-ordered files cover a small min/max window on BOTH z-columns
+    (parquet-stat pruning works for either predicate), while a plain
+    write leaves every file spanning ~the full range of at least one."""
+    from frafka_spark.sources.layout import write_zordered
+
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    li.repartition(8).write.mode("overwrite").parquet(plain)
+    write_zordered(li, zord, ["l_partkey", "l_suppkey"], n_files=8)
+
+    cols = ["l_partkey", "l_suppkey"]
+    base = _file_spans(plain, cols)
+    clustered = _file_spans(zord, cols)
+    # round-robin files each span ~100% of both columns' ranges
+    assert all(v > 0.8 for v in base.values()), base
+    # z-ordered: 8 files over a 2-D curve → each covers a fraction of
+    # both dimensions (3 z-octants ≈ sqrt(1/8) per axis + rank ties)
+    assert all(v < 0.6 for v in clustered.values()), clustered
+    # and the write is lossless
+    assert spark.read.parquet(zord).count() == li.count()
+
+
+def test_compacted_write_bounds_file_count_and_rows(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from frafka_spark.sources.layout import write_compacted
+
+    o = table(spark, SF_DIR, "orders")
+    out = str(tmp_path / "compact")
+    write_compacted(o, out, rows_per_file=100_000, n_files=4)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == 4
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == o.count()
