@@ -38,17 +38,28 @@ from frafka_spark.registry import query
     """,
 )
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key sort (desc nulls-last, asc) encoded as a position column."""
+    """Multi-key sort (desc nulls-last, asc) encoded as a position column.
+
+    Routed through ``range_partitioned_row_number`` rather than a
+    bare ``Window.orderBy(...)``: supplier scales with SF (1B rows
+    at SF100k), and the bare global window funnels every row through
+    ONE task. The range formulation keeps the same total order —
+    sort expressions (desc-nulls-last included) pass straight
+    through to the range partitioner — with distributed state.
+    """
+    from frafka_spark.operators.windows import range_partitioned_row_number
+
     s = table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         "s_name",
         F.nullif(F.col("s_nationkey"), F.lit(3)).alias("nk"),
         F.round("s_acctbal", 4).alias("bal"),
     )
-    w = Window.orderBy(
-        F.col("nk").desc_nulls_last(), F.col("bal").asc(), F.col("s_suppkey").asc()
+    return range_partitioned_row_number(
+        s,
+        [F.col("nk").desc_nulls_last(), F.col("bal").asc(), F.col("s_suppkey").asc()],
+        out="sort_pos",
     )
-    return s.withColumn("sort_pos", F.row_number().over(w))
 
 
 @query(

@@ -239,7 +239,7 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def range_partitioned_row_number(
-    df: DataFrame, order_by: list[str], out: str = "rn"
+    df: DataFrame, order_by: list, out: str = "rn"
 ) -> DataFrame:
     """Global row_number WITHOUT the single-task global sort.
 
@@ -251,8 +251,13 @@ def range_partitioned_row_number(
     one row per partition — the only data that ever reaches the
     driver, bounded by cluster width, not data size.
 
-    ``order_by`` must be a total order (include a unique tiebreak
-    key) for the result to be deterministic.
+    ``order_by`` entries may be column names or sort expressions
+    (``F.col(x).desc_nulls_last()`` etc. — both
+    ``repartitionByRange`` and window ``orderBy`` honor them, and
+    the range partitioner emits partitions in exactly that sort
+    order, which the offset cumsum over ``_pid`` relies on). It
+    must be a total order (include a unique tiebreak key) for the
+    result to be deterministic.
     """
     from frafka_spark.io import shuffle_width
 
