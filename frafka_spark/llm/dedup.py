@@ -72,8 +72,9 @@ def warm_shared_projections(spark: SparkSession, sf_dir: str) -> list[str]:
     swept up too.
     """
     from frafka_spark.llm.similarity import _cells
+    from frafka_spark.llm.text import _bigrams
 
-    for builder in (_shingles, _words, _simhash_sigs, _cells):
+    for builder in (_shingles, _words, _simhash_sigs, _cells, _bigrams):
         builder(spark, sf_dir)
     app = spark.sparkContext.applicationId
     with _SHARED_LOCK:

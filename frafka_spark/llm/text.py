@@ -309,19 +309,13 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition scoring: top-bigram share of all bigrams per doc.
 
     The degenerate-text filter (boilerplate, keyboard mashing, table
-    dumps repeat n-grams). Two narrow hash-aggregates; the bigram
-    explode is the only wide step and shuffles (doc_id, bigram) pairs.
+    dumps repeat n-grams). Two narrow hash-aggregates over the shared
+    cached ``_bigrams`` relation (the only wide step, computed once
+    per session for the three bigram-consuming queries).
     """
-    d = table(spark, sf_dir, "documents")
-    w = fan_out(d, "doc_id").select("doc_id", F.split("text", " ").alias("w"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size("w") - 1),
-        lambda i: F.concat_ws(" ", F.slice("w", i, 2)),
-    )
     counts = (
-        w.filter(F.size("w") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", "bg")
+        _bigrams(spark, sf_dir)
+        .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("n"))
     )
     ratio = F.max("n").cast("double") / F.sum("n")
@@ -526,4 +520,179 @@ def q_llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
             (F.col("cms_est") >= F.col("exact_n")).alias("est_is_upper_bound"),
         )
+    )
+
+
+def _bigram_sql(src: str = "documents") -> str:
+    """DuckDB: (doc_id, w1, w2) adjacent-word pairs, in corpus order."""
+    return f"""
+        SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+        FROM (
+            SELECT doc_id,
+                   unnest([{{'w1': words[i], 'w2': words[i+1]}}
+                           for i in generate_series(1, len(words) - 1)]) AS b
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM {src})
+        )
+    """
+
+
+def _bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark: (doc_id, w1, w2) adjacent-word pairs — CACHED.
+
+    Three declared queries consume this identical explode (repetition
+    scoring, the corpus bigram LM, and per-doc NLL scoring, the last
+    on TWO branches: corpus statistics and per-doc lookups). Same
+    discipline as ``_shingles``/``_words``: fan out past the
+    single-row-group file split, build each pair with one ``slice``,
+    cache, and register for sequential warming.
+    """
+    from frafka_spark.llm.dedup import materialize_once
+
+    d = table(spark, sf_dir, "documents")
+    w = (
+        fan_out(d, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.slice("w", i, 2),
+    )
+    bi = (
+        w.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p")[0].alias("w1"), F.col("p")[1].alias("w2"))
+        .cache()
+    )
+    return materialize_once(bi, spark, sf_dir, "bigrams")
+
+
+CHUNK_WORDS = 40  # window size (words) per training/RAG chunk
+CHUNK_STRIDE = 30  # stride (words) → 10-word overlap between chunks
+
+
+@query(
+    "q_llm_chunk",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(
+               w[(chunk_id-1)*{CHUNK_STRIDE}+1 : (chunk_id-1)*{CHUNK_STRIDE}+{CHUNK_WORDS}],
+               ' ') AS chunk_text,
+           CAST(len(w[(chunk_id-1)*{CHUNK_STRIDE}+1 : (chunk_id-1)*{CHUNK_STRIDE}+{CHUNK_WORDS}])
+                AS INT) AS n_words
+    FROM words,
+         unnest(generate_series(
+             1, greatest(CAST(ceil((len(w) - {CHUNK_WORDS}) / {CHUNK_STRIDE}.0) AS BIGINT) + 1, 1)
+         )) u(chunk_id)
+    """,
+)
+def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 40-word chunks every 30
+    words (10-word overlap).
+
+    The pretraining/RAG segmentation primitive: context-window-sized
+    pieces with overlap so no span is split across a boundary
+    unseen. Pure codegen — one ``sequence`` explode for chunk ids,
+    one ``slice`` per chunk; the words array is materialized in its
+    own projection first (the shingle-pipeline codegen rule: inlined,
+    the split re-executes per chunk). Short docs yield exactly one
+    (possibly short) chunk; the final chunk clamps at the document
+    end in both engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = fan_out(d, "doc_id").select("doc_id", F.split("text", " ").alias("w"))
+    n_chunks = F.greatest(
+        F.ceil((F.size("w") - CHUNK_WORDS) / float(CHUNK_STRIDE)).cast("int")
+        + F.lit(1),
+        F.lit(1),
+    )
+    chunk = F.slice(
+        "w", (F.col("chunk_id") - 1) * CHUNK_STRIDE + 1, CHUNK_WORDS
+    )
+    return (
+        w.select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).alias("n_words"),
+        )
+    )
+
+
+@query(
+    "q_llm_doc_nll",
+    oracle=f"""
+    WITH bi AS ({_bigram_sql()}),
+    counts AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        FROM bi GROUP BY w1, w2
+    ),
+    firsts AS (
+        SELECT w1, CAST(sum(n) AS BIGINT) AS n_first FROM counts GROUP BY w1
+    ),
+    probs AS (
+        SELECT c.w1, c.w2,
+               CAST(floor(-ln(CAST(c.n AS DOUBLE) / f.n_first) * 10000 + 0.5)
+                    AS BIGINT) AS nll_e4
+        FROM counts c JOIN firsts f ON f.w1 = c.w1
+    )
+    SELECT doc_id, n_bigrams,
+           CAST((2 * sum_e4 + n_bigrams) // (2 * n_bigrams) AS DOUBLE) / 10000.0
+               AS avg_nll
+    FROM (
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(p.nll_e4) AS BIGINT) AS sum_e4
+        FROM bi d JOIN probs p ON p.w1 = d.w1 AND p.w2 = d.w2
+        GROUP BY d.doc_id
+    )
+    """,
+)
+def q_llm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram negative log-likelihood under the
+    corpus's own bigram model — the cheap fluency/outlier score a
+    pipeline computes before it can afford a neural perplexity pass
+    (high avg_nll = improbable word transitions = mashing/boilerplate
+    candidates).
+
+    The corpus model (counts → conditional probabilities) is derived
+    from the SAME cached bigram relation the per-doc lookups read, so
+    the corpus is exploded once; the (w1, w2)-keyed model join
+    shuffles both sides on the pair key. Determinism: each NLL is
+    scaled to an e4 integer per row (``floor(x*1e4 + 0.5)`` — ln
+    values never sit on exact decimal halves, unlike SUMS of
+    decimals, which do), summed as plain longs (order-independent),
+    and the mean is computed with integer half-up division —
+    ``round(sum/cnt, 4)`` on a double here WOULD tie-break
+    differently across engines, because an average of exact
+    4-decimal values lands exactly on 5th-decimal halves.
+    """
+    bi = _bigrams(spark, sf_dir)
+    counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    firsts = counts.groupBy("w1").agg(F.sum("n").alias("n_first"))
+    nll_e4 = F.floor(
+        -F.log(F.col("n").cast("double") / F.col("n_first")) * 10000 + F.lit(0.5)
+    )
+    probs = counts.join(firsts, "w1").select("w1", "w2", nll_e4.alias("nll_e4"))
+    agg = (
+        bi.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("nll_e4").alias("sum_e4"),
+        )
+    )
+    avg_e4 = F.expr("(2 * sum_e4 + n_bigrams) div (2 * n_bigrams)")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        (avg_e4.cast("double") / 10000.0).alias("avg_nll"),
     )

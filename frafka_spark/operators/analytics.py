@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from frafka_spark.io import fan_out, table
+from frafka_spark.io import table
 from frafka_spark.registry import query
 
 _FUNNEL_STAGES = ("view", "click", "purchase")
@@ -175,29 +175,20 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional next-word probability P(w2 | w1).
 
     The n-gram-LM profile a training-data pipeline runs to spot
-    boilerplate and estimate corpus diversity. One bigram explode
-    (each pair built with a single ``slice``, same codegen rule as
-    the shingle pipeline), one (w1, w2) hash-aggregate, and the
-    first-word totals DERIVED from that aggregate by a second
-    roll-up — the corpus is never exploded twice (round 2's
-    tfidf/heavy-hitters lesson). The w1-keyed join shuffles both
-    sides on w1; vocabulary relations are Zipf-skewed but bounded by
-    |vocab|², and the ``n >= 20`` floor keeps the output the head of
-    the distribution.
+    boilerplate and estimate corpus diversity. Reads the shared
+    cached ``_bigrams`` relation (one corpus explode per session,
+    shared with repetition and NLL scoring), one (w1, w2)
+    hash-aggregate, and the first-word totals DERIVED from that
+    aggregate by a second roll-up — the corpus is never exploded
+    twice (round 2's tfidf/heavy-hitters lesson). The w1-keyed join
+    shuffles both sides on w1; vocabulary relations are Zipf-skewed
+    but bounded by |vocab|², and the ``n >= 20`` floor keeps the
+    output the head of the distribution.
     """
-    d = table(spark, sf_dir, "documents")
-    w = (
-        fan_out(d, "doc_id")  # single-row-group file scans as 1 task
-        .select(F.split("text", " ").alias("w"))
-        .filter(F.size("w") >= 2)
-    )
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size("w") - 1),
-        lambda i: F.slice("w", i, 2),
-    )
+    from frafka_spark.llm.text import _bigrams
+
     counts = (
-        w.select(F.explode(pairs).alias("p"))
-        .select(F.col("p")[0].alias("w1"), F.col("p")[1].alias("w2"))
+        _bigrams(spark, sf_dir)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n"))
     )
