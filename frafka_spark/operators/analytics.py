@@ -28,6 +28,28 @@ from frafka_spark.registry import query
 _FUNNEL_STAGES = ("view", "click", "purchase")
 
 
+def funnel_stages(
+    events: DataFrame, stages: tuple[str, ...] = _FUNNEL_STAGES
+) -> list[DataFrame]:
+    """Chain ordered funnel stages over an events relation.
+
+    Returns one per-user frame per stage: ``(user_id, _t{i})`` where
+    ``_t{i}`` is the user's first event of stage ``i`` occurring at or
+    after their stage ``i-1`` timestamp. Each stage is a filtered
+    min-aggregate joined to the previous stage on ``user_id`` — one
+    timestamp of per-user state, no window sort.
+    """
+    out: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, etype in enumerate(stages):
+        s = events.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") >= F.col(f"_t{i - 1}"))
+        prev = s.groupBy("user_id").agg(F.min("ts").alias(f"_t{i}"))
+        out.append(prev)
+    return out
+
+
 @query(
     "q_events_funnel",
     oracle="""
@@ -75,16 +97,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     count joined back for conversion percentage.
     """
     e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-
-    def stage_after(etype: str, prev: DataFrame | None, t_prev: str, t_out: str) -> DataFrame:
-        s = e.filter(F.col("event_type") == etype)
-        if prev is not None:
-            s = s.join(prev, "user_id").filter(F.col("ts") >= F.col(t_prev))
-        return s.groupBy("user_id").agg(F.min("ts").alias(t_out))
-
-    v = stage_after("view", None, "", "t0")
-    c = stage_after("click", v, "t0", "t1")
-    p = stage_after("purchase", c, "t1", "t2")
+    v, c, p = funnel_stages(e)
     stages = (
         v.agg(F.lit("1_view").alias("stage"), F.count("*").alias("n_users"))
         .unionAll(c.agg(F.lit("2_click"), F.count("*")))

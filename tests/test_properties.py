@@ -161,3 +161,82 @@ def test_connected_components_cap_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_rounds=2)
+
+
+# ---- chunking: coverage + reconstruction properties ----------------
+
+
+@given(n_words=st.integers(min_value=1, max_value=130))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunking_covers_and_reconstructs(spark, n_words):
+    """Every chunk set (a) covers all word positions, (b) reconstructs
+    the document from stride-aligned prefixes, (c) has the closed-form
+    chunk count — for any doc length including the sub-window edge."""
+    from frafka_spark.llm.text import CHUNK_STRIDE, CHUNK_WORDS
+
+    words = [f"w{i}" for i in range(n_words)]
+    import math
+
+    expected_chunks = max(
+        math.ceil((n_words - CHUNK_WORDS) / CHUNK_STRIDE) + 1, 1
+    )
+    # replicate the declared query's expression tree on a local frame
+    d = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    n_chunks = F.greatest(
+        F.ceil((F.size("w") - CHUNK_WORDS) / float(CHUNK_STRIDE)).cast("int") + F.lit(1),
+        F.lit(1),
+    )
+    chunk = F.slice("w", (F.col("chunk_id") - 1) * CHUNK_STRIDE + 1, CHUNK_WORDS)
+    rows = (
+        w.select("doc_id", "w", F.explode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id"))
+        .select("chunk_id", F.concat_ws(" ", chunk).alias("chunk_text"))
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert len(rows) == expected_chunks
+    seen: set[str] = set()
+    rebuilt: list[str] = []
+    for r in rows:
+        toks = r.chunk_text.split(" ") if r.chunk_text else []
+        seen.update(toks)
+        take = toks if r.chunk_id == len(rows) else toks[:CHUNK_STRIDE]
+        rebuilt.extend(take)
+    assert seen == set(words)
+    assert rebuilt == words
+
+
+def test_funnel_stages_monotonically_shrink(spark):
+    """Each funnel stage is a subset of the previous (ordered
+    semantics): counts never grow, and a purchase BEFORE the first
+    view never converts."""
+    import __spark_entry__ as entry
+
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r.stage: r.n_users
+        for r in entry.queries()["q_events_funnel"](spark, SF_DIR).collect()
+    }
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"]
+
+    # constructed: user 1 purchases before viewing -> reaches stage 1 only
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    e = spark.createDataFrame(
+        [
+            (1, t(10), "purchase"),
+            (1, t(20), "view"),
+            (2, t(1), "view"),
+            (2, t(2), "click"),
+            (2, t(3), "purchase"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+    from frafka_spark.operators.analytics import funnel_stages
+
+    v, c, p = funnel_stages(e)
+    assert v.count() == 2 and c.count() == 1 and p.count() == 1
+    assert p.collect()[0].user_id == 2
