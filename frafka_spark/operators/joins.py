@@ -364,3 +364,110 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 4).alias("asof_price"),
         )
     )
+
+
+RANGE_US = 120_000_000  # ±120 s correlation window, in microseconds
+_BAND_US = 2 * RANGE_US  # band width = 2x the range → ≤3 candidate bands
+
+
+@query(
+    "q_join_range_banded",
+    oracle=f"""
+    SELECT e1.event_id,
+           CAST(count(*) AS BIGINT) AS n_nearby,
+           {sql_dec_sum('e2.value')} AS sum_value
+    FROM events e1
+    JOIN events e2
+      ON abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= {RANGE_US}
+    WHERE e1.event_type = 'error'
+    GROUP BY e1.event_id
+    """,
+)
+def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key), executed as a BANDED equi-join:
+    for each error event, count/sum all events within ±120 s — burst
+    correlation.
+
+    The scale pattern for interval/range joins Spark would otherwise
+    plan as a broadcast nested loop (O(n·m) comparisons): quantize
+    time into bands of width 2×range, explode the PROBE side to its
+    ≤3 candidate bands (a fixed 3× expansion of one side — never a
+    pair blowup), hash-join on the band id, and apply the exact range
+    predicate as a residual filter. Any match is at most one band
+    away from its probe, so recall is exact by construction. At
+    100 TB the join shuffles on the band key like any equi-join;
+    burst-heavy bands are the skew hazard, mitigated with the salting
+    utility (operators/skew.py) if AQE's skew split isn't enough.
+    Matches include the probe event itself (|Δ| = 0 ≤ range), so
+    ``n_nearby ≥ 1`` — same on both sides of the oracle comparison.
+    All arithmetic is integer microseconds; no float time math.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("us"), "value"
+    )
+    build = ev.select(
+        F.col("us").alias("us2"),
+        "value",
+        (F.col("us") / _BAND_US).cast("bigint").alias("band"),
+    )
+    probe_band = (F.col("us") / _BAND_US).cast("bigint")
+    probes = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("us").alias("us1"),
+        F.explode(
+            F.array(probe_band - 1, probe_band, probe_band + 1)
+        ).alias("band"),
+    )
+    return (
+        probes.join(build, "band")
+        .filter(F.abs(F.col("us1") - F.col("us2")) <= RANGE_US)
+        .groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_nearby"),
+            dec_sum("value", "sum_value"),
+        )
+    )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH s AS (SELECT nullif(s_nationkey, 3) AS nk, s_suppkey FROM supplier),
+         c AS (SELECT nullif(c_nationkey, 3) AS nk, c_custkey FROM customer)
+    SELECT coalesce(CAST(s.nk AS VARCHAR), 'NULL') AS nk_key,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_supp,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_cust
+    FROM s JOIN c ON s.nk IS NOT DISTINCT FROM c.nk
+    GROUP BY coalesce(CAST(s.nk AS VARCHAR), 'NULL')
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing.
+
+    ``eqNullSafe`` is still a HASH-join key (Catalyst treats
+    EqualNullSafe as an equi condition — the plan is a broadcast/
+    shuffled hash join, not a nested loop), which is exactly why the
+    operator matters at scale: the naive
+    ``(a = b) OR (a IS NULL AND b IS NULL)`` rewrite is NOT
+    recognized as equi and falls to BNLJ. Aggregated so the paired
+    output stays linear in the key cardinality.
+    """
+    s = table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(3)).alias("nk"), "s_suppkey"
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk_c"), "c_custkey"
+    )
+    return (
+        s.join(c, s.nk.eqNullSafe(c.nk_c))
+        .groupBy(
+            F.coalesce(F.col("nk").cast("string"), F.lit("NULL")).alias("nk_key")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("s_suppkey").alias("n_supp"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+        )
+    )
