@@ -225,12 +225,12 @@ class Pipeline:
                     ERROR_COL, "_fr_source"
                 )
                 if self.fail_sink is not None:
-                    self.fail_sink.write_batch(bad)  # Fail → DLQ (A5/A7)
-                self.sink.write_batch(good)  # Send+Ack (A10/A4)
+                    self.fail_sink.write_batch(bad, batch_id)  # Fail → DLQ (A5/A7)
+                self.sink.write_batch(good, batch_id)  # Send+Ack (A10/A4)
             finally:
                 out.unpersist()
         else:
-            self.sink.write_batch(out)
+            self.sink.write_batch(out, batch_id)
 
     def start(self, available_now: bool = True):
         """Start the query (Trigger.AvailableNow for bounded replays)."""

@@ -33,6 +33,9 @@ class FrSink:
     options: dict[str, str] = field(default_factory=dict)
     output_mode: str = "append"
     partition_by: str | None = None
+    #: exactly-once mode: partition on the (re-delivery-stable) batch
+    #: id and dynamically overwrite only that partition per write.
+    idempotent: bool = False
 
     @classmethod
     def kafka(cls, env=None, **overrides) -> "FrSink":
@@ -65,6 +68,26 @@ class FrSink:
         return cls("parquet", {"path": path}, partition_by="topic")
 
     @classmethod
+    def parquet_txn(cls, path: str) -> "FrSink":
+        """Idempotent (exactly-once) parquet sink for foreachBatch.
+
+        frafka's own guarantee is at-least-once: a crash between the
+        producer flush and the offset commit re-delivers the batch,
+        and an append-mode sink then duplicates rows. Structured
+        Streaming has the same contract inside ``foreachBatch`` —
+        the batch id, however, is STABLE across re-deliveries, which
+        is the standard upgrade path: partition the write on
+        ``_batch_id`` and overwrite ONLY that partition (dynamic
+        partition overwrite). A re-delivered batch replaces its own
+        partition instead of appending beside it; distinct batches
+        never touch each other's partitions. Readers see
+        exactly-once output at the price of one partition column
+        [public pattern: Structured Streaming foreachBatch docs'
+        idempotent-write guidance].
+        """
+        return cls("parquet", {"path": path}, idempotent=True)
+
+    @classmethod
     def memory(cls, name: str, output_mode: str = "append") -> "FrSink":
         return cls("memory", {"queryName": name}, output_mode)
 
@@ -81,10 +104,25 @@ class FrSink:
                 writer = writer.option(k, v)
         return writer
 
-    def write_batch(self, df: DataFrame) -> None:
+    def write_batch(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Batch-mode write (used inside foreachBatch pipelines)."""
         if self.fmt == "memory":
             raise ValueError("memory sink is stream-only; use configure()")
+        if self.idempotent:
+            if batch_id is None:
+                raise ValueError("idempotent sink needs the foreachBatch batch_id")
+            from pyspark.sql import functions as F
+
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.format(self.fmt)
+                .mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .options(**self.options)
+                .save()
+            )
+            return
         writer = df.write.format(self.fmt).mode("append")
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)

@@ -495,3 +495,47 @@ def test_per_row_topic_routing_executes(spark, events_dir, tmp_path):
         for r in events.filter(F.col("value") > 100.0).select("event_id").collect()
     }
     assert hot_ids == expect_hot
+
+
+def test_idempotent_sink_survives_batch_redelivery(spark, events_dir, tmp_path):
+    """Exactly-once upgrade (beyond frafka's at-least-once): a batch
+    re-delivered after a mid-batch crash must REPLACE its own output,
+    not append beside it. foreachBatch re-runs with the SAME batch_id
+    on recovery, so the txn sink's dynamic partition overwrite makes
+    the write idempotent; distinct batches never touch each other."""
+    out = str(tmp_path / "txn_out")
+    redelivery = Pipeline(
+        source=FrSource.files(spark, events_dir, EVENTS_DDL),
+        transform=lambda df: df.select("event_id", "user_id"),
+        sink=FrSink.parquet_txn(out),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    b0 = table(spark, SF_DIR, "events").limit(100).select("event_id", "user_id")
+    b1 = table(spark, SF_DIR, "events").limit(150).select("event_id", "user_id")
+
+    redelivery._process_batch(b0, 0)
+    redelivery._process_batch(b0, 0)  # simulated crash re-delivery, same id
+    got = spark.read.parquet(out)
+    assert got.count() == 100  # replaced, not appended
+
+    redelivery._process_batch(b1, 1)  # a NEW batch coexists untouched
+    got = spark.read.parquet(out)
+    assert got.count() == 250
+    assert got.filter(F.col("_batch_id") == 0).count() == 100
+
+    # and the same sink works end-to-end through the streaming engine
+    # (separate output: a fresh checkpoint restarts batch ids at 0,
+    # which would — correctly — overwrite the manual batches above)
+    out2 = str(tmp_path / "txn_out2")
+    streaming = Pipeline(
+        source=FrSource.files(spark, events_dir, EVENTS_DDL),
+        transform=lambda df: df.select("event_id", "user_id"),
+        sink=FrSink.parquet_txn(out2),
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    streaming.run_to_completion()
+    streaming.close()
+    n_events = table(spark, SF_DIR, "events").count()
+    got2 = spark.read.parquet(out2)
+    assert got2.count() == n_events
+    assert got2.select("event_id").distinct().count() == n_events
