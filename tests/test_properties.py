@@ -240,3 +240,36 @@ def test_funnel_stages_monotonically_shrink(spark):
     v, c, p = funnel_stages(e)
     assert v.count() == 2 and c.count() == 1 and p.count() == 1
     assert p.collect()[0].user_id == 2
+
+
+# ---- dec_sum: scaled-long exact-sum contract -----------------------
+
+
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value=-999_999, max_value=999_999, places=2, allow_nan=False
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    with_null=st.booleans(),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_dec_sum_exact_vs_python_decimal(spark, vals, with_null):
+    """dec_sum's hi/lo scaled-long formulation equals the exact
+    Decimal sum for arbitrary signed 2-decimal inputs (the fixture
+    money/quantity domain), including empty input and NULLs —
+    bit-for-bit, since the exact value is representable."""
+    from decimal import Decimal
+
+    from frafka_spark.functions.determinism import dec_sum
+
+    rows = [(float(v),) for v in vals] + ([(None,)] if with_null else [])
+    df = spark.createDataFrame(rows or [(None,)], "x double")
+    got = df.agg(dec_sum("x", "s")).first().s
+    want = sum((Decimal(v).quantize(Decimal("0.01")) for v in vals), Decimal(0))
+    if not vals:
+        assert got is None
+    else:
+        assert got == float(want), (got, want)
