@@ -179,3 +179,55 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_totalprice > 300000
         """
     )
+
+
+@query(
+    "q_udf_grouped_map",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - min(value) OVER w)
+                 / (max(value) OVER w - min(value) OVER w), 4) AS scaled
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (``applyInPandas``): per-group min-max
+    scaling of the event value, one pandas frame per event type.
+
+    The fourth Python tier after scalar/grouped-agg pandas UDFs and
+    UDTFs: ``groupBy(k).applyInPandas(fn)`` hands each group to
+    Python as ONE Arrow-backed DataFrame — the Spark surface for
+    whole-group imperative logic (per-group model fits, resampling,
+    custom normalizers). Contract and cost at 100 TB: one shuffle on
+    the group key, and each group must fit in one worker's memory —
+    low-cardinality keys like ``event_type`` make wide groups, so at
+    corpus scale pre-aggregate per key first or switch to the
+    two-pass formulation (windowed min/max join, exactly the oracle's
+    shape) when groups outgrow workers. Min-max is chosen over
+    z-score deliberately: min/max are order-independent, so the
+    pandas result is bitwise identical to the oracle's window
+    formulation with no float-summation hazard; the division result
+    is a "dirty" double rounded 4 digits (no representable-tie risk),
+    and the round is applied Spark-side so both engines round the
+    identical binary double.
+    """
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf["value"].min()
+        rng = pdf["value"].max() - lo
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "scaled_raw": (pdf["value"] - lo) / rng,
+            }
+        )
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = e.groupBy("event_type").applyInPandas(
+        scale, schema="event_id long, event_type string, scaled_raw double"
+    )
+    return out.select(
+        "event_id", "event_type", F.round("scaled_raw", 4).alias("scaled")
+    )

@@ -696,3 +696,158 @@ def q_llm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         (avg_e4.cast("double") / 10000.0).alias("avg_nll"),
     )
+
+
+@query(
+    "q_llm_clean_pipeline",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               (lang = 'en') AS lang_ok,
+               (n_chars BETWEEN 150 AND 450) AS len_ok,
+               ((CASE WHEN len(string_split(text, ' '))
+                           BETWEEN 20 AND 90 THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                       w -> w IN ({_sql_list(STOPWORDS)})))
+                             AS DOUBLE)
+                        / len(string_split(text, ' ')) < 0.10
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(len(list_distinct(string_split(text, ' ')))
+                             AS DOUBLE)
+                        / len(string_split(text, ' ')) > 0.30
+                        THEN 1 ELSE 0 END) >= 2) AS quality_ok,
+               (doc_id = min(doc_id) OVER (PARTITION BY md5(text)))
+                   AS is_canonical
+        FROM documents
+    )
+    SELECT doc_id, lang_ok, len_ok, quality_ok, is_canonical,
+           (lang_ok AND len_ok AND quality_ok AND is_canonical) AS keep
+    FROM feat
+    """,
+)
+def q_llm_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus-cleaning pipeline: language gate → length gate
+    → heuristic-quality gate → exact-dedup canonical gate, one keep
+    verdict per document (the C4/CCNet-style end-to-end filter).
+
+    Composes the engine's declared operators at the relation level:
+    the quality gate REUSES ``q_llm_quality``'s declared relation
+    (same registered callable, same session-cached scan) joined back
+    on ``doc_id``, and the canonical gate is ``q_llm_dedup_exact``'s
+    min-id rule expressed as a window over the content digest so the
+    verdict stays per-document. Plan shape at 100 TB: one corpus scan
+    for features (all codegen'd projections), one digest-partitioned
+    window (same single shuffle exact dedup pays), one doc_id
+    equi-join — no step is worse than the standalone operators it
+    composes, and every gate is a boolean column so downstream
+    pipelines can re-weight rather than drop.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    quality = q_llm_quality(spark, sf_dir).select(
+        "doc_id", (F.col("quality_score") >= 2).alias("quality_ok")
+    )
+    gates = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("lang_ok"),
+        F.col("n_chars").between(150, 450).alias("len_ok"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        ).alias("is_canonical"),
+    )
+    return gates.join(quality, "doc_id").select(
+        "doc_id",
+        "lang_ok",
+        "len_ok",
+        "quality_ok",
+        "is_canonical",
+        (
+            F.col("lang_ok")
+            & F.col("len_ok")
+            & F.col("quality_ok")
+            & F.col("is_canonical")
+        ).alias("keep"),
+    )
+
+
+# Training-mixture sampling rates by source; unlisted sources get the
+# default. Single-sourced here and injected into BOTH the Spark plan
+# and the DuckDB oracle (the STOPWORDS/LANG_MARKERS pattern).
+MIX_WEIGHTS: dict[str, float] = {
+    "src0": 0.5,
+    "src1": 0.5,
+    "src2": 0.25,
+    "src3": 0.25,
+}
+MIX_DEFAULT = 0.0625
+
+
+def _mix_thr(rate: float) -> str:
+    """Acceptance threshold: first 16 md5 bits as 4 lowercase hex chars."""
+    return format(round(rate * 65536), "04x")
+
+
+@query(
+    "q_llm_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hk,
+               CASE {" ".join(f"WHEN source = '{s}' THEN '{_mix_thr(r)}'" for s, r in MIX_WEIGHTS.items())}
+                    ELSE '{_mix_thr(MIX_DEFAULT)}' END AS thr,
+               CASE {" ".join(f"WHEN source = '{s}' THEN {r}" for s, r in MIX_WEIGHTS.items())}
+                    ELSE {MIX_DEFAULT} END AS target_rate
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN hk < thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           round(any_value(target_rate), 4) AS target_rate,
+           round(CAST(sum(CASE WHEN hk < thr THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS achieved_rate
+    FROM keyed
+    GROUP BY source
+    """,
+)
+def q_llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture sampling: per-source acceptance rates
+    (upsample curated sources, downsample bulk crawl) applied as a
+    deterministic hash-threshold predicate, reported per source as
+    target vs achieved rate.
+
+    The data-mixing primitive behind training-corpus recipes: rates
+    live in one Python dict compiled into a codegen'd CASE chain on
+    both engines — no RNG state, no join (the "weights table" is a
+    constant-folded expression, the right call while the mixture spec
+    is O(sources); at thousands of sources it becomes a broadcast
+    dim join). Like ``q_llm_sample_stratified``, the keep decision is
+    a pure per-row projection on ``md5(doc_id)`` — independent of
+    content, reproducible across engines/runs/partitionings, and at
+    100 TB the sample never shuffles; the only aggregate is the
+    O(sources) rate report. The threshold compare is lexicographic on
+    fixed-width lowercase hex ≡ numeric compare on the first 16 hash
+    bits.
+    """
+    d = table(spark, sf_dir, "documents")
+    thr = F.lit(_mix_thr(MIX_DEFAULT))
+    rate = F.lit(float(MIX_DEFAULT))
+    for s, r in reversed(MIX_WEIGHTS.items()):
+        thr = F.when(F.col("source") == s, F.lit(_mix_thr(r))).otherwise(thr)
+        rate = F.when(F.col("source") == s, F.lit(float(r))).otherwise(rate)
+    hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    kept = F.when(hk < thr, 1).otherwise(0)
+    return (
+        d.select("source", kept.alias("kept"), rate.alias("target_rate"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").cast("bigint").alias("n_sampled"),
+            F.round(F.first("target_rate"), 4).alias("target_rate"),
+            F.round(F.sum("kept").cast("double") / F.count("*"), 4).alias(
+                "achieved_rate"
+            ),
+        )
+    )

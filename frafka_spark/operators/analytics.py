@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from frafka_spark.functions.determinism import dec_avg, sql_dec_avg
 from frafka_spark.io import table
 from frafka_spark.registry import query
 
@@ -156,6 +157,100 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             off.cast("int").alias("day_offset"),
         )
         .agg(F.count("*").alias("n_active"))
+    )
+
+
+@query(
+    "q_ts_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ),
+    hours AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM bounds
+    ),
+    grid AS (
+        SELECT t.event_type, h.hr
+        FROM (SELECT DISTINCT event_type FROM events) t, hours h
+    ),
+    actual AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {sql_dec_avg("value")} AS avg_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type,
+           strftime(g.hr, '%Y-%m-%d %H') AS bucket,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(last_value(a.avg_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+               AS avg_value_ffill
+    FROM grid g
+    LEFT JOIN actual a ON a.event_type = g.event_type AND a.hr = g.hr
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup with gap fill: hourly
+    per-type event counts over a DENSE calendar, empty buckets
+    zero-counted and their running metric forward-filled
+    (last-observation-carried-forward).
+
+    The time-series shape relational engines lack natively: the dense
+    hour grid is generated (``sequence`` + ``explode`` over the
+    global [min, max] hour bounds crossed with the distinct type
+    dimension), then left-joined to the actual per-bucket rollup.
+    Both the grid and the rolled-up actuals are bounded by
+    |types| × |calendar hours| regardless of event volume — only the
+    one rollup aggregate ever touches the raw events — so the
+    aggregated side is explicitly broadcast and the gap-fill window
+    (partitioned by type, ordered by hour) runs over
+    calendar-bounded partitions. At 100 TB the plan shape is
+    unchanged: one map-side-combined shuffle on (type, hour), then
+    O(types × hours) post-aggregate work. ``avg_value`` uses the
+    exact decimal-sum discipline (`dec_avg`) so the filled values are
+    bitwise identical across engines and partition layouts.
+    """
+    e = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    actual = e.groupBy(F.col("event_type"), hour.alias("hr")).agg(
+        F.count("*").alias("n_events"),
+        dec_avg("value", "avg_value"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(bounds)
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(F.broadcast(actual), ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH").alias("bucket"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce(
+                F.last("avg_value", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("avg_value_ffill"),
+        )
     )
 
 
