@@ -219,12 +219,19 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dec_avg("value", "avg_value"),
     )
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
+    # Bounds and the type dimension are DERIVED from the rollup, not
+    # written as separate raw-events queries: min/max of truncated
+    # hours ≡ truncated min/max ts, and every type present in events
+    # appears in its rollup. Catalyst column-prunes each branch
+    # (ReuseExchange therefore can't unify them — verified), so the
+    # physical cost is one full-width rollup scan plus two scans
+    # pruned to 1–2 columns with map-side partial aggregation — at
+    # 100 TB the narrow branches read a small fraction of table
+    # bytes, and a production pipeline materializes ``actual`` once
+    # anyway (it is O(types × hours)).
+    bounds = actual.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
     grid = (
-        e.select("event_type")
+        actual.select("event_type")
         .distinct()
         .crossJoin(bounds)
         .select(

@@ -154,3 +154,51 @@ def test_scalar_functions_stay_in_codegen(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "*(1)" in plan, f"{name} not codegen'd:\n{plan}"
+
+
+def test_runtime_bloom_filter_injectable(spark):
+    """Runtime row-level bloom filtering — the AQE-era runtime-filter
+    path a 1000-executor join depends on — is injectable in this
+    engine's sessions.
+
+    Spark plants a bloom filter built from the selective (creation)
+    side of a shuffle join into the large (application) side's scan,
+    cutting shuffle input before the exchange. Its size thresholds
+    are tuned for real clusters (application side ≥ 10 GB), so
+    fixture-scale plans never trigger it silently; this test lowers
+    the thresholds to prove the optimizer rule fires on this
+    engine's query shapes, documenting the conf knobs a 100 TB
+    deployment relies on (at default thresholds it then happens
+    automatically, no code change).
+    """
+    from frafka_spark.io import table
+
+    pairs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # InjectRuntimeFilter only fires on probably-shuffle joins:
+        # if either side canBroadcastBySize it bails, and fixture
+        # tables always can — disable auto-broadcast to model the
+        # at-scale (both sides large) regime.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in pairs}
+    try:
+        for k, v in pairs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        li = table(spark, SF_DIR, "lineitem")
+        o = table(spark, SF_DIR, "orders").filter(
+            F.col("o_totalprice") > 400000  # selective creation side
+        )
+        joined = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
