@@ -262,6 +262,81 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_sessionize",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS flag,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(sum(flag) OVER wc AS INT) AS session_seq,
+           CAST(rn - max(CASE WHEN flag = 1 THEN rn END) OVER wc + 1 AS INT)
+               AS seq_in_session
+    FROM base
+    WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event sessionization: tag EVERY event with its session
+    ordinal and position within the session (30-min inactivity gap,
+    same half-open boundary as ``q_stream_session``: an event at
+    exactly prev_ts + gap starts a new session).
+
+    This is the per-row complement of ``q_stream_session``'s
+    aggregated ``session_window`` output — clickstream pipelines need
+    the event-level session tag (for path analysis, bounce detection,
+    per-session joins), which ``session_window`` cannot produce.
+
+    Single-exchange plan by construction: every window expression —
+    the lag-based new-session flag, the running session counter, and
+    the within-session ordinal — shares the one
+    ``partitionBy(user_id)`` sort. The ordinal is derived as
+    ``rn - running_max(rn at session starts) + 1`` instead of a
+    ``row_number`` over ``(user_id, session_seq)``, which would force
+    a second hash exchange on the computed key. At 100 TB: one
+    shuffle on ``user_id``, per-user sorted streams, no global sort,
+    state bounded per partition — the same layout Structured
+    Streaming's sessionization state store uses.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    flag = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") >= prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    base = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        flag.alias("flag"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.sum("flag").over(wc).cast("int").alias("session_seq"),
+        (
+            F.col("rn")
+            - F.max(F.when(F.col("flag") == 1, F.col("rn"))).over(wc)
+            + F.lit(1)
+        )
+        .cast("int")
+        .alias("seq_in_session"),
+    )
+
+
+@query(
     "q_llm_bigram_lm",
     oracle="""
     WITH words AS (

@@ -156,6 +156,29 @@ def test_scalar_functions_stay_in_codegen(spark):
         assert "*(1)" in plan, f"{name} not codegen'd:\n{plan}"
 
 
+def test_sessionize_single_exchange(spark):
+    """q_events_sessionize computes the session flag, the running
+    session counter, and the within-session ordinal over ONE
+    hashpartitioning(user_id) exchange and one sort — the ordinal is
+    derived from a running max rather than a second window partitioned
+    by the computed (user_id, session_seq) key, which would add a
+    second shuffle. Pin that: at 100 TB the second exchange would
+    re-shuffle the full event stream."""
+    import re
+
+    from frafka_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["q_events_sessionize"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
+    assert len(re.findall(r"\bSort ", plan)) == 1, plan[:2000]
+
+
 def test_runtime_bloom_filter_injectable(spark):
     """Runtime row-level bloom filtering — the AQE-era runtime-filter
     path a 1000-executor join depends on — is injectable in this
