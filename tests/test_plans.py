@@ -86,6 +86,7 @@ def test_python_boundary_inventory(spark):
     # whose semantics require it (UDF surface + GEMM kernels).
     py_expected = {
         "q_udf_python", "q_udf_pandas", "q_udaf_pandas", "q_udtf",
+        "q_udf_grouped_map",  # applyInPandas IS the declared operator
         "q_llm_sim_cosine",
     }
     for name in sorted(QUERIES):
