@@ -96,3 +96,26 @@ def sql_dec_sum(expr: str) -> str:
 def sql_dec_avg(expr: str, digits: int = 4) -> str:
     """DuckDB oracle twin of :func:`dec_avg`."""
     return f"round({sql_dec_sum(expr)} / count(*), {digits})"
+
+
+def round_z(col: Column | str, digits: int) -> Column:
+    """Round, then normalize signed zero (``-0.0`` → ``+0.0``).
+
+    A rounded statistic whose true value sits within half an ulp of
+    zero (e.g. ``covar_samp`` of two near-independent columns) can land
+    on **opposite signs of zero** across engines: the accumulation
+    order decides whether the pre-round double is ±5e-7, and
+    ``round(..., 6)`` then yields ``+0.0`` on one engine and ``-0.0``
+    on the other — identical values to ``==`` but different bytes to a
+    value hash. IEEE 754 guarantees ``-0.0 + 0.0 == +0.0``, so adding
+    a positive zero canonicalizes the sign while leaving every other
+    value bit-identical. Use for any rounded statistic that can
+    straddle zero (corr / covar / regr_slope / regr_intercept / deltas).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, digits) + F.lit(0.0)
+
+
+def sql_round_z(expr: str, digits: int) -> str:
+    """DuckDB oracle twin of :func:`round_z`."""
+    return f"(round({expr}, {digits}) + 0.0)"

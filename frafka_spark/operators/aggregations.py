@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 from frafka_spark.functions.determinism import (
     dec_avg,
     dec_sum,
+    round_z,
     sql_dec_avg,
     sql_dec_sum,
+    sql_round_z,
 )
 from frafka_spark.io import table
 from frafka_spark.registry import query
@@ -184,12 +186,12 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_stats",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(var_samp(l_discount), 4) AS var_disc,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+           {sql_round_z('corr(l_quantity, l_extendedprice)', 4)} AS corr_qty_price,
+           {sql_round_z('covar_samp(l_quantity, l_discount)', 4)} AS cov_qty_disc,
            round(avg(l_tax), 4) AS avg_tax
     FROM lineitem
     GROUP BY l_returnflag
@@ -199,14 +201,17 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance/corr/covar.
 
     Small-magnitude columns only (quantity/discount/tax) so a 4-digit
-    round absorbs cross-engine accumulation differences.
+    round absorbs cross-engine accumulation differences. corr/covar
+    are sign-straddling statistics, so they take the ``round_z``
+    signed-zero normalization (stddev/var/avg are non-negative here
+    and keep the plain round).
     """
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 4).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+        round_z(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        round_z(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
         F.round(F.avg("l_tax"), 4).alias("avg_tax"),
     )
 
@@ -414,13 +419,13 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_corr",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covp,
-           round(covar_samp(l_discount, l_tax), 6) AS disc_tax_covs,
-           round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
-           round(regr_intercept(l_extendedprice, l_quantity), 4) AS price_at_zero,
+           {sql_round_z('corr(l_quantity, l_extendedprice)', 6)} AS qty_price_corr,
+           {sql_round_z('covar_pop(l_quantity, l_extendedprice)', 4)} AS qty_price_covp,
+           {sql_round_z('covar_samp(l_discount, l_tax)', 6)} AS disc_tax_covs,
+           {sql_round_z('regr_slope(l_extendedprice, l_quantity)', 4)} AS price_per_qty,
+           {sql_round_z('regr_intercept(l_extendedprice, l_quantity)', 4)} AS price_at_zero,
            CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
     FROM lineitem
     GROUP BY l_returnflag
@@ -433,19 +438,24 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     across partitions), so the plan is one hash-aggregate shuffle at
     any scale. Outputs are transcendental-free ratios of moment sums;
     rounding absorbs the last-ulp differences between the engines'
-    accumulation orders.
+    accumulation orders. Every rounded column goes through
+    ``round_z`` (signed-zero normalization): a statistic whose true
+    value straddles zero — ``covar_samp(l_discount, l_tax)`` for
+    returnflag 'N' lands within ±5e-7 of 0 — otherwise rounds to
+    ``+0.0`` on one engine and ``-0.0`` on the other and fails the
+    value hash despite being numerically equal.
     """
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+        round_z(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        round_z(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
             "qty_price_covp"
         ),
-        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covs"),
-        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+        round_z(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covs"),
+        round_z(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
             "price_per_qty"
         ),
-        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+        round_z(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
             "price_at_zero"
         ),
         F.regr_count("l_extendedprice", "l_quantity")

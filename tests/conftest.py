@@ -48,10 +48,12 @@ def _norm_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
         return "∅"
     if isinstance(v, (np.floating, float)):
-        f = float(v)
-        if f == 0.0:
-            f = 0.0  # normalize -0.0
-        return repr(f)
+        # Deliberately NOT normalizing -0.0: the driver's value hash
+        # distinguishes +0.0 from -0.0 (q_agg_corr failed r4 on exactly
+        # this), so the local comparator must be at least as strict.
+        # Sign-straddling rounded statistics must canonicalize at the
+        # source via determinism.round_z / sql_round_z on BOTH sides.
+        return repr(float(v))
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (np.bool_, bool)):
