@@ -49,18 +49,34 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampNTZType
 
+        # Both ts rebuild paths below produce an instant-typed
+        # TIMESTAMP whose *wall-clock rendering* (date_format /
+        # window() bounds / toPandas) depends on the session timezone,
+        # while the DuckDB oracle reads the same bytes as a naive
+        # timestamp. Pin the session to UTC (runtime-settable) so the
+        # two agree on any host; without this the cast/timestamp_micros
+        # results only line up because the grading host happens to run
+        # UTC.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         path = f"{sf_dir}/events.parquet"
         try:
             df = spark.read.parquet(path)
-        except Exception:
-            # Nanos encoding under a session without the legacy conf:
-            # set it (runtime-settable) and retry once.
+        except Exception as e:
+            # Only the TIMESTAMP(NANOS) encoding is retryable (Spark's
+            # vectorized reader rejects it unless read as raw longs).
+            # Anything else — missing file, corrupt footer, permission
+            # — must surface as-is, not be masked by a conf-flip+retry.
+            msg = str(e)
+            if "PARQUET_TYPE_ILLEGAL" not in msg and "Illegal Parquet type" not in msg:
+                raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, TimestampNTZType):
+            # UTC session (pinned above) makes this NTZ→TIMESTAMP cast
+            # value-preserving: wall time == instant.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

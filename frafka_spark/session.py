@@ -41,9 +41,12 @@ def get_spark(
         # schema broadcasts; at 100 TB the dims are still ≤ GBs vs a
         # multi-TB fact table, so broadcasting dims remains correct.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # events.ts is TIMESTAMP(NANOS) parquet — read as raw nanos
-        # (io.table rebuilds the µs timestamp). Set once here; io.table
-        # guards for sessions built elsewhere (e.g. the grading driver).
+        # events.ts has shipped as TIMESTAMP(NANOS) in older fixture
+        # generations (current fixtures are TIMESTAMP(MICROS, NTZ),
+        # which needs no conf). Keep nanosAsLong on so a nanos fixture
+        # reads first-try; io.table adapts per file either way (it
+        # retries with this conf only on the Illegal-Parquet-type
+        # error, and pins the session to UTC for the events read).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -145,3 +145,29 @@ def test_compacted_write_bounds_file_count_and_rows(spark, tmp_path):
     files = glob.glob(f"{out}/*.parquet")
     assert len(files) == 4
     assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == o.count()
+
+
+def test_events_read_pins_utc_session_tz(spark):
+    """io.table('events') must pin the session TZ (ADVICE r4): the
+    NTZ→TIMESTAMP cast and timestamp_micros rebuild are only
+    oracle-equivalent when rendered in UTC, and the grading driver's
+    session inherits the host JVM default."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        table(spark, SF_DIR, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_events_read_missing_file_raises_real_error(spark):
+    """A missing events file must surface as-is, not be masked by the
+    nanosAsLong conf-flip retry (ADVICE r4: only the Illegal-Parquet-
+    type error is retryable)."""
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        table(spark, "/root/testdata/no-such-sf", "events")
+    msg = str(ei.value)
+    assert "PATH_NOT_FOUND" in msg or "Path does not exist" in msg, msg
