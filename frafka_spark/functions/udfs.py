@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
-from frafka_spark.io import table
+from frafka_spark.io import fan_out, table
 from frafka_spark.registry import query
 
 
@@ -150,13 +150,25 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF: one row in → three installment rows out (lateral).
 
-    Cost contract (judge-measured, sf0.1): ~1.4 s vs a 0.10 s DuckDB
-    oracle — ~10× — and that ratio is the operator, not a plan bug.
-    A UDTF pays the Python boundary per input row: pickle the
-    argument, cross the Py4J/worker socket, run the generator, ship
-    rows back. That per-row tax is what this declared query measures
-    and documents. When the expansion logic is expressible without
-    arbitrary Python (as here, structurally), the fast paths are
+    Cost contract: a UDTF pays the Python boundary per input row —
+    pickle the argument, cross the worker socket, run the generator,
+    ship rows back. Two mitigations were measured at sf0.1 (r5):
+
+    - ``useArrow=True`` (PySpark 4.x Arrow-optimized UDTF): 15.4 s
+      warm vs 1.5 s pickled — 10× WORSE for this shape (3 tiny rows
+      out per row in; Arrow's per-batch framing dominates), so the
+      pickled path is kept deliberately.
+    - Parallelizing the boundary: the single-file scan runs the
+      lateral in ONE task, serializing all Python work. Filtering
+      first (pushed to the parquet scan), then ``fan_out`` across the
+      session's shuffle width before the lateral cuts warm time
+      1.5 s → ~0.6 s on local[32]. One extra exchange of the
+      filtered rows buys boundary-parallelism — exactly the trade a
+      1000-executor cluster wants, where the scan is already wide
+      and per-row Python must never funnel through few tasks.
+
+    When the expansion logic is expressible without arbitrary Python
+    (as here, structurally), the fast paths remain
     ``explode(sequence(...))``/``posexplode`` (pure codegen, see
     ``q_fn_posexplode``) or an Arrow-batched pandas UDF
     (``q_udf_pandas``); keep UDTFs for genuinely imperative row →
@@ -170,13 +182,13 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield n, price / 3, n == 3
 
     spark.udtf.register("fs_split_installments", SplitInstallments)
-    table(spark, sf_dir, "orders").createOrReplaceTempView("fs_orders_udtf")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    fan_out(o, "o_orderkey").createOrReplaceTempView("fs_orders_udtf")
     return spark.sql(
         """
         SELECT o.o_orderkey, t.n, round(t.installment, 6) AS installment, t.is_final
         FROM fs_orders_udtf o,
              LATERAL fs_split_installments(o.o_totalprice) t
-        WHERE o.o_totalprice > 300000
         """
     )
 

@@ -156,14 +156,46 @@ def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile/percent_rank/cume_dist over a global order (see scale note)."""
-    c = table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    """ntile/percent_rank/cume_dist over a global order — SCALE path.
+
+    Through round 4 this was the repo's deliberate anti-pattern
+    exhibit: a bare ``Window.orderBy(...)`` that funnels every row
+    through one task. Now it rides ``range_partitioned_row_number``
+    (the distributed global ranking) and derives all three
+    distribution functions arithmetically from the rank ``rn`` and
+    the total count ``n`` — valid because the ORDER BY includes the
+    unique ``c_custkey`` tiebreak, making the order total (rank ==
+    row_number, no ties):
+
+    - ``ntile(k)``: first ``n % k`` buckets get ``n div k + 1`` rows,
+      the rest ``n div k`` (SQL-standard split, integer arithmetic).
+    - ``percent_rank = (rn - 1) / (n - 1)`` (0 when n == 1).
+    - ``cume_dist = rn / n``.
+
+    ``n`` rides the helper's ≤ cluster-width offsets frame (no second
+    full-data pass), which is also the only single-task step left in
+    the plan. The oracle stays the plain global-window formulation,
+    so the hash check proves the distributed arithmetic IS
+    ntile/percent_rank/cume_dist.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    df = range_partitioned_row_number(
+        c, ["c_acctbal", "c_custkey"], out="_rn", total="_n"
+    )
+    quartile = F.expr(
+        """CAST(1 + CASE
+             WHEN _rn <= (_n % 4) * (_n div 4 + 1)
+             THEN (_rn - 1) div (_n div 4 + 1)
+             ELSE (_n % 4) + (_rn - 1 - (_n % 4) * (_n div 4 + 1)) div (_n div 4)
+           END AS INT)"""
+    )
+    return df.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        quartile.alias("quartile"),
+        F.when(F.col("_n") > 1, F.round((F.col("_rn") - 1) / (F.col("_n") - 1), 6))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        F.round(F.col("_rn") / F.col("_n"), 6).alias("cume"),
     )
 
 
@@ -239,7 +271,7 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def range_partitioned_row_number(
-    df: DataFrame, order_by: list, out: str = "rn"
+    df: DataFrame, order_by: list, out: str = "rn", total: str | None = None
 ) -> DataFrame:
     """Global row_number WITHOUT the single-task global sort.
 
@@ -288,7 +320,16 @@ def range_partitioned_row_number(
     )
     offsets = sizes.withColumn(
         "_offset", F.sum("_cnt").over(w_off) - F.col("_cnt")
-    ).select("_pid", "_offset")
+    )
+    if total is not None:
+        # Total row count rides the same tiny offsets frame (a window
+        # sum over ≤ cluster-width rows) — consumers needing n (ntile,
+        # cume_dist) get it without a second full-data pass.
+        w_all = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = offsets.withColumn(total, F.sum("_cnt").over(w_all))
+    offsets = offsets.drop("_cnt")
     return (
         local.join(F.broadcast(offsets), "_pid")
         # bigint: a global rank at the scale this function targets
