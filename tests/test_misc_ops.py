@@ -234,3 +234,40 @@ def test_shuffle_width_clamps_plain_session_default(spark):
         assert shuffle_width(df) == 3
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_approx_distinct_error_bound(spark):
+    """VERDICT r4 item 5: q_agg_approx_distinct is rows-only at the
+    driver (HLL estimates are engine-specific), so pin a quantitative
+    floor here: relative error vs the exact distinct ≤ 5% per group —
+    2.5x the requested rsd=0.02, room for sketch variance without
+    ever letting the estimate drift silently."""
+    import frafka_spark
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["q_agg_approx_distinct"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .to_dict("records")
+    }
+    li = table(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .toPandas()
+        .to_dict("records")
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        for acol, ecol in (("approx_parts", "exact_parts"),
+                           ("approx_orders", "exact_orders")):
+            rel = abs(a[acol] - e[ecol]) / e[ecol]
+            assert rel <= 0.05, (flag, acol, a[acol], e[ecol], rel)

@@ -273,3 +273,26 @@ def test_dec_sum_exact_vs_python_decimal(spark, vals, with_null):
         assert got is None
     else:
         assert got == float(want), (got, want)
+
+
+def test_connected_components_log_round_convergence(spark):
+    """VERDICT r4 item 7, superseded by the r5 pointer-jump rewrite:
+    supersteps take min(lbl, neighbor min, lbl(lbl)) so rounds scale
+    ~log(diameter). A planted 200-node chain (diameter 199) must
+    resolve INSIDE the default 16-round cap — impossible for plain
+    neighbor propagation, which needs 199 rounds — and resolve to the
+    single true component min."""
+    from frafka_spark.llm.dedup import CC_MAX_ROUNDS, connected_components
+
+    n = 200
+    chain = [(i, i + 1) for i in range(1, n)]
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src long, dst long"
+    )
+    assert n - 1 > CC_MAX_ROUNDS  # linear propagation could not finish
+    got = {
+        r["doc_id"]: r["lbl"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
