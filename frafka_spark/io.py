@@ -25,6 +25,13 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
+# (applicationId, sf_dir, name) → DataFrame. A DataFrame is an
+# immutable logical plan, so reuse within a session is safe; without
+# the memo every query pays a parquet footer read (schema inference)
+# per table it touches — ~0.9 s of driver-side build time for the
+# view-registering SQL queries, pure per-query overhead at any scale.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
@@ -46,9 +53,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
-
         # Both ts rebuild paths below produce an instant-typed
         # TIMESTAMP whose *wall-clock rendering* (date_format /
         # window() bounds / toPandas) depends on the session timezone,
@@ -56,8 +60,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamp. Pin the session to UTC (runtime-settable) so the
         # two agree on any host; without this the cast/timestamp_micros
         # results only line up because the grading host happens to run
-        # UTC.
+        # UTC. Pinned BEFORE the memo lookup: the rendering conf must
+        # hold for every events consumer, not just the first.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    memo_key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
+
         path = f"{sf_dir}/events.parquet"
         try:
             df = spark.read.parquet(path)
@@ -78,14 +91,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # UTC session (pinned above) makes this NTZ→TIMESTAMP cast
             # value-preserving: wall time == instant.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        _TABLE_MEMO[memo_key] = df
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_MEMO[memo_key] = df
+    return df
+
+
+_VIEWS_REGISTERED: dict[str, str] = {}  # applicationId → last sf_dir
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view (for spark.sql use)."""
+    """Register every fixture table as a temp view (for spark.sql use).
+
+    Idempotent per (session, sf_dir): nothing else in the repo creates
+    views under the bare table names, so re-registration is skipped
+    unless the sf_dir changed (10 py4j round-trips per SQL query
+    otherwise — measurable pure overhead in the cheap-query tail).
+    """
+    app = spark.sparkContext.applicationId
+    if _VIEWS_REGISTERED.get(app) == sf_dir:
+        return
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_REGISTERED[app] = sf_dir
 
 
 def shuffle_width(df: DataFrame, max_per_core: int = 2) -> int:
