@@ -29,11 +29,13 @@ def load_all() -> None:
         aggregations,
         analytics,
         joins,
+        merge,
         pivots,
         projections,
         scans,
         setops,
         showcase,
+        skew,
         sorts,
         stream_batch,
         subqueries,

@@ -843,3 +843,115 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sz").cast("bigint").alias("cluster_size"),
         (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
     )
+
+
+@query(
+    "q_llm_novelty",
+    oracle=f"""
+    WITH shingles AS ({_shingle_sql()}),
+    first_seen AS (SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY sh)
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty
+    FROM shingles s JOIN first_seen f ON f.sh = s.sh
+    GROUP BY s.doc_id
+    """,
+)
+def q_llm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring: per document, the share of its distinct
+    shingles whose global first occurrence (min doc_id) is this
+    document — the standard "how much of this doc is new text"
+    curation signal (a low-novelty doc is mostly boilerplate already
+    in the corpus).
+
+    Plan: reuses the session-cached shingle projection, one shuffle
+    to min-reduce first-seen per shingle (bounded by |distinct
+    shingles|), one join back on the shingle hash, one per-doc
+    aggregate. No all-pairs anything — this is the linear-pass
+    novelty formulation that works at corpus scale; "first" is
+    defined by doc_id order, which is ingestion order in the
+    fixtures (the streaming variant keeps the same min-reduce as
+    state).
+    """
+    sh = _shingles(spark, sf_dir)
+    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    is_novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        sh.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(is_novel).alias("n_novel"),
+            F.round(
+                F.sum(is_novel).cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+FUZZY_PREFIX = 120  # chars of leading text compared
+FUZZY_MAX_DIST = 25  # max edit distance to call a pair fuzzy-duplicate
+
+
+@query(
+    "q_llm_fuzzy_join",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               substr(text, 1, {FUZZY_PREFIX}) AS prefix,
+               split_part(text, ' ', 1) AS w1,
+               CAST(n_chars // 50 AS BIGINT) AS band
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.w1 = b.w1 AND a.band = b.band
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= {FUZZY_MAX_DIST}
+    """,
+)
+def q_llm_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) self-join: near-dup pairs by
+    Levenshtein over the leading {FUZZY_PREFIX} chars, candidates
+    generated by cheap equality blocking.
+
+    Edit distance is O(m·n) per pair, so the join must never be
+    all-pairs: candidates meet only inside a blocking key —
+    (lang, first word, length band) — turning the self-join into an
+    ordinary equality shuffle join whose fan-in per block is the
+    quality knob (same architecture as the LSH band join: cheap
+    hash buckets first, expensive verify second). The distance runs
+    on a fixed-length prefix so per-pair cost is bounded regardless
+    of document length. Both engines implement standard Levenshtein,
+    so the distances — and the hash — match exactly.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, FUZZY_PREFIX).alias("prefix"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("w1"),
+        (F.col("n_chars") / 50).cast("bigint").alias("band"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.w1") == F.col("b.w1"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )

@@ -462,3 +462,54 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_pairs"),
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_quantity AS qty, count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    ranked AS (
+        SELECT l_returnflag, qty, cnt,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, qty ASC) AS rn
+        FROM counts
+    )
+    SELECT l_returnflag, round(qty, 2) AS mode_qty,
+           CAST(cnt AS BIGINT) AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value) per group.
+
+    Spark 3.4+ has a builtin ``F.mode``, but its tie choice is
+    engine- and partition-order-dependent — undeclarable under a
+    hash-compare contract. The declared formulation makes the
+    tie-break explicit (highest count, then smallest value): count
+    per (group, value) — one partial-aggregated shuffle — then a
+    per-group rank over the (already tiny) distinct-value frame.
+    Scale shape: the shuffle is on (group, value) pairs, never rows;
+    the window runs over |distinct values| per group, which is the
+    operator's natural output bound.
+    """
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").alias("qty")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("qty").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round("qty", 2).alias("mode_qty"),
+            F.col("cnt").cast("bigint").alias("mode_count"),
+        )
+    )

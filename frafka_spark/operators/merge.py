@@ -1,0 +1,143 @@
+"""MERGE / upsert — the lakehouse write-path operator, batch-emulated.
+
+The reference's sink is append-only Kafka; a table engine also needs
+MERGE INTO (upsert): apply a change set to a target keyed table —
+update matched rows, insert unmatched ones. Spark without Delta/
+Iceberg has no MERGE statement, but the relational core is a keyed
+full-outer join + per-row resolution, which is exactly how Delta
+executes a whole-partition merge under the hood. Declared here over
+the fixture tables so the resolution semantics are oracle-checked;
+the lakehouse writers in ``sources/batch.py`` document the
+transactional variant.
+
+Scale shape: one shuffle of target ∪ changes on the merge key (or a
+broadcast when the change set is small — the common CDC case, hinted
+here); no driver-side state. At 100 TB the win over rewrite-the-world
+is file-level pruning, which belongs to the table format; the
+operator itself stays this join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frafka_spark.io import table
+from frafka_spark.registry import query
+
+
+def merge_upsert(
+    target: DataFrame, changes: DataFrame, key: str, broadcast_changes: bool = True
+) -> DataFrame:
+    """MERGE: rows from ``changes`` replace same-key rows of ``target``
+    (matched → update all columns), unmatched change rows are inserted.
+
+    Both inputs must share a schema. With ``broadcast_changes`` (the
+    usual CDC asymmetry: small change set, huge target) the plan is
+    shuffle-free on the target:
+
+    - update branch: ``target LEFT JOIN broadcast(changes)`` +
+      per-column coalesce — Spark cannot broadcast the build side of
+      a FULL outer join (it warns and falls back), which is why the
+      naive one-join MERGE emulation always shuffles the target;
+    - insert branch: matched keys are found with a broadcast SEMI
+      join against a key-only pruned scan of the target (output ≤
+      |changes|), then anti-joined back to ``changes`` — broadcast
+      again. The target is scanned twice, but the second scan reads
+      ONE column and nothing ever shuffles.
+
+    Pass ``broadcast_changes=False`` for a table-sized change set:
+    both branches become plain shuffle joins on the key, which is the
+    correct plan at that shape.
+    """
+    cols = target.columns
+    ch = F.broadcast(changes) if broadcast_changes else changes
+    t = target.alias("t")
+    c = ch.alias("c")
+    updated = t.join(c, F.col(f"t.{key}") == F.col(f"c.{key}"), "left").select(
+        *[F.coalesce(F.col(f"c.{col}"), F.col(f"t.{col}")).alias(col) for col in cols]
+    )
+    matched_keys = target.select(key).join(ch.select(key), key, "left_semi")
+    mk = F.broadcast(matched_keys) if broadcast_changes else matched_keys
+    inserts = changes.join(mk, key, "left_anti").select(*cols)
+    return updated.unionAll(inserts)
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH changes AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(round(CAST(c_acctbal AS DECIMAL(18,2))
+                          * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE)
+                   AS c_acctbal,
+               'UPGRADED' AS c_mktsegment
+        FROM customer WHERE c_acctbal > 9000
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_nationkey,
+               0.0 AS c_acctbal,
+               'NEW' AS c_mktsegment
+        FROM customer WHERE c_custkey % 100 = 0
+    ),
+    merged AS (
+        SELECT coalesce(ch.c_custkey, t.c_custkey) AS c_custkey,
+               coalesce(ch.c_name, t.c_name) AS c_name,
+               coalesce(ch.c_nationkey, t.c_nationkey) AS c_nationkey,
+               coalesce(ch.c_acctbal, t.c_acctbal) AS c_acctbal,
+               coalesce(ch.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+        FROM (SELECT c_custkey, c_name, c_nationkey,
+                     round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+              FROM customer) t
+        FULL OUTER JOIN changes ch ON ch.c_custkey = t.c_custkey
+    )
+    SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+    FROM merged
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation: a deterministic CDC change set (balance
+    upgrades for rich customers + planted brand-new rows) applied to
+    the customer table — update-matched + insert-unmatched in one
+    full-outer join, broadcast on the (small) change side.
+    """
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    updates = base.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        # ×1.1 in exact DECIMAL: the double product lands on .xx5
+        # rounding boundaries (9107.96 × 1.1), where Spark's HALF_UP
+        # and DuckDB's binary-double rounding split; both engines
+        # round exact decimals HALF_UP identically (determinism.py).
+        F.round(
+            F.col("c_acctbal").cast("decimal(18,2)")
+            * F.lit(1.1).cast("decimal(3,1)"),
+            2,
+        )
+        .cast("double")
+        .alias("c_acctbal"),
+        F.lit("UPGRADED").alias("c_mktsegment"),
+    )
+    inserts = base.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    changes = updates.unionAll(inserts)
+    merged = merge_upsert(base, changes, "c_custkey")
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )

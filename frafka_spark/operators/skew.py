@@ -60,3 +60,53 @@ def salted_join(
     d = replicate_dim(dim, n_salts)
     joined = f.join(d, on & (f[SALT_COL] == d[SALT_COL]), how)
     return joined.drop(SALT_COL)
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from frafka_spark.functions.determinism import DEC, sql_dec_sum  # noqa: E402
+from frafka_spark.io import table  # noqa: E402
+from frafka_spark.registry import query  # noqa: E402
+
+
+@query(
+    "q_agg_salted",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           {sql_dec_sum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SALTED aggregation — the skewed-group-key mitigation
+    as a declared, oracle-checked operator.
+
+    ``l_returnflag`` has 3 values over the whole corpus: a plain
+    groupBy sends every row for a flag to ONE reducer — the exact
+    shape that stalls at 100 TB (a single hot partition does all the
+    work while the cluster idles). The salted plan:
+
+    1. stage 1 groups by (key, salt16) — the deterministic hash salt
+       spreads each hot key over 16 partitions; partials stay exact
+       (count + DECIMAL(38,6) sum, both mergeable);
+    2. stage 2 merges the ≤ |keys|×16 partial rows by key — a
+       near-free shuffle.
+
+    The oracle is the PLAIN group-by, so the hash match proves
+    salting is result-invisible. (Spark's partial aggregation already
+    combines map-side, which usually suffices; explicit salting is
+    for when combine ratios are poor — high-cardinality aggregation
+    states like collect/distinct under a skewed key.)
+    """
+    li = table(spark, sf_dir, "lineitem")
+    salted = salt_fact(li, 16, "l_orderkey", "l_linenumber")
+    partial = salted.groupBy("l_returnflag", SALT_COL).agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("ps"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("ps").cast("double").alias("sum_price"),
+    )

@@ -13,10 +13,11 @@ internal states, while decimal accumulation is exact.
 
 Scale note: all windows here partition by a key (user_id, priority,
 segment) — state per partition is bounded and Spark distributes
-partitions across executors. The only global-order window
-(``q_win_ntile``) is the pattern to *avoid* at 100 TB (single-task
-sort); it's declared because the operator exists, with the range
-partitioner note in plans/scale_notes.md.
+partitions across executors. The global-order operators
+(``q_win_ntile``, ``q_win_rank_global_scaled``) avoid the
+single-task global sort via ``range_partitioned_row_number``
+(range-partition on the order keys + per-partition offsets; see
+plans/scale_notes.md).
 """
 
 from __future__ import annotations
@@ -407,4 +408,49 @@ def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
+
+
+@query(
+    "q_win_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM (SELECT *, epoch_us(ts) AS ts_us FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-window aggregate: per-user 1-hour rolling count
+    and sum — the canonical "activity in the last hour" shape.
+
+    The RANGE frame orders by *epoch microseconds* (exact integers on
+    both engines — ``unix_micros`` ↔ ``epoch_us``) rather than a
+    timestamp type, so frame-boundary arithmetic is integer-identical
+    and timezone-free. The rolling sum accumulates in DECIMAL(38,6)
+    (order-independent, exact), because a double running sum is
+    accumulation-order-dependent across engines. Scale shape: one
+    shuffle on user_id, then a per-partition sort — state never
+    leaves the executors, identical at 10^3 or 10^9 users; events
+    with equal (user_id, ts) are RANGE-frame peers and get identical
+    values, so the result stays deterministic without a unique
+    tiebreak.
+    """
+    from frafka_spark.functions.determinism import DEC
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_599_999_999, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_1h"),
     )
