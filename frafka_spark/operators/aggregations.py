@@ -513,3 +513,24 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("mode_count"),
         )
     )
+
+
+@query("q_agg_approx_quantile")  # no oracle: sketch quantiles are engine-specific
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna / percentile_approx);
+    rows-only driver check + a quantitative error-bound pytest
+    (tests/test_misc_ops.py) mirroring the HLL pattern.
+
+    At 100 TB exact percentiles need a full sort or distributed
+    selection; the GK sketch is a fixed-size, MERGEABLE summary
+    (partial sketches combine map-side like any partial aggregate),
+    which is the only quantile formulation whose shuffle bytes don't
+    grow with input rows. accuracy=10000 bounds rank error at
+    1/10000 of the partition mass.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("approx_p90"),
+        F.count("*").alias("n"),
+    )

@@ -271,3 +271,38 @@ def test_approx_distinct_error_bound(spark):
                            ("approx_orders", "exact_orders")):
             rel = abs(a[acol] - e[ecol]) / e[ecol]
             assert rel <= 0.05, (flag, acol, a[acol], e[ecol], rel)
+
+
+def test_approx_quantile_error_bound(spark):
+    """q_agg_approx_quantile is rows-only at the driver; pin a
+    quantitative floor here: the GK sketch's p50/p90 must land within
+    0.5% relative value error of the exact interpolated percentile
+    per group at sf0.01 (rank error 1e-4 of partition mass)."""
+    import frafka_spark
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    approx = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["q_agg_approx_quantile"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .to_dict("records")
+    }
+    o = table(spark, SF_DIR, "orders")
+    exact = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("exact_p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("exact_p90"),
+        )
+        .toPandas()
+        .to_dict("records")
+    }
+    assert set(approx) == set(exact)
+    for prio, a in approx.items():
+        e = exact[prio]
+        for acol, ecol in (("approx_p50", "exact_p50"), ("approx_p90", "exact_p90")):
+            rel = abs(a[acol] - e[ecol]) / abs(e[ecol])
+            assert rel <= 0.005, (prio, acol, a[acol], e[ecol], rel)
