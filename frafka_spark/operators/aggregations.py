@@ -534,3 +534,51 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("approx_p90"),
         F.count("*").alias("n"),
     )
+
+
+HIST_BUCKETS = 20
+HIST_LO, HIST_HI = 0.0, 600000.0  # o_totalprice domain at any sf
+
+
+_HIST_WIDTH = (HIST_HI - HIST_LO) / HIST_BUCKETS
+
+
+@query(
+    "q_agg_histogram",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(least(floor((o_totalprice - {HIST_LO}) / {_HIST_WIDTH}),
+                      {HIST_BUCKETS - 1}) + 1 AS INT) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per group.
+
+    The profiling primitive behind data-quality dashboards and skew
+    detection. The bucket index is explicit floor arithmetic —
+    identical double ops on both engines (DuckDB has no
+    ``width_bucket``; Spark's exists but matching digit-for-digit
+    matters more than the builtin) — with the top edge clamped into
+    the last bucket. Bucketing is a scalar projection (codegen), so
+    the whole histogram is ONE partial-aggregated shuffle keyed on
+    (group, bucket) — output cardinality ≤ groups × buckets
+    regardless of input rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.least(
+            F.floor((F.col("o_totalprice") - HIST_LO) / _HIST_WIDTH),
+            F.lit(HIST_BUCKETS - 1),
+        )
+        + 1
+    ).cast("int")
+    return o.groupBy("o_orderpriority", bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
