@@ -306,3 +306,25 @@ def test_approx_quantile_error_bound(spark):
         for acol, ecol in (("approx_p50", "exact_p50"), ("approx_p90", "exact_p90")):
             rel = abs(a[acol] - e[ecol]) / abs(e[ecol])
             assert rel <= 0.005, (prio, acol, a[acol], e[ecol], rel)
+
+
+def test_merge_upsert_shuffle_path_matches_broadcast_path(spark):
+    """merge_upsert(broadcast_changes=False) — the table-sized-change
+    plan — must produce exactly the broadcast path's rows."""
+    from frafka_spark.operators.merge import merge_upsert
+
+    base = table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    changes = base.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.lit(0.0)
+    ).unionAll(
+        base.filter(F.col("c_custkey") % 11 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 500000
+        )
+    )
+    a = merge_upsert(base, changes, "c_custkey", broadcast_changes=True)
+    b = merge_upsert(base, changes, "c_custkey", broadcast_changes=False)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

@@ -245,3 +245,14 @@ def test_ntile_avoids_single_task_global_sort(spark):
     assert all("c_acctbal" not in w for w in win_specs), win_specs
     for fn in ("ntile(", "percent_rank(", "cume_dist("):
         assert fn not in plan, f"builtin {fn} window survived: {plan}"
+
+
+def test_merge_upsert_never_shuffles_target(spark):
+    """q_merge_upsert's CDC shape: with a broadcastable change set the
+    target must never shuffle — update branch is a broadcast left
+    join, insert branch a broadcast semi/anti pair (a full-outer
+    formulation cannot broadcast and would always shuffle)."""
+    plan = _plan(spark, "q_merge_upsert")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
