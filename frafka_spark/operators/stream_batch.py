@@ -186,3 +186,65 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q_stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT)
+               AS secs_to_purchase
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND epoch_us(p.ts) - epoch_us(c.ts) <= 600 * 1000000
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join: each click matched to same-user
+    purchases within the next 10 minutes — the batch-equivalent of
+    the watermarked stream-stream join (`tests/test_streaming.py`
+    runs the true streaming formulation of this exact shape).
+
+    Plan: the equality key (user_id) carries the shuffle; the time
+    bound is a post-join filter over each user's event pairs, so
+    per-task work is Σ|user events|² at worst and in practice bounded
+    by the interval. This is precisely how Structured Streaming
+    executes the stream-stream version — state keyed on user_id,
+    rows expired past the watermark + interval — so the batch plan
+    IS the streaming plan with retention replaced by the watermark.
+    Elapsed seconds use integer microseconds (`unix_micros` ↔
+    `epoch_us`) and INTEGER division on both sides (`div` ↔ `//`):
+    float `/` then bigint-cast diverges because DuckDB rounds the
+    cast while Spark truncates.
+    """
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_us") >= F.col("c_us"))
+            & (F.col("p_us") - F.col("c_us") <= 600 * 1_000_000),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.expr("(p_us - c_us) div 1000000")
+            .cast("bigint")
+            .alias("secs_to_purchase"),
+        )
+    )
