@@ -373,3 +373,70 @@ def q_llm_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_dim0"),
     )
+
+
+@query(
+    "q_llm_embed_quantize",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               len(embedding) AS n_dims,
+               list_max(list_transform(embedding, x -> abs(x))) AS max_abs,
+               list_transform(
+                   embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)
+                                   * (127.0 / list_max(list_transform(
+                                          embedding, y -> abs(y))))
+                                   + 0.5) AS BIGINT)
+               ) AS qv
+        FROM embeddings
+        WHERE list_max(list_transform(embedding, x -> abs(x))) > 0
+    )
+    SELECT vec_id,
+           CAST(n_dims AS INT) AS n_dims,
+           CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(list_min(qv) AS BIGINT) AS q_min
+    FROM q
+    """,
+)
+def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector scale
+    ``127 / max|x|``, element ``q_i = floor(x_i·s + 0.5)`` — the
+    compression step a 10⁹-vector ANN index runs before storage (4×
+    smaller than float32, SIMD-friendly dot products).
+
+    Determinism across engines: the float32 elements promote exactly
+    to double on both sides, the scale and products are then pure
+    IEEE double ops in identical order, and ``floor(x·s + 0.5)`` is
+    an explicit half-up rule — unlike ``round()``, whose float
+    tie-breaking is engine-specific. Output reports the quantized
+    vector's L1/max/min (integer-exact) rather than the int8 array
+    itself so the hash compares scalars. Scale shape: a pure
+    projection — no shuffle at all; the quantized corpus writes
+    partition-parallel at any size.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.col("max_abs")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("bigint"),
+    )
+    return (
+        e.select("vec_id", F.size("embedding").alias("n_dims"),
+                 max_abs.alias("max_abs"), "embedding")
+        .filter(F.col("max_abs") > 0)
+        .select("vec_id", "n_dims", qv.alias("qv"))
+        .select(
+            "vec_id",
+            F.col("n_dims").cast("int").alias("n_dims"),
+            F.aggregate(
+                F.transform("qv", lambda v: F.abs(v)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("q_l1"),
+            F.array_max("qv").cast("bigint").alias("q_max"),
+            F.array_min("qv").cast("bigint").alias("q_min"),
+        )
+    )
