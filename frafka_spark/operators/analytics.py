@@ -394,3 +394,60 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("n_first"), 4).alias("p_next"),
         )
     )
+
+
+@query(
+    "q_events_rolling_actives",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT
+               epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+               user_id
+        FROM events
+    ),
+    exploded AS (
+        SELECT p.hr + k.k AS target_hr, p.user_id
+        FROM pairs p, generate_series(0, 23) k(k)
+    ),
+    counts AS (
+        SELECT target_hr AS hr,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS active_24h
+        FROM exploded GROUP BY target_hr
+    )
+    SELECT c.hr, c.active_24h
+    FROM counts c SEMI JOIN pairs p ON p.hr = c.hr
+    """,
+)
+def q_events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour distinct active users per hour — the DAU/WAU/
+    MAU family's core shape (count distinct over a trailing time
+    window, which no window-function frame supports directly).
+
+    Scale formulation: reduce raw events to DISTINCT (hour, user)
+    activity pairs first (bounded by hours × active users, NOT event
+    count), then explode each pair forward into the 24 hour-slots it
+    keeps the user "active" for, and count distinct per target hour.
+    Shuffle bytes are pairs × 24 regardless of raw event volume —
+    the only scalable exact formulation (the naive one re-scans the
+    event table once per window offset). Hours are integer epoch
+    indexes (`unix_micros // 3600e6` ↔ `epoch_us // 3600000000`) so
+    no timestamp rendering or timezone enters the result; output
+    keeps only observed hours (semi join with the pair hours).
+    """
+    e = table(spark, sf_dir, "events")
+    pairs = (
+        e.select(
+            (F.unix_micros(F.date_trunc("hour", "ts")) / 3_600_000_000)
+            .cast("bigint")
+            .alias("hr"),
+            "user_id",
+        )
+        .distinct()
+    )
+    exploded = pairs.select(
+        "hr", "user_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("k")
+    ).select((F.col("hr") + F.col("k")).alias("target_hr"), "user_id")
+    counts = exploded.groupBy(F.col("target_hr").alias("hr")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_24h")
+    )
+    return counts.join(pairs.select("hr").distinct(), "hr", "left_semi")
