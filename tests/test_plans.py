@@ -256,3 +256,23 @@ def test_merge_upsert_never_shuffles_target(spark):
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_round5_aggs_partial_combine(spark):
+    """The round-5 aggregation operators must keep map-side partial
+    combine (shuffle bytes bounded by groups, not rows)."""
+    for name in ("q_agg_histogram", "q_agg_mode", "q_agg_salted"):
+        assert has_partial_aggregation(_df(spark, name)), name
+
+
+def test_time_range_window_stays_keyed(spark):
+    """q_win_time_range: exactly one sort (the per-user window order)
+    and every Window node partitioned by user_id — the trailing-hour
+    frame must never degenerate to a global window."""
+    import re
+
+    plan = _plan(spark, "q_win_time_range")
+    assert len(re.findall(r"\bSort ", plan)) == 1, plan
+    win_specs = re.findall(r"\(\d+\) Window[\s\S]*?Arguments: .*", plan)
+    assert win_specs, plan
+    assert all("user_id" in w for w in win_specs), win_specs
