@@ -851,3 +851,57 @@ def q_llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_llm_split",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hk
+        FROM documents
+    ),
+    labeled AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN hk < 'cccd' THEN 'train'
+                    WHEN hk < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM keyed
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           min(doc_id) AS first_doc
+    FROM labeled
+    GROUP BY split, lang
+    """,
+)
+def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) by
+    content-independent hash bucketing — the assignment every
+    training pipeline needs to be reproducible, disjoint, and
+    exhaustive (vs. ``q_llm_sample_stratified``, which *selects* a
+    subset; this *partitions* the corpus).
+
+    The first 16 md5 bits of the id compare lexicographically as
+    fixed-width hex, so thresholds 0xcccd/0xe666 carve exact
+    80.0/10.0/10.0% expected shares, identical on any engine, run,
+    or cluster shape, and stable under corpus growth (a doc's split
+    never changes when others are added — the property an RNG-based
+    split lacks). Pure projection + one aggregate for the summary;
+    the assignment itself never shuffles.
+    """
+    d = table(spark, sf_dir, "documents")
+    hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(hk < "cccd", "train").when(hk < "e666", "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", "source", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
