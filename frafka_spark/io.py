@@ -25,12 +25,33 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
-# (applicationId, sf_dir, name) → DataFrame. A DataFrame is an
+# (session key, sf_dir, name) → DataFrame. A DataFrame is an
 # immutable logical plan, so reuse within a session is safe; without
 # the memo every query pays a parquet footer read (schema inference)
 # per table it touches — ~0.9 s of driver-side build time for the
 # view-registering SQL queries, pure per-query overhead at any scale.
-_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+#
+# Caveats (deliberate, fine for read-only grading fixtures): the memo
+# never invalidates, so a fixture parquet rewritten in-place mid-
+# application would leave a stale file listing behind (FileNotFound or
+# stale rows) — rewrite under a new sf_dir instead; entries live for
+# the application lifetime; and the dict is not locked (driver-side
+# single-threaded use assumed, as everywhere in this repo).
+_TABLE_MEMO: dict[tuple[str, int, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> tuple[str, int]:
+    """Identity of one SparkSession, not just its SparkContext.
+
+    ``spark.newSession()`` shares the applicationId but has its own
+    conf and temp-view namespace; keying the memo on applicationId
+    alone would hand session B a DataFrame bound to session A (whose
+    conf — e.g. the UTC pin — session B's reads would then bypass).
+    ``id()`` reuse is impossible while an entry lives: the memoized
+    DataFrame holds a reference to its session, so the session cannot
+    be collected (and its id recycled) before its entries are gone.
+    """
+    return (spark.sparkContext.applicationId, id(spark))
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -62,8 +83,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # results only line up because the grading host happens to run
         # UTC. Pinned BEFORE the memo lookup: the rendering conf must
         # hold for every events consumer, not just the first.
+        # Sessions built by get_spark() already pin UTC at build time
+        # (the primary mechanism, per ADVICE r5); this guard covers
+        # externally built sessions — notably the grading driver's —
+        # at the cost of being a global-conf side effect of a read.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    memo_key = (spark.sparkContext.applicationId, sf_dir, name)
+    app, sid = _session_key(spark)
+    memo_key = (app, sid, sf_dir, name)
     cached = _TABLE_MEMO.get(memo_key)
     if cached is not None:
         return cached
@@ -98,7 +124,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-_VIEWS_REGISTERED: dict[str, str] = {}  # applicationId → last sf_dir
+_VIEWS_REGISTERED: dict[tuple[str, int], str] = {}  # session key → last sf_dir
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -108,13 +134,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     views under the bare table names, so re-registration is skipped
     unless the sf_dir changed (10 py4j round-trips per SQL query
     otherwise — measurable pure overhead in the cheap-query tail).
+    Keyed per session, not per application: temp views live in one
+    session's namespace, so a ``newSession()`` must re-register.
     """
-    app = spark.sparkContext.applicationId
-    if _VIEWS_REGISTERED.get(app) == sf_dir:
+    key = _session_key(spark)
+    if _VIEWS_REGISTERED.get(key) == sf_dir:
         return
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _VIEWS_REGISTERED[app] = sf_dir
+    _VIEWS_REGISTERED[key] = sf_dir
 
 
 def shuffle_width(df: DataFrame, max_per_core: int = 2) -> int:

@@ -884,8 +884,10 @@ def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset; this *partitions* the corpus).
 
     The first 16 md5 bits of the id compare lexicographically as
-    fixed-width hex, so thresholds 0xcccd/0xe666 carve exact
-    80.0/10.0/10.0% expected shares, identical on any engine, run,
+    fixed-width hex, so thresholds 0xcccd/0xe666 carve ~80/10/10%
+    expected shares (52429/6553/6554 out of 2^16 — within 2^-16 of
+    the nominal split; 16-bit granularity cannot hit 80% exactly),
+    identical on any engine, run,
     or cluster shape, and stable under corpus growth (a doc's split
     never changes when others are added — the property an RNG-based
     split lacks). Pure projection + one aggregate for the summary;

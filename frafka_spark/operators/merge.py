@@ -49,6 +49,18 @@ def merge_upsert(
     Pass ``broadcast_changes=False`` for a table-sized change set:
     both branches become plain shuffle joins on the key, which is the
     correct plan at that shape.
+
+    Two deliberate divergences from Delta's MERGE (callers beware):
+
+    - ``changes`` must be keyed (≤1 row per key). A duplicate-keyed
+      change set fans out each matched target row once per duplicate
+      (the left join multiplies rows) where Delta would raise
+      ``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW``. Dedup the
+      change set first (e.g. keep the latest by a version column).
+    - NULL in a change column means "keep the target value" (the
+      per-column coalesce), so a column cannot be updated TO NULL
+      through this helper. That is upsert-patch semantics, not
+      SQL MERGE's unconditional ``UPDATE SET col = src.col``.
     """
     cols = target.columns
     ch = F.broadcast(changes) if broadcast_changes else changes
