@@ -340,15 +340,26 @@ def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON family: path extraction from the ``props`` column."""
+    """JSON family: path extraction from the ``props`` column.
+
+    One ``from_json`` parse per row (r6): the r5 shape ran
+    ``get_json_object`` twice — two independent Jackson parses of the
+    same document per row (Catalyst CSE does not unify different
+    path arguments). Parsing once into a two-field struct and
+    projecting halves the per-row JSON work; absent keys surface as
+    null struct fields, matching ``json_extract_string`` exactly
+    (and a null/malformed ``props`` yields a null struct, so every
+    projected field is null — same as the per-path form).
+    """
     e = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k")
-    return e.select(
+    parsed = F.from_json("props", "k string, missing string")
+    k = F.col("_p.k")
+    return e.select("event_id", parsed.alias("_p")).select(
         "event_id",
         k.alias("k_str"),
         k.cast("int").alias("k_int"),
         (k.cast("int") % 10).alias("k_bucket"),
-        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+        F.col("_p.missing").isNull().alias("missing_is_null"),
     )
 
 

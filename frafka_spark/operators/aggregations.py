@@ -335,13 +335,32 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation, Spark 4 F.percentile)."""
+    """Exact percentiles (linear interpolation, Spark 4 F.percentile).
+
+    All three cut points ride ONE array-argument percentile aggregate
+    (r6): three scalar ``percentile`` calls each keep their own
+    TypedImperative buffer of every group value — triple the
+    aggregation state and per-row update work for identical output.
+    The array form buffers each group's values once and interpolates
+    all cut points from the single sorted run.
+    """
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
-        F.round(F.max("o_totalprice"), 4).alias("p_max"),
+    pcts = F.percentile(
+        "o_totalprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            pcts.alias("_pcts"),
+            F.round(F.max("o_totalprice"), 4).alias("p_max"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round(F.col("_pcts")[0], 4).alias("p25"),
+            F.round(F.col("_pcts")[1], 4).alias("p50"),
+            F.round(F.col("_pcts")[2], 4).alias("p75"),
+            "p_max",
+        )
     )
 
 
