@@ -88,6 +88,10 @@ def test_python_boundary_inventory(spark):
         "q_udf_python", "q_udf_pandas", "q_udaf_pandas", "q_udtf",
         "q_udf_grouped_map",  # applyInPandas IS the declared operator
         "q_llm_sim_cosine",
+        # greedy next-fit is a non-associative sequential recurrence —
+        # no built-in window/aggregate form exists; the per-segment
+        # applyInPandas scan IS the operator (llm/pack.py).
+        "q_llm_pack",
     }
     for name in sorted(QUERIES):
         nodes = python_eval_nodes(_df(spark, name))
