@@ -539,3 +539,44 @@ def test_idempotent_sink_survives_batch_redelivery(spark, events_dir, tmp_path):
     got2 = spark.read.parquet(out2)
     assert got2.count() == n_events
     assert got2.select("event_id").distinct().count() == n_events
+
+
+def test_kafka_recipe_loads_when_jar_present(spark):
+    """Deploy-delta pin (VERDICT r5 #7): on a cluster that ships
+    ``spark-sql-kafka-0-10`` this recipe must resolve and project the
+    frizzle-Msg schema with NO code change — only env config. In this
+    sandbox the jar is absent (no network to fetch it, no broker to
+    talk to), so the test documents the exact failure mode it skips
+    on; anything OTHER than "data source not found" is a real recipe
+    bug and fails loudly here.
+
+    ``load()`` is lazy for the kafka source — resolving the provider
+    and building the plan needs the jar but never contacts a broker,
+    so this executes fully on any jar-bearing deployment with a fake
+    bootstrap address.
+    """
+    from frafka_spark.streaming.source import FrSource
+
+    env = {
+        "KAFKA_BROKERS": "broker-1:9092,broker-2:9092",
+        "KAFKA_TOPICS": "events",
+        "KAFKA_CONSUMER_GROUP": "frafka-test",
+    }
+    try:
+        df = FrSource.kafka(spark, env).stream()
+    except Exception as exc:
+        msg = str(exc)
+        assert (
+            "Failed to find data source: kafka" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+        ), f"kafka recipe broke before provider resolution: {msg}"
+        pytest.skip(
+            "spark-sql-kafka jar absent (sandbox); recipe verified up "
+            "to provider resolution — deploy with --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+        )
+    # Jar present: the frizzle-Msg projection must be intact.
+    assert [f.name for f in df.schema.fields] == [
+        "id", "data", "timestamp", "topic", "partition", "offset",
+    ]
+    assert df.isStreaming
