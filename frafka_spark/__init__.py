@@ -42,4 +42,11 @@ def load_all() -> None:
         windows,
     )
     from frafka_spark.functions import scalar, udfs  # noqa: F401
-    from frafka_spark.llm import dedup, multimodal, pack, similarity, text  # noqa: F401
+    from frafka_spark.llm import (  # noqa: F401
+        curation,
+        dedup,
+        multimodal,
+        pack,
+        similarity,
+        text,
+    )

@@ -280,3 +280,13 @@ def test_time_range_window_stays_keyed(spark):
     win_specs = re.findall(r"\(\d+\) Window[\s\S]*?Arguments: .*", plan)
     assert win_specs, plan
     assert all("user_id" in w for w in win_specs), win_specs
+
+
+def test_split_leakage_is_hint_free_semi_join(spark):
+    """The train shingle set is ~80% of the corpus — a broadcast hint
+    there is a driver OOM at scale, and a pair-join would let hot
+    boilerplate shingles fan out. Pin the semi-join formulation and
+    hint-freedom (size-based AQE broadcast at fixture scale is fine)."""
+    plan = _plan_without_auto_broadcast(spark, "q_llm_split_leakage")
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" not in plan, plan
