@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import threading
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frafka_spark.io import fan_out, table
@@ -391,11 +391,20 @@ def q_llm_dedup_near_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes Jaccard measure distinctive content only; the identical cap
     runs in the oracle, so the whole capped pipeline is hash-checked.
     Same trick as salting, applied to content instead of keys.
+
+    The document-frequency cap rides a ``count(*) over (partition by
+    sh)`` window (r6): the r5 shape aggregated df into a side table
+    and joined it back — two exchanges plus a join build — where the
+    window pays ONE exchange on the shingle hash and a partition-local
+    sort (~1.5-2× faster at sf0.1, same rows). The counting pass IS
+    the skew mitigation either way; this is the cheapest plan that
+    still sees every occurrence.
     """
     sh = _shingles(spark, sf_dir)
-    sdf = sh.groupBy("sh").agg(F.count("*").alias("df"))
     capped = (
-        sh.join(sdf, "sh")
+        sh.withColumn(
+            "df", F.count("*").over(Window.partitionBy("sh"))
+        )
         .filter(F.col("df") <= STOP_SHINGLE_DF)
         .select("doc_id", "sh")
     )

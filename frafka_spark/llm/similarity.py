@@ -440,3 +440,46 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min("qv").cast("bigint").alias("q_min"),
         )
     )
+
+
+@query(
+    "q_llm_embed_centroid",
+    oracle=f"""
+    WITH {_SQL_VECS}
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS centroid
+    FROM (SELECT label, unnest(emb) AS x,
+                 generate_subscripts(emb, 1) AS dim
+          FROM vecs)
+    GROUP BY label, dim
+    """,
+)
+def q_llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid over every dimension — the vector-mean
+    primitive under k-means / IVF codebook training and class-
+    prototype classifiers, expressed relationally.
+
+    ``posexplode`` decomposes each vector into (dim, component) rows,
+    then a plain (label, dim) hash-aggregate averages. The explode
+    multiplies rows ×dims, but map-side partial aggregation collapses
+    each partition to ≤ labels×dims rows before the exchange — so
+    shuffle bytes are ∝ labels × dims × partitions, independent of
+    vector count. That beats any collect-and-average (driver-bound)
+    and needs no UDF; component sums accumulate in DECIMAL(38,6) so
+    partition order cannot shift the rounded hash. Dims are 1-based
+    to match ``generate_subscripts``.
+    """
+    v = _vectors(spark, sf_dir)
+    n = F.count("*")
+    return (
+        v.select("label", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(
+            n.cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("x").cast("decimal(38,6)")).cast("double") / n, 4
+            ).alias("centroid"),
+        )
+    )
