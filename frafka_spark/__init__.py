@@ -43,8 +43,10 @@ def load_all() -> None:
     )
     from frafka_spark.functions import scalar, udfs  # noqa: F401
     from frafka_spark.llm import (  # noqa: F401
+        cluster,
         curation,
         dedup,
+        mixture,
         multimodal,
         pack,
         similarity,

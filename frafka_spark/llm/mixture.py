@@ -1,0 +1,161 @@
+"""Training-mixture operators — temperature-scaled source sampling
+weights and top-K vocabulary coverage (OOV rate).
+
+Round-6 additions to the training-data family (beyond SURVEY §2, in
+the spirit of the B10-ext rows). Both are standard pre-training
+curation steps:
+
+- **Mixture weights**: given per-source corpus sizes, compute the
+  sampling weight each source gets under temperature scaling
+  ``w_s ∝ n_s^α`` (α < 1 up-weights small sources — the multilingual
+  /multi-domain rebalancing rule used by every major pre-training
+  recipe), plus the effective number of epochs each source runs at a
+  fixed token budget — the number that warns "this source will repeat
+  40× before the budget is spent".
+- **Vocabulary coverage**: build the top-K vocabulary by global word
+  frequency and report each document's out-of-vocabulary token rate —
+  the quick tokenizer-fit / domain-shift diagnostic run before
+  committing to a vocab.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frafka_spark.io import table
+from frafka_spark.registry import query
+
+MIX_ALPHA = 0.5  # temperature exponent: w ∝ n^α
+TOKEN_BUDGET = 1_000_000  # chars, the token proxy used repo-wide
+VOCAB_K = 500  # vocabulary size for the coverage report
+
+
+@query(
+    "q_llm_mixture_weights",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_chars) AS n_chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT sum(pow(n_docs, {MIX_ALPHA})) AS z,
+               sum(n_docs) AS total_docs
+        FROM per_source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(CAST(n_docs AS DOUBLE) / total_docs, 4) AS natural_share,
+           round(pow(n_docs, {MIX_ALPHA}) / z, 4) AS mix_weight,
+           round(pow(n_docs, {MIX_ALPHA}) / z * {TOKEN_BUDGET} / n_chars, 4)
+               AS effective_epochs
+    FROM per_source, tot
+    """,
+)
+def q_llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights: ``w_s ∝ n_s^0.5``
+    normalized over sources, vs each source's natural share, plus the
+    effective epochs the source runs when ``TOKEN_BUDGET`` chars are
+    drawn under the mixture (epochs = w·B / chars_s — >1 means the
+    source repeats before the budget is spent).
+
+    Scale shape: one hash aggregate collapses the corpus to one row
+    per source (map-side partials make the shuffle ∝ sources ×
+    partitions), then the normalizer is a 1-row aggregate cross-joined
+    back — the broadcast-of-a-scalar idiom used across this repo; no
+    second pass over the data. Determinism: counts are exact longs;
+    ``pow``/division are double ops on identical inputs in identical
+    order on both engines, and the one order-sensitive term (the sum
+    of ``n^α`` over sources) feeds only 4-decimal-rounded outputs with
+    ~1e-15 relative accumulation skew — far inside the rounding slack.
+    """
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = per_source.agg(
+        F.sum(F.pow("n_docs", F.lit(MIX_ALPHA))).alias("z"),
+        F.sum("n_docs").alias("total_docs"),
+    )
+    raw_w = F.pow("n_docs", F.lit(MIX_ALPHA)) / F.col("z")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("n_docs").cast("double") / F.col("total_docs"), 4).alias(
+            "natural_share"
+        ),
+        F.round(raw_w, 4).alias("mix_weight"),
+        F.round(raw_w * TOKEN_BUDGET / F.col("n_chars"), 4).alias(
+            "effective_epochs"
+        ),
+    )
+
+
+@query(
+    "q_llm_vocab_coverage",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, count(*) AS cnt FROM words GROUP BY word
+        ) ORDER BY cnt DESC, word LIMIT {VOCAB_K}
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (
+               WHERE word NOT IN (SELECT word FROM vocab)
+           ) AS BIGINT) AS n_oov,
+           round(CAST(count(*) FILTER (
+               WHERE word NOT IN (SELECT word FROM vocab)
+           ) AS DOUBLE) / count(*), 4) AS oov_ratio
+    FROM words
+    GROUP BY lang
+    """,
+)
+def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``VOCAB_K`` vocabulary coverage: build the vocab by global
+    word frequency (ties broken lexicographically so the cut is
+    deterministic), then report per-language token counts and
+    out-of-vocabulary rates — the tokenizer-fit / domain-shift
+    diagnostic run before freezing a vocab.
+
+    Scale shape: the corpus explodes to words once (cached projection
+    reused by both passes); the vocab build is a word hash-aggregate
+    (map-side partials bound the shuffle by distinct words, not
+    tokens) followed by ``orderBy().limit(K)`` — Catalyst plans
+    TakeOrderedAndProject, a per-partition top-K + driver merge of
+    K-row heaps, never a global sort. Membership is then a broadcast
+    LEFT SEMI-shaped join (vocab is K rows by construction) feeding
+    one (lang) aggregate, so the second pass is shuffle ∝ langs.
+    For web-scale vocabs where even distinct words overflow a single
+    aggregate, swap the exact count for ``q_llm_heavy_hitters``'s
+    count-min summary — same downstream join.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(VOCAB_K)
+        .select("word")
+    )
+    flagged = words.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
+    )
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return flagged.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        n_oov.cast("bigint").alias("n_oov"),
+        F.round(n_oov.cast("double") / F.count("*"), 4).alias("oov_ratio"),
+    )

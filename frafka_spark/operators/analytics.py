@@ -510,3 +510,115 @@ def q_events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o") == 1)
         .select("hr", "active_24h")
     )
+
+
+@query(
+    "q_events_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+               count(*) AS n
+        FROM events GROUP BY event_type, hr
+    ),
+    base AS (
+        SELECT event_type, hr, n,
+               count(*) OVER w AS n_base,
+               sum(n) OVER w AS s,
+               sum(n * n) OVER w AS ss
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    stats AS (
+        SELECT event_type, hr, n, n_base,
+               CAST(s AS DOUBLE) / n_base AS mean,
+               (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_base)
+                   / (n_base - 1) AS var
+        FROM base WHERE n_base >= 12
+    ),
+    scored AS (
+        SELECT event_type, hr, n, n_base, mean,
+               CASE WHEN var > 0 THEN
+                   (round((CAST(n AS DOUBLE) - mean) / sqrt(var), 4) + 0.0)
+               END AS z
+        FROM stats
+    )
+    SELECT event_type, hr,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(n_base AS BIGINT) AS n_base,
+           round(mean, 4) AS base_mean,
+           z,
+           coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-volume anomaly detection: z-score of each hour's
+    count per event type against its own trailing-24 h baseline —
+    the ops-monitoring shape behind every "traffic dropped/spiked"
+    alert (and, in a data pipeline, the crawler-outage detector run
+    before a day's crawl is admitted into training data).
+
+    Determinism is engineered rather than hoped for: the baseline
+    variance comes from windowed ``sum(n)`` and ``sum(n²)`` — integer
+    sums, exact in both engines regardless of accumulation order —
+    with mean/variance/z derived from those exact integers by the
+    same double formula on both sides (never ``stddev_samp``, whose
+    Welford-vs-textbook accumulation differs across engines at the
+    last ulp). ``round_z`` canonicalizes the signed zero a
+    dead-centre baseline can produce. Hours with fewer than 12
+    baseline hours are suppressed (cold start); a zero-variance
+    baseline is guarded explicitly (``var > 0``, which also absorbs
+    the tiny-negative float residue an exactly-constant baseline can
+    leave in ``ss − s²/n``) → NULL z and ``is_anomaly = false`` via
+    coalesce.
+
+    Scale shape: the raw stream collapses to (event_type, hour)
+    counts first — map-side partials bound the shuffle by types ×
+    hours, not events. The trailing window then runs per event type
+    over the *hour axis*, whose cardinality is calendar-bounded
+    (~9 k rows/year/type) no matter how many events arrive; the
+    RANGE frame handles gap hours (missing hours simply contribute
+    nothing) without gap-filling.
+    """
+    from frafka_spark.functions.determinism import round_z
+
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            (F.unix_micros(F.date_trunc("hour", "ts")) / 3_600_000_000)
+            .cast("bigint")
+            .alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rangeBetween(-24, -1)
+    )
+    base = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.count("*").over(w).alias("n_base"),
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+    ).filter(F.col("n_base") >= 12)
+    mean = F.col("s").cast("double") / F.col("n_base")
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n_base")
+    ) / (F.col("n_base") - 1)
+    z = F.when(var > 0, round_z((F.col("n").cast("double") - mean) / F.sqrt(var), 4))
+    return base.select(
+        "event_type",
+        "hr",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_base").cast("bigint").alias("n_base"),
+        F.round(mean, 4).alias("base_mean"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )

@@ -335,3 +335,55 @@ def test_pack_partitioning_invariant(spark):
             b[key].sort_values(key).reset_index(drop=True)
         )
     )
+
+
+def test_mixture_weights_normalize(spark):
+    """q_llm_mixture_weights: weights form a distribution and the
+    temperature exponent up-weights small sources vs natural share."""
+    from frafka_spark.registry import QUERIES
+
+    pdf = QUERIES["q_llm_mixture_weights"].fn(spark, SF_DIR).toPandas()
+    assert abs(pdf["mix_weight"].sum() - 1.0) < 1e-2  # 4-decimal rounding slack
+    assert abs(pdf["natural_share"].sum() - 1.0) < 1e-2
+    small = pdf[pdf["natural_share"] < pdf["natural_share"].median()]
+    if len(small):
+        assert (small["mix_weight"] >= small["natural_share"]).all()
+
+
+def test_vocab_coverage_bounds(spark):
+    """q_llm_vocab_coverage: ratios in [0,1], token totals conserved."""
+    from frafka_spark.registry import QUERIES
+
+    pdf = QUERIES["q_llm_vocab_coverage"].fn(spark, SF_DIR).toPandas()
+    assert ((pdf["oov_ratio"] >= 0) & (pdf["oov_ratio"] <= 1)).all()
+    assert (pdf["n_oov"] <= pdf["n_tokens"]).all()
+
+
+def test_kmeans_step_total_assignment(spark):
+    """q_llm_kmeans_step: every vector assigned exactly once, to a real
+    centroid, at non-negative distance; moved ⇔ label change."""
+    from frafka_spark.io import table
+    from frafka_spark.registry import QUERIES
+
+    pdf = QUERIES["q_llm_kmeans_step"].fn(spark, SF_DIR).toPandas()
+    n_vecs = table(spark, SF_DIR, "embeddings").count()
+    labels = set(pdf["label"].unique())
+    assert len(pdf) == n_vecs
+    assert pdf["vec_id"].is_unique
+    assert set(pdf["assigned"].unique()) <= labels
+    assert (pdf["sq_dist"] >= 0).all()
+    assert (pdf["moved"] == (pdf["assigned"] != pdf["label"])).all()
+
+
+def test_embed_outlier_topn_dense(spark):
+    """q_llm_embed_outlier: ≤ N per label, ranks dense from 1,
+    distances non-increasing within a label."""
+    from frafka_spark.llm.cluster import OUTLIER_TOP_N
+    from frafka_spark.registry import QUERIES
+
+    pdf = QUERIES["q_llm_embed_outlier"].fn(spark, SF_DIR).toPandas()
+    for label, g in pdf.groupby("label"):
+        g = g.sort_values("rk")
+        assert list(g["rk"]) == list(range(1, len(g) + 1))
+        assert len(g) <= OUTLIER_TOP_N
+        assert (g["sq_dist"].diff().dropna() <= 1e-9).all()

@@ -328,3 +328,33 @@ def test_merge_upsert_shuffle_path_matches_broadcast_path(spark):
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_anomaly_flag_consistent_with_z(spark):
+    """q_events_anomaly: the flag IS |z| > 3, and NULL z never flags."""
+    import frafka_spark
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    from tests.conftest import SF_DIR
+
+    pdf = QUERIES["q_events_anomaly"].fn(spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_base"] >= 12).all()
+    nz = pdf[pdf["z"].notna()]
+    assert (nz["is_anomaly"] == (nz["z"].abs() > 3.0)).all()
+    assert not pdf[pdf["z"].isna()]["is_anomaly"].any()
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    """q_tpch_q5_shape: every dim side broadcasts; the only sort-merge/
+    hash exchange joins are the fact-fact orderkey join."""
+    import frafka_spark
+    from frafka_spark.plans.inspect import plan_str
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    from tests.conftest import SF_DIR
+
+    plan = plan_str(QUERIES["q_tpch_q5_shape"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
