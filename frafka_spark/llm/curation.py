@@ -116,13 +116,16 @@ def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction against the declared hash split of ``q_llm_split``).
 
     Scale shape: the train shingle set is the BIG side (~80% of the
-    corpus) — never broadcast. The match is a LEFT SEMI join on the
-    shingle hash (inverted-index shape, hint-free): semi join keeps
-    each eval (doc, shingle) row at multiplicity ≤1 no matter how
-    many train docs contain the shingle, so boilerplate shingles
-    cannot fan out (the hazard the capped-LSH op mitigates for
-    pair-joins never arises). Both counting aggregates then share
-    one (doc_id, split) grouping off the cached shingle projection.
+    corpus) — never broadcast. The match is a LEFT OUTER join against
+    the DISTINCT train-shingle set (inverted-index shape, hint-free):
+    distinctness keeps each eval (doc, shingle) row at multiplicity
+    ≤1 no matter how many train docs contain the shingle, so
+    boilerplate shingles cannot fan out (the hazard the capped-LSH op
+    mitigates for pair-joins never arises), and the carried match
+    marker lets ONE (doc_id, split) aggregate produce both the total
+    and the shared count — one join + one grouping total (the r6
+    first cut ran a separate totals aggregate, a semi join, a shared
+    aggregate, and a re-join: two more exchanges for the same rows).
     """
     sh = _shingles(spark, sf_dir)
     hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
@@ -132,28 +135,100 @@ def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = sh.select("doc_id", "sh", split.alias("split"))
     eval_side = labeled.filter(F.col("split") != "train")
     train_sh = (
-        labeled.filter(F.col("split") == "train").select("sh").distinct()
+        labeled.filter(F.col("split") == "train")
+        .select("sh")
+        .distinct()
+        .withColumn("m", F.lit(1))
     )
-    totals = eval_side.groupBy("doc_id", "split").agg(
-        F.count("*").alias("n_shingles")
-    )
-    shared = (
-        eval_side.join(train_sh, "sh", "left_semi")
+    n_shared = F.sum(F.when(F.col("m").isNotNull(), 1).otherwise(0))
+    return (
+        eval_side.join(train_sh, "sh", "left")
         .groupBy("doc_id", "split")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            n_shared.cast("bigint").alias("n_shared"),
+            F.round(n_shared / F.count("*").cast("double"), 4).alias("leak_ratio"),
+            (n_shared >= LEAK_MIN_SHARED).alias("flagged"),
+        )
+    )
+
+
+TRIM_LO, TRIM_HI = 0.1, 0.9
+
+
+@query(
+    "q_llm_length_trim",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT lang,
+               quantile_cont(n_chars, {TRIM_LO}) AS lo,
+               quantile_cont(n_chars, {TRIM_HI}) AS hi
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           round(c.lo, 4) AS lo,
+           round(c.hi, 4) AS hi,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE d.n_chars < c.lo) AS BIGINT) AS n_low,
+           CAST(count(*) FILTER (WHERE d.n_chars > c.hi) AS BIGINT) AS n_high,
+           CAST(count(*) FILTER (
+               WHERE d.n_chars >= c.lo AND d.n_chars <= c.hi
+           ) AS BIGINT) AS n_kept
+    FROM documents d JOIN cuts c ON d.lang = c.lang
+    GROUP BY d.lang, c.lo, c.hi
+    """,
+)
+def q_llm_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile length trim: compute each language's
+    p10/p90 document-length cut points and report how many documents
+    each tail would drop — the outlier-length filter (truncated
+    boilerplate at the short end, concatenation accidents at the
+    long end) applied per language because length distributions are
+    language-specific.
+
+    Exact interpolated percentiles on both engines (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, both linear at rank
+    p·(n−1)); the cut table is one row per language — broadcast by
+    construction — so the classifying pass is a broadcast join +
+    single conditional aggregate, no second shuffle of the corpus.
+    At 100 TB swap the exact percentile for ``percentile_approx``
+    (mergeable KLL-style sketch) if a language's values overflow one
+    aggregation buffer; the fixture declares the exact variant so
+    the oracle can hash-match.
+    """
+    d = table(spark, sf_dir, "documents")
+    cuts = d.groupBy(F.col("lang").alias("c_lang")).agg(
+        F.percentile("n_chars", F.lit(TRIM_LO)).alias("lo"),
+        F.percentile("n_chars", F.lit(TRIM_HI)).alias("hi"),
     )
     return (
-        totals.join(shared, ["doc_id", "split"], "left")
+        d.join(F.broadcast(cuts), d["lang"] == cuts["c_lang"])
+        .groupBy("lang", "lo", "hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_chars") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(F.col("n_chars") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+            F.sum(
+                F.when(
+                    (F.col("n_chars") >= F.col("lo"))
+                    & (F.col("n_chars") <= F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
         .select(
-            "doc_id",
-            "split",
-            "n_shingles",
-            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
-            F.round(
-                F.coalesce("n_shared", F.lit(0))
-                / F.col("n_shingles").cast("double"),
-                4,
-            ).alias("leak_ratio"),
-            (F.coalesce("n_shared", F.lit(0)) >= LEAK_MIN_SHARED).alias("flagged"),
+            "lang",
+            F.round("lo", 4).alias("lo"),
+            F.round("hi", 4).alias("hi"),
+            "n_docs",
+            "n_low",
+            "n_high",
+            "n_kept",
         )
     )

@@ -622,3 +622,59 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+TOP_PATHS_K = 10
+
+
+@query(
+    "q_events_top_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path,
+               count(*) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY path
+    )
+    SELECT path, CAST(n AS BIGINT) AS n
+    FROM paths ORDER BY n DESC, path LIMIT {TOP_PATHS_K}
+    """,
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event trigram paths: the most frequent 3-step event-type
+    sequences across users (clickstream path mining — the "what do
+    users do next" query behind funnel design).
+
+    Scale shape: the per-user sequence window hash-partitions on
+    user_id (millions of small partitions, never one task), trigram
+    paths collapse through a hash aggregate whose key space is
+    |event_types|³ — map-side partials bound the shuffle by that
+    cube, not by events — and the final top-K is
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Ordering inside a user is (ts, event_id) — a total order, so the
+    trigram multiset is engine-independent even when one user fires
+    two events in the same microsecond.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(TOP_PATHS_K)
+    )

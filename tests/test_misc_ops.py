@@ -358,3 +358,44 @@ def test_tpch_q5_broadcasts_all_dims(spark):
 
     plan = plan_str(QUERIES["q_tpch_q5_shape"].fn(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_top_paths_counts_conserve(spark):
+    """q_events_top_paths: exactly K rows, counts descending with
+    path tiebreak, every path a 3-step chain of known event types."""
+    import frafka_spark
+    from frafka_spark.io import table
+    from frafka_spark.operators.analytics import TOP_PATHS_K
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    from tests.conftest import SF_DIR
+
+    pdf = QUERIES["q_events_top_paths"].fn(spark, SF_DIR).toPandas()
+    assert len(pdf) == TOP_PATHS_K
+    pairs = list(zip(pdf["n"], pdf["path"]))
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+    types = {
+        r[0]
+        for r in table(spark, SF_DIR, "events").select("event_type").distinct().collect()
+    }
+    for p in pdf["path"]:
+        steps = p.split(">")
+        assert len(steps) == 3 and set(steps) <= types
+
+
+def test_length_trim_partitions_corpus(spark):
+    """q_llm_length_trim: per-language tails + kept = total, and the
+    tails hold ≈10% each by construction of p10/p90."""
+    import frafka_spark
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    from tests.conftest import SF_DIR
+
+    pdf = QUERIES["q_llm_length_trim"].fn(spark, SF_DIR).toPandas()
+    assert ((pdf["n_low"] + pdf["n_high"] + pdf["n_kept"]) == pdf["n_docs"]).all()
+    assert (pdf["lo"] <= pdf["hi"]).all()
+    # p10/p90 bound each tail by ~10% (ties can push it under, never far over)
+    assert (pdf["n_low"] <= 0.11 * pdf["n_docs"] + 1).all()
+    assert (pdf["n_high"] <= 0.11 * pdf["n_docs"] + 1).all()

@@ -282,11 +282,21 @@ def test_time_range_window_stays_keyed(spark):
     assert all("user_id" in w for w in win_specs), win_specs
 
 
-def test_split_leakage_is_hint_free_semi_join(spark):
+def test_split_leakage_is_hint_free_single_join_and_agg(spark):
     """The train shingle set is ~80% of the corpus — a broadcast hint
     there is a driver OOM at scale, and a pair-join would let hot
-    boilerplate shingles fan out. Pin the semi-join formulation and
+    boilerplate shingles fan out. Pin the r6 fused formulation: ONE
+    left join against the DISTINCT train set (multiplicity ≤1 by
+    construction) feeding ONE (doc, split) aggregate, and
     hint-freedom (size-based AQE broadcast at fixture scale is fine)."""
     plan = _plan_without_auto_broadcast(spark, "q_llm_split_leakage")
-    assert "LeftSemi" in plan
+    assert "LeftOuter" in plan
     assert "BroadcastExchange" not in plan, plan
+    # exactly one join (formatted explain lists each node once in the
+    # tree and once as a "(n) Node" detail header — count the headers)
+    import re
+
+    joins = re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
+    )
+    assert len(joins) == 1, joins
