@@ -483,3 +483,153 @@ def q_llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid"),
         )
     )
+
+
+N_PLANES = 8  # random-hyperplane signature bits (bucket space = 2^8)
+
+
+def _plane_weight(p, pos):
+    """Pseudo-random hyperplane component in [-2^31, 2^31): the first
+    32 bits of md5("{p}_{pos}") recentred — deterministic, identical
+    on any engine, no RNG or seed to disagree about."""
+    h = F.md5(
+        F.concat_ws(
+            "_", F.lit(p).cast("string"), pos.cast("string")
+        ).cast("binary")
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") - F.lit(
+        2147483648
+    )
+
+
+def _lsh_bucket() -> Column:
+    """Signature over ``emb`` as ONE projection expression: for each
+    of the 8 hyperplanes, an integer-exact dot product (components
+    scaled by 1e6 and floored half-up — both engines produce the same
+    integer, and integer sums are order-independent, so the sign bit
+    can never flip across engines the way a float fold's last ulp
+    could), packed into an 8-bit bucket id."""
+    def plane_prods(p: int):
+        # closure (not a default arg: pyspark counts lambda params to
+        # type the higher-order function, so `p=p` would break it)
+        return lambda x, i: (
+            F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("bigint")
+            * _plane_weight(p, i)
+        )
+
+    bucket = F.lit(0).cast("bigint")
+    for p in range(N_PLANES):
+        prods = F.transform("emb", plane_prods(p))
+        dot = F.aggregate(prods, F.lit(0).cast("bigint"), lambda a, b: a + b)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+_SQL_SIGS = """
+    comp AS (
+        SELECT vec_id, dim - 1 AS pos,
+               CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS xi
+        FROM (SELECT vec_id, unnest(emb) AS x,
+                     generate_subscripts(emb, 1) AS dim
+              FROM vecs)
+    ),
+    bits AS (
+        SELECT vec_id, p,
+               sum(xi * (CAST(concat('0x',
+                        substring(md5(CAST(p AS VARCHAR) || '_'
+                                      || CAST(pos AS VARCHAR)), 1, 8))
+                    AS BIGINT) - 2147483648)) AS dot
+        FROM comp, generate_series(0, 7) t(p)
+        GROUP BY vec_id, p
+    ),
+    sigs AS (
+        SELECT vec_id,
+               sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT)
+                   ELSE 0 END) AS bucket
+        FROM bits GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "q_llm_sim_ann_lsh",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    {_SQL_SIGS},
+    scored AS (
+        SELECT sa.vec_id, sa.bucket, sb.vec_id AS neighbor_id,
+               list_dot_product(a.emb, b.emb) / (a.norm * b.norm) AS cos,
+               row_number() OVER (
+                   PARTITION BY sa.vec_id
+                   ORDER BY list_dot_product(a.emb, b.emb)
+                            / (a.norm * b.norm) DESC,
+                            sb.vec_id ASC
+               ) AS rn
+        FROM sigs sa
+        JOIN sigs sb ON sa.bucket = sb.bucket AND sa.vec_id <> sb.vec_id
+        JOIN vecs a ON a.vec_id = sa.vec_id
+        JOIN vecs b ON b.vec_id = sb.vec_id
+    )
+    SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, neighbor_id,
+           round(cos, 6) AS cosine
+    FROM scored WHERE rn = 1
+    """,
+)
+def q_llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH ANN: 8 signature
+    bits bucket the corpus by cosine direction; nearest-neighbor
+    search runs only inside a bucket — the second ANN family beside
+    the IVF cells of ``q_llm_sim_ann`` (LSH needs no codebook /
+    training pass, IVF gives tighter candidate sets; a production
+    index picks per workload, this engine declares both).
+
+    Scale shape: the signature is ONE shuffle-free projection — each
+    plane's dot folds over the vector inline (``transform`` with the
+    element index + ``aggregate``), so bucketing a 10⁹-vector corpus
+    is embarrassingly parallel with zero data movement. The only
+    shuffle is the bucket-keyed self-join (the LSH contract: shuffle
+    ∝ Σ|bucket|², tuned by the plane count — at corpus scale raise
+    the bits or AND-combine bands exactly as the text MinHash op
+    does). Hyperplanes are md5-derived constants, and plane dots use
+    integer arithmetic (1e-6-scaled components), so the sign of each
+    signature bit — the thing a float fold's accumulation order
+    could flip for a near-orthogonal vector — is engine-exact;
+    final cosines are the usual sequential float folds, bit-identical
+    on both sides.
+    """
+    from frafka_spark.io import fan_out
+
+    v = fan_out(_vectors(spark, sf_dir), "vec_id")
+    sig = v.withColumn("bucket", _lsh_bucket())
+    a = sig.select(
+        "vec_id",
+        "bucket",
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    w_top = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

@@ -387,3 +387,23 @@ def test_embed_outlier_topn_dense(spark):
         assert list(g["rk"]) == list(range(1, len(g) + 1))
         assert len(g) <= OUTLIER_TOP_N
         assert (g["sq_dist"].diff().dropna() <= 1e-9).all()
+
+
+def test_lsh_ann_bounded_by_brute_force(spark):
+    """q_llm_sim_ann_lsh: a bucketed neighbor can never beat the
+    global brute-force top-1 (its cosine is ≤ the exact answer), most
+    vectors find some neighbor, and signatures spread across many
+    buckets (the hash isn't degenerate)."""
+    from frafka_spark.registry import QUERIES
+
+    lsh = QUERIES["q_llm_sim_ann_lsh"].fn(spark, SF_DIR).toPandas()
+    brute = QUERIES["q_llm_sim_cosine"].fn(spark, SF_DIR).toPandas()
+    n_vecs = table(spark, SF_DIR, "embeddings").count()
+    assert len(lsh) >= 0.5 * n_vecs  # most vectors have a bucket-mate
+    assert lsh["bucket"].nunique() > 16  # 8 planes actually split space
+    merged = lsh.merge(
+        brute, left_on="vec_id", right_on=brute.columns[0], suffixes=("_l", "_b")
+    )
+    b_cos = [c for c in merged.columns if c.startswith("cosine") and c.endswith("_b")]
+    assert len(merged) > 0
+    assert (merged["cosine_l"] <= merged[b_cos[0]] + 1e-9).all()
