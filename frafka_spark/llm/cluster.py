@@ -211,3 +211,69 @@ def q_llm_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= OUTLIER_TOP_N)
     )
+
+
+def kmeans_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iters: int = 3,
+) -> tuple[DataFrame, list[float]]:
+    """Full relational Lloyd loop: alternate the centroid update and
+    the nearest-centroid assignment ``n_iters`` times, starting from
+    the label column as the initial partition (deterministic — no
+    RNG init to disagree about across runs or engines).
+
+    Returns the final assignment frame ``(vec_id, cluster)`` and the
+    per-iteration inertia history (Σ squared distance to the assigned
+    centroid, measured after each assignment step — non-increasing by
+    Lloyd's guarantee, which ``tests/test_llm_ops.py`` pins).
+
+    Scale discipline (the same two rules as the connected-components
+    op in ``llm/dedup.py``): each iteration's assignment is
+    ``localCheckpoint``-ed so the plan does not grow by one
+    centroid-join per round (GraphX-style lineage truncation — on a
+    cluster use a reliable checkpoint dir), and the only driver-side
+    data per round is one k×dims centroid collect feeding the next
+    broadcast plus one inertia scalar: both bounded by the model
+    size, never by the corpus. Unlike the declared single-step query,
+    the in-loop centroids stay unrounded doubles — there is no oracle
+    to match, and rounding would perturb Lloyd monotonicity.
+    """
+    v = _vectors(spark, sf_dir).select("vec_id", "emb", F.col("label").alias("cluster"))
+    assign = v
+    history: list[float] = []
+    for _ in range(n_iters):
+        per_dim = (
+            assign.select("cluster", F.posexplode("emb").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg((F.sum("x") / F.count("*")).alias("c"))
+        )
+        cents = (
+            per_dim.groupBy(F.col("cluster").alias("c_label"))
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("c_label", F.transform("pc", lambda s: s["c"]).alias("cvec"))
+        )
+        scored = assign.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "emb",
+            "c_label",
+            _sq_dist(F.col("emb"), F.col("cvec")).alias("d"),
+        )
+        best = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "c_label")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.d").alias("d"),
+                F.col("m.c_label").alias("cluster"),
+            )
+        )
+        assign = (
+            assign.select("vec_id", "emb")
+            .join(best, "vec_id")
+            .select("vec_id", "emb", "cluster", "d")
+            .localCheckpoint()
+        )
+        history.append(assign.agg(F.sum("d")).collect()[0][0])
+        assign = assign.drop("d")
+    return assign.select("vec_id", "cluster"), history

@@ -407,3 +407,17 @@ def test_lsh_ann_bounded_by_brute_force(spark):
     b_cos = [c for c in merged.columns if c.startswith("cosine") and c.endswith("_b")]
     assert len(merged) > 0
     assert (merged["cosine_l"] <= merged[b_cos[0]] + 1e-9).all()
+
+
+def test_kmeans_fit_inertia_monotone(spark):
+    """kmeans_fit: Lloyd's guarantee — inertia never increases across
+    iterations (float-noise slack only), assignments stay total."""
+    from frafka_spark.llm.cluster import kmeans_fit
+
+    assign, history = kmeans_fit(spark, SF_DIR, n_iters=3)
+    assert len(history) == 3
+    for a, b in zip(history, history[1:]):
+        assert b <= a + 1e-6, history
+    n_vecs = table(spark, SF_DIR, "embeddings").count()
+    pdf = assign.toPandas()
+    assert len(pdf) == n_vecs and pdf["vec_id"].is_unique

@@ -300,3 +300,30 @@ def test_split_leakage_is_hint_free_single_join_and_agg(spark):
         r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
     )
     assert len(joins) == 1, joins
+
+
+def test_kmeans_step_never_shuffles_corpus_before_scoring(spark):
+    """q_llm_kmeans_step: candidate scoring must ride a broadcast of
+    the k×dims centroid table (a model constant) — the corpus's only
+    exchange is the post-collapse argmin partitioning."""
+    plan = _plan(spark, "q_llm_kmeans_step")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # no Exchange between the embeddings scan and the broadcast join:
+    # the scan side feeds the join directly (centroid subtree has its
+    # own exchanges over k×dims rows, which is fine)
+    assert "partial_min" in plan, plan  # map-side argmin collapse
+
+
+def test_lsh_signature_is_shuffle_free_projection(spark):
+    """q_llm_sim_ann_lsh: the signature must be computed in a pure
+    projection — the only exchanges are the bucket-keyed self-join
+    sides and the per-vector top-1 window."""
+    import re
+
+    plan = _plan(spark, "q_llm_sim_ann_lsh")
+    # every Exchange hash-partitions on bucket or vec_id — none on a
+    # per-dimension or per-plane key (that would mean the signature
+    # exploded into a shuffle)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert ("bucket" in keys) or ("vec_id" in keys), keys
