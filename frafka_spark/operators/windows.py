@@ -454,3 +454,134 @@ def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_1h"),
     )
+
+
+@query(
+    "q_win_range_frame_scaled",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(o_totalprice, 4) AS price,
+           count(*) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+               RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW
+           ) AS n_within_10k
+    FROM orders
+    """,
+)
+def q_win_range_frame_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE frame count at scale — the twin of
+    ``q_win_range_frame`` with the low-cardinality partition hazard
+    engineered out (same oracle, same rows).
+
+    ``PARTITION BY o_orderpriority`` has 5 values: the built-in
+    window funnels 20% of a 100 TB table through each of 5 tasks.
+    This formulation decomposes the banded count as a difference of
+    two cumulative counts — ``n_within(p) = cnt_le(p) −
+    cnt_lt(p − 10000)`` — and computes both without any per-priority
+    window:
+
+    1. ``range_partitioned_row_number`` over (priority, price, key)
+       gives every row a global cumulative position (distributed
+       range sort + cluster-width offset table); subtracting the
+       per-priority start offset (a ≤5-row enum-bounded aggregate)
+       yields the within-priority position, and a (priority, price)
+       group-max folds peers into ``cnt_le`` per distinct value.
+    2. ``cnt_lt(p − 10000)`` is a predecessor lookup: union "probe"
+       points (price − 10000, sorting BEFORE any equal-valued row so
+       the bound stays inclusive-left) with the value rows, range-
+       repartition the union on (priority, value, kind), and take a
+       partition-local running max of ``cnt_le`` over preceding rows
+       plus a cross-partition prefix max reconciled through a
+       (partition × priority) table bounded by cluster width — the
+       same offsets discipline as the global rank.
+
+    Every exchange keys on (priority, price) or a range of it —
+    distributed at any scale; the only single-partition windows run
+    over enum-bounded (≤5 rows) or cluster-width-bounded frames. The
+    band arithmetic uses the same ``p − 10000.0`` double the window
+    frame would compute, so results hash-match the oracle exactly.
+    """
+    from frafka_spark.io import shuffle_width
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ranked = range_partitioned_row_number(
+        o, ["o_orderpriority", "o_totalprice", "o_orderkey"], out="grn"
+    )
+    # per-priority start offsets (≤5 rows: o_orderpriority is an enum)
+    pc = ranked.groupBy("o_orderpriority").agg(F.count("*").alias("c"))
+    w_p = Window.orderBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    poff = pc.withColumn(
+        "p_off", F.coalesce(F.sum("c").over(w_p), F.lit(0))
+    ).drop("c")
+    pos = ranked.join(F.broadcast(poff), "o_orderpriority").withColumn(
+        "pos", F.col("grn") - F.col("p_off")
+    )
+    vals = pos.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.max("pos").alias("cum_le")
+    )
+    probe = vals.select(
+        "o_orderpriority",
+        (F.col("o_totalprice") - F.lit(10000.0)).alias("k"),
+        F.lit(0).alias("kind"),
+        F.col("o_totalprice").alias("probe_price"),
+        F.lit(None).cast("bigint").alias("cum"),
+    )
+    stream = probe.unionByName(
+        vals.select(
+            "o_orderpriority",
+            F.col("o_totalprice").alias("k"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("double").alias("probe_price"),
+            F.col("cum_le").alias("cum"),
+        )
+    )
+    ranged = (
+        stream.repartitionByRange(
+            shuffle_width(stream), "o_orderpriority", "k", "kind"
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        # two readers (running-max branch + partition-max branch) must
+        # agree on sampled range boundaries — same discipline as
+        # range_partitioned_row_number above
+        .localCheckpoint(eager=False)
+    )
+    w_prev = (
+        Window.partitionBy("_pid", "o_orderpriority")
+        .orderBy("k", "kind")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_local = ranged.withColumn("loc_max", F.max("cum").over(w_prev))
+    pm = ranged.groupBy("_pid", "o_orderpriority").agg(F.max("cum").alias("pmax"))
+    w_pm = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = pm.withColumn("prev_max", F.max("pmax").over(w_pm)).drop("pmax")
+    lut = (
+        with_local.filter(F.col("kind") == 0)
+        .join(F.broadcast(pref), ["_pid", "o_orderpriority"], "left")
+        .select(
+            "o_orderpriority",
+            F.col("probe_price").alias("o_totalprice"),
+            F.coalesce(F.greatest("loc_max", "prev_max"), F.lit(0)).alias(
+                "cum_lt"
+            ),
+        )
+    )
+    counts = vals.join(lut, ["o_orderpriority", "o_totalprice"]).select(
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("cum_le") - F.col("cum_lt")).alias("n_within_10k"),
+    )
+    return o.join(counts, ["o_orderpriority", "o_totalprice"]).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 4).alias("price"),
+        "n_within_10k",
+    )

@@ -327,3 +327,27 @@ def test_lsh_signature_is_shuffle_free_projection(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         keys = m.group(1)
         assert ("bucket" in keys) or ("vec_id" in keys), keys
+
+
+def test_range_frame_scaled_has_no_enum_partition_window(spark):
+    """q_win_range_frame_scaled: the point of the twin — no window may
+    run partitioned by the 5-value priority enum ORDERED BY price
+    (that's 20% of a 100 TB table per task). The only windows allowed
+    over a priority-partitioned spec are the bounded reconciliation
+    frames ordered by _pid (≤ cluster-width rows per priority)."""
+    import re
+
+    plan = (
+        QUERIES["q_win_range_frame_scaled"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # (the range exchanges themselves sit above localCheckpoint lineage
+    # truncations, so they don't print here — the window specs do)
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert len(specs) >= 2, plan[:1500]  # regex must actually see the windows
+    for part, order in specs:
+        if "o_orderpriority" in part and "_pid" not in part:
+            assert "o_totalprice" not in order, (part, order)
