@@ -1008,3 +1008,78 @@ def q_llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+WINNOW_W = 4  # winnowing window: guarantees detection of matches ≥ w+2 shingles
+
+
+@query(
+    "q_llm_winnow",
+    oracle=f"""
+    WITH pos_sh AS (
+        SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS pos
+        FROM (
+            SELECT doc_id,
+                   [md5(concat_ws(' ', words[i], words[i+1], words[i+2]))
+                    for i in generate_series(1, len(words) - 2)] AS hs
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents)
+        )
+    ),
+    winnowed AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                                     AND {WINNOW_W - 1} FOLLOWING) AS fp,
+               lead(h, {WINNOW_W - 1}) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS tail
+        FROM pos_sh
+    )
+    SELECT DISTINCT doc_id, fp
+    FROM winnowed WHERE tail IS NOT NULL
+    """,
+)
+def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): slide a ``WINNOW_W``-wide window over each document's
+    positional shingle hashes and keep the minimum hash of every
+    window, deduplicated — a fingerprint set ~2/(w+1) the size of the
+    full shingle set that still GUARANTEES any shared run of at least
+    w+2 consecutive shingles leaves a common fingerprint. The index-
+    size/recall dial between full-shingle dedup (`q_llm_dedup_ngram`)
+    and per-doc MinHash sketches (`q_llm_dedup_near`).
+
+    Scale shape: positional shingling is a shuffle-free projection
+    (the same tokenization as ``_shingles``, position kept instead of
+    distinct-ing); the sliding min is ONE window pass partitioned by
+    doc_id — millions of doc partitions, never a global sort — and
+    the final dedup is one (doc, fp) exchange whose volume is already
+    winnowed down ~2/(w+1). Hashes compare as fixed-width hex
+    strings, so min/ordering agree across engines byte-for-byte.
+    Docs with fewer than w+2 words (< w shingles) have no complete
+    window and drop out on both sides (the lead(w−1) null guard).
+    """
+    d = table(spark, sf_dir, "documents")
+    w = (
+        fan_out(d, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, 3))),
+    )
+    pos_sh = w.select(
+        "doc_id", F.posexplode(shingles).alias("pos", "h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        pos_sh.select(
+            "doc_id",
+            F.min("h").over(win.rowsBetween(0, WINNOW_W - 1)).alias("fp"),
+            F.lead("h", WINNOW_W - 1).over(win).alias("tail"),
+        )
+        .filter(F.col("tail").isNotNull())
+        .select("doc_id", "fp")
+        .distinct()
+    )

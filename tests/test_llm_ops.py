@@ -421,3 +421,21 @@ def test_kmeans_fit_inertia_monotone(spark):
     n_vecs = table(spark, SF_DIR, "embeddings").count()
     pdf = assign.toPandas()
     assert len(pdf) == n_vecs and pdf["vec_id"].is_unique
+
+
+def test_winnow_fingerprints_subset_and_compress(spark):
+    """q_llm_winnow: every fingerprint is one of the doc's own shingle
+    hashes, and winnowing compresses the index (fps ≪ shingles) at
+    roughly the theoretical 2/(w+1) density."""
+    from frafka_spark.llm.dedup import _shingles
+    from frafka_spark.registry import QUERIES
+
+    fps = QUERIES["q_llm_winnow"].fn(spark, SF_DIR)
+    sh = _shingles(spark, SF_DIR)
+    # subset: anti-join of fingerprints against the doc's shingles is empty
+    stray = fps.join(
+        sh.withColumnRenamed("sh", "fp"), ["doc_id", "fp"], "left_anti"
+    ).count()
+    assert stray == 0
+    n_fp, n_sh = fps.count(), sh.count()
+    assert n_fp < 0.75 * n_sh, (n_fp, n_sh)  # real compression

@@ -189,3 +189,24 @@ def test_events_read_missing_file_raises_real_error(spark):
         table(spark, "/root/testdata/no-such-sf", "events")
     msg = str(ei.value)
     assert "PATH_NOT_FOUND" in msg or "Path does not exist" in msg, msg
+
+
+def test_binaryfile_source_reads_media_blobs(spark, tmp_path):
+    """`binaryFile` is the ingestion path for raw media corpora (the
+    front door of llm/multimodal.py's binary-column pipeline): files
+    land as (path, modificationTime, length, content) rows with exact
+    bytes, and pathGlobFilter prunes non-media files at the source."""
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8\xff\xe0JFIF-fake")
+    (tmp_path / "b.jpg").write_bytes(b"\xff\xd8\xff\xe1EXIF-fake")
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(str(tmp_path))
+    )
+    assert {"path", "modificationTime", "length", "content"} <= set(df.columns)
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == {
+        "a.jpg": b"\xff\xd8\xff\xe0JFIF-fake",
+        "b.jpg": b"\xff\xd8\xff\xe1EXIF-fake",
+    }
