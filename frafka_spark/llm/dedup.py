@@ -1083,3 +1083,81 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+CONTAIN_THRESHOLD = 0.6  # containment ≥ 60% of the smaller doc's shingles
+
+
+@query(
+    "q_llm_dedup_containment",
+    oracle=f"""
+    WITH shingles AS ({_shingle_sql()}),
+    sized AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    pair_inter AS (
+        SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS n_inter
+        FROM shingles s1 JOIN shingles s2
+          ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+        GROUP BY s1.doc_id, s2.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.n_inter AS BIGINT) AS n_inter,
+           round(CAST(p.n_inter AS DOUBLE)
+                 / least(a.n_sh, b.n_sh), 4) AS containment,
+           round(CAST(p.n_inter AS DOUBLE)
+                 / (a.n_sh + b.n_sh - p.n_inter), 4) AS jaccard
+    FROM pair_inter p
+    JOIN sized a ON a.doc_id = p.doc_a
+    JOIN sized b ON b.doc_id = p.doc_b
+    WHERE CAST(p.n_inter AS DOUBLE) / least(a.n_sh, b.n_sh)
+          >= {CONTAIN_THRESHOLD}
+    """,
+)
+def q_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-coefficient near-dup pairs (Broder's second
+    resemblance measure): ``|A∩B| / min(|A|,|B|)`` — the detector for
+    a short document EMBEDDED in a longer one (quote farms, page
+    templates wrapping real content), which symmetric Jaccard
+    structurally under-scores: a 20-shingle doc fully contained in a
+    2000-shingle doc has containment 1.0 but Jaccard < 0.01, so no
+    Jaccard threshold can catch it without drowning in noise. Both
+    scores are reported so downstream policy can distinguish
+    "near-identical" (both high) from "contained" (containment ≫
+    jaccard).
+
+    Scale shape: identical to ``q_llm_dedup_ngram`` — pairs meet only
+    through the inverted-index shingle join off the shared cached
+    projection (one corpus-wide shuffle on the shingle hash, hot
+    shingles droppable as stop-shingles, never all-pairs); the
+    containment division is one extra projection over the same
+    intersection counts.
+    """
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    s1 = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    s2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        s1.join(s2, (F.col("sh") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    joined = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+    )
+    containment = F.col("n_inter").cast("double") / F.least("n_a", "n_b")
+    jaccard = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return joined.filter(containment >= CONTAIN_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        F.round(containment, 4).alias("containment"),
+        F.round(jaccard, 4).alias("jaccard"),
+    )

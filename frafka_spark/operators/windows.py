@@ -478,58 +478,44 @@ def q_win_range_frame_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     window funnels 20% of a 100 TB table through each of 5 tasks.
     This formulation decomposes the banded count as a difference of
     two cumulative counts — ``n_within(p) = cnt_le(p) −
-    cnt_lt(p − 10000)`` — and computes both without any per-priority
-    window:
+    cnt_lt(p − 10000)`` — and computes BOTH in one range-partitioned
+    stream pass:
 
-    1. ``range_partitioned_row_number`` over (priority, price, key)
-       gives every row a global cumulative position (distributed
-       range sort + cluster-width offset table); subtracting the
-       per-priority start offset (a ≤5-row enum-bounded aggregate)
-       yields the within-priority position, and a (priority, price)
-       group-max folds peers into ``cnt_le`` per distinct value.
-    2. ``cnt_lt(p − 10000)`` is a predecessor lookup: union "probe"
-       points (price − 10000, sorting BEFORE any equal-valued row so
-       the bound stays inclusive-left) with the value rows, range-
+    1. Collapse rows to per-(priority, value) counts (one hash
+       exchange, map-side partials).
+    2. Interleave each value row (carrying its count) with a probe
+       row at ``value − 10000`` (carrying zero, sorted BEFORE any
+       equal-valued row so the band stays inclusive-left), range-
        repartition the union on (priority, value, kind), and take a
-       partition-local running max of ``cnt_le`` over preceding rows
-       plus a cross-partition prefix max reconciled through a
-       (partition × priority) table bounded by cluster width — the
-       same offsets discipline as the global rank.
+       partition-local running sum of counts plus a cross-partition
+       prefix reconciled through a (partition × priority) table
+       bounded by cluster width — the offsets discipline of the
+       global-rank helper, but with ONE exchange + ONE checkpoint
+       for both cumulative reads. A value row's running sum IS
+       cnt_le (its own count included = peers included); a probe
+       row's IS cnt_lt (kind order excludes equal values).
+    3. Join the two cumulative reads per value and join back to rows.
 
     Every exchange keys on (priority, price) or a range of it —
-    distributed at any scale; the only single-partition windows run
-    over enum-bounded (≤5 rows) or cluster-width-bounded frames. The
-    band arithmetic uses the same ``p − 10000.0`` double the window
-    frame would compute, so results hash-match the oracle exactly.
+    distributed at any scale; the only single-partition window runs
+    over the cluster-width-bounded reconciliation frame. The band
+    arithmetic uses the same ``p − 10000.0`` double the window frame
+    would compute, so results hash-match the oracle exactly.
     """
     from frafka_spark.io import shuffle_width
 
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    ranked = range_partitioned_row_number(
-        o, ["o_orderpriority", "o_totalprice", "o_orderkey"], out="grn"
-    )
-    # per-priority start offsets (≤5 rows: o_orderpriority is an enum)
-    pc = ranked.groupBy("o_orderpriority").agg(F.count("*").alias("c"))
-    w_p = Window.orderBy("o_orderpriority").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    poff = pc.withColumn(
-        "p_off", F.coalesce(F.sum("c").over(w_p), F.lit(0))
-    ).drop("c")
-    pos = ranked.join(F.broadcast(poff), "o_orderpriority").withColumn(
-        "pos", F.col("grn") - F.col("p_off")
-    )
-    vals = pos.groupBy("o_orderpriority", "o_totalprice").agg(
-        F.max("pos").alias("cum_le")
+    vals = o.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.count("*").alias("c")
     )
     probe = vals.select(
         "o_orderpriority",
         (F.col("o_totalprice") - F.lit(10000.0)).alias("k"),
         F.lit(0).alias("kind"),
         F.col("o_totalprice").alias("probe_price"),
-        F.lit(None).cast("bigint").alias("cum"),
+        F.lit(0).cast("bigint").alias("c"),
     )
     stream = probe.unionByName(
         vals.select(
@@ -537,7 +523,7 @@ def q_win_range_frame_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("k"),
             F.lit(1).alias("kind"),
             F.lit(None).cast("double").alias("probe_price"),
-            F.col("cum_le").alias("cum"),
+            F.col("c").cast("bigint").alias("c"),
         )
     )
     ranged = (
@@ -545,39 +531,43 @@ def q_win_range_frame_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             shuffle_width(stream), "o_orderpriority", "k", "kind"
         )
         .withColumn("_pid", F.spark_partition_id())
-        # two readers (running-max branch + partition-max branch) must
+        # two readers (running-sum branch + partition-sum branch) must
         # agree on sampled range boundaries — same discipline as
         # range_partitioned_row_number above
         .localCheckpoint(eager=False)
     )
-    w_prev = (
+    w_run = (
         Window.partitionBy("_pid", "o_orderpriority")
         .orderBy("k", "kind")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    with_local = ranged.withColumn("loc_max", F.max("cum").over(w_prev))
-    pm = ranged.groupBy("_pid", "o_orderpriority").agg(F.max("cum").alias("pmax"))
+    run = ranged.withColumn("run", F.sum("c").over(w_run))
+    pm = ranged.groupBy("_pid", "o_orderpriority").agg(F.sum("c").alias("psum"))
     w_pm = (
         Window.partitionBy("o_orderpriority")
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    pref = pm.withColumn("prev_max", F.max("pmax").over(w_pm)).drop("pmax")
-    lut = (
-        with_local.filter(F.col("kind") == 0)
-        .join(F.broadcast(pref), ["_pid", "o_orderpriority"], "left")
-        .select(
-            "o_orderpriority",
-            F.col("probe_price").alias("o_totalprice"),
-            F.coalesce(F.greatest("loc_max", "prev_max"), F.lit(0)).alias(
-                "cum_lt"
-            ),
-        )
+    pref = pm.withColumn(
+        "prev_sum", F.coalesce(F.sum("psum").over(w_pm), F.lit(0))
+    ).drop("psum")
+    cum = run.join(F.broadcast(pref), ["_pid", "o_orderpriority"]).withColumn(
+        "cum", F.col("run") + F.col("prev_sum")
     )
-    counts = vals.join(lut, ["o_orderpriority", "o_totalprice"]).select(
+    lut = cum.filter(F.col("kind") == 0).select(
+        "o_orderpriority",
+        F.col("probe_price").alias("o_totalprice"),
+        F.col("cum").alias("cnt_lt"),
+    )
+    les = cum.filter(F.col("kind") == 1).select(
+        "o_orderpriority",
+        F.col("k").alias("o_totalprice"),
+        F.col("cum").alias("cnt_le"),
+    )
+    counts = les.join(lut, ["o_orderpriority", "o_totalprice"]).select(
         "o_orderpriority",
         "o_totalprice",
-        (F.col("cum_le") - F.col("cum_lt")).alias("n_within_10k"),
+        (F.col("cnt_le") - F.col("cnt_lt")).alias("n_within_10k"),
     )
     return o.join(counts, ["o_orderpriority", "o_totalprice"]).select(
         "o_orderkey",
