@@ -159,3 +159,117 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_oov.cast("bigint").alias("n_oov"),
         F.round(n_oov.cast("double") / F.count("*"), 4).alias("oov_ratio"),
     )
+
+
+@query(
+    "q_llm_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                AS BIGINT) AS n_tokens_bpe,
+           round(CAST(sum(len(regexp_extract_all(text,
+                         '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE)
+                 / sum(len(string_split(text, ' '))), 4) AS fertility
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_llm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word — the metric that decides whether a tokenizer is fair to a
+    language (fertility ≫ 1 means the language pays more compute per
+    word; the standard multilingual-tokenizer audit, aggregated from
+    the same per-doc counters ``q_llm_text_stats`` reports).
+
+    Pure projection + one langs-sized hash aggregate (map-side
+    partials); both counts are integers, so the ratio is the same
+    double on both engines before the one rounding.
+    """
+    from frafka_spark.llm.text import BPE_RE
+
+    d = table(spark, sf_dir, "documents")
+    n_words = F.sum(F.size(F.split("text", " ")))
+    n_bpe = F.sum(F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)))
+    return d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        n_words.cast("bigint").alias("n_words"),
+        n_bpe.cast("bigint").alias("n_tokens_bpe"),
+        F.round(n_bpe.cast("double") / n_words, 4).alias("fertility"),
+    )
+
+
+@query(
+    "q_llm_resample_mix",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(pow(n_docs, {MIX_ALPHA})) AS z FROM per_source),
+    rates AS (
+        SELECT source,
+               least(1.0, pow(n_docs, {MIX_ALPHA}) / z * {TOKEN_BUDGET}
+                          / n_chars) AS rate
+        FROM per_source, tot
+    ),
+    kept AS (
+        SELECT d.doc_id, d.source, d.n_chars, r.rate
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                   AS BIGINT) < CAST(floor(r.rate * 65536) AS BIGINT)
+    )
+    SELECT source,
+           round(rate, 4) AS rate,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM kept GROUP BY source, rate
+    """,
+)
+def q_llm_resample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mixture: sample each source at the
+    rate its ``q_llm_mixture_weights`` share implies for the token
+    budget (``rate = min(1, w·B / chars)``), using content-
+    independent 16-bit hash acceptance — the step that turns the
+    mixture *report* into an actual training corpus draw,
+    reproducible on any engine, run, or cluster, and stable under
+    corpus growth (a doc's accept/reject never changes when other
+    docs arrive). Sources whose rate clamps at 1.0 need repetition
+    (epochs > 1) to honor the mixture — that diagnostic is
+    ``q_llm_mixture_weights.effective_epochs``.
+
+    Scale shape: the rate table is one row per source (broadcast by
+    construction); acceptance is a pushdown-friendly projection
+    filter; one langs…err sources-sized aggregate summarizes. The
+    corpus never shuffles.
+    """
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = per_source.agg(F.sum(F.pow("n_docs", F.lit(MIX_ALPHA))).alias("z"))
+    rates = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.pow("n_docs", F.lit(MIX_ALPHA))
+            / F.col("z")
+            * TOKEN_BUDGET
+            / F.col("n_chars"),
+        ).alias("rate"),
+    )
+    hk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(hk < F.floor(F.col("rate") * 65536).cast("bigint"))
+        .groupBy("source", F.round("rate", 4).alias("rate"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+    )

@@ -439,3 +439,25 @@ def test_winnow_fingerprints_subset_and_compress(spark):
     assert stray == 0
     n_fp, n_sh = fps.count(), sh.count()
     assert n_fp < 0.75 * n_sh, (n_fp, n_sh)  # real compression
+
+
+def test_resample_mix_rates_and_counts(spark):
+    """q_llm_resample_mix: rates in (0,1], kept counts ≈ rate × source
+    size (16-bit hash acceptance concentrates tightly at fixture
+    sizes), and the draw is reproducible."""
+    from frafka_spark.io import table as _t
+    from frafka_spark.registry import QUERIES
+
+    pdf = QUERIES["q_llm_resample_mix"].fn(spark, SF_DIR).toPandas()
+    assert ((pdf["rate"] > 0) & (pdf["rate"] <= 1.0)).all()
+    sizes = (
+        _t(spark, SF_DIR, "documents").groupBy("source").count().toPandas()
+        .set_index("source")["count"]
+    )
+    for _, r in pdf.iterrows():
+        expect = r["rate"] * sizes[r["source"]]
+        assert abs(r["n_kept"] - expect) <= max(5, 0.5 * expect), (r["source"], r["n_kept"], expect)
+    again = QUERIES["q_llm_resample_mix"].fn(spark, SF_DIR).toPandas()
+    assert again.sort_values("source").reset_index(drop=True).equals(
+        pdf.sort_values("source").reset_index(drop=True)
+    )
