@@ -452,64 +452,7 @@ def q_events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree + semi join as in r5).
     """
     e = table(spark, sf_dir, "events")
-    pairs = (
-        e.select(
-            (F.unix_micros(F.date_trunc("hour", "ts")) / 3_600_000_000)
-            .cast("bigint")
-            .alias("hr"),
-            "user_id",
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("user_id").orderBy("hr")
-    prev, nxt = F.lag("hr").over(w), F.lead("hr").over(w)
-    flagged = pairs.select(
-        "hr",
-        (prev.isNull() | ((F.col("hr") - prev) > 23)).alias("is_start"),
-        (nxt.isNull() | ((nxt - F.col("hr")) > 23)).alias("is_end"),
-    )
-    pts = (
-        flagged.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("hr").alias("p"),
-                        F.lit(0).alias("d"),
-                        F.lit(1).alias("o"),
-                    ),
-                    F.when(
-                        F.col("is_start"),
-                        F.struct(
-                            F.col("hr").alias("p"),
-                            F.lit(1).alias("d"),
-                            F.lit(0).alias("o"),
-                        ),
-                    ),
-                    F.when(
-                        F.col("is_end"),
-                        F.struct(
-                            (F.col("hr") + F.lit(24)).alias("p"),
-                            F.lit(-1).alias("d"),
-                            F.lit(0).alias("o"),
-                        ),
-                    ),
-                )
-            ).alias("x")
-        )
-        .filter(F.col("x").isNotNull())
-        .select("x.*")
-    )
-    hour_axis = pts.groupBy("p").agg(F.sum("d").alias("d"), F.max("o").alias("o"))
-    run = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        hour_axis.select(
-            F.col("p").alias("hr"),
-            F.sum("d").over(run).cast("bigint").alias("active_24h"),
-            "o",
-        )
-        .filter(F.col("o") == 1)
-        .select("hr", "active_24h")
-    )
+    return rolling_distinct_actives(e, window_hours=24, out="active_24h")
 
 
 @query(
@@ -678,3 +621,113 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(TOP_PATHS_K)
     )
+
+
+def rolling_distinct_actives(
+    events: DataFrame, window_hours: int, out: str
+) -> DataFrame:
+    """Trailing-``window_hours`` distinct active users per observed
+    hour — the interval-merge + boundary-delta engine behind the
+    DAU (24 h) / WAU (168 h) / MAU (720 h) family. See
+    ``q_events_rolling_actives`` for the derivation; the window width
+    only changes the interval-chaining gap (``window_hours − 1``) and
+    the end-delta offset, so one implementation serves every width
+    with identical scale properties (shuffle ∝ pairs; final running
+    sum over the calendar-bounded hour axis).
+    """
+    gap = window_hours - 1
+    pairs = (
+        events.select(
+            (F.unix_micros(F.date_trunc("hour", "ts")) / 3_600_000_000)
+            .cast("bigint")
+            .alias("hr"),
+            "user_id",
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("hr")
+    prev, nxt = F.lag("hr").over(w), F.lead("hr").over(w)
+    flagged = pairs.select(
+        "hr",
+        (prev.isNull() | ((F.col("hr") - prev) > gap)).alias("is_start"),
+        (nxt.isNull() | ((nxt - F.col("hr")) > gap)).alias("is_end"),
+    )
+    pts = (
+        flagged.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("hr").alias("p"),
+                        F.lit(0).alias("d"),
+                        F.lit(1).alias("o"),
+                    ),
+                    F.when(
+                        F.col("is_start"),
+                        F.struct(
+                            F.col("hr").alias("p"),
+                            F.lit(1).alias("d"),
+                            F.lit(0).alias("o"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("is_end"),
+                        F.struct(
+                            (F.col("hr") + F.lit(window_hours)).alias("p"),
+                            F.lit(-1).alias("d"),
+                            F.lit(0).alias("o"),
+                        ),
+                    ),
+                )
+            ).alias("x")
+        )
+        .filter(F.col("x").isNotNull())
+        .select("x.*")
+    )
+    hour_axis = pts.groupBy("p").agg(F.sum("d").alias("d"), F.max("o").alias("o"))
+    run = Window.orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hour_axis.select(
+            F.col("p").alias("hr"),
+            F.sum("d").over(run).cast("bigint").alias(out),
+            "o",
+        )
+        .filter(F.col("o") == 1)
+        .select("hr", out)
+    )
+
+
+@query(
+    "q_events_rolling_actives_7d",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT
+               epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+               user_id
+        FROM events
+    ),
+    exploded AS (
+        SELECT p.hr + k.k AS target_hr, p.user_id
+        FROM pairs p, generate_series(0, 167) k(k)
+    ),
+    counts AS (
+        SELECT target_hr AS hr,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+        FROM exploded GROUP BY target_hr
+    )
+    SELECT c.hr, c.active_7d
+    FROM counts c SEMI JOIN pairs p ON p.hr = c.hr
+    """,
+)
+def q_events_rolling_actives_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day (168 h) distinct actives per hour — the WAU twin
+    of ``q_events_rolling_actives``, declared to prove the interval
+    engine is width-parameterized: the ENGINE cost is identical at
+    any width (shuffle ∝ pairs — wider windows only merge more
+    intervals), while the naive slot-explode oracle pays ×168 — the
+    gap that makes the interval formulation the only viable one for
+    MAU at event scale.
+    """
+    e = table(spark, sf_dir, "events")
+    return rolling_distinct_actives(e, window_hours=168, out="active_7d")
