@@ -84,7 +84,13 @@ def write_bucketed_table(
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
-    """Delta Lake reader — STUB: delta-spark jars not in this image."""
+    """Delta Lake reader — STUB: delta-spark jars not in this image.
+
+    The transactional semantics themselves (atomic snapshot commits,
+    time travel, optimistic concurrency) are implemented natively and
+    jar-free in ``sources/manifest_table.py`` — use that for tables
+    this engine owns; this stub is for reading EXISTING Delta tables.
+    """
     try:
         import delta  # noqa: F401
     except ImportError as exc:

@@ -1,0 +1,147 @@
+"""Manifest-based transactional table format — the lakehouse pattern
+(atomic snapshot commits, time travel, optimistic concurrency)
+implemented natively on parquet + JSON manifests, with no Delta/
+Iceberg jars.
+
+Why this exists: the reference's sink is append-only Kafka; a table
+engine also needs transactional table writes. The Delta/Iceberg
+*readers* in ``batch.py`` stay environment-stubbed (their jars are
+not in this image), but the SEMANTICS those formats provide — readers
+never see partial writes, every commit is a numbered snapshot you can
+read back ("time travel"), concurrent committers conflict safely —
+are format-independent and implemented here the same way Delta does
+it under the hood:
+
+- data files are immutable parquet, written to a per-commit directory
+  first (invisible to readers — a crash mid-write leaves orphan files
+  but no visible change);
+- a snapshot is a JSON manifest listing its data files; the manifest
+  is written with ``O_CREAT|O_EXCL`` so exactly ONE committer can
+  create version N — the loser gets ``CommitConflict`` and retries on
+  top of N (optimistic concurrency, the same protocol as Delta's
+  ``_delta_log/N.json``);
+- the current table state is simply the highest manifest version;
+  readers pin a version for a consistent read at any later time.
+
+Scale notes: the manifest lists file paths, not rows — O(files) per
+commit, like Delta. Reads hand Spark the file list, so partition
+pruning/pushdown work unchanged. On object stores without atomic
+create-exclusive, swap the manifest creation for a conditional PUT
+(S3 If-None-Match) or a log-store service — the protocol is the same.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first — reload and retry."""
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifest")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"v{version:012d}.json")
+
+
+def current_version(path: str) -> int | None:
+    """Highest committed snapshot version, or None for an empty table."""
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return None
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def _write_data_files(df: DataFrame, path: str) -> list[str]:
+    """Write df as immutable parquet under a unique (invisible)
+    subdirectory and return the data file paths."""
+    commit_dir = os.path.join(path, "data", uuid.uuid4().hex)
+    df.write.mode("error").parquet(commit_dir)
+    return sorted(
+        os.path.join(commit_dir, f)
+        for f in os.listdir(commit_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def _commit(path: str, version: int, manifest: dict) -> None:
+    """Atomically create manifest version N — O_EXCL makes the create
+    the commit point: exactly one writer wins a version."""
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    target = _manifest_path(path, version)
+    try:
+        fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {version} already committed at {target}; "
+            "reload current_version() and retry"
+        ) from exc
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+
+
+def write_table(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new snapshot; returns the committed version.
+
+    ``mode="append"`` — the new snapshot is the previous snapshot's
+    files plus the new files; ``mode="overwrite"`` — the new snapshot
+    is only the new files (old files stay on disk for time travel
+    until a retention vacuum, exactly like Delta).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    new_files = _write_data_files(df, path)
+    prev = current_version(path)
+    carried: list[str] = []
+    if mode == "append" and prev is not None:
+        carried = _read_manifest(path, prev)["files"]
+    version = 0 if prev is None else prev + 1
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "files": carried + new_files,
+        "schema": df.schema.json(),
+        "parent": prev,
+    }
+    _commit(path, version, manifest)
+    return version
+
+
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot (latest by default, or a pinned ``version`` for
+    time travel). The file list is fixed at call time, so the read is
+    a consistent snapshot no matter what commits later."""
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    manifest = _read_manifest(path, v)
+    if not manifest["files"]:
+        return spark.createDataFrame(
+            [], schema=_schema_from_json(manifest["schema"])
+        )
+    return spark.read.parquet(*manifest["files"])
+
+
+def _schema_from_json(schema_json: str):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(schema_json))

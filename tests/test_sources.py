@@ -210,3 +210,38 @@ def test_binaryfile_source_reads_media_blobs(spark, tmp_path):
         "a.jpg": b"\xff\xd8\xff\xe0JFIF-fake",
         "b.jpg": b"\xff\xd8\xff\xe1EXIF-fake",
     }
+
+
+def test_manifest_table_snapshots_and_time_travel(spark, tmp_path):
+    """manifest_table: append/overwrite snapshots commit atomically;
+    pinned-version reads see history; losers of a version race get
+    CommitConflict; uncommitted data files stay invisible."""
+    import pytest as _pytest
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df2 = spark.range(10, 15).withColumnRenamed("id", "k")
+
+    assert mt.write_table(df1, path, mode="overwrite") == 0
+    assert mt.write_table(df2, path, mode="append") == 1
+    assert mt.read_table(spark, path).count() == 15
+    assert mt.read_table(spark, path, version=0).count() == 10  # time travel
+
+    # overwrite starts a fresh file set but keeps history readable
+    assert mt.write_table(df2, path, mode="overwrite") == 2
+    assert mt.read_table(spark, path).count() == 5
+    assert mt.read_table(spark, path, version=1).count() == 15
+
+    # optimistic concurrency: the second committer of version 3 loses
+    files = mt._write_data_files(df1, path)
+    mt._commit(path, 3, {"version": 3, "mode": "append", "files": files,
+                         "schema": df1.schema.json(), "parent": 2})
+    with _pytest.raises(mt.CommitConflict):
+        mt._commit(path, 3, {"version": 3, "mode": "append", "files": [],
+                             "schema": df1.schema.json(), "parent": 2})
+
+    # a crash before commit (data files written, no manifest) is invisible
+    mt._write_data_files(df2, path)
+    assert mt.read_table(spark, path).count() == 10  # still v3's contents
