@@ -145,3 +145,64 @@ def _schema_from_json(schema_json: str):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(json.loads(schema_json))
+
+
+def merge_table(
+    spark: SparkSession, path: str, changes: DataFrame, key: str
+) -> int:
+    """Copy-on-write MERGE INTO the table: apply ``changes`` (update
+    matched keys, insert new ones — ``operators/merge.py`` semantics,
+    including its documented caveats) and commit the result as a new
+    overwrite snapshot. Returns the committed version; the pre-merge
+    snapshot stays readable via time travel. On ``CommitConflict``
+    (a concurrent writer won the version) nothing is visible —
+    re-read and retry, exactly Delta's loop.
+
+    Scale note: whole-table copy-on-write is the honest jar-free
+    floor; real formats win by rewriting only files whose key range
+    intersects the change set — that file-pruning refinement slots in
+    here by partitioning data files on the merge key (layout.py) and
+    carrying unmatched files into the new manifest untouched.
+    """
+    from frafka_spark.operators.merge import merge_upsert
+
+    target = read_table(spark, path)
+    merged = merge_upsert(target, changes, key)
+    return write_table(merged, path, mode="overwrite")
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[str]:
+    """Delete data files unreferenced by the ``keep_last`` most recent
+    snapshots (and drop the older manifests) — the retention step that
+    bounds storage after overwrite/merge commits. Returns the deleted
+    file paths. Readers pinned to a vacuumed version fail loudly on
+    their next read, the same contract as Delta's VACUUM."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    latest = current_version(path)
+    if latest is None:
+        return []
+    keep_versions = [v for v in range(latest - keep_last + 1, latest + 1)
+                     if os.path.exists(_manifest_path(path, v))]
+    live: set[str] = set()
+    for v in keep_versions:
+        live.update(_read_manifest(path, v)["files"])
+    deleted: list[str] = []
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        for commit_dir in os.listdir(data_root):
+            full = os.path.join(data_root, commit_dir)
+            for f in os.listdir(full):
+                fp = os.path.join(full, f)
+                if fp.endswith(".parquet") and fp not in live:
+                    os.remove(fp)
+                    deleted.append(fp)
+            if not any(f.endswith(".parquet") for f in os.listdir(full)):
+                for f in os.listdir(full):
+                    os.remove(os.path.join(full, f))
+                os.rmdir(full)
+    for v in range(0, latest - keep_last + 1):
+        mp = _manifest_path(path, v)
+        if os.path.exists(mp):
+            os.remove(mp)
+    return sorted(deleted)

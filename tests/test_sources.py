@@ -245,3 +245,35 @@ def test_manifest_table_snapshots_and_time_travel(spark, tmp_path):
     # a crash before commit (data files written, no manifest) is invisible
     mt._write_data_files(df2, path)
     assert mt.read_table(spark, path).count() == 10  # still v3's contents
+
+
+def test_manifest_table_merge_and_vacuum(spark, tmp_path):
+    """merge_table: copy-on-write upsert commits a new snapshot with
+    history intact; vacuum removes unreferenced files and old
+    manifests while the kept snapshot still reads."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    mt.write_table(base, path, mode="overwrite")
+    changes = spark.createDataFrame([(5, 999), (42, 1)], ["k", "v"])
+    v = mt.merge_table(spark, path, changes, key="k")
+    got = {r.k: r.v for r in mt.read_table(spark, path).collect()}
+    assert got[5] == 999 and got[42] == 1 and got[0] == 0 and len(got) == 11
+    # pre-merge snapshot intact
+    old = {r.k: r.v for r in mt.read_table(spark, path, version=v - 1).collect()}
+    assert old[5] == 50 and 42 not in old
+
+    deleted = mt.vacuum(path, keep_last=1)
+    assert deleted  # v0's files were unreferenced by the latest snapshot
+    assert mt.current_version(path) == v
+    got2 = {r.k: r.v for r in mt.read_table(spark, path).collect()}
+    assert got2 == got
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        mt.read_table(spark, path, version=v - 1)  # vacuumed away
