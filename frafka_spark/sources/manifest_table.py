@@ -206,3 +206,98 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         if os.path.exists(mp):
             os.remove(mp)
     return sorted(deleted)
+
+
+def _file_stats(files: list[str], stats_cols: list[str]) -> dict:
+    """Per-file min/max for ``stats_cols`` from parquet footers (no
+    data read) — the statistics Delta keeps in its log for file
+    skipping. Values must be JSON-representable (numbers/strings)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for fp in files:
+        meta = pq.ParquetFile(fp).metadata
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        spans: dict[str, list] = {}
+        for col in stats_cols:
+            ci = names[col]
+            lo = hi = None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                spans[col] = [lo, hi]
+        out[fp] = spans
+    return out
+
+
+def write_table_with_stats(
+    df: DataFrame, path: str, stats_cols: list[str], mode: str = "append"
+) -> int:
+    """``write_table`` + per-file min/max column statistics in the
+    manifest, enabling ``read_table_pruned`` to skip files the way
+    Delta/Iceberg readers do from their logs. Sort/cluster the data
+    on ``stats_cols`` first (``layout.write_zordered``) or the spans
+    overlap and nothing can be skipped."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    new_files = _write_data_files(df, path)
+    prev = current_version(path)
+    carried_files: list[str] = []
+    carried_stats: dict = {}
+    if mode == "append" and prev is not None:
+        m = _read_manifest(path, prev)
+        carried_files = m["files"]
+        carried_stats = m.get("stats", {})
+    version = 0 if prev is None else prev + 1
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "files": carried_files + new_files,
+        "stats": {**carried_stats, **_file_stats(new_files, stats_cols)},
+        "schema": df.schema.json(),
+        "parent": prev,
+    }
+    _commit(path, version, manifest)
+    return version
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read that SKIPS data files whose manifest [min, max]
+    span for ``col`` cannot intersect ``[lo, hi]`` — file-level
+    pruning from the table log, one metadata pass instead of opening
+    every footer. The residual predicate is still applied, so the
+    result equals ``read_table(...).filter(lo <= col <= hi)`` even
+    for files without recorded stats (those are conservatively read).
+    At 100 TB this is the difference between listing a million files
+    and scanning the three whose key range matters.
+    """
+    from pyspark.sql import functions as F
+
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    manifest = _read_manifest(path, v)
+    stats = manifest.get("stats", {})
+    keep = [
+        fp
+        for fp in manifest["files"]
+        if col not in stats.get(fp, {})
+        or not (stats[fp][col][1] < lo or stats[fp][col][0] > hi)
+    ]
+    if not keep:
+        return (
+            spark.createDataFrame([], schema=_schema_from_json(manifest["schema"]))
+        )
+    return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))

@@ -277,3 +277,36 @@ def test_manifest_table_merge_and_vacuum(spark, tmp_path):
 
     with _pytest.raises(Exception):
         mt.read_table(spark, path, version=v - 1)  # vacuumed away
+
+
+def test_manifest_stats_prune_file_list(spark, tmp_path):
+    """write_table_with_stats + read_table_pruned: a range predicate on
+    the clustering column opens only the files whose manifest span
+    intersects — and the pruned result equals the full-scan filter."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    # 4 range-clustered commits → disjoint per-commit key spans
+    for lo in (0, 100, 200, 300):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        mt.write_table_with_stats(df, path, ["k"], mode="append")
+    manifest = mt._read_manifest(path, mt.current_version(path))
+    n_all = len(manifest["files"])
+    assert n_all >= 4 and all(manifest["stats"].values())
+
+    pruned = mt.read_table_pruned(spark, path, "k", 150, 160)
+    # the physical scan lists only intersecting files
+    scanned = pruned.select(F.input_file_name()).distinct().count()
+    assert scanned < n_all / 2, (scanned, n_all)
+    full = (
+        mt.read_table(spark, path).filter(F.col("k").between(150, 160))
+    )
+    assert sorted(r.k for r in pruned.collect()) == sorted(
+        r.k for r in full.collect()
+    )
+    # out-of-range predicate reads nothing
+    assert mt.read_table_pruned(spark, path, "k", 5000, 6000).count() == 0
