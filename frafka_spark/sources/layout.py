@@ -98,14 +98,30 @@ def write_zordered(
         "*", *[zorder_rank(c, bits).alias(f"__zr_{c}") for c in cols]
     )
     z = zorder_key(*[f"__zr_{c}" for c in cols], bits=bits).alias("__z")
-    (
-        ranked.select("*", z)
-        .repartitionByRange(n_files, F.col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z", *[f"__zr_{c}" for c in cols])
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    # Range boundaries come from reservoir sampling (default 100
+    # rows/partition) — an unlucky draw hands one file a z-range wide
+    # enough to ruin its min/max spans (observed as a rare test
+    # flake). A layout job runs once and shuffles everything anyway;
+    # 20× the sample is noise in its cost and makes boundary quality
+    # deterministic in practice.
+    spark = df.sparkSession
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "2000")
+    try:
+        (
+            ranked.select("*", z)
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z", *[f"__zr_{c}" for c in cols])
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def write_compacted(
