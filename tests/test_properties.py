@@ -296,3 +296,62 @@ def test_connected_components_log_round_convergence(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {i: 1 for i in range(1, n + 1)}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "overwrite", "merge"]),
+            st.integers(0, 30),  # key range start
+            st.integers(1, 8),  # row count
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_manifest_table_matches_multiset_model(spark, tmp_path_factory, ops):
+    """Model-based check of the manifest table format: a random
+    sequence of append / overwrite / merge commits must leave every
+    committed version readable and equal to a plain Python multiset
+    replaying the same sequence — time travel is total and exact.
+
+    Merge follows ``operators/merge.py`` semantics: every matched
+    target row (including duplicates a prior append created) takes
+    the change row's values; unmatched change keys insert once.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path_factory.mktemp("mtbl") / "tbl")
+    model: list[tuple[int, int]] = []
+    snapshots: list[list[tuple[int, int]]] = []
+    for i, (kind, lo, n) in enumerate(ops):
+        rows = {k: k * 1000 + i for k in range(lo, lo + n)}
+        df = spark.createDataFrame(sorted(rows.items()), ["k", "v"])
+        if kind == "append":
+            mt.write_table(df, path, mode="append")
+            model = model + sorted(rows.items())
+        elif kind == "overwrite" or mt.current_version(path) is None:
+            mt.write_table(df, path, mode="overwrite")
+            model = sorted(rows.items())
+        else:
+            mt.merge_table(spark, path, df, key="k")
+            updated = [(k, rows.get(k, v)) for k, v in model]
+            inserts = [
+                (k, v) for k, v in sorted(rows.items())
+                if k not in {mk for mk, _ in model}
+            ]
+            model = updated + inserts
+        snapshots.append(sorted(model))
+    for version, expect in enumerate(snapshots):
+        got = sorted(
+            (r.k, r.v)
+            for r in mt.read_table(spark, path, version=version).collect()
+        )
+        assert got == expect, (version, ops)
