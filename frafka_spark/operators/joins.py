@@ -471,3 +471,69 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("n_cust"),
         )
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    WITH cand AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate ASC NULLS LAST,
+                            o.o_orderkey ASC NULLS LAST
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey AS next_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS next_date,
+           round(o_totalprice, 4) AS next_price
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: EARLIEST order at-or-after each event, per
+    user — the "what happened next" direction (pandas
+    ``merge_asof(direction='forward')``), completing the as-of family
+    beside the backward ``q_join_asof``.
+
+    Identical scale machinery to the backward op (see its docstring):
+    range-predicated broadcast-left candidates, then a per-event
+    ``min`` over ONE packed bigint — ``(epoch_day << 44) | orderkey``
+    packs (date ASC, orderkey ASC) so a primitive long min in
+    HashAggregate with map-side partials replaces the
+    SortAggregate-bound ``min(struct)`` — then a broadcast join-back
+    on the decoded winner for payload columns. Events with no later
+    order keep nulls through the left joins.
+    """
+    sc = spark.sparkContext
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .repartition(sc.defaultParallelism, "user_id")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cand = e.join(
+        F.broadcast(o), (o.o_custkey == e.user_id) & (o.o_orderdate >= e.ts), "left"
+    )
+    epoch_day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    packed = F.shiftleft(epoch_day.cast("bigint"), 44) + F.col("o_orderkey")
+    best = cand.groupBy("event_id", "user_id").agg(F.min(packed).alias("pk"))
+    payload = o.select(
+        F.col("o_orderkey").alias("next_orderkey"), "o_orderdate", "o_totalprice"
+    )
+    return (
+        best.withColumn("next_orderkey", F.col("pk").bitwiseAND(F.lit((1 << 44) - 1)))
+        .join(F.broadcast(payload), "next_orderkey", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "next_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("next_date"),
+            F.round("o_totalprice", 4).alias("next_price"),
+        )
+    )
