@@ -182,30 +182,38 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     latest = current_version(path)
     if latest is None:
         return []
-    keep_versions = [v for v in range(latest - keep_last + 1, latest + 1)
-                     if os.path.exists(_manifest_path(path, v))]
     live: set[str] = set()
-    for v in keep_versions:
-        live.update(_read_manifest(path, v)["files"])
+    dropped: set[str] = set()
+    for v in range(latest - keep_last + 1, latest + 1):
+        if os.path.exists(_manifest_path(path, v)):
+            live.update(_read_manifest(path, v)["files"])
+    for v in range(0, latest - keep_last + 1):
+        if os.path.exists(_manifest_path(path, v)):
+            dropped.update(_read_manifest(path, v)["files"])
+    # Delete ONLY files referenced by a dropped manifest and by no
+    # kept one. Files the manifests have never referenced are left
+    # alone: they may belong to an IN-FLIGHT writer whose commit
+    # hasn't happened yet — deleting them would make that writer
+    # commit a manifest pointing at nothing. Crashed-write orphans
+    # therefore need a separate age-based GC, the same split Delta
+    # makes (VACUUM's retention window exists for exactly this race).
     deleted: list[str] = []
-    data_root = os.path.join(path, "data")
-    if os.path.isdir(data_root):
-        for commit_dir in os.listdir(data_root):
-            full = os.path.join(data_root, commit_dir)
-            for f in os.listdir(full):
-                fp = os.path.join(full, f)
-                if fp.endswith(".parquet") and fp not in live:
-                    os.remove(fp)
-                    deleted.append(fp)
-            if not any(f.endswith(".parquet") for f in os.listdir(full)):
-                for f in os.listdir(full):
-                    os.remove(os.path.join(full, f))
-                os.rmdir(full)
+    for fp in sorted(dropped - live):
+        if os.path.exists(fp):
+            os.remove(fp)
+            deleted.append(fp)
+        parent = os.path.dirname(fp)
+        if os.path.isdir(parent) and not any(
+            f.endswith(".parquet") for f in os.listdir(parent)
+        ):
+            for f in os.listdir(parent):
+                os.remove(os.path.join(parent, f))
+            os.rmdir(parent)
     for v in range(0, latest - keep_last + 1):
         mp = _manifest_path(path, v)
         if os.path.exists(mp):
             os.remove(mp)
-    return sorted(deleted)
+    return deleted
 
 
 def _file_stats(files: list[str], stats_cols: list[str]) -> dict:

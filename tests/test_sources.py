@@ -310,3 +310,24 @@ def test_manifest_stats_prune_file_list(spark, tmp_path):
     )
     # out-of-range predicate reads nothing
     assert mt.read_table_pruned(spark, path, "k", 5000, 6000).count() == 0
+
+
+def test_vacuum_spares_in_flight_writer_files(spark, tmp_path):
+    """vacuum must only delete files referenced by DROPPED manifests —
+    data files an uncommitted (in-flight or crashed) writer has
+    staged are untouched, so a concurrent commit can still land."""
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 5).withColumnRenamed("id", "k")
+    mt.write_table(df, path, mode="overwrite")          # v0
+    mt.write_table(df, path, mode="overwrite")          # v1 (v0 now dead)
+    staged = mt._write_data_files(df, path)             # in-flight, no manifest
+    deleted = mt.vacuum(path, keep_last=1)
+    assert deleted                                       # v0's files went
+    assert all(__import__("os").path.exists(f) for f in staged)
+    # the in-flight writer can still commit on top
+    mt._commit(path, 2, {"version": 2, "mode": "append",
+                         "files": mt._read_manifest(path, 1)["files"] + staged,
+                         "schema": df.schema.json(), "parent": 1})
+    assert mt.read_table(spark, path).count() == 10
