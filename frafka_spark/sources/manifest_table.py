@@ -42,6 +42,30 @@ from pyspark.sql import DataFrame, SparkSession
 class CommitConflict(Exception):
     """Another writer committed this version first — reload and retry."""
 
+class SchemaConflict(Exception):
+    """Append would drop or retype existing columns — rewrite instead."""
+
+
+def _check_append_schema(df: DataFrame, prev_schema_json: str) -> None:
+    """Additive evolution only: every existing column must survive
+    with its type; new columns are allowed (old files read as NULL
+    for them via the snapshot-schema projection in read_table)."""
+    prev = _schema_from_json(prev_schema_json)
+    new_fields = {f.name: f.dataType for f in df.schema.fields}
+    for f in prev.fields:
+        if f.name not in new_fields:
+            raise SchemaConflict(
+                f"append drops column {f.name!r}; use mode='overwrite' "
+                "to change the table shape"
+            )
+        if new_fields[f.name] != f.dataType:
+            raise SchemaConflict(
+                f"append retypes column {f.name!r} "
+                f"({f.dataType.simpleString()} → "
+                f"{new_fields[f.name].simpleString()})"
+            )
+
+
 
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifest")
@@ -107,8 +131,10 @@ def write_table(df: DataFrame, path: str, mode: str = "append") -> int:
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    new_files = _write_data_files(df, path)
     prev = current_version(path)
+    if mode == "append" and prev is not None:
+        _check_append_schema(df, _read_manifest(path, prev)["schema"])
+    new_files = _write_data_files(df, path)
     carried: list[str] = []
     if mode == "append" and prev is not None:
         carried = _read_manifest(path, prev)["files"]
@@ -129,16 +155,24 @@ def read_table(
 ) -> DataFrame:
     """Read a snapshot (latest by default, or a pinned ``version`` for
     time travel). The file list is fixed at call time, so the read is
-    a consistent snapshot no matter what commits later."""
+    a consistent snapshot no matter what commits later.
+
+    Schema evolution: the manifest records the SNAPSHOT schema (the
+    schema of the last write), and the read projects every data file
+    onto it — files written before a column was added yield NULLs for
+    it, the add-a-column contract Delta calls mergeSchema. Appending
+    a frame that DROPS or retypes a column is rejected at write time
+    (``write_table`` raises ``SchemaConflict``) because silently
+    nulling existing data is never what the writer meant.
+    """
     v = current_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     manifest = _read_manifest(path, v)
+    schema = _schema_from_json(manifest["schema"])
     if not manifest["files"]:
-        return spark.createDataFrame(
-            [], schema=_schema_from_json(manifest["schema"])
-        )
-    return spark.read.parquet(*manifest["files"])
+        return spark.createDataFrame([], schema=schema)
+    return spark.read.schema(schema).parquet(*manifest["files"])
 
 
 def _schema_from_json(schema_json: str):
@@ -253,8 +287,10 @@ def write_table_with_stats(
     overlap and nothing can be skipped."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    new_files = _write_data_files(df, path)
     prev = current_version(path)
+    if mode == "append" and prev is not None:
+        _check_append_schema(df, _read_manifest(path, prev)["schema"])
+    new_files = _write_data_files(df, path)
     carried_files: list[str] = []
     carried_stats: dict = {}
     if mode == "append" and prev is not None:

@@ -331,3 +331,39 @@ def test_vacuum_spares_in_flight_writer_files(spark, tmp_path):
                          "files": mt._read_manifest(path, 1)["files"] + staged,
                          "schema": df.schema.json(), "parent": 1})
     assert mt.read_table(spark, path).count() == 10
+
+
+def test_manifest_table_additive_schema_evolution(spark, tmp_path):
+    """Appending a frame with an extra column evolves the snapshot
+    schema; pre-evolution files read the new column as NULL. Appends
+    that drop or retype existing columns are rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    mt.write_table(
+        spark.range(0, 3).select(F.col("id").alias("k")), path, mode="overwrite"
+    )
+    mt.write_table(
+        spark.range(3, 5).select(F.col("id").alias("k"), F.lit("x").alias("tag")),
+        path,
+        mode="append",
+    )
+    rows = {r.k: r.tag for r in mt.read_table(spark, path).collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: "x", 4: "x"}
+    with _pytest.raises(mt.SchemaConflict):
+        mt.write_table(
+            spark.range(9, 10).select(F.col("id").alias("other")),
+            path,
+            mode="append",
+        )
+    with _pytest.raises(mt.SchemaConflict):
+        mt.write_table(
+            spark.range(9, 10).select(
+                F.col("id").cast("string").alias("k"), F.lit("y").alias("tag")
+            ),
+            path,
+            mode="append",
+        )
