@@ -345,3 +345,58 @@ def read_table_pruned(
             spark.createDataFrame([], schema=_schema_from_json(manifest["schema"]))
         )
     return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+
+
+def committed_batch_ids(path: str) -> set[int]:
+    """Batch ids recorded by ``write_stream_batch`` across the current
+    manifest chain (kept manifests only — vacuumed history loses its
+    ids together with its data, which is fine: a batch that old can
+    no longer be redelivered by a live stream's checkpoint)."""
+    latest = current_version(path)
+    ids: set[int] = set()
+    if latest is None:
+        return ids
+    for v in range(0, latest + 1):
+        if os.path.exists(_manifest_path(path, v)):
+            b = _read_manifest(path, v).get("batch_id")
+            if b is not None:
+                ids.add(b)
+    return ids
+
+
+def write_stream_batch(df: DataFrame, batch_id: int, path: str) -> int | None:
+    """Exactly-once micro-batch sink into the manifest table — the
+    ``foreachBatch`` body that unifies the streaming layer (A12's
+    idempotent-sink contract) with the table format: each micro-batch
+    commits one append snapshot carrying its ``batch_id``, and a
+    REDELIVERED batch (same id, after a crash between data write and
+    checkpoint commit) is detected and skipped, so replays cannot
+    duplicate rows. Returns the committed version, or None for a
+    skipped redelivery.
+
+    Use: ``stream.writeStream.foreachBatch(
+    lambda df, bid: write_stream_batch(df, bid, path)).start()``.
+    The atomic manifest create is the transaction boundary — there is
+    no window where data is visible but the batch unrecorded.
+    """
+    if batch_id in committed_batch_ids(path):
+        return None
+    prev = current_version(path)
+    if prev is not None:
+        _check_append_schema(df, _read_manifest(path, prev)["schema"])
+    new_files = _write_data_files(df, path)
+    carried = [] if prev is None else _read_manifest(path, prev)["files"]
+    version = 0 if prev is None else prev + 1
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "mode": "append",
+            "files": carried + new_files,
+            "schema": df.schema.json(),
+            "parent": prev,
+            "batch_id": batch_id,
+        },
+    )
+    return version

@@ -580,3 +580,41 @@ def test_kafka_recipe_loads_when_jar_present(spark):
         "id", "data", "timestamp", "topic", "partition", "offset",
     ]
     assert df.isStreaming
+
+
+def test_manifest_stream_sink_exactly_once(spark, tmp_path):
+    """write_stream_batch: a real micro-batch stream lands in the
+    manifest table exactly once even when a batch is redelivered
+    (foreachBatch re-run with the same batch_id after a simulated
+    crash) — the A12 idempotent-sink contract on the table format."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 6).select(F.col("id").alias("k")).write.json(src)
+
+    stream = spark.readStream.schema("k bigint").json(src)
+    seen: list[int] = []
+
+    def sink(df, bid):
+        seen.append(bid)
+        mt.write_stream_batch(df, bid, tbl)
+
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    n = mt.read_table(spark, tbl).count()
+    assert n == 6
+
+    # crash-redelivery: rerun the SAME batches manually — all skipped
+    batch_df = spark.read.schema("k bigint").json(src)
+    for bid in seen:
+        assert mt.write_stream_batch(batch_df, bid, tbl) is None
+    assert mt.read_table(spark, tbl).count() == 6
+    # a genuinely new batch still lands
+    assert mt.write_stream_batch(batch_df, max(seen) + 1, tbl) is not None
+    assert mt.read_table(spark, tbl).count() == 12
