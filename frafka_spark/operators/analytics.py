@@ -731,3 +731,110 @@ def q_events_rolling_actives_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events")
     return rolling_distinct_actives(e, window_hours=168, out="active_7d")
+
+
+EMA_ALPHA = 0.1
+
+
+@query(
+    "q_events_ema",
+    oracle=f"""
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(vals,
+                 (acc, x) -> {EMA_ALPHA} * x + {1 - EMA_ALPHA} * acc), 6)
+               AS ema_value
+    FROM (
+        SELECT user_id, list(value::DOUBLE ORDER BY event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    """,
+)
+def q_events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event values
+    (``y₁ = x₁; yₜ = α·xₜ + (1−α)·yₜ₋₁``) — the classic
+    NON-associative sequential recurrence no window frame or
+    mergeable aggregate expresses (contrast the decomposable
+    sums/counts everywhere else in this module).
+
+    Determinism across engines comes from ORDERED-FOLD PARITY: both
+    sides materialize the user's values in (event_id) order and fold
+    left-to-right with the identical double arithmetic — Spark
+    ``aggregate(slice(l, 2, n−1), l[1], f)`` replicates DuckDB
+    ``list_reduce`` exactly (first element seeds the accumulator),
+    so the pre-rounding result is bit-identical; no accumulation-
+    order hazard exists because the order IS the semantics.
+
+    Scale shape: one (user_id) exchange; the fold state is one
+    ordered array per user — memory ∝ a single user's history, the
+    inherent footprint of any exact EMA replay (an unbounded stream
+    keeps ONE running scalar instead via the stateful streaming op,
+    ``applyInPandasWithState`` in streaming/). The sort is
+    aggregate-local (``array_sort`` on (event_id, value) structs),
+    never a global sort.
+    """
+    e = table(spark, sf_dir, "events")
+    lst = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct("event_id", F.col("value").cast("double").alias("value"))
+            )
+        ),
+        lambda s: s["value"],
+    )
+    grouped = e.groupBy("user_id").agg(lst.alias("vals"))
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(EMA_ALPHA) * x + F.lit(1 - EMA_ALPHA) * acc,
+    )
+    return grouped.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_events"),
+        F.round(fold, 6).alias("ema_value"),
+    )
+
+
+@query(
+    "q_events_drawdown",
+    oracle="""
+    WITH dd AS (
+        SELECT user_id,
+               max(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - value AS d
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(d), 6) AS max_drawdown
+    FROM dd GROUP BY user_id
+    """,
+)
+def q_events_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown: the largest drop of ``value`` below
+    its running peak over the event sequence — the risk/stability
+    metric of any monitored time series (portfolio equity, queue
+    depth, quality score drift).
+
+    Deterministic by construction: running max and final max are
+    SELECTIONS (no accumulation arithmetic), and each drawdown is one
+    subtraction of two doubles both engines read identically — so
+    unlike mean/variance shapes nothing here is order-sensitive.
+    Scale: one (user_id) exchange shared by the window and the
+    aggregate; running-max state is a single scalar per partition
+    row stream.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = e.select(
+        "user_id", (F.max("value").over(w) - F.col("value")).alias("d")
+    )
+    return dd.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.max("d"), 6).alias("max_drawdown"),
+    )
