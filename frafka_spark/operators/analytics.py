@@ -838,3 +838,68 @@ def q_events_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.round(F.max("d"), 6).alias("max_drawdown"),
     )
+
+
+@query(
+    "q_events_longest_streak",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               - row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY event_id) AS grp
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, count(*) AS run_len
+        FROM seq GROUP BY user_id, event_type, grp
+    ),
+    best AS (
+        SELECT user_id, event_type, run_len,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY run_len DESC, event_type) AS rk
+        FROM runs
+    )
+    SELECT user_id, event_type AS streak_type,
+           CAST(run_len AS BIGINT) AS streak_len
+    FROM best WHERE rk = 1
+    """,
+)
+def q_events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive same-type run per user — the
+    gaps-and-islands classic (login streaks, repeated-failure runs,
+    habit tracking): the difference of two row_numbers (overall vs
+    per-type, both ordered by event_id) is constant exactly within a
+    consecutive run, so one group-by on that derived key measures
+    every run without any sequential scan.
+
+    Determinism: both row_numbers order by the unique event_id and
+    run lengths are integers; the per-user winner breaks length ties
+    by event_type. Scale: both windows and both aggregates share the
+    (user_id[, event_type]) hash layout — integer state only, and
+    never a cross-row arithmetic accumulation.
+    """
+    e = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    runs = seq.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.desc("run_len"), F.asc("event_type")
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("streak_type"),
+            F.col("run_len").cast("bigint").alias("streak_len"),
+        )
+    )
