@@ -127,24 +127,30 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-of-vocabulary rates — the tokenizer-fit / domain-shift
     diagnostic run before freezing a vocab.
 
-    Scale shape: the corpus explodes to words once (cached projection
-    reused by both passes); the vocab build is a word hash-aggregate
-    (map-side partials bound the shuffle by distinct words, not
-    tokens) followed by ``orderBy().limit(K)`` — Catalyst plans
-    TakeOrderedAndProject, a per-partition top-K + driver merge of
-    K-row heaps, never a global sort. Membership is then a broadcast
-    LEFT SEMI-shaped join (vocab is K rows by construction) feeding
-    one (lang) aggregate, so the second pass is shuffle ∝ langs.
-    For web-scale vocabs where even distinct words overflow a single
-    aggregate, swap the exact count for ``q_llm_heavy_hitters``'s
-    count-min summary — same downstream join.
+    Scale shape: the vocab build rides the REPO-WIDE CACHED word
+    projection (``dedup._words`` — the same materialized token table
+    tfidf/heavy-hitters consume, so at suite level this pass is
+    already paid for): a word hash-aggregate (map-side partials
+    bound the shuffle by distinct words, not tokens) followed by
+    ``orderBy().limit(K)`` — Catalyst plans TakeOrderedAndProject,
+    a per-partition top-K + driver merge of K-row heaps, never a
+    global sort. The scoring side explodes the corpus ONCE with its
+    lang column and joins the broadcast K-row vocab into one (lang)
+    aggregate — so the corpus pays a single token pass here, not the
+    two an inline vocab subtree would cost. For web-scale vocabs
+    where even distinct words overflow a single aggregate, swap the
+    exact count for ``q_llm_heavy_hitters``'s count-min summary —
+    same downstream join.
     """
+    from frafka_spark.llm.dedup import _words
+
     d = table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
     )
     vocab = (
-        words.groupBy("word")
+        _words(spark, sf_dir)
+        .groupBy("word")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(VOCAB_K)
