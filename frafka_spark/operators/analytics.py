@@ -903,3 +903,60 @@ def q_events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("run_len").cast("bigint").alias("streak_len"),
         )
     )
+
+
+@query(
+    "q_events_inter_arrival",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us, 0.5) / 1000000, 4) AS median_gap_s,
+           round(quantile_cont(gap_us, 0.9) / 1000000, 4) AS p90_gap_s,
+           CAST(max(gap_us) // 1000000 AS BIGINT) AS max_gap_floor_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap statistics (median / p90 / max of
+    the time between consecutive events) — the engagement-cadence and
+    latency-profile shape behind session-timeout tuning and
+    bot-vs-human heuristics (and the cousin of `q_events_sessionize`,
+    which thresholds these same gaps).
+
+    Determinism: gaps are exact integer microseconds (epoch-µs
+    differences over a (ts, event_id) total order); the interpolated
+    percentiles are the same rank-(n−1)·p linear rule on both engines
+    over identical integers, and the ÷1e6 rescale + 4-digit round
+    happen after. Scale: one (user_id) exchange shared by the lag
+    window and the percentile aggregate; per-user state is the gap
+    list one exact percentile needs (swap for ``percentile_approx``'s
+    mergeable sketch when a single user's history overflows a
+    buffer — the same trade documented at ``q_llm_length_trim``).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1_000_000, 4).alias(
+            "median_gap_s"
+        ),
+        F.round(F.percentile("gap_us", F.lit(0.9)) / 1_000_000, 4).alias(
+            "p90_gap_s"
+        ),
+        F.floor(F.max("gap_us") / 1_000_000).cast("bigint").alias(
+            "max_gap_floor_s"
+        ),
+    )
