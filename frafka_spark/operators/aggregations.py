@@ -601,3 +601,98 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "q_agg_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(xc AS HUGEINT)) AS DOUBLE) AS s1,
+               CAST(sum(CAST(xc * xc AS HUGEINT)) AS DOUBLE) AS s2,
+               CAST(sum(CAST(xc * xc * xc AS HUGEINT)) AS DOUBLE) AS s3,
+               CAST(sum(CAST(xc * xc * xc * xc AS HUGEINT)) AS DOUBLE) AS s4
+        FROM (SELECT l_returnflag,
+                     CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS xc
+              FROM lineitem)
+        GROUP BY l_returnflag
+    ),
+    c AS (
+        SELECT l_returnflag, n,
+               s1 / n AS mu,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3 * (s1 / n) * (s2 / n)
+                 + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4 * (s1 / n) * (s3 / n)
+                 + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                 - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM m
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round(mu / 100, 4) AS mean_qty,
+           (round(m3 / pow(m2, 1.5), 6) + 0.0) AS skewness_pop,
+           (round(m4 / (m2 * m2) - 3, 6) + 0.0) AS excess_kurtosis_pop
+    FROM c
+    """,
+)
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of quantity per return
+    flag — the distribution-shape diagnostics beyond q_agg_corr's
+    second-moment family, computed EXACTLY: built-in
+    ``skewness``/``kurtosis`` accumulate central moments in floats
+    (engine- and order-specific at the last ulp), so both sides here
+    instead sum INTEGER raw moments (quantity in exact cents; Σx…Σx⁴
+    as 128-bit-exact decimal sums — scale-independent of
+    accumulation order) and derive the standardized moments with the
+    identical double formula. Scale-invariance of the standardized
+    ratios means the cent scaling cancels; only the mean is rescaled.
+    Scale shape: one hash aggregate with map-side partials carrying
+    five numbers per group — the mergeable-moments discipline every
+    distributed stats library uses.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    xc = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    d38 = "decimal(38,0)"
+    m = (
+        li.select("l_returnflag", xc.alias("xc"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("xc").cast(d38)).cast("double").alias("s1"),
+            F.sum((F.col("xc") * F.col("xc")).cast(d38))
+            .cast("double")
+            .alias("s2"),
+            F.sum((F.col("xc") * F.col("xc") * F.col("xc")).cast(d38))
+            .cast("double")
+            .alias("s3"),
+            F.sum(
+                (F.col("xc") * F.col("xc") * F.col("xc") * F.col("xc")).cast(d38)
+            )
+            .cast("double")
+            .alias("s4"),
+        )
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * mu * (F.col("s2") / F.col("n"))
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    from frafka_spark.functions.determinism import round_z
+
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mu / 100, 4).alias("mean_qty"),
+        round_z(m3 / F.pow(m2, 1.5), 6).alias("skewness_pop"),
+        round_z(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis_pop"),
+    )
