@@ -907,3 +907,85 @@ def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@query(
+    "q_llm_entropy",
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id, word, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY doc_id, word
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_uniq,
+               list(CAST(c AS DOUBLE) ORDER BY word) AS cs
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_uniq,
+           round(-list_reduce(
+               list_transform(cs, x -> x / n_words * ln(x / n_words)),
+               (a, b) -> a + b) / ln(2), 4) AS entropy_bits,
+           round(-list_reduce(
+               list_transform(cs, x -> x / n_words * ln(x / n_words)),
+               (a, b) -> a + b) / ln(2)
+               / CASE WHEN n_uniq > 1 THEN log2(n_uniq) ELSE 1 END, 4)
+               AS entropy_norm
+    FROM per_doc
+    """,
+)
+def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution Shannon entropy (bits), plus the
+    [0,1]-normalized variant (÷ log₂ distinct words) — the standard
+    information-density quality score: near-zero entropy flags
+    repetitive boilerplate (complementing ``q_llm_repetition``'s
+    max-frequency view with a whole-distribution one), near-1
+    normalized entropy means every word is novel.
+
+    Determinism by ordered-fold parity (the ``q_events_ema``
+    technique): both engines materialize the per-doc word counts in
+    lexicographic word order and fold ``−Σ p·ln p`` left-to-right
+    over identical doubles, so the pre-rounding sum is bit-identical
+    — a plain ``sum()`` over the term rows would be
+    accumulation-order-unstable at the last ulp. Scale: one
+    (doc, word) aggregate with map-side partials, one (doc)
+    aggregate whose state is the doc's distinct-word count list —
+    the same per-doc footprint the TF-IDF family already carries.
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_uniq"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("word", F.col("c").cast("double").alias("c"))
+                )
+            ),
+            lambda s: s["c"],
+        ).alias("cs"),
+    )
+    n = F.col("n_words")
+    plogp = F.transform(
+        "cs", lambda x: x / n * F.log(x / n)
+    )
+    ent_nats = -F.aggregate(plogp, F.lit(0.0), lambda a, b: a + b)
+    ent_bits = ent_nats / F.log(F.lit(2.0))
+    norm = F.when(
+        F.col("n_uniq") > 1, F.log2(F.col("n_uniq").cast("double"))
+    ).otherwise(F.lit(1.0))
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_uniq",
+        F.round(ent_bits, 4).alias("entropy_bits"),
+        F.round(ent_bits / norm, 4).alias("entropy_norm"),
+    )
