@@ -279,3 +279,92 @@ def q_llm_resample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("chars_kept"),
         )
     )
+
+
+@query(
+    "q_llm_source_kl",
+    oracle="""
+    WITH words AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    per_sw AS (
+        SELECT source, word, count(*) AS c
+        FROM words GROUP BY source, word
+    ),
+    corpus AS (
+        SELECT word, sum(c) AS cc FROM per_sw GROUP BY word
+    ),
+    tot AS (SELECT sum(cc) AS n FROM corpus),
+    src_tot AS (SELECT source, sum(c) AS ns FROM per_sw GROUP BY source),
+    terms AS (
+        SELECT s.source, s.word,
+               CAST(s.c AS DOUBLE) / st.ns AS q,
+               CAST(c.cc AS DOUBLE) / t.n AS p
+        FROM per_sw s
+        JOIN corpus c ON c.word = s.word
+        JOIN src_tot st ON st.source = s.source, tot t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(list_reduce(
+               list(q * ln(q / p) ORDER BY word), (a, b) -> a + b), 4)
+               AS kl_nats
+    FROM terms GROUP BY source
+    """,
+)
+def q_llm_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus word distribution —
+    the domain-shift number behind mixture design: a source whose
+    unigram distribution diverges hard from the corpus is either a
+    valuable diversity source or contamination, and either way its
+    ``q_llm_mixture_weights`` row deserves a human look. (KL(Q‖P) is
+    finite here by construction: every source word occurs in the
+    corpus distribution.)
+
+    Determinism by ordered-fold parity (see ``q_events_ema``): each
+    source's ``q·ln(q/p)`` terms fold in lexicographic word order on
+    both engines — bit-identical pre-rounding where a plain ``sum()``
+    is accumulation-order-unstable. Scale shape: (source, word)
+    aggregate with map-side partials; the corpus distribution joins
+    back on the word hash (inverted-index discipline — P is
+    corpus-sized, never broadcast-hinted); per-source fold state is
+    the source's distinct-word term list (fixture-fine — at web
+    scale, chunk the fold by word-hash range and sum the ≤256
+    partial folds in bucket order: same determinism, bounded state).
+    """
+    d = table(spark, sf_dir, "documents")
+    per_sw = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    corpus = per_sw.groupBy("word").agg(F.sum("c").alias("cc"))
+    tot = corpus.agg(F.sum("cc").alias("n"))
+    src_tot = per_sw.groupBy("source").agg(F.sum("c").alias("ns"))
+    terms = (
+        per_sw.join(corpus, "word")
+        .join(src_tot, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "word",
+            (F.col("c").cast("double") / F.col("ns")).alias("q"),
+            (F.col("cc").cast("double") / F.col("n")).alias("p"),
+        )
+    )
+    term = (F.col("q") * F.log(F.col("q") / F.col("p"))).alias("t")
+    folded = terms.select("source", "word", term).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", F.col("t").alias("t")))),
+            lambda s: s["t"],
+        ).alias("ts"),
+    )
+    return folded.select(
+        "source",
+        "n_terms",
+        F.round(
+            F.aggregate("ts", F.lit(0.0), lambda a, b: a + b), 4
+        ).alias("kl_nats"),
+    )
