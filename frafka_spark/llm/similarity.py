@@ -633,3 +633,67 @@ def q_llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+@query(
+    "q_llm_embed_power_iter",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    q AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(emb, 1) AS BIGINT) AS dim,
+               CAST(floor(unnest(emb) * 1e6 + 0.5) AS BIGINT) AS qx
+        FROM vecs
+    ),
+    r AS (SELECT vec_id, sum(qx) AS rowsum FROM q GROUP BY vec_id)
+    SELECT q.dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(CAST(q.qx * r.rowsum AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1e12, 6) AS s
+    FROM q JOIN r USING (vec_id)
+    GROUP BY q.dim
+    """,
+)
+def q_llm_embed_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction: ``s = Xᵀ (X · v₀)`` with the fixed seed ``v₀ = 1`` —
+    the building block of PCA / spectral embedding-drift monitors.
+    (Iterating is just re-running the step with ``v₀`` = the previous
+    ``s``; one step is declared because its result is closed-form
+    checkable.)
+
+    Exactness discipline: components quantize to integers
+    (``floor(x·1e6 + 0.5)`` — identical on both engines), so the
+    row-dots ``r_i = Σ_j q_ij`` are exact BIGINTs and the projection
+    ``s_j = Σ_i q_ij·r_i`` accumulates exact products in
+    DECIMAL(38,0) — no float fold anywhere until the single final
+    ÷1e12 + round. Scale shape: posexplode ×64 dims, but map-side
+    partials collapse both aggregates to ≤ dims (resp. ≤ vecs) rows
+    per partition before their exchanges; the q⋈r join keys on
+    vec_id — co-partitioned with the r aggregate's output, so AQE
+    reuses one exchange. Nothing is collected; no O(corpus)
+    broadcast (r is per-vector, joined not broadcast).
+    """
+    v = _vectors(spark, sf_dir)
+    q = v.select(
+        "vec_id", F.posexplode("emb").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("bigint").alias("qx"),
+    )
+    r = q.groupBy("vec_id").agg(F.sum("qx").alias("rowsum"))
+    return (
+        q.join(r, "vec_id")
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum(
+                    (F.col("qx") * F.col("rowsum")).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e12,
+                6,
+            ).alias("s"),
+        )
+    )

@@ -989,3 +989,128 @@ def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ent_bits, 4).alias("entropy_bits"),
         F.round(ent_bits / norm, 4).alias("entropy_norm"),
     )
+
+
+@query(
+    "q_llm_shard",
+    oracle="""
+    SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM documents
+    GROUP BY shard
+    """,
+)
+def q_llm_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way shard assignment + balance audit — how a
+    training pipeline splits a corpus into output shards
+    (tfrecord/webdataset-style) so every rebuild lands each doc in
+    the same shard regardless of cluster shape, input order, or
+    corpus growth.
+
+    The shard is the first md5 hex digit of the id: content- and
+    order-independent, identical on any engine, and uniform in
+    expectation (each shard ≈ 1/16 of docs) because md5 bits are.
+    The summary is the balance check a pipeline runs before writing:
+    doc counts and char volumes per shard (sum of BIGINT n_chars —
+    exact, order-free). At scale the assignment is a pure projection
+    (zero shuffle); the audit is one 16-row hash aggregate fed by
+    map-side partials. The actual write is
+    ``df.repartition(F.col("shard")).write.partitionBy("shard")`` —
+    the same expression, still one shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    shard = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        d.select(shard.alias("shard"), "doc_id", "n_chars", "lang")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "q_llm_cooccur_pmi",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    dfreq AS (SELECT w, count(*) AS df FROM words GROUP BY w),
+    vocab AS (SELECT w, df FROM dfreq ORDER BY df DESC, w LIMIT 30),
+    wv AS (SELECT words.doc_id, words.w, vocab.df
+           FROM words JOIN vocab USING (w)),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    pairs AS (
+        SELECT a.w AS w1, b.w AS w2, a.df AS df1, b.df AS df2,
+               count(*) AS c12
+        FROM wv a JOIN wv b ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT w1, w2, c12, df1, df2,
+           round(ln(CAST(c12 AS DOUBLE) * n_docs / (df1 * df2)), 4) AS pmi
+    FROM pairs, n
+    WHERE c12 >= 3
+    """,
+)
+def q_llm_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level word co-occurrence with pointwise mutual
+    information over the top-30 vocabulary — the collocation /
+    topic-signal statistic (PMI > 0 ⇒ the pair co-occurs more than
+    independence predicts) behind phrase mining and embedding
+    pretraining diagnostics.
+
+    The vocabulary cap IS the scale contract: an uncapped co-occur
+    explodes as Σ_doc uniq², so every production collocation pipeline
+    counts pairs only over a fixed top-V vocabulary. Here the doc×word
+    incidence list (distinct words per doc — `array_distinct` before
+    the explode, so tf does not inflate the doc count) joins a
+    broadcast 30-row vocab, then self-joins on doc_id with ``w1 < w2``
+    — fan-out bounded by V²/2 per doc, never corpus². The vocab
+    selection orders (df DESC, w ASC) so boundary ties are
+    deterministic. PMI's inputs are exact integer counts; both
+    engines evaluate the identical ``ln((c·N)/(df₁·df₂))`` double
+    expression, so round(·,4) hash-matches (the ``q_llm_entropy``
+    ln-parity precedent).
+    """
+    from frafka_spark.llm.dedup import _words
+
+    d = table(spark, sf_dir, "documents")
+    words = _words(spark, sf_dir).select("doc_id", "word").distinct()
+    dfreq = words.groupBy("word").agg(F.count("*").alias("df"))
+    vocab = dfreq.orderBy(F.col("df").desc(), F.col("word").asc()).limit(30)
+    wv = words.join(F.broadcast(vocab), "word")
+    a = wv.select("doc_id", F.col("word").alias("w1"), F.col("df").alias("df1"))
+    b = wv.select("doc_id", F.col("word").alias("w2"), F.col("df").alias("df2"))
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    return (
+        a.join(b, ["doc_id"])
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2", "df1", "df2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= 3)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "df1",
+            "df2",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df1") * F.col("df2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

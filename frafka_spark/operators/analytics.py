@@ -960,3 +960,63 @@ def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_gap_floor_s"
         ),
     )
+
+
+@query(
+    "q_events_ohlc",
+    oracle="""
+    SELECT user_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bucket,
+           round(arg_min(value,
+                 CAST(epoch_us(ts) AS DECIMAL(38,0)) * 10000000000
+                 + event_id), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(arg_max(value,
+                 CAST(epoch_us(ts) AS DECIMAL(38,0)) * 10000000000
+                 + event_id), 4) AS close,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    """,
+)
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: per (user, hour) — first value, max,
+    min, last value, count. The downsampling shape every metrics /
+    tick-data pipeline runs before charting or feature extraction.
+
+    open/close are arg-extrema over ONE packed DECIMAL(38,0) ordering
+    key — ``epoch_µs × 10^10 + event_id`` — so a ts tie inside a
+    bucket (absent in the fixture, guaranteed possible at 100 TB)
+    still resolves identically on any engine: the packed key is
+    unique because event_id is. One hash aggregate, map-side partials
+    (min_by/max_by partials are (value, key) pairs — mergeable), one
+    shuffle ∝ distinct (user, hour) buckets, never event volume. No
+    window function: a sort-based first/last-value formulation would
+    pay a per-partition sort this agg avoids.
+    """
+    e = table(spark, sf_dir, "events")
+    tie = (
+        F.unix_micros("ts").cast("decimal(38,0)")
+        * F.lit(10_000_000_000).cast("decimal(38,0)")
+        + F.col("event_id").cast("decimal(38,0)")
+    )
+    return (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            F.round(F.min_by("value", tie), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", tie), 4).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("hr", "yyyy-MM-dd HH").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

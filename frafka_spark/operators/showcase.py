@@ -254,3 +254,161 @@ def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
         )
     )
+
+
+@query(
+    "q_tpch_q14_shape",
+    oracle=f"""
+    SELECT round(100.00 * {sql_dec_sum(
+        "CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END"
+    )} / {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)')}, 6)
+               AS promo_revenue_pct,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promotion-effect — what fraction of one month's
+    revenue came from promo parts. A conditional aggregate over a
+    fact⋈dim join: the ship-month filter prunes the lineitem scan
+    (at scale, with date partitioning, whole files never open), part
+    broadcasts (dim stays ≤GBs at any fact scale), and the answer is
+    a single row fed by map-side partials — no shuffle carries more
+    than one partial-aggregate row per partition.
+
+    Both the numerator (CASE-gated) and denominator accumulate in the
+    repo's exact decimal sum, so the one float division + round at
+    the end is the only place a double appears — the ratio is
+    accumulation-order-independent on both engines.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * dec_sum(promo) / dec_sum(rev), 6
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q4_shape",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: order-priority checking — count one quarter's orders
+    that had at least one line shipped more than 60 days after the
+    order date (the fixture's stand-in for Q4's commitdate <
+    receiptdate, which the fixture lineitem does not carry).
+
+    EXISTS compiles to a LEFT SEMI join: equi on the orderkey (the
+    one fact-fact shuffle, co-locatable by bucketing at scale) with
+    the date comparison riding the join as an extra condition —
+    never a second shuffle, never row multiplication (semi
+    short-circuits on first match, so a 7-line order costs one probe
+    hit). The quarter filter prunes the orders scan; the ≤5-row
+    priority aggregate is map-side-partial fed.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q_tpch_q19_shape",
+    oracle=f"""
+    SELECT {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: discounted-revenue under a disjunction of
+    (brand, size-band, quantity-band) conjuncts — the classic
+    OR-of-ANDs predicate that defeats naive pushdown.
+
+    What Catalyst does with it (and why this is the scale-safe
+    declaration): each disjunct mixes part-side and lineitem-side
+    columns, so the predicate as written can only be evaluated after
+    the join — but the optimizer derives the per-side implications
+    (``p_brand IN (...) AND p_size <= 15`` onto the part scan,
+    ``l_quantity BETWEEN 1 AND 30`` onto the lineitem scan) and
+    pushes THOSE into the parquet readers, shrinking the broadcast
+    build side and the probe stream before the join; the full
+    disjunction then runs as the join's residual filter. One
+    broadcast join, one single-row aggregate, exact decimal revenue.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
