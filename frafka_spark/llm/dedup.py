@@ -1161,3 +1161,63 @@ def q_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(containment, 4).alias("containment"),
         F.round(jaccard, 4).alias("jaccard"),
     )
+
+
+@query(
+    "q_llm_dedup_report",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, source, n_chars, md5(text) AS dg
+        FROM documents
+    ),
+    keepers AS (
+        SELECT dg, min(doc_id) AS keep_id FROM hashed GROUP BY dg
+    )
+    SELECT h.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN h.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dups,
+           round(CAST(sum(CASE WHEN h.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*), 4) AS dup_rate,
+           CAST(sum(CASE WHEN h.doc_id <> k.keep_id THEN h.n_chars
+                    ELSE 0 END) AS BIGINT) AS dup_chars
+    FROM hashed h JOIN keepers k USING (dg)
+    GROUP BY h.source
+    """,
+)
+def q_llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate audit: how many of each source's
+    docs are non-canonical copies (same md5 content, not the min-id
+    keeper), and how many chars of storage they waste — the report a
+    curation pipeline reads to decide which crawls/sources to demote
+    BEFORE spending near-dup compute on them.
+
+    Composition of the declared exact-dedup primitive with a grouped
+    rollup: one digest shuffle to elect keepers (min-id, the
+    ``q_llm_dedup_exact`` rule), one join back keyed on the digest —
+    co-partitioned with the keeper aggregate so AQE reuses the
+    exchange — then a ≤sources-row aggregate fed by map-side
+    partials. Counters are exact integers; the single rate division
+    rounds once.
+    """
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("dg")
+    )
+    keepers = hashed.groupBy("dg").agg(F.min("doc_id").alias("keep_id"))
+    is_dup = (F.col("doc_id") != F.col("keep_id")).cast("long")
+    return (
+        hashed.join(keepers, "dg")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(is_dup).alias("n_dups"),
+            F.round(
+                F.sum(is_dup).cast("double") / F.count("*"), 4
+            ).alias("dup_rate"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("keep_id"), F.col("n_chars"))
+                .otherwise(F.lit(0))
+            ).alias("dup_chars"),
+        )
+    )

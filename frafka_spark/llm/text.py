@@ -1114,3 +1114,122 @@ def q_llm_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "q_llm_dup_shingle_frac",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS total_3g,
+           CAST(CASE WHEN len(ws) >= 3 THEN len(list_distinct(
+               [concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                for i in generate_series(1, len(ws) - 2)]))
+               ELSE 0 END AS BIGINT) AS uniq_3g,
+           CASE WHEN len(ws) >= 3 THEN
+               round(1.0 - CAST(len(list_distinct(
+                   [concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                    for i in generate_series(1, len(ws) - 2)])) AS DOUBLE)
+                   / (len(ws) - 2), 4)
+           END AS dup_frac
+    FROM t
+    """,
+)
+def q_llm_dup_shingle_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated 3-gram fraction — the Gopher-style
+    repetition signal (`dup_frac` = share of a doc's word trigrams
+    that are repeats of an earlier trigram): high values flag
+    boilerplate loops and degenerate generations that per-word
+    repetition (``q_llm_repetition``) underestimates because the
+    repeating unit is a phrase, not a word.
+
+    Pure projection — the trigram list, its distinct count, and the
+    ratio all evaluate inside one codegen'd stage per row; no
+    explode, no shuffle, no state. At 100 TB this runs at scan
+    speed and composes with any filter pushdown. Docs under 3 words
+    report 0 trigrams and a NULL fraction (no denominator) on both
+    engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 2),
+        lambda i: F.concat_ws(" ", F.slice("ws", i, 3)),
+    )
+    return (
+        d.select("doc_id", "source", ws.alias("ws"))
+        .select(
+            "doc_id",
+            "source",
+            F.greatest(F.size("ws") - 2, F.lit(0))
+            .cast("bigint")
+            .alias("total_3g"),
+            F.when(F.size("ws") >= 3, F.size(F.array_distinct(tri)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("uniq_3g"),
+            F.when(
+                F.size("ws") >= 3,
+                F.round(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(tri)).cast("double")
+                    / (F.size("ws") - 2),
+                    4,
+                ),
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "q_llm_length_deciles",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM documents
+    )
+    SELECT CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM ranked
+    GROUP BY decile
+    """,
+)
+def q_llm_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth document-length deciles — the length-distribution
+    audit (bucket boundaries + char mass per bucket) a pipeline runs
+    before choosing chunking and packing parameters.
+
+    The decile is derived arithmetically from a global rank —
+    ``(rn−1)·10 ÷ n + 1``, the same closed form on both engines, so
+    bucket membership is deterministic (rank ties broken by doc_id)
+    and never depends on either engine's NTILE remainder policy.
+    The rank itself comes from the repo's range-partitioned
+    row-number helper: no single-task global sort — rows range-
+    partition on (n_chars, doc_id), rank locally, and reconcile
+    through a cluster-width-bounded offset table; the decile
+    aggregate is then a ≤10-row hash agg fed by map-side partials.
+    """
+    from frafka_spark.operators.windows import range_partitioned_row_number
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = range_partitioned_row_number(
+        d, [F.col("n_chars").asc(), F.col("doc_id").asc()], out="rn", total="n"
+    )
+    decile = ((F.col("rn") - 1) * 10 / F.col("n")).cast("bigint") + 1
+    return (
+        ranked.groupBy(decile.alias("decile"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -1020,3 +1020,92 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q_events_anomaly_mad",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+               count(*) AS n
+        FROM events GROUP BY event_type, hr
+    ),
+    med AS (
+        SELECT event_type, median(n) AS med FROM hourly GROUP BY event_type
+    ),
+    dev AS (
+        SELECT h.event_type, h.hr, h.n, m.med,
+               abs(CAST(h.n AS DOUBLE) - m.med) AS adev
+        FROM hourly h JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.hr,
+           CAST(d.n AS BIGINT) AS n_events,
+           round(d.med, 4) AS med,
+           round(m.mad, 4) AS mad,
+           CASE WHEN m.mad > 0 THEN
+               round(0.6745 * (CAST(d.n AS DOUBLE) - d.med) / m.mad, 4) + 0.0
+           END AS modified_z,
+           coalesce(abs(0.6745 * (CAST(d.n AS DOUBLE) - d.med) / m.mad) > 3.5
+                    AND m.mad > 0, FALSE) AS is_anomaly
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) volume-anomaly twin of ``q_events_anomaly``:
+    the modified z-score ``0.6745·(n − median)/MAD`` per event type —
+    the estimator of choice when the baseline itself contains the
+    outliers a mean/stddev z-score would absorb (one crawler-outage
+    hour inflates a stddev by orders of magnitude; it moves a median
+    by at most one rank).
+
+    Determinism: the inputs to every median are exact integers
+    (hourly counts) or exact half-integers (|n − median| where the
+    median of integers interpolates at most one half) — both engines'
+    rank-interpolated median then lands on the same double, and the
+    final score is one shared double expression rounded once
+    (signed zero normalized). Scale shape: events collapse to
+    (type, hour) counts first (map-side partials; cardinality is
+    calendar-bounded), then two tiny per-type aggregates join back —
+    no window over the raw stream, no collect.
+    """
+    from frafka_spark.functions.determinism import round_z
+
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            (F.unix_micros(F.date_trunc("hour", "ts")) / 3_600_000_000)
+            .cast("bigint")
+            .alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    med = hourly.groupBy("event_type").agg(F.median("n").alias("med"))
+    dev = hourly.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("n").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    mz_raw = (
+        F.lit(0.6745)
+        * (F.col("n").cast("double") - F.col("med"))
+        / F.col("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .select(
+            "event_type",
+            "hr",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            F.when(F.col("mad") > 0, round_z(mz_raw, 4)).alias("modified_z"),
+            F.coalesce(
+                (F.abs(mz_raw) > 3.5) & (F.col("mad") > 0), F.lit(False)
+            ).alias("is_anomaly"),
+        )
+    )
