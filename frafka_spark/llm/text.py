@@ -10,7 +10,7 @@ the DuckDB oracle so the two can never drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frafka_spark.functions.determinism import sql_dec_avg
@@ -1081,10 +1081,15 @@ def q_llm_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression, so round(·,4) hash-matches (the ``q_llm_entropy``
     ln-parity precedent).
     """
-    from frafka_spark.llm.dedup import _words
-
     d = table(spark, sf_dir, "documents")
-    words = _words(spark, sf_dir).select("doc_id", "word").distinct()
+    # Per-doc distinct INSIDE the projection (array_distinct before
+    # the explode) — the corpus-wide `.distinct()` this replaces
+    # shuffled every token; deduping within the row costs zero
+    # exchanges and is exactly what the oracle's list_distinct does.
+    words = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+    )
     dfreq = words.groupBy("word").agg(F.count("*").alias("df"))
     vocab = dfreq.orderBy(F.col("df").desc(), F.col("word").asc()).limit(30)
     wv = words.join(F.broadcast(vocab), "word")
@@ -1233,3 +1238,59 @@ def q_llm_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+def _lang_confusion_oracle() -> str:
+    # Wrap the registered q_llm_lang_id oracle as a CTE so the two
+    # declarations can never drift: the confusion matrix is BY
+    # CONSTRUCTION an aggregate of the classifier's own output.
+    from frafka_spark.registry import QUERIES
+
+    return f"""
+    WITH pred AS ({QUERIES['q_llm_lang_id'].oracle})
+    SELECT lang, predicted_lang,
+           count(*) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY lang), 4) AS frac_of_true
+    FROM pred
+    GROUP BY lang, predicted_lang
+    """
+
+
+@query("q_llm_lang_confusion", oracle=None)
+def q_llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: true label × predicted label with
+    per-true-language recall shares — the classifier-evaluation
+    rollup run after ``q_llm_lang_id`` to decide whether the
+    heuristic is trustworthy enough to route documents by.
+
+    Composes the DECLARED classifier (calls the registered query
+    function — one source of truth for the scoring logic) with a
+    ≤langs²-row aggregate; the normalizing window runs over that tiny
+    frame. The oracle is the registered ``q_llm_lang_id`` oracle
+    wrapped as a CTE, so Spark plan and oracle SQL both derive from
+    the same single definitions and cannot drift.
+    """
+    pred = q_llm_lang_id(spark, sf_dir)
+    w = Window.partitionBy("lang")
+    return (
+        pred.groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "lang",
+            "predicted_lang",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(w), 4
+            ).alias("frac_of_true"),
+        )
+    )
+
+
+# Late-bind the composed oracle (the decorator registered the query
+# with oracle=None before q_llm_lang_id's spec was guaranteed to be
+# importable here; binding after definition keeps one source of truth).
+from frafka_spark.registry import QUERIES as _Q  # noqa: E402
+
+_Q["q_llm_lang_confusion"].oracle = _lang_confusion_oracle()
+del _Q

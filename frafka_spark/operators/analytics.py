@@ -1109,3 +1109,122 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "q_events_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type, count(*) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+    FROM pairs
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: P(next event type | current event type) — the
+    behavioral-model / next-action-prediction primitive, and the
+    sanity check a sessionization pipeline runs (a transition that
+    "can't happen" showing mass = instrumentation bug).
+
+    Per-user ``lag`` runs under a (user_id)-partitioned window —
+    distributed state, ordered by (ts, event_id) so ties are
+    deterministic; the stream then collapses to a ≤types² pair count
+    (map-side partials). The normalizing row-sum window runs over
+    that ≤types²-row frame — trivially small at any event volume.
+    The probability is one exact-integer division rounded once.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_norm), 4
+        ).alias("p"),
+    )
+
+
+@query(
+    "q_events_winsorize",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN e.value < c.p01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_low,
+           CAST(sum(CASE WHEN e.value > c.p99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_high,
+           {sql_dec_avg('e.value')} AS mean_raw,
+           {sql_dec_avg('least(greatest(e.value, c.p01), c.p99)')}
+               AS mean_winsorized
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized means: clip each event type's values at its own
+    [p01, p99] and report the clipped-tail counts plus the mean
+    before/after — the outlier-robust preprocessing step (sensor
+    glitches, retry storms) run before any mean-based KPI is trusted.
+
+    Two aggregates over the same hash layout: the per-type cut points
+    (exact interpolated percentiles — the ``q_agg_percentile``
+    cross-engine parity), joined back on event_type (co-partitioned
+    with the first aggregate's output — AQE reuses the exchange; at
+    fixture scale the 3-row cuts side may broadcast, a data-driven
+    downgrade that's also fine), then the winsorized re-aggregate.
+    ``least(greatest(v,p01),p99)`` is pure double comparison — no
+    arithmetic, so no new float error — and both means accumulate in
+    the exact decimal sum.
+    """
+    e = table(spark, sf_dir, "events")
+    cuts = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        e.join(cuts, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value") < F.col("p01")).cast("long")).alias(
+                "n_clip_low"
+            ),
+            F.sum((F.col("value") > F.col("p99")).cast("long")).alias(
+                "n_clip_high"
+            ),
+            dec_avg("value", "mean_raw"),
+            dec_avg(clipped, "mean_winsorized"),
+        )
+    )

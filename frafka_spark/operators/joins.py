@@ -537,3 +537,95 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 4).alias("next_price"),
         )
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH cand AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+               abs(datediff('day', CAST(e.ts AS DATE), o.o_orderdate))
+                   AS gap_days,
+               CASE WHEN o.o_orderdate <= CAST(e.ts AS DATE)
+                    THEN 0 ELSE 1 END AS dir,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY abs(datediff('day', CAST(e.ts AS DATE),
+                                         o.o_orderdate)) ASC NULLS LAST,
+                            CASE WHEN o.o_orderdate <= CAST(e.ts AS DATE)
+                                 THEN 0 ELSE 1 END ASC NULLS LAST,
+                            o.o_orderkey ASC NULLS LAST
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o ON o.o_custkey = e.user_id
+    )
+    SELECT event_id, user_id,
+           o_orderkey AS nearest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS nearest_date,
+           CAST(gap_days AS BIGINT) AS gap_days,
+           CASE dir WHEN 0 THEN 'backward' WHEN 1 THEN 'forward' END
+               AS direction
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: the order closest in time to each event in
+    EITHER direction — pandas ``merge_asof(direction='nearest')`` —
+    completing the as-of family (backward ``q_join_asof``, forward
+    ``q_join_asof_forward``).
+
+    Same packed-extremum discipline as its siblings, with the
+    ordering encoded in one bigint: ``(gap_days << 45) | (dir << 44)
+    | orderkey`` — ``min`` picks the smallest gap, prefers backward
+    on an exact-tie gap (dir bit: at-or-before = 0), then the
+    smallest orderkey; a struct/min_by would fall back to
+    SortAggregate and sort every candidate. Bit budget: gap ≤ ~2ⁱ⁸
+    days (718 years), dir 1 bit, orderkey < 2⁴⁴ — no collision while
+    the packed value stays under 2⁶³. The per-event aggregate folds
+    map-side (8 bytes per event per partition crosses the wire), and
+    payload columns return via a broadcast join-back on the decoded
+    orderkey, so the candidate expansion itself is never shuffled.
+    Events whose user has no orders keep NULLs through the decode.
+    """
+    sc = spark.sparkContext
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .repartition(sc.defaultParallelism, "user_id")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    cand = e.join(F.broadcast(o), F.col("o_custkey") == F.col("user_id"), "left")
+    gap = F.abs(F.datediff(F.col("o_orderdate"), F.col("ts").cast("date")))
+    direction = F.when(
+        F.col("o_orderdate") <= F.col("ts").cast("date"), F.lit(0)
+    ).otherwise(F.lit(1))
+    packed = (
+        F.shiftleft(gap.cast("bigint"), 45)
+        + F.shiftleft(direction.cast("bigint"), 44)
+        + F.col("o_orderkey")
+    )
+    best = cand.groupBy("event_id", "user_id").agg(F.min(packed).alias("pk"))
+    payload = o.select(
+        F.col("o_orderkey").alias("nearest_orderkey"),
+        F.col("o_orderdate").alias("nearest_dt"),
+    )
+    return (
+        best.withColumn(
+            "nearest_orderkey", F.col("pk").bitwiseAND(F.lit((1 << 44) - 1))
+        )
+        .join(F.broadcast(payload), "nearest_orderkey", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "nearest_orderkey",
+            F.date_format("nearest_dt", "yyyy-MM-dd").alias("nearest_date"),
+            F.shiftright("pk", 45).cast("bigint").alias("gap_days"),
+            F.when(
+                F.shiftright("pk", 44).bitwiseAND(F.lit(1)) == 0, "backward"
+            )
+            .when(F.shiftright("pk", 44).bitwiseAND(F.lit(1)) == 1, "forward")
+            .alias("direction"),
+        )
+    )

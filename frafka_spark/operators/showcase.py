@@ -412,3 +412,82 @@ def q_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@query(
+    "q_tpch_q7_shape",
+    oracle=f"""
+    SELECT n1.n_name AS cust_nation,
+           n2.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY cust_nation, supp_nation, l_year
+    """,
+)
+def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: volume shipping between two trading nations, by
+    direction and ship year — the bidirectional-pair filter whose
+    disjunction spans the customer side AND the supplier side of the
+    same lineitem row.
+
+    Scale plan: both nation filters prune their dim scans to one row
+    each; customer and supplier broadcast pre-filtered by their
+    nation semi-join (the broadcast join against a 1-nation dim
+    drops most of each dim before the fact sees it — at 100 TB the
+    fact rows for other nations' customers/suppliers die at the
+    first two broadcast probes). The only shuffle is the
+    orders⋈lineitem fact-fact orderkey join; the
+    (nation, nation, year) aggregate is a handful of rows fed by
+    map-side partials. The OR-of-pairs residual evaluates after both
+    broadcast joins — no second fact shuffle, mirroring the
+    ``q_tpch_q19_shape`` disjunction discipline.
+    """
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .select("c_custkey", "cust_nation")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | (
+        (F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
