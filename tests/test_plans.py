@@ -351,3 +351,66 @@ def test_range_frame_scaled_has_no_enum_partition_window(spark):
     for part, order in specs:
         if "o_orderpriority" in part and "_pid" not in part:
             assert "o_totalprice" not in order, (part, order)
+
+
+def test_q19_derived_predicates_reach_both_scans(spark):
+    """q_tpch_q19_shape: the OR-of-ANDs predicate itself can only run
+    post-join, but Catalyst must push the derived per-side
+    implications into BOTH parquet readers — a lineitem scan without
+    a quantity filter would stream the whole fact at 100 TB."""
+    pushed = pushed_filters(_df(spark, "q_tpch_q19_shape"))
+    joined = " | ".join(pushed)
+    assert "l_quantity" in joined, pushed
+    assert "p_brand" in joined or "p_size" in joined, pushed
+
+
+def test_asof_nearest_packed_min_stays_hash_aggregate(spark):
+    """q_join_asof_nearest: the packed-bigint min must plan as
+    HashAggregate with a partial — a SortAggregate would sort every
+    (event × order) candidate inside each partition."""
+    plan = _plan(spark, "q_join_asof_nearest")
+    assert "SortAggregate" not in plan, plan[:1500]
+    # partial_min proves the mutable-buffer hash path; there is no
+    # Exchange between partial and final because the probe side is
+    # already hash-partitioned on user_id, which clusters the
+    # (event_id, user_id) groups — the aggregate rides the existing
+    # layout instead of shuffling (the stronger property).
+    assert "partial_min" in plan, plan[:1500]
+
+
+def test_length_deciles_no_single_task_global_window(spark):
+    """q_llm_length_deciles: the global rank must ride the range-
+    partitioned helper — no window spec with an EMPTY partition list
+    ordered by n_chars (the single-task global sort) may appear."""
+    import re
+
+    plan = (
+        QUERIES["q_llm_length_deciles"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan)
+    for part, order in specs:
+        if "n_chars" in order:
+            assert "_pid" in part, (part, order)
+
+
+def test_ohlc_is_single_hash_aggregate(spark):
+    """q_events_ohlc: min_by/max_by over the packed decimal tie key
+    must stay one hash aggregate pass over events — no window, no
+    sort, no join."""
+    plan = _plan(spark, "q_events_ohlc")
+    assert "Window" not in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_dup_shingle_frac_is_pure_projection(spark):
+    """q_llm_dup_shingle_frac: the trigram repetition score is a
+    per-row expression — any Exchange in its plan means the
+    formulation regressed to an explode+aggregate."""
+    plan = _plan(spark, "q_llm_dup_shingle_frac")
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Generate" not in plan  # no explode
