@@ -1294,3 +1294,48 @@ from frafka_spark.registry import QUERIES as _Q  # noqa: E402
 
 _Q["q_llm_lang_confusion"].oracle = _lang_confusion_oracle()
 del _Q
+
+
+@query("q_llm_keywords", oracle=None)
+def q_llm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 TF-IDF terms of each
+    doc — the "what is this document about" primitive behind search
+    snippets, topic tagging, and cluster labeling.
+
+    Composes the DECLARED ``q_llm_tfidf`` relation (one source of
+    truth, Spark fn and oracle both wrapped) with a per-doc top-k:
+    ``row_number`` under a doc_id-partitioned window ordered by
+    (tf_idf DESC, word ASC) — the rounded score can tie, the word
+    tiebreak makes rank 1-3 deterministic. The window partitions on
+    doc_id (millions of small groups — distributed state, no
+    single-task sort); at 100 TB this is the standard
+    top-k-per-group shape ``q_topk_per_group`` already pins.
+    """
+    tfidf = q_llm_tfidf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf_idf").desc(), F.col("word").asc()
+    )
+    return (
+        tfidf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "word", "tf_idf")
+    )
+
+
+# Late-bind the composed oracle from the registered q_llm_tfidf spec
+# (same zero-drift trick as q_llm_lang_confusion).
+from frafka_spark.registry import QUERIES as _QK  # noqa: E402
+
+_QK["q_llm_keywords"].oracle = f"""
+    WITH tfidf AS ({_QK['q_llm_tfidf'].oracle})
+    SELECT doc_id, CAST(rank AS INT) AS rank, word, tf_idf
+    FROM (
+        SELECT doc_id, word, tf_idf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tf_idf DESC, word ASC
+               ) AS rank
+        FROM tfidf
+    )
+    WHERE rank <= 3
+"""
+del _QK

@@ -696,3 +696,44 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_z(m3 / F.pow(m2, 1.5), 6).alias("skewness_pop"),
         round_z(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis_pop"),
     )
+
+
+@query(
+    "q_agg_string_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           string_agg(DISTINCT l_shipmode_proxy, ','
+                      ORDER BY l_shipmode_proxy) AS modes,
+           count(*) AS n
+    FROM (SELECT l_returnflag, l_linestatus,
+                 concat('P', CAST(l_linenumber AS VARCHAR))
+                     AS l_shipmode_proxy
+          FROM lineitem)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg) — collapsing
+    a group's distinct values into one delimited string, the report /
+    export shape every BI layer asks for.
+
+    Determinism rule: an unordered string_agg is engine-arbitrary, so
+    BOTH sides aggregate DISTINCT values in explicit lexicographic
+    order — Spark as ``array_join(array_sort(collect_set(...)))``
+    (collect_set's order never matters because array_sort rebuilds
+    it), DuckDB as ``string_agg(DISTINCT ... ORDER BY ...)``. The
+    distinct set per group is bounded by the value domain (7 line
+    numbers here), so the aggregation buffer stays small at any fact
+    volume — the caveat a user must know is that an UNBOUNDED-domain
+    string_agg concentrates a group's whole payload into one row.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    proxy = F.concat(F.lit("P"), F.col("l_linenumber").cast("string"))
+    return (
+        li.select("l_returnflag", "l_linestatus", proxy.alias("m"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("m")), ",").alias("modes"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -491,3 +491,123 @@ def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@query(
+    "q_tpch_q8_shape",
+    oracle=f"""
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    )
+    SELECT o_year,
+           round({sql_dec_sum(
+               "CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END"
+           )} / {sql_dec_sum('volume')}, 6) AS mkt_share,
+           count(*) AS n_rows
+    FROM vol
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: national market share — NATION_3 suppliers' slice of
+    STANDARD-part volume sold to ASIA customers, by order year. The
+    widest dim fan in the suite (7 tables), with the numerator gated
+    on a dim attribute (supplier nation) and the denominator over the
+    whole filtered volume.
+
+    Scale plan: region→nation→customer is a broadcast snowflake that
+    prunes the customer dim before the fact probe; part's type filter
+    prunes its broadcast build; supplier⋈nation broadcasts unpruned
+    (the CASE needs every supplier's nation). The only shuffle is
+    orders⋈lineitem on the orderkey; the per-year share divides two
+    exact decimal sums once.
+    """
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey")
+    ).select("c_custkey")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey")
+    ).select("s_suppkey", "supp_nation")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    gated = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(dec_sum(gated) / dec_sum(vol), 6).alias("mkt_share"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q11_shape",
+    oracle=f"""
+    WITH by_supp AS (
+        SELECT l_suppkey,
+               {sql_dec_sum('l_extendedprice * (1 - l_discount)')} AS value
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT {sql_dec_sum('l_extendedprice * (1 - l_discount)')}
+            AS total FROM lineitem)
+    SELECT b.l_suppkey, b.value,
+           round(b.value / t.total, 6) AS share
+    FROM by_supp b, tot t
+    WHERE b.value > 0.0015 * t.total
+    """,
+)
+def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: important stock — suppliers whose revenue exceeds a
+    fraction of the GLOBAL total (the having-against-a-scalar-subquery
+    pattern; the fixture has no partsupp, so supplier revenue from
+    lineitem stands in for stock value).
+
+    The scale question Q11 poses is how the global total meets the
+    per-supplier rows: here both aggregates reduce the same scan
+    (Catalyst reuses the cached fixture relation), the one-row total
+    cross-joins back as a broadcast — O(1) bytes, never a shuffle of
+    the supplier relation — and the threshold evaluates as a
+    projection-level filter. Exact decimal sums on both sides make
+    the share and the cut deterministic; values straddling the
+    threshold cannot flip engine-to-engine because both compare the
+    identical doubles.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    by_supp = li.groupBy("l_suppkey").agg(dec_sum(rev, "value"))
+    tot = li.agg(dec_sum(rev, "total"))
+    return (
+        by_supp.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > 0.0015 * F.col("total"))
+        .select(
+            "l_suppkey",
+            "value",
+            F.round(F.col("value") / F.col("total"), 6).alias("share"),
+        )
+    )
