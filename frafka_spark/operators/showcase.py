@@ -611,3 +611,120 @@ def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") / F.col("total"), 6).alias("share"),
         )
     )
+
+
+@query(
+    "q_tpch_q13_shape",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: customer order-count distribution — how many
+    customers placed 0, 1, 2, … non-urgent orders. The double
+    aggregate whose first level MUST be a left outer join (an inner
+    join silently drops the zero-order customers, the bar Q13
+    exists to test), with a join-condition filter (not a WHERE —
+    a WHERE on the right side would turn the outer join inner).
+
+    Scale: the customer⋈orders join shuffles on custkey (both sides
+    unbounded — no broadcast), count(o_orderkey) ignores the NULLs
+    the outer join manufactures, and the second aggregate collapses
+    to ≤ max-orders-per-customer rows with map-side partials. AQE
+    may size-broadcast the fixture's customer side at runtime — a
+    data-driven call that reverses itself at 100 TB.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q_tpch_q22_shape",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100 / count(*) AS ab
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           count(*) AS numcust,
+           CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100 AS totacctbal
+    FROM customer c, avg_bal a
+    WHERE c.c_acctbal > a.ab
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: global-sales-opportunity — customers with no
+    URGENT orders but an above-average account balance, grouped by
+    nation (the fixture's stand-in for Q22's phone-prefix country
+    code; "no urgent orders" stands in for "no orders", which is
+    empty at fixture scale and would make the check vacuous). Combines
+    the two subquery forms Q22 exists to test: a scalar aggregate
+    subquery feeding an inequality, and NOT EXISTS compiled to a
+    LEFT ANTI join.
+
+    Scale: the positive-balance average is one broadcast row; the
+    anti join shuffles on custkey (or runs bloom-pruned under AQE) —
+    never row-multiplying, short-circuiting per probe; the nation
+    aggregate is ≤25 rows. Balance totals sum exactly: integer cents
+    (the fixture's balances are 2-decimal) in BIGINT, recombined by
+    one division — the same value DuckDB's identical expression
+    produces, accumulation-order-free.
+    """
+    c = table(spark, sf_dir, "customer")
+    # The average feeds an inequality: derive it from exact integer
+    # cents so both engines compare the identical double — a plain
+    # avg() differs at the last ulp with accumulation order, and a
+    # balance sitting exactly on the boundary would then flip.
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum((F.col("c_acctbal") * 100).cast("bigint")).cast("double")
+            / 100
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(cents).cast("double") / 100).alias("totacctbal"),
+        )
+    )
