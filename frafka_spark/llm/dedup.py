@@ -239,26 +239,24 @@ _NEAR_SQL_BODY = f"""
 """
 
 
-def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
-    """MinHash→band→verify over any (doc_id, sh) relation (the Spark
-    twin of ``_NEAR_SQL_BODY``)."""
-    # All 8 minhashes in ONE hash-aggregate (8 min() columns over the
-    # shingle rows) — a single shuffle on doc_id. The hash family is
-    # 16-bit slices of the shingle's md5 (positions 4i..4i+4 of the
-    # hex): valid independent-enough minhash functions with ZERO
-    # hashing beyond the digest the shingle id already is (the
-    # md5(seed|shingle)-per-seed variant costs 8× the hashing for the
-    # same LSH behavior). Each lane converts hex → int BEFORE the
-    # min: a string min() has no mutable hash-agg buffer and forces
-    # SortAggregate — sorting every shingle row per partition — while
-    # the int min stays in HashAggregate with map-side partial fold.
-    # Fixed-width lowercase hex compares identically as a number, so
-    # each lane's min (and therefore every LSH bucket) is the same
-    # value the oracle's string min picks, just base-10: band keys
-    # differ textually from DuckDB's but partition candidates
-    # IDENTICALLY (base conversion is injective), and signatures
-    # never appear in the output contract.
-    minhash = sh.groupBy("doc_id").agg(
+def _minhash_wide(sh: DataFrame) -> DataFrame:
+    """All 8 minhash lanes in ONE hash-aggregate (8 min() columns over
+    the shingle rows) — a single shuffle on doc_id. The hash family is
+    16-bit slices of the shingle's md5 (positions 4i..4i+4 of the
+    hex): valid independent-enough minhash functions with ZERO
+    hashing beyond the digest the shingle id already is (the
+    md5(seed|shingle)-per-seed variant costs 8× the hashing for the
+    same LSH behavior). Each lane converts hex → int BEFORE the
+    min: a string min() has no mutable hash-agg buffer and forces
+    SortAggregate — sorting every shingle row per partition — while
+    the int min stays in HashAggregate with map-side partial fold.
+    Fixed-width lowercase hex compares identically as a number, so
+    each lane's min (and therefore every LSH bucket) is the same
+    value the oracle's string min picks, just base-10: band keys
+    differ textually from DuckDB's but partition candidates
+    IDENTICALLY (base conversion is injective), and signatures
+    never appear in the output contract."""
+    return sh.groupBy("doc_id").agg(
         *[
             F.min(
                 F.conv(F.substring("sh", seed * 4 + 1, 4), 16, 10).cast("int")
@@ -266,6 +264,12 @@ def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
             for seed in range(N_MINHASH)
         ]
     )
+
+
+def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
+    """MinHash→band→verify over any (doc_id, sh) relation (the Spark
+    twin of ``_NEAR_SQL_BODY``)."""
+    minhash = _minhash_wide(sh)
     band_cols = [
         F.concat_ws(
             "|", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
@@ -1221,3 +1225,80 @@ def q_llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_chars"),
         )
     )
+
+
+def _minhash_audit_oracle() -> str:
+    # Split the shared near-dup SQL body at its final SELECT so the
+    # near output becomes a CTE the audit can join against — the
+    # pipeline under audit IS the declared pipeline, by construction.
+    ctes, final = _NEAR_SQL_BODY.rsplit("SELECT v.doc_a", 1)
+    return f"""
+    WITH shingles AS ({_shingle_sql()}),
+    {ctes},
+    near AS (SELECT v.doc_a{final}),
+    agree AS (
+        SELECT n.doc_a, n.doc_b, n.jaccard,
+               count(*) FILTER (ma.mh = mb.mh) AS n_agree
+        FROM near n
+        JOIN minhash ma ON ma.doc_id = n.doc_a
+        JOIN minhash mb ON mb.doc_id = n.doc_b AND mb.seed = ma.seed
+        GROUP BY n.doc_a, n.doc_b, n.jaccard
+    )
+    SELECT doc_a, doc_b,
+           jaccard AS exact_jaccard,
+           round(CAST(n_agree AS DOUBLE) / {N_MINHASH}, 4) AS est_jaccard,
+           round(abs(CAST(n_agree AS DOUBLE) / {N_MINHASH} - jaccard), 4)
+               AS abs_err
+    FROM agree
+    """
+
+
+@query("q_llm_dedup_est_audit", oracle=None)
+def q_llm_dedup_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every detected near-dup pair, the
+    8-lane MinHash agreement estimate of Jaccard vs the exact Jaccard
+    the verifier computed, plus the absolute estimation error — the
+    report that justifies (or indicts) the sketch width before anyone
+    trusts banding thresholds at 100 TB.
+
+    Composes the DECLARED near-dup pipeline (both engines re-derive
+    the pairs from the same shared definitions) with one more
+    aggregate over the minhash lanes of just those pairs. Lane
+    agreement is an integer count; the estimate is an exact eighth
+    (binary-exact doubles), so est, exact, and error all hash-match.
+    Scale: the audit joins only the DETECTED pairs (≪ corpus) against
+    the 8-row-per-doc signature relation — never all-pairs.
+    """
+    sh = _shingles(spark, sf_dir)
+    near = q_llm_dedup_near(spark, sf_dir)
+    mh = _minhash_wide(sh)
+    mh_a = mh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    mh_b = mh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    n_agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(N_MINHASH)
+    )
+    est = n_agree.cast("double") / N_MINHASH
+    return (
+        near.join(mh_a, "doc_a")
+        .join(mh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("jaccard").alias("exact_jaccard"),
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(F.abs(est - F.col("jaccard")), 4).alias("abs_err"),
+        )
+    )
+
+
+from frafka_spark.registry import QUERIES as _QA  # noqa: E402
+
+_QA["q_llm_dedup_est_audit"].oracle = _minhash_audit_oracle()
+del _QA
