@@ -355,3 +355,111 @@ def test_manifest_table_matches_multiset_model(spark, tmp_path_factory, ops):
             for r in mt.read_table(spark, path, version=version).collect()
         )
         assert got == expect, (version, ops)
+
+
+def test_ohlc_invariants(spark):
+    """q_events_ohlc: every bar satisfies low ≤ open ≤ high and
+    low ≤ close ≤ high, and bar counts sum to the event count."""
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    bars = QUERIES["q_events_ohlc"].fn(spark, SF_DIR).toPandas()
+    assert len(bars) > 0
+    assert (bars["low"] <= bars["high"]).all()
+    assert ((bars["open"] >= bars["low"]) & (bars["open"] <= bars["high"])).all()
+    assert ((bars["close"] >= bars["low"]) & (bars["close"] <= bars["high"])).all()
+    from frafka_spark.io import table
+
+    assert bars["n_events"].sum() == table(spark, SF_DIR, "events").count()
+
+
+def test_length_deciles_partition_the_corpus(spark):
+    """q_llm_length_deciles: ten buckets, counts sum to the corpus,
+    bucket sizes equal within 1, and char ranges are non-overlapping
+    in decile order."""
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    d = (
+        QUERIES["q_llm_length_deciles"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    assert list(d["decile"]) == list(range(1, 11))
+    from frafka_spark.io import table
+
+    n = table(spark, SF_DIR, "documents").count()
+    assert d["n_docs"].sum() == n
+    assert d["n_docs"].max() - d["n_docs"].min() <= 1
+    # equi-depth: a later decile's min never undercuts an earlier max
+    assert (d["min_chars"][1:].values >= d["max_chars"][:-1].values).all()
+
+
+def test_transition_probabilities_normalize(spark):
+    """q_events_transitions: outgoing probabilities per prev_type sum
+    to ~1 (rounding slack), counts are positive."""
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    t = QUERIES["q_events_transitions"].fn(spark, SF_DIR).toPandas()
+    assert (t["n"] > 0).all()
+    sums = t.groupby("prev_type")["p"].sum()
+    assert ((sums - 1.0).abs() < 1e-2).all(), sums
+    # every observed event type appears as a source (all users have
+    # long streams at this sf, so no type is terminal-only)
+    assert set(t["prev_type"]) == set(t["event_type"])
+
+
+def test_minhash_estimate_bounded_error(spark):
+    """q_llm_dedup_est_audit: the 8-lane estimate is a multiple of
+    1/8 in [0,1] and the audit covers exactly the declared near-dup
+    pairs."""
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    a = QUERIES["q_llm_dedup_est_audit"].fn(spark, SF_DIR).toPandas()
+    near = QUERIES["q_llm_dedup_near"].fn(spark, SF_DIR).toPandas()
+    assert len(a) == len(near) > 0
+    est8 = a["est_jaccard"] * 8
+    assert ((est8 - est8.round()).abs() < 1e-9).all()
+    assert ((a["est_jaccard"] >= 0) & (a["est_jaccard"] <= 1)).all()
+    # detected pairs passed the >=0.5 exact threshold; an 8-lane
+    # estimate of a >=0.5 pair can never read 0 agreements
+    assert (est8.round() >= 1).all()
+
+
+def test_shard_assignment_is_total_and_stable(spark):
+    """q_llm_shard: 16 shards cover the corpus exactly once; the
+    assignment of a given doc is reproducible (pure hash)."""
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    s = QUERIES["q_llm_shard"].fn(spark, SF_DIR).toPandas()
+    assert len(s) == 16
+    from frafka_spark.io import table
+
+    docs = table(spark, SF_DIR, "documents")
+    assert s["n_docs"].sum() == docs.count()
+    assert s["total_chars"].sum() == docs.agg(F.sum("n_chars")).collect()[0][0]
