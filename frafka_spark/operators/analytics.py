@@ -1228,3 +1228,151 @@ def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_avg(clipped, "mean_winsorized"),
         )
     )
+
+
+@query(
+    "q_events_funnel_latency",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t0
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t1
+        GROUP BY e.user_id
+    ),
+    gaps AS (
+        SELECT '1_view_to_click' AS step,
+               epoch_us(c.t1) - epoch_us(v.t0) AS gap_us
+        FROM v JOIN c USING (user_id)
+        UNION ALL
+        SELECT '2_click_to_purchase',
+               epoch_us(p.t2) - epoch_us(c.t1)
+        FROM c JOIN p USING (user_id)
+    )
+    SELECT step, count(*) AS n_users,
+           round(quantile_cont(gap_us, 0.5) / 1e6, 4) AS median_s,
+           round(quantile_cont(gap_us, 0.9) / 1e6, 4) AS p90_s
+    FROM gaps GROUP BY step
+    """,
+)
+def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step latency: how long converting users take between
+    stages (first view → first subsequent click → first subsequent
+    purchase), as median/p90 seconds per step — the companion to
+    ``q_events_funnel``'s conversion counts that tells you WHERE the
+    funnel is slow, not just where it leaks.
+
+    Reuses the funnel's per-user stage timestamps (same chained
+    min-aggregate state, same single user_id hash layout — no window
+    sort anywhere), diffs them as exact integer microseconds, and
+    rank-interpolates percentiles from those exact integers (the
+    ``q_events_inter_arrival`` cross-engine parity). Per-step state
+    is the step's gap list — bounded by converting users, not events.
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v, c, p = funnel_stages(e)
+    s1 = v.join(c, "user_id").select(
+        F.lit("1_view_to_click").alias("step"),
+        (F.unix_micros("_t1") - F.unix_micros("_t0")).alias("gap_us"),
+    )
+    s2 = c.join(p, "user_id").select(
+        F.lit("2_click_to_purchase").alias("step"),
+        (F.unix_micros("_t2") - F.unix_micros("_t1")).alias("gap_us"),
+    )
+    pcts = F.percentile("gap_us", F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        s1.unionByName(s2)
+        .groupBy("step")
+        .agg(F.count("*").alias("n_users"), pcts.alias("_p"))
+        .select(
+            "step",
+            "n_users",
+            F.round(F.col("_p")[0] / 1e6, 4).alias("median_s"),
+            F.round(F.col("_p")[1] / 1e6, 4).alias("p90_s"),
+        )
+    )
+
+
+@query(
+    "q_events_pareto",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT n,
+               row_number() OVER (ORDER BY n DESC, user_id ASC) AS rn,
+               count(*) OVER () AS n_users
+        FROM per_user
+    ),
+    deciles AS (
+        SELECT CAST((rn - 1) * 10 // n_users + 1 AS BIGINT) AS user_decile,
+               count(*) AS n_users,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM ranked GROUP BY user_decile
+    )
+    SELECT user_decile, n_users, n_events,
+           round(CAST(sum(n_events) OVER (
+                     ORDER BY user_decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE)
+                 / sum(n_events) OVER (), 4) AS cum_share
+    FROM deciles
+    """,
+)
+def q_events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration (Pareto curve): rank users by event
+    volume, bucket into deciles, report each decile's event mass and
+    the cumulative share — "the top 10% of users generate X% of
+    traffic", the skew diagnosis that decides whether per-user keys
+    need salting.
+
+    The rank comes from the range-partitioned row-number helper (no
+    single-task sort over the per-user relation, which at 100 TB is
+    itself large); the decile derives arithmetically from rank — the
+    ``q_llm_length_deciles`` closed form; the cumulative window then
+    runs over exactly 10 rows. Integer event counts make every share
+    one exact division, rounded once.
+    """
+    from frafka_spark.operators.windows import range_partitioned_row_number
+
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = range_partitioned_row_number(
+        per_user,
+        [F.col("n").desc(), F.col("user_id").asc()],
+        out="rn",
+        total="n_users",
+    )
+    decile = ((F.col("rn") - 1) * 10 / F.col("n_users")).cast("bigint") + 1
+    deciles = ranked.groupBy(decile.alias("user_decile")).agg(
+        F.count("*").alias("n_users"), F.sum("n").alias("n_events")
+    )
+    w_cum = Window.orderBy("user_decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("user_decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return deciles.select(
+        "user_decile",
+        "n_users",
+        "n_events",
+        F.round(
+            F.sum("n_events").over(w_cum).cast("double")
+            / F.sum("n_events").over(w_all),
+            4,
+        ).alias("cum_share"),
+    )
