@@ -1339,3 +1339,45 @@ _QK["q_llm_keywords"].oracle = f"""
     WHERE rank <= 3
 """
 del _QK
+
+
+N_HASH_BUCKETS = 16  # feature-hashing dimensionality (hex digit of md5)
+
+
+@query(
+    "q_llm_feature_hash",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef',
+                       substr(md5(word), 1, 1)) - 1 AS BIGINT) AS bucket,
+           count(*) AS weight
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    GROUP BY doc_id, bucket
+    """,
+)
+def q_llm_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick"): each document's
+    bag-of-words folded into a fixed {N_HASH_BUCKETS}-dimensional
+    sparse count vector by hashing words to buckets — the
+    vocabulary-free vectorizer used when a 100 TB corpus's true
+    vocabulary is unbounded (no dictionary to build, broadcast, or
+    keep consistent across runs).
+
+    The bucket is the first md5 hex digit of the word — deterministic
+    on any engine (DuckDB reads it via strpos on the hex alphabet,
+    Spark via base-16 conv; both injective on one digit). One
+    explode + one (doc, bucket) hash aggregate with map-side
+    partials; output rows are the sparse (doc, dim, weight) triples
+    downstream GEMM/IVF ops consume, bounded by docs × 16, never
+    vocabulary size.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5("word"), 1, 1), 16, 10
+    ).cast("bigint")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count("*").alias("weight"))
+    )
