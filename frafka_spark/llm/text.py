@@ -1381,3 +1381,69 @@ def q_llm_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", bucket.alias("bucket"))
         .agg(F.count("*").alias("weight"))
     )
+
+
+def _curate_report_oracle() -> str:
+    from frafka_spark.registry import QUERIES
+
+    return f"""
+    WITH verdicts AS ({QUERIES['q_llm_clean_pipeline'].oracle}),
+    docs AS (SELECT doc_id, source FROM documents)
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           round(CAST(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS keep_rate,
+           CAST(sum(CASE WHEN NOT v.lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_lang,
+           CAST(sum(CASE WHEN NOT v.len_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_len,
+           CAST(sum(CASE WHEN NOT v.quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_quality,
+           CAST(sum(CASE WHEN NOT v.is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_dedup
+    FROM verdicts v JOIN docs d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@query("q_llm_curate_report", oracle=None)
+def q_llm_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation yield report: per source, how many documents survive
+    the full cleaning pipeline and which gate rejects the rest — the
+    dashboard a data-curation team reads after every corpus refresh
+    (a source whose keep_rate collapses signals a crawler or format
+    regression; a dedup-dominated kill column signals mirror sites).
+
+    Composes the DECLARED ``q_llm_clean_pipeline`` verdicts (the
+    registered callable on the Spark side, its registered oracle as a
+    CTE on the DuckDB side — zero drift) with one ≤sources-row
+    aggregate joined back to the source column. Gate-failure counters
+    are independent (a doc can fail several), so columns need not sum
+    to rejects — the report reads each gate's kill pressure directly.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    v = q_llm_clean_pipeline(spark, sf_dir)
+    fail = lambda c: F.sum((~F.col(c)).cast("long"))  # noqa: E731
+    return (
+        v.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.round(
+                F.sum(F.col("keep").cast("long")).cast("double") / F.count("*"),
+                4,
+            ).alias("keep_rate"),
+            fail("lang_ok").alias("n_fail_lang"),
+            fail("len_ok").alias("n_fail_len"),
+            fail("quality_ok").alias("n_fail_quality"),
+            fail("is_canonical").alias("n_fail_dedup"),
+        )
+    )
+
+
+from frafka_spark.registry import QUERIES as _QC  # noqa: E402
+
+_QC["q_llm_curate_report"].oracle = _curate_report_oracle()
+del _QC
