@@ -728,3 +728,245 @@ def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents).cast("double") / 100).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q_tpch_q15_shape",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               {sql_dec_sum('l_extendedprice * (1 - l_discount)')}
+                   AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-10-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+    ),
+    best AS (SELECT max(total_rev) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s
+    JOIN rev r ON r.l_suppkey = s.s_suppkey
+    JOIN best b ON r.total_rev = b.m
+    """,
+)
+def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: top supplier — the supplier(s) with the maximum
+    quarterly revenue, found by comparing each supplier's revenue to
+    the global max (Q15's "revenue view + scalar max" pattern; ties
+    all qualify, per the spec).
+
+    Equality against a float max is normally a cross-engine hazard —
+    it is safe here ONLY because every revenue is the repo's exact
+    decimal sum cast once to double: both engines hold bit-identical
+    revenues, so `total_rev = max(total_rev)` selects identical rows.
+    The quarter filter prunes the fact scan, the per-supplier
+    aggregate is map-side-partial fed, the one-row max broadcasts
+    back, and the supplier dim broadcasts for the name lookup.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_rev")
+    )
+    best = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q_tpch_q17_shape",
+    oracle=f"""
+    WITH part_avg AS (
+        SELECT l_partkey, avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round({sql_dec_sum('l.l_extendedprice')} / 7.0, 4)
+               AS avg_yearly,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: small-quantity-order revenue — lines of one brand
+    whose quantity is under 20% of that part's average quantity
+    (the correlated-aggregate-subquery pattern, decorrelated into a
+    per-part aggregate + join on both engines — exactly what
+    Catalyst's DecorrelateInnerQuery does to the correlated form).
+
+    The threshold is `0.2 × avg(l_quantity)`: quantities are small
+    integers, their sums are exact in double far beyond any real
+    group size, so both engines derive the identical average and the
+    strict inequality cannot flip. Scale: the per-part average is one
+    partkey-keyed aggregate co-partitioned with the fact join (AQE
+    reuses the exchange); the brand filter prunes the broadcast part
+    dim which then prunes the probe early.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#12"
+    ).select("p_partkey")
+    part_avg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part_avg, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(dec_sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q9_shape",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {sql_dec_sum(
+               'l.l_extendedprice * (1 - l.l_discount)'
+               ' - 0.1 * p.p_retailprice * l.l_quantity'
+           )} AS sum_profit
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+)
+def q_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: product-type profit — net profit on parts whose name
+    matches a pattern, by supplier nation and order year (the fixture
+    has no partsupp, so unit cost is proxied as 10% of the part's
+    retail price — the operator shape, a LIKE-filtered dim gating a
+    profit expression, is Q9's).
+
+    The LIKE filter prunes the part broadcast BEFORE the fact probe
+    — the reason Q9 is a pushdown benchmark: ~1/4 of parts survive,
+    so ~3/4 of fact rows die at the first broadcast join. Remaining
+    joins are broadcast dims; the only shuffle is orders⋈lineitem;
+    the profit polynomial accumulates in the exact decimal sum so
+    nation-year totals hash-match despite mixed signs (profit sums
+    are the classic catastrophic-cancellation case a float fold
+    gets wrong at the last ulp).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dec_sum(profit, "sum_profit"))
+    )
+
+
+@query(
+    "q_tpch_q21_shape",
+    oracle="""
+    WITH l1 AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM l1 l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    """,
+)
+def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who kept orders waiting — late lines
+    (shipped >60 days after the order date, the fixture's stand-in
+    for receipt-after-commit) on finalized orders where OTHER
+    suppliers participated (EXISTS) but NONE of them were also late
+    (NOT EXISTS) — i.e., this supplier alone stalled a multi-supplier
+    order. The densest subquery composition in TPC-H: one relation
+    probed by both an EXISTS and a NOT EXISTS against itself.
+
+    Both subqueries compile to orderkey-keyed SEMI / ANTI joins with
+    the supplier-inequality as residual — every join in the plan
+    (fact⋈orders, semi, anti) shuffles on the SAME orderkey, so AQE
+    plans one exchange layout end-to-end and the late relation is
+    reused for both probes (localCheckpoint pins one materialization;
+    at 100 TB that is the "materialize the late-lines table once"
+    move). Counts are exact; supplier dim broadcasts for names.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .localCheckpoint(eager=False)
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("o2") == F.col("l_orderkey"))
+            & (F.col("s2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o3") == F.col("l_orderkey"))
+            & (F.col("s3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
