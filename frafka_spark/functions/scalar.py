@@ -562,3 +562,58 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(attrs).alias("n_attrs"),
         F.concat_ws(",", F.map_keys(attrs)).alias("attr_keys"),
     )
+
+
+@query(
+    "q_fn_try",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                                       AS INT) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_k_ok,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN TRY_CAST(event_type AS INT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_type_unparsable,
+           CAST(sum(CASE WHEN TRY_CAST(substr(props, 7, 10) AS DATE) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_not_a_date
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casts (``try_cast``): NULL instead of a job-killing
+    exception on malformed input — the ANSI-mode ingestion discipline
+    for semi-structured data, where one bad record must not fail a
+    100 TB load (the alternative, non-ANSI silent coercion, corrupts;
+    the other alternative, a hard error, makes the pipeline as
+    fragile as its worst record).
+
+    Three probe columns per event: the JSON ``k`` field parsed then
+    try_cast to INT (well-formed → value), the event_type try_cast to
+    INT (never numeric → NULL, counted), and a substring of the JSON
+    try_cast to DATE (garbage → NULL). Aggregated per type so the
+    declared result stays small; the try semantics themselves are
+    per-row projections inside codegen. Both engines agree NULL-wise
+    on this subset by construction (integers, garbage, ISO dates);
+    cross-dialect hazards like ``TRY_CAST('12.5' AS INT)`` — DuckDB
+    rounds, Spark rejects — are deliberately excluded and documented
+    here as the portability boundary.
+    """
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k.isNotNull().cast("long")).alias("n_k_ok"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.sum(
+                F.col("event_type").try_cast("int").isNull().cast("long")
+            ).alias("n_type_unparsable"),
+            F.sum(
+                F.substring("props", 7, 10).try_cast("date").isNull().cast("long")
+            ).alias("n_not_a_date"),
+        )
+    )
