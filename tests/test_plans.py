@@ -414,3 +414,44 @@ def test_dup_shingle_frac_is_pure_projection(spark):
     plan = _plan(spark, "q_llm_dup_shingle_frac")
     assert "Exchange" not in plan, plan[:1500]
     assert "Generate" not in plan  # no explode
+
+
+def test_q21_joins_share_orderkey_layout(spark):
+    """q_tpch_q21_shape: the semi and anti probes must both key on the
+    orderkey — no exchange in the plan may hash-partition on a
+    supplier key (that would mean a second, unnecessary layout)."""
+    import re
+
+    plan = _plan(spark, "q_tpch_q21_shape")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "orderkey" in keys, keys
+
+
+def test_q15_max_broadcasts_back(spark):
+    """q_tpch_q15_shape: the global max must return as a broadcast —
+    a shuffle of the revenue relation to meet a 1-row aggregate is
+    wrong at any scale."""
+    plan = _plan(spark, "q_tpch_q15_shape")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pareto_rank_rides_range_partitioning(spark):
+    """q_events_pareto: the user rank must come from the range-
+    partitioned helper — no window ordered by the per-user count with
+    an empty partition list except over the bounded offsets/decile
+    frames (which order by _pid or user_decile)."""
+    import re
+
+    plan = (
+        QUERIES["q_events_pareto"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan)
+    for part, order in specs:
+        if part.strip() == "" or part == "[]":
+            assert "_pid" in order or "user_decile" in order, (part, order)
