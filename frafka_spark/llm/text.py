@@ -1447,3 +1447,107 @@ from frafka_spark.registry import QUERIES as _QC  # noqa: E402
 
 _QC["q_llm_curate_report"].oracle = _curate_report_oracle()
 del _QC
+
+
+ZIPF_TOP = 50  # words in the log-log regression
+
+
+@query(
+    "q_llm_zipf",
+    oracle=f"""
+    WITH freq AS (
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    ),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, word ASC) AS rank
+        FROM freq
+    ),
+    pts AS (
+        SELECT list(ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS xs,
+               list(ln(CAST(n AS DOUBLE)) ORDER BY rank) AS ys,
+               count(*) AS k
+        FROM ranked WHERE rank <= {ZIPF_TOP}
+    ),
+    sums AS (
+        SELECT k,
+               list_reduce(xs, (a, b) -> a + b) AS sx,
+               list_reduce(ys, (a, b) -> a + b) AS sy,
+               list_reduce(list_transform(range(1, CAST(k AS INT) + 1),
+                   i -> xs[i] * ys[i]), (a, b) -> a + b) AS sxy,
+               list_reduce(list_transform(xs, x -> x * x),
+                   (a, b) -> a + b) AS sxx
+        FROM pts
+    )
+    SELECT CAST(k AS BIGINT) AS n_points,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS slope,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 4)
+               AS intercept
+    FROM sums
+    """,
+)
+def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: least-squares slope of log-frequency vs
+    log-rank over the top-{ZIPF_TOP} words — the corpus-health
+    statistic (natural text slopes ≈ −1; template/boilerplate corpora
+    flatten, spam steepens) every pretraining data audit plots.
+
+    Determinism by ordered-fold parity: both engines materialize the
+    (ln rank, ln count) points in rank order and fold each regression
+    sum left-to-right over identical doubles (the ``q_llm_entropy``
+    discipline — a plain sum() would be accumulation-order-unstable
+    at the last ulp), then evaluate the identical closed form once.
+    Scale: one corpus term count (map-side partials), a top-{ZIPF_TOP}
+    rank (TakeOrdered-sized), and a 1-row fold — the regression
+    itself never sees more than {ZIPF_TOP} points regardless of
+    corpus size.
+    """
+    from frafka_spark.llm.dedup import _words
+
+    freq = (
+        _words(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(ZIPF_TOP)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    pts = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+        F.row_number().over(w).alias("rank"),
+    )
+    arr = pts.agg(
+        F.array_sort(
+            F.collect_list(F.struct("rank", "x", "y"))
+        ).alias("p"),
+        F.count("*").alias("k"),
+    )
+
+    def fold(expr_arr):
+        return F.aggregate(
+            expr_arr, F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    xs = F.transform("p", lambda s: s.x)
+    ys = F.transform("p", lambda s: s.y)
+    xy = F.transform("p", lambda s: s.x * s.y)
+    xx = F.transform("p", lambda s: s.x * s.x)
+    sums = arr.select(
+        F.col("k").cast("double").alias("k"),
+        fold(xs).alias("sx"),
+        fold(ys).alias("sy"),
+        fold(xy).alias("sxy"),
+        fold(xx).alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("k").cast("bigint").alias("n_points"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 4).alias(
+            "intercept"
+        ),
+    )
