@@ -737,3 +737,52 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "q_agg_grouping_flags",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS rflag,
+           coalesce(l_linestatus, '<all>') AS lstatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rflag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_lstatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+               AS level_id,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns over a ROLLUP — the flags that
+    let a consumer distinguish "the NULL group" from "the rollup
+    total row" (coalescing alone is ambiguous when the grouping key
+    itself contains NULLs; the flag is the only sound discriminator,
+    which is why every BI tool reads it).
+
+    ``grouping()`` is computed by the expand operator that feeds the
+    rollup's single aggregate — zero extra cost over the plain
+    rollup; the level id derives from the two flags with the same
+    arithmetic on both engines (Spark's ``grouping_id()`` bit order
+    is engine-defined, so the portable form is explicit).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    g_r = F.grouping("l_returnflag").cast("int")
+    g_l = F.grouping("l_linestatus").cast("int")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            g_r.alias("g_rflag"),
+            g_l.alias("g_lstatus"),
+            (g_r * 2 + g_l).alias("level_id"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("lstatus"),
+            "g_rflag",
+            "g_lstatus",
+            "level_id",
+            "n",
+        )
+    )

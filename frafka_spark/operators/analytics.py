@@ -1376,3 +1376,95 @@ def q_events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cum_share"),
     )
+
+
+@query(
+    "q_events_active_days",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS n_active_days
+        FROM events GROUP BY user_id
+    )
+    SELECT n_active_days, count(*) AS n_users
+    FROM per_user
+    GROUP BY n_active_days
+    """,
+)
+def q_events_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-depth histogram: how many users were active on
+    exactly N distinct days — the retention-adjacent distribution
+    behind DAU/MAU decomposition and cohort-quality scoring.
+
+    Two-level aggregate: events collapse to DISTINCT (user, day)
+    pairs first (map-side partial dedup bounds the shuffle by pairs,
+    not events — the `q_events_rolling_actives` discipline), then a
+    per-user count, then a ≤days-sized histogram. All integers; no
+    window, no join.
+    """
+    e = table(spark, sf_dir, "events")
+    per_user = (
+        e.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_active_days"))
+    )
+    return per_user.groupBy("n_active_days").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@query(
+    "q_events_weekday_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type,
+               CAST(isodow(ts) AS INT) AS dow,
+               count(*) AS n
+        FROM events GROUP BY event_type, dow
+    )
+    SELECT event_type, dow, n,
+           round(CAST(n AS DOUBLE)
+                 / (sum(n) OVER (PARTITION BY event_type) / 7.0), 4)
+               AS vs_flat
+    FROM counts
+    """,
+)
+def q_events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality profile: each event type's volume per ISO
+    weekday as a ratio against a flat week (1.0 = no seasonality) —
+    the traffic-shape fingerprint that distinguishes human activity
+    (weekday-heavy) from bot/batch traffic (flat or cron-spiked),
+    and the input to any day-of-week-corrected anomaly baseline.
+
+    Events collapse to a ≤types×7 count relation (map-side partials);
+    the normalizing window runs over that tiny frame. ISO weekday
+    (Mon=1..Sun=7) is used because the two engines agree on it —
+    DuckDB's ``dayofweek`` is 0-based Sunday while Spark's is
+    1-based Sunday, a classic cross-engine trap this declaration
+    documents by construction.
+    """
+    e = table(spark, sf_dir, "events")
+    counts = (
+        e.select("event_type", F.dayofweek("ts").alias("_dow_sun1"))
+        # Spark dayofweek: Sun=1..Sat=7 → ISO Mon=1..Sun=7
+        .select(
+            "event_type",
+            F.when(F.col("_dow_sun1") == 1, 7)
+            .otherwise(F.col("_dow_sun1") - 1)
+            .cast("int")
+            .alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(
+            F.col("n").cast("double") / (F.sum("n").over(w) / 7.0), 4
+        ).alias("vs_flat"),
+    )
