@@ -601,7 +601,13 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, Spark rejects — are deliberately excluded and documented
     here as the portability boundary.
     """
-    e = table(spark, sf_dir, "events")
+    from frafka_spark.io import fan_out
+
+    # Three per-row parse probes (JSON path + two try_casts) dominate
+    # this query's cost; the single-file fixture scans as 3 tasks, so
+    # fan out to the session shuffle width BEFORE the heavy projection
+    # (a multi-file 100 TB layout gets this parallelism from the scan).
+    e = fan_out(table(spark, sf_dir, "events"), "event_id")
     k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         e.groupBy("event_type")
