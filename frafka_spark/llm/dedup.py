@@ -1302,3 +1302,52 @@ from frafka_spark.registry import QUERIES as _QA  # noqa: E402
 
 _QA["q_llm_dedup_est_audit"].oracle = _minhash_audit_oracle()
 del _QA
+
+
+def _degree_oracle() -> str:
+    # splice the near-dup pipeline in as a CTE (zero drift)
+    ctes, final = _NEAR_SQL_BODY.rsplit("SELECT v.doc_a", 1)
+    return f"""
+    WITH shingles AS ({_shingle_sql()}),
+    {ctes},
+    near AS (SELECT v.doc_a{final}),
+    degrees AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT doc_a AS doc_id FROM near
+              UNION ALL
+              SELECT doc_b FROM near)
+        GROUP BY doc_id
+    )
+    SELECT degree, count(*) AS n_docs
+    FROM degrees GROUP BY degree
+    """
+
+
+@query("q_llm_dedup_degree", oracle=None)
+def q_llm_dedup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree distribution: how many documents have
+    exactly N detected near-duplicate partners — the graph-shape
+    audit run before cluster resolution (a heavy-tailed degree
+    histogram means template families that pointer-jumping will
+    collapse into giant clusters; a flat one means pairwise dedup
+    suffices and the CC pass can be skipped).
+
+    Composes the declared near-dup pairs: symmetrize (each pair
+    contributes one endpoint each way), count per doc, histogram.
+    Everything downstream of the declared pipeline is two integer
+    aggregates over the ≤pairs-sized relation.
+    """
+    near = q_llm_dedup_near(spark, sf_dir)
+    ends = near.select(F.col("doc_a").alias("doc_id")).unionAll(
+        near.select(F.col("doc_b"))
+    )
+    degrees = ends.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    return degrees.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+from frafka_spark.registry import QUERIES as _QD  # noqa: E402
+
+_QD["q_llm_dedup_degree"].oracle = _degree_oracle()
+del _QD

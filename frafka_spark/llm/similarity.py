@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from frafka_spark.functions.determinism import dec_avg, sql_dec_avg
 from frafka_spark.io import fan_out, table
 from frafka_spark.registry import query
 
@@ -697,3 +698,66 @@ def q_llm_embed_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
+
+
+def _ann_recall_oracle() -> str:
+    from frafka_spark.registry import QUERIES
+
+    return f"""
+    WITH brute AS ({QUERIES['q_llm_sim_cosine'].oracle}),
+    ann AS ({QUERIES['q_llm_sim_ann'].oracle})
+    SELECT count(*) AS n_queries,
+           CAST(sum(CASE WHEN a.neighbor_id = b.neighbor_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
+           round(CAST(sum(CASE WHEN a.neighbor_id = b.neighbor_id
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS recall_at_1,
+           round({sql_dec_avg('a.cosine - b.cosine')}, 4) AS mean_cos_loss
+    FROM ann a
+    JOIN brute b USING (vec_id)
+    """
+
+
+@query("q_llm_ann_recall", oracle=None)
+def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@1 of the IVF cell search against the
+    exact brute-force baseline, plus the mean cosine sacrificed when
+    the cell misses the true neighbor — the accept/reject gate every
+    ANN deployment runs before trading exactness for scale.
+
+    Composes the two DECLARED similarity queries (registered callables
+    on the Spark side, registered oracles as CTEs on the DuckDB side —
+    the pipeline audited IS the pipeline declared). The join keys on
+    vec_id over two ≤corpus-row relations; counters are exact
+    integers and the cosine-loss mean accumulates in the exact
+    decimal sum. Scale: the audit costs one equi-join over the two
+    result relations — at production scale one runs it on a sampled
+    query set, which is just a filter on vec_id ahead of both
+    pipelines.
+    """
+    brute = q_llm_sim_cosine(spark, sf_dir).select(
+        "vec_id", F.col("neighbor_id").alias("true_nn"),
+        F.col("cosine").alias("true_cos"),
+    )
+    ann = q_llm_sim_ann(spark, sf_dir).select(
+        "vec_id", F.col("neighbor_id").alias("ann_nn"),
+        F.col("cosine").alias("ann_cos"),
+    )
+    hit = (F.col("ann_nn") == F.col("true_nn")).cast("long")
+    return (
+        ann.join(brute, "vec_id")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(hit).alias("n_top1_match"),
+            F.round(
+                F.sum(hit).cast("double") / F.count("*"), 4
+            ).alias("recall_at_1"),
+            dec_avg(F.col("ann_cos") - F.col("true_cos"), "mean_cos_loss"),
+        )
+    )
+
+
+from frafka_spark.registry import QUERIES as _QR  # noqa: E402
+
+_QR["q_llm_ann_recall"].oracle = _ann_recall_oracle()
+del _QR

@@ -786,3 +786,74 @@ def q_agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "q_agg_regr",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sy,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                   AS DOUBLE) AS sxy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                   AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 4) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM s
+    """,
+)
+def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (the SQL REGR_SLOPE /
+    REGR_INTERCEPT / REGR_R2 family): extended price regressed on
+    quantity per return flag — the trend-fit aggregate BI layers and
+    drift monitors run constantly.
+
+    The built-in ``regr_*`` aggregates fold doubles in partition
+    order (engine-unstable at the last ulp), so this computes the
+    five raw sums in exact DECIMAL(38,6) — one HashAggregate pass
+    with map-side partials, the ``q_agg_corr``/skew-kurtosis
+    discipline — and derives slope/intercept/R² from the identical
+    closed form on both engines, rounding once. Shuffle carries five
+    decimals + a count per (group × partition), independent of row
+    volume.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    DEC6 = "decimal(38,6)"
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x.cast(DEC6)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC6)).cast("double").alias("sy"),
+        F.sum((x * y).cast(DEC6)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(DEC6)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(DEC6)).cast("double").alias("syy"),
+    )
+    dn = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dd = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = dn / dd
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+        F.round(
+            (dn * dn)
+            / (dd * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            4,
+        ).alias("r2"),
+    )
