@@ -761,3 +761,88 @@ from frafka_spark.registry import QUERIES as _QR  # noqa: E402
 
 _QR["q_llm_ann_recall"].oracle = _ann_recall_oracle()
 del _QR
+
+
+N_PROBES = 2  # cells searched per query in the multi-probe variant
+
+
+@query(
+    "q_llm_sim_ann_probe2",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    {_SQL_CELLS},
+    probes AS (
+        SELECT vec_id, emb, norm, cent_id FROM assigned WHERE rn <= {N_PROBES}
+    ),
+    scored AS (
+        SELECT p.vec_id, b.vec_id AS neighbor_id,
+               list_dot_product(p.emb, b.emb) / (p.norm * b.norm) AS cos,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_dot_product(p.emb, b.emb)
+                            / (p.norm * b.norm) DESC,
+                            b.vec_id ASC
+               ) AS rn
+        FROM probes p
+        JOIN cells b ON b.cent_id = p.cent_id AND b.vec_id <> p.vec_id
+    )
+    SELECT vec_id, neighbor_id, round(cos, 6) AS cosine
+    FROM scored WHERE rn = 1
+    """,
+)
+def q_llm_sim_ann_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: each query searches its {N_PROBES} nearest
+    cells instead of one — the standard recall lever when the audit
+    (``q_llm_ann_recall``: 0.29 recall@1 single-probe at this
+    fixture's modulo codebook) says the cell boundary is eating true
+    neighbors. Probing P cells multiplies candidate work by ~P while
+    leaving the index untouched — the cheap knob one turns before
+    retraining the codebook.
+
+    A member belongs to exactly ONE cell, so the probe→member join
+    cannot duplicate a candidate pair — no DISTINCT pass needed. The
+    probe list is the same broadcast-codebook crossJoin that builds
+    the index (rank ≤ {N_PROBES} instead of = 1); the candidate join
+    still keys on cent_id (the shuffle key), so the plan scales
+    exactly like the single-probe path with ~{N_PROBES}× the probe
+    rows. Per-query top-1 windows over candidate groups bounded by
+    Σ probed-cell sizes.
+    """
+    v = fan_out(_vectors(spark, sf_dir), "vec_id")
+    cents = v.filter((F.col("vec_id") % CENTROID_MOD) == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = _dot(F.col("emb"), F.col("cemb")) / (F.col("norm") * F.col("cnorm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= N_PROBES)
+        .select("vec_id", "emb", "norm", "cent_id")
+    )
+    members = _cells(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("bemb"),
+        F.col("norm").alias("bnorm"),
+        F.col("cent_id").alias("bcent"),
+    )
+    cos = _dot(F.col("emb"), F.col("bemb")) / (F.col("norm") * F.col("bnorm"))
+    w_top = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probes.join(
+            members,
+            (F.col("bcent") == F.col("cent_id"))
+            & (F.col("neighbor_id") != F.col("vec_id")),
+        )
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
+    )
