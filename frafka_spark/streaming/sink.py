@@ -68,6 +68,21 @@ class FrSink:
         return cls("parquet", {"path": path}, partition_by="topic")
 
     @classmethod
+    def manifest(cls, path: str) -> "FrSink":
+        """Exactly-once sink into the native manifest table format.
+
+        The strongest sink in the library: each micro-batch commits as
+        ONE atomic manifest snapshot carrying its batch_id, so a
+        redelivered batch (crash between the data write and the
+        checkpoint commit) is detected by id and skipped — the
+        ``parquet_txn`` idempotence contract, plus the table format's
+        time travel, file-skipping stats, and concurrent-reader
+        snapshot isolation on the output. This is the sink that turns
+        the frafka-parity pipeline into a lakehouse ingest path.
+        """
+        return cls("manifest", {"path": path})
+
+    @classmethod
     def parquet_txn(cls, path: str) -> "FrSink":
         """Idempotent (exactly-once) parquet sink for foreachBatch.
 
@@ -108,6 +123,13 @@ class FrSink:
         """Batch-mode write (used inside foreachBatch pipelines)."""
         if self.fmt == "memory":
             raise ValueError("memory sink is stream-only; use configure()")
+        if self.fmt == "manifest":
+            if batch_id is None:
+                raise ValueError("manifest sink needs the foreachBatch batch_id")
+            from frafka_spark.sources import manifest_table as mt
+
+            mt.write_stream_batch(df, batch_id, self.options["path"])
+            return
         if self.idempotent:
             if batch_id is None:
                 raise ValueError("idempotent sink needs the foreachBatch batch_id")

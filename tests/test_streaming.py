@@ -618,3 +618,81 @@ def test_manifest_stream_sink_exactly_once(spark, tmp_path):
     # a genuinely new batch still lands
     assert mt.write_stream_batch(batch_df, max(seen) + 1, tbl) is not None
     assert mt.read_table(spark, tbl).count() == 12
+
+
+def test_end_to_end_dlq_manifest_restart(spark, tmp_path):
+    """The full frafka-parity ingest path in one scenario: file stream
+    → per-record transform with poison records → DLQ split → good
+    rows committed EXACTLY-ONCE into the native manifest table →
+    clean stop → restart on the same checkpoint with new input → no
+    replays, no duplicates, redelivered batches skipped by id.
+
+    Ties together A2 (receive), A5/A7 (fail → DLQ), A4 (ack
+    durability), A8 (stop/restart), A12 (idempotent flush) and the
+    manifest table's snapshot commit in the composition a real
+    deployment runs, rather than piecewise.
+    """
+    import glob
+    import shutil
+
+    from frafka_spark.sources import manifest_table as mt
+
+    src_dir = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    dlq = str(tmp_path / "dlq")
+    os.makedirs(src_dir)
+    e = table(spark, SF_DIR, "events")
+
+    def stage(df, name):
+        phase = str(tmp_path / f"phase_{name}")
+        df.coalesce(1).write.parquet(phase)
+        (part,) = glob.glob(f"{phase}/part-*.parquet")
+        shutil.copy(part, f"{src_dir}/{name}.parquet")
+
+    def per_record(rec: dict) -> dict:
+        if rec["value"] > 195.0:
+            raise ValueError(f"poison value {rec['value']:.1f}")
+        return {"event_id": rec["event_id"], "score": rec["value"] * 2.0}
+
+    def run_once():
+        pipe = Pipeline(
+            source=FrSource.files(spark, src_dir, EVENTS_DDL),
+            transform=record_transform(
+                per_record, "event_id bigint, score double"
+            ),
+            sink=FrSink.manifest(tbl),
+            fail_sink=FrSink.parquet(dlq),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        pipe.run_to_completion()
+        pipe.close()
+
+    first = e.filter(F.col("event_id") < 500)
+    second = e.filter(F.col("event_id").between(500, 599))
+
+    stage(first, "f0")
+    run_once()
+    n_poison1 = first.filter(F.col("value") > 195.0).count()
+    got1 = mt.read_table(spark, tbl)
+    assert got1.count() == first.count() - n_poison1
+    # crash-redelivery: re-running any committed batch id is a no-op
+    batch_ids = sorted(mt.committed_batch_ids(tbl))
+    assert batch_ids, "pipeline should have committed at least one batch"
+    replay = got1.limit(5)
+    assert mt.write_stream_batch(replay, batch_ids[0], tbl) is None
+    assert mt.read_table(spark, tbl).count() == first.count() - n_poison1
+
+    stage(second, "f1")
+    run_once()
+    n_poison2 = second.filter(F.col("value") > 195.0).count()
+    got2 = mt.read_table(spark, tbl)
+    want = first.count() + second.count() - n_poison1 - n_poison2
+    assert got2.count() == want  # no replays, no loss
+    assert got2.select("event_id").distinct().count() == got2.count()
+    # the DLQ holds every poison record exactly once, with the error
+    bad = spark.read.parquet(dlq)
+    assert bad.count() == n_poison1 + n_poison2
+    assert (
+        bad.filter(F.col("_fr_error").contains("poison value")).count()
+        == bad.count()
+    )
