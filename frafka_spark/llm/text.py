@@ -1551,3 +1551,76 @@ def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@query(
+    "q_llm_burstiness",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY doc_id, word
+    ),
+    vocab AS (
+        SELECT word, count(*) AS df FROM tf GROUP BY word
+        ORDER BY df DESC, word ASC LIMIT 20
+    )
+    SELECT t.word, v.df AS n_docs,
+           CAST(sum(t.tf) AS BIGINT) AS total_tf,
+           round(CAST(sum(t.tf) AS DOUBLE) / v.df, 4) AS mean_tf,
+           round(CASE WHEN v.df > 1 THEN
+               ((CAST(sum(t.tf * t.tf) AS DOUBLE)
+                 - CAST(sum(t.tf) AS DOUBLE) * sum(t.tf) / v.df)
+                / (v.df - 1))
+               / (CAST(sum(t.tf) AS DOUBLE) / v.df)
+           END, 4) AS vmr
+    FROM tf t JOIN vocab v USING (word)
+    GROUP BY t.word, v.df
+    """,
+)
+def q_llm_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness: the variance-to-mean ratio (VMR) of each top-20
+    word's per-document term frequency, over the documents containing
+    it — the classic content/function-word separator (function words
+    ≈ Poisson, VMR ≈ 1; topical words cluster, VMR ≫ 1) and a
+    boilerplate detector (VMR ≈ 0 = the word appears an identical
+    count everywhere — a template).
+
+    All inputs are exact integers (tf, tf², df sums — map-side
+    partials on the cached (doc, word) counts), variance uses the
+    textbook numerator from those exact sums, and the single division
+    chain evaluates identically on both engines. The top-20 vocab
+    broadcast bounds the join fan-out exactly like
+    ``q_llm_cooccur_pmi``.
+    """
+    from frafka_spark.llm.dedup import _words
+
+    tf = (
+        _words(spark, sf_dir)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = (
+        tf.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("word").asc())
+        .limit(20)
+    )
+    j = tf.join(F.broadcast(vocab), "word")
+    stats = j.groupBy("word", "df").agg(
+        F.sum("tf").alias("s"),
+        F.sum(F.col("tf") * F.col("tf")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("df")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("df")
+    ) / (F.col("df") - 1)
+    return stats.select(
+        "word",
+        F.col("df").alias("n_docs"),
+        F.col("s").cast("bigint").alias("total_tf"),
+        F.round(mean, 4).alias("mean_tf"),
+        F.round(F.when(F.col("df") > 1, var / mean), 4).alias("vmr"),
+    )

@@ -1468,3 +1468,146 @@ def q_events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / (F.sum("n").over(w) / 7.0), 4
         ).alias("vs_flat"),
     )
+
+
+@query(
+    "q_events_gini",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT n,
+               row_number() OVER (ORDER BY n ASC, user_id ASC) AS rnk,
+               count(*) OVER () AS n_users
+        FROM per_user
+    )
+    SELECT CAST(max(n_users) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(CAST(2 * sum(rnk * n) AS DOUBLE)
+                 / (max(n_users) * sum(n))
+                 - CAST(max(n_users) + 1 AS DOUBLE) / max(n_users), 4)
+               AS gini
+    FROM ranked
+    """,
+)
+def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume — the single-number
+    inequality index behind the Pareto curve (0 = perfectly even,
+    →1 = one user generates everything), computed by the exact
+    rank formula ``G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n`` over counts
+    sorted ascending.
+
+    Ranks come from the range-partitioned row-number helper (the
+    per-user relation is unbounded at 100 TB — no single-task sort),
+    ``Σ rank·x`` is an exact integer sum (rank ≤ users, x = counts —
+    products fit BIGINT far beyond any real cardinality), and the
+    closed form evaluates once on both engines.
+    """
+    from frafka_spark.operators.windows import range_partitioned_row_number
+
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = range_partitioned_row_number(
+        per_user, [F.col("n").asc(), F.col("user_id").asc()], out="rnk"
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(
+            (2 * F.sum(F.col("rnk") * F.col("n"))).cast("double")
+            / (F.count("*") * F.sum("n"))
+            - (F.count("*") + 1).cast("double") / F.count("*"),
+            4,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_events_bot_score",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id,
+               count(gap_us) AS n_gaps,
+               CAST(sum(gap_us) AS DOUBLE) AS s,
+               CAST(sum(CAST(gap_us AS DECIMAL(19,0))
+                        * CAST(gap_us AS DECIMAL(19,0))) AS DOUBLE) AS ss
+        FROM ordered WHERE gap_us IS NOT NULL
+        GROUP BY user_id HAVING count(gap_us) >= 10
+    )
+    SELECT user_id,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           round(s / n_gaps / 1e6, 4) AS mean_gap_s,
+           round(CASE WHEN s > 0 THEN
+               sqrt(greatest((ss - s * s / n_gaps) / (n_gaps - 1), 0))
+               / (s / n_gaps) END, 4) AS gap_cv,
+           coalesce(CASE WHEN s > 0 THEN
+               sqrt(greatest((ss - s * s / n_gaps) / (n_gaps - 1), 0))
+               / (s / n_gaps) < 0.30 END, FALSE) AS is_bot_like
+    FROM stats
+    """,
+)
+def q_events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness score: the coefficient of variation of each user's
+    inter-event gaps — humans are bursty (CV ≈ 1 for Poisson, higher
+    with sessions), schedulers are metronomes (CV → 0). The standard
+    first-pass automation filter a data pipeline runs before
+    treating event counts as engagement.
+
+    Gaps are exact integer microseconds from a per-user lag (ordered
+    by (ts, event_id) — tie-deterministic); variance derives from
+    exact Σgap and Σgap² (BIGINT sums cast once — the
+    ``q_events_anomaly`` discipline, never stddev_samp's fold), with
+    the textbook numerator clamped at zero before the sqrt (a
+    constant-gap user's exact-zero variance can land a hair negative
+    in ONE engine's double evaluation and NaN the sqrt). Users with
+    <10 gaps are suppressed (no stable CV from a handful of events).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    ).alias("gap_us")
+    stats = (
+        e.select("user_id", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").cast("double").alias("s"),
+            # gap² overflows BIGINT (a multi-day gap in µs squared is
+            # ~1e22 > 2⁶³): accumulate squares in DECIMAL(38,0) — both
+            # engines then round the identical exact integer to double
+            F.sum(
+                F.col("gap_us").cast("decimal(19,0)")
+                * F.col("gap_us").cast("decimal(19,0)")
+            )
+            .cast("double")
+            .alias("ss"),
+        )
+        .filter(F.col("n_gaps") >= 10)
+    )
+    mean = F.col("s") / F.col("n_gaps")
+    var = F.greatest(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n_gaps"))
+        / (F.col("n_gaps") - 1),
+        F.lit(0.0),
+    )
+    cv = F.when(F.col("s") > 0, F.sqrt(var) / mean)
+    return stats.select(
+        "user_id",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.round(mean / 1e6, 4).alias("mean_gap_s"),
+        F.round(cv, 4).alias("gap_cv"),
+        F.coalesce(cv < 0.30, F.lit(False)).alias("is_bot_like"),
+    )
