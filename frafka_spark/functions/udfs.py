@@ -243,3 +243,46 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", F.round("scaled_raw", 4).alias("scaled")
     )
+
+
+@query("q_llm_compression", oracle=None)
+def q_llm_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: ``len(zlib(text)) /
+    len(text)`` per document, rolled up per source — the cheapest
+    repetition/boilerplate proxy in production corpus pipelines
+    (Gopher/RefinedWeb-style): heavily templated text compresses far
+    below natural prose, near-random noise refuses to compress.
+
+    zlib has no relational equivalent, so this is a DECLARED
+    Python-boundary operator (tests/test_plans.py inventory):
+    an Arrow-batched pandas UDF (never per-row Python), with
+    deterministic output — zlib at a fixed level is bit-stable across
+    platforms, so the per-doc ratio and the per-source exact-decimal
+    mean both replay identically. No oracle exists (DuckDB has no
+    zlib); the driver records rows-only and the property test pins
+    the semantics (repetitive ≪ natural < noise, bounds, and
+    determinism across runs).
+    """
+    import zlib
+
+    from frafka_spark.functions.determinism import dec_avg
+
+    @pandas_udf("double")
+    def zratio(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                len(zlib.compress(t.encode("utf-8"), 6)) / max(len(t), 1)
+                for t in texts
+            ]
+        )
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source", F.round(zratio("text"), 6).alias("ratio")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        dec_avg("ratio", "mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+    )

@@ -88,10 +88,16 @@ def test_python_boundary_inventory(spark):
         "q_udf_python", "q_udf_pandas", "q_udaf_pandas", "q_udtf",
         "q_udf_grouped_map",  # applyInPandas IS the declared operator
         "q_llm_sim_cosine",
+        # composes the GEMM baseline above, inheriting its declared
+        # MapInPandas kernel (the audit joins brute force vs IVF)
+        "q_llm_ann_recall",
         # greedy next-fit is a non-associative sequential recurrence —
         # no built-in window/aggregate form exists; the per-segment
         # applyInPandas scan IS the operator (llm/pack.py).
         "q_llm_pack",
+        # zlib has no relational form — the compression-ratio signal
+        # is a declared Arrow-batched Python op (udfs.py).
+        "q_llm_compression",
     }
     for name in sorted(QUERIES):
         nodes = python_eval_nodes(_df(spark, name))

@@ -463,3 +463,41 @@ def test_shard_assignment_is_total_and_stable(spark):
     docs = table(spark, SF_DIR, "documents")
     assert s["n_docs"].sum() == docs.count()
     assert s["total_chars"].sum() == docs.agg(F.sum("n_chars")).collect()[0][0]
+
+
+def test_compression_ratio_semantics(spark):
+    """q_llm_compression: ratios live in (0, ~1.2], a highly
+    repetitive text compresses below a high-entropy one, and the
+    operator is deterministic across invocations."""
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    r1 = (
+        QUERIES["q_llm_compression"].fn(spark, SF_DIR)
+        .toPandas().sort_values("source").reset_index(drop=True)
+    )
+    assert len(r1) > 0
+    assert (r1["min_ratio"] > 0).all()
+    assert (r1["max_ratio"] <= 1.2).all()
+    r2 = (
+        QUERIES["q_llm_compression"].fn(spark, SF_DIR)
+        .toPandas().sort_values("source").reset_index(drop=True)
+    )
+    assert r1.equals(r2)  # bit-stable replay
+    # direct semantic check on constructed docs
+    import zlib
+
+    rep = "spam " * 200
+    import random
+
+    rng = random.Random(7)
+    noise = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6))
+        for _ in range(200)
+    )
+    ratio = lambda t: len(zlib.compress(t.encode(), 6)) / len(t)  # noqa: E731
+    assert ratio(rep) < 0.05 < ratio(noise)
