@@ -1351,3 +1351,86 @@ from frafka_spark.registry import QUERIES as _QD  # noqa: E402
 
 _QD["q_llm_dedup_degree"].oracle = _degree_oracle()
 del _QD
+
+
+SEG_WORDS = 10  # words per segment — the "paragraph" unit below
+
+
+@query(
+    "q_llm_dedup_segment",
+    oracle=f"""
+    WITH segs AS (
+        SELECT doc_id,
+               unnest([md5(array_to_string(
+                          w[(s-1)*{SEG_WORDS}+1 : (s-1)*{SEG_WORDS}+{SEG_WORDS}], ' '))
+                       for s in generate_series(
+                           1, greatest(CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT), 1))]
+               ) AS seg_hash
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    freq AS (
+        SELECT seg_hash, count(DISTINCT doc_id) AS n_docs
+        FROM segs GROUP BY seg_hash
+    )
+    SELECT s.doc_id,
+           count(*) AS n_segments,
+           count(*) FILTER (f.n_docs > 1) AS n_dup_segments,
+           round(count(*) FILTER (f.n_docs > 1) / CAST(count(*) AS DOUBLE), 4)
+               AS dup_seg_frac,
+           (count(*) FILTER (f.n_docs > 1) / CAST(count(*) AS DOUBLE) > 0.3)
+               AS is_flagged
+    FROM segs s JOIN freq f USING (seg_hash)
+    GROUP BY s.doc_id
+    """,
+)
+def q_llm_dedup_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (paragraph-style) dedup: per-document fraction of
+    fixed-width word segments that also appear in ANOTHER document.
+
+    The sub-document granularity the big web-corpus pipelines
+    (C4/MassiveText/RefinedWeb lineage) run BEFORE whole-document
+    dedup: boilerplate headers, navigation strings, and license
+    blocks repeat across documents whose full texts differ, so
+    whole-doc hashing misses them. The fixture corpus has no newline
+    structure, so the "paragraph" unit here is a deterministic
+    10-word tumbling window — the plumbing (segment → global
+    frequency → join back → per-doc score) is exactly the production
+    shape; swap the segmenter expression for ``split(text, '\\n')``
+    on real corpora.
+
+    Scale shape: one segment explode (narrow: ~n_words/10 rows per
+    doc), one hash-aggregate for global segment frequencies
+    (``countDistinct(doc_id)`` so within-doc repeats don't
+    self-flag), one hint-free shuffle join back on seg_hash (both
+    sides already keyed on it), one per-doc aggregate. Nothing
+    all-pairs, no broadcast of anything corpus-sized — the same
+    bucketed discipline as the LSH family.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = fan_out(d, "doc_id").select("doc_id", F.split("text", " ").alias("w"))
+    n_seg = F.greatest(
+        F.ceil(F.size("w") / float(SEG_WORDS)).cast("bigint"), F.lit(1)
+    )
+    seg = F.md5(
+        F.concat_ws(
+            " ", F.slice("w", (F.col("s") - 1) * SEG_WORDS + 1, SEG_WORDS)
+        )
+    )
+    segs = w.select(
+        "doc_id", "w", F.explode(F.sequence(F.lit(1), n_seg)).alias("s")
+    ).select("doc_id", seg.alias("seg_hash"))
+    freq = segs.groupBy("seg_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = F.count(F.when(F.col("n_docs") > 1, F.lit(1)))
+    frac = dup / F.count(F.lit(1)).cast("double")
+    return (
+        segs.join(freq, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            dup.alias("n_dup_segments"),
+            F.round(frac, 4).alias("dup_seg_frac"),
+            (frac > 0.3).alias("is_flagged"),
+        )
+    )

@@ -1611,3 +1611,111 @@ def q_events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cv, 4).alias("gap_cv"),
         F.coalesce(cv < 0.30, F.lit(False)).alias("is_bot_like"),
     )
+
+
+_RFM_SEGMENT_SQL = """CASE
+        WHEN r_score = 1 AND f_score <= 2 THEN 'champion'
+        WHEN r_score <= 2 AND m_score <= 2 THEN 'loyal_high_value'
+        WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk'
+        WHEN r_score >= 4 AND f_score >= 4 THEN 'hibernating'
+        ELSE 'regular'
+    END"""
+
+
+@query(
+    "q_events_rfm",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               date_diff('day', max(CAST(ts AS DATE)),
+                         (SELECT max(CAST(ts AS DATE)) FROM events))
+                   AS recency_days,
+               count(*) AS frequency,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT *,
+               CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INT)
+                   AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT)
+                   AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INT)
+                   AS m_score
+        FROM u
+    )
+    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, round(monetary, 4) AS monetary,
+           r_score, f_score, m_score,
+           {_RFM_SEGMENT_SQL} AS segment
+    FROM s
+    """,
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintiles per
+    user, plus a rule-based segment label — the classic lifecycle
+    scoring every event warehouse runs (score 1 = best quintile).
+
+    Scale shape: one per-user aggregate collapses event volume to
+    O(users); the corpus anchor date is a broadcast 1-row aggregate.
+    The three quintile scores are NOT three global ``ntile``
+    windows (each would funnel all users through one task) — each
+    rides ``range_partitioned_row_number`` over its metric (with the
+    ``user_id`` tiebreak making the order total) and derives
+    ``ntile(5)`` arithmetically from (rank, n), the same
+    distributed-ntile identity ``q_win_ntile`` plan-asserts. The
+    oracle keeps the plain-window formulation, so the hash match
+    proves the identity on all three orderings at once.
+
+    Determinism: ``monetary`` is the order-independent exact decimal
+    sum (``dec_sum``) — bitwise identical across engines and
+    partition layouts — because it is an ORDERING key here, where a
+    last-ulp float difference would flip a quintile boundary, not
+    just a rounded digit.
+    """
+    from frafka_spark.functions.determinism import dec_sum
+    from frafka_spark.operators.windows import range_partitioned_row_number
+
+    e = table(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.to_date("ts")).alias("_anchor"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("_last_day"),
+            F.count("*").alias("frequency"),
+            dec_sum("value", "monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("_anchor", "_last_day").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+
+    def ntile5(df: DataFrame, order_by: list, score: str) -> DataFrame:
+        df = range_partitioned_row_number(df, order_by, out="_rn", total="_n")
+        bucket = F.expr(
+            """CAST(1 + CASE
+                 WHEN _rn <= (_n % 5) * (_n div 5 + 1)
+                 THEN (_rn - 1) div (_n div 5 + 1)
+                 ELSE (_n % 5) + (_rn - 1 - (_n % 5) * (_n div 5 + 1))
+                      div (_n div 5)
+               END AS INT)"""
+        )
+        return df.withColumn(score, bucket).drop("_rn", "_n")
+
+    u = ntile5(u, [F.col("recency_days"), F.col("user_id")], "r_score")
+    u = ntile5(u, [F.col("frequency").desc(), F.col("user_id")], "f_score")
+    u = ntile5(u, [F.col("monetary").desc(), F.col("user_id")], "m_score")
+    return u.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 4).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.expr(_RFM_SEGMENT_SQL).alias("segment"),
+    )
