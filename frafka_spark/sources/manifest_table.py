@@ -400,3 +400,145 @@ def write_stream_batch(df: DataFrame, batch_id: int, path: str) -> int | None:
         },
     )
     return version
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the current snapshot's data files into the fewest
+    ~``target_file_bytes`` files and commit the rewrite as a new
+    snapshot (Delta's OPTIMIZE / Iceberg's rewrite_data_files).
+
+    Streaming sinks and frequent small appends accrete a file per
+    micro-batch; at scale the table's read cost becomes dominated by
+    per-file open/footer overhead and tiny row groups long before
+    data volume matters. Compaction is the maintenance half of the
+    manifest format's contract:
+
+    - **logical no-op**: the committed snapshot holds exactly the
+      same rows (``read_changes`` across a compact commit reports
+      zero row changes, and the test asserts multiset equality);
+    - **non-destructive**: pre-compaction versions still time-travel
+      (old files remain until ``vacuum`` drops them);
+    - **atomic**: readers see the old file set until the single
+      manifest create, never a mix;
+    - **stats-preserving**: if the table carries file-skipping stats,
+      the same columns are re-extracted from the new files' footers,
+      so ``read_table_pruned`` keeps working across a compaction.
+
+    File count is sized by on-disk bytes (``ceil(bytes/target)``), not
+    a row count — no extra pass over the data. ``repartition(n)``
+    round-robins rows, which balances file sizes but interleaves any
+    clustered layout; re-run ``layout.write_zordered`` afterwards if
+    the table was z-ordered (same discipline as Delta, where OPTIMIZE
+    and ZORDER are one command precisely because of this).
+    Returns the committed version.
+    """
+    prev = current_version(path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    manifest = _read_manifest(path, prev)
+    if not manifest["files"]:
+        raise ValueError(f"snapshot v{prev} at {path} has no data files")
+    total_bytes = sum(os.path.getsize(fp) for fp in manifest["files"])
+    n_files = max(1, -(-total_bytes // target_file_bytes))
+    df = read_table(spark, path, version=prev).repartition(n_files)
+    new_files = _write_data_files(df, path)
+    stats_cols = sorted(
+        {c for spans in manifest.get("stats", {}).values() for c in spans}
+    )
+    version = prev + 1
+    new_manifest = {
+        "version": version,
+        "mode": "compact",
+        "files": new_files,
+        "schema": manifest["schema"],
+        "parent": prev,
+    }
+    if stats_cols:
+        new_manifest["stats"] = _file_stats(new_files, stats_cols)
+    _commit(path, version, new_manifest)
+    return version
+
+
+def read_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Change-data-feed read: the row-level delta between two committed
+    snapshots, as the snapshot-``to`` schema plus two metadata columns
+    ``_change_type`` (``'insert'`` | ``'delete'``; an update surfaces
+    as its delete/insert pair, Delta-CDF style without preimage
+    pairing) and ``_commit_version``.
+
+    Two physical strategies, picked from the manifest chain alone:
+
+    - **append fast path** — every commit in ``(from, to]`` is an
+      append (including stream batches): the delta is exactly the
+      files those commits added, each tagged with its committing
+      version. Cost O(new files); the base snapshot is never read.
+      This is the path a 100 TB incremental consumer lives on —
+      reading a day of appends must not cost a table scan.
+    - **diff fallback** — the chain contains an overwrite / merge /
+      compact: without per-file row lineage a rewrite loses
+      provenance, so the delta is computed honestly as a multiset
+      diff (``exceptAll`` both ways — two shuffles on the full row,
+      the same cost class as the copy-on-write merge that created the
+      commit). All rows tag ``_commit_version = to_version``. A
+      compaction commits identical rows, so this path returns empty
+      across it — asserted in tests.
+
+    Both snapshots' files are read under the ``to`` snapshot's schema
+    (additive evolution means old files project with NULL-filled new
+    columns, exactly as ``read_table`` serves them).
+    """
+    from pyspark.sql import functions as F
+
+    if not 0 <= from_version <= to_version:
+        raise ValueError(
+            f"need 0 <= from_version <= to_version, got "
+            f"{from_version}..{to_version}"
+        )
+    to_manifest = _read_manifest(path, to_version)
+    schema = _schema_from_json(to_manifest["schema"])
+
+    def read_files(files: list[str]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema=schema)
+        return spark.read.schema(schema).parquet(*files)
+
+    chain = []  # manifests in (from, to], oldest first
+    for v in range(from_version + 1, to_version + 1):
+        chain.append(_read_manifest(path, v))
+    if all(m["mode"] == "append" for m in chain):
+        prev_files = set(_read_manifest(path, from_version)["files"])
+        out = None
+        for m in chain:
+            added = [fp for fp in m["files"] if fp not in prev_files]
+            prev_files.update(added)
+            part = read_files(added).select(
+                "*",
+                F.lit("insert").alias("_change_type"),
+                F.lit(m["version"]).cast("int").alias("_commit_version"),
+            )
+            out = part if out is None else out.unionAll(part)
+        return (
+            out
+            if out is not None
+            else read_files([]).select(
+                "*",
+                F.lit("insert").alias("_change_type"),
+                F.lit(to_version).cast("int").alias("_commit_version"),
+            )
+        )
+    base = read_files(_read_manifest(path, from_version)["files"])
+    target = read_files(to_manifest["files"])
+    tag = lambda df, kind: df.select(  # noqa: E731
+        "*",
+        F.lit(kind).alias("_change_type"),
+        F.lit(to_version).cast("int").alias("_commit_version"),
+    )
+    return tag(target.exceptAll(base), "insert").unionAll(
+        tag(base.exceptAll(target), "delete")
+    )

@@ -367,3 +367,85 @@ def test_manifest_table_additive_schema_evolution(spark, tmp_path):
             path,
             mode="append",
         )
+
+
+def test_manifest_compact_is_logical_noop_and_shrinks_files(spark, tmp_path):
+    """compact(): same rows, fewer files, history intact, stats
+    re-extracted, and the CDF read across the compact commit is empty."""
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    # accrete many small files: one append per "micro-batch"
+    for lo in range(0, 50, 10):
+        df = (
+            spark.range(lo, lo + 10)
+            .withColumnRenamed("id", "k")
+            .repartition(4)  # 4 small files per commit
+        )
+        mt.write_table_with_stats(df, path, stats_cols=["k"], mode="append")
+    before = mt._read_manifest(path, mt.current_version(path))
+    assert len(before["files"]) >= 20
+
+    v = mt.compact(spark, path)  # default target ≫ total bytes → 1 file
+    after = mt._read_manifest(path, v)
+    assert after["mode"] == "compact"
+    assert len(after["files"]) == 1
+    # logical no-op: identical row multiset
+    now = mt.read_table(spark, path)
+    assert now.count() == 50
+    assert sorted(r.k for r in now.collect()) == list(range(50))
+    # history intact: pre-compact version still reads its file set
+    assert mt.read_table(spark, path, version=v - 1).count() == 50
+    # stats survived compaction with the same column set
+    assert set(after["stats"][after["files"][0]]) == {"k"}
+    assert mt.read_table_pruned(spark, path, "k", 5, 7).count() == 3
+    # CDF across a compaction: a rewrite of identical rows = no changes
+    assert mt.read_changes(spark, path, v - 1, v).count() == 0
+    # vacuum drops the 20+ small pre-compact files, table still reads
+    assert len(mt.vacuum(path, keep_last=1)) == len(before["files"])
+    assert mt.read_table(spark, path).count() == 50
+
+
+def test_manifest_read_changes_append_fast_path(spark, tmp_path):
+    """CDF over an append-only chain: per-commit inserts, tagged with
+    their committing version, without reading the base snapshot."""
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")  # noqa: E731
+    mt.write_table(mk(0, 3), path, mode="overwrite")   # v0
+    mt.write_table(mk(3, 5), path, mode="append")      # v1
+    mt.write_table(mk(5, 9), path, mode="append")      # v2
+
+    ch = mt.read_changes(spark, path, 0, 2)
+    rows = {(r.k, r._change_type, r._commit_version) for r in ch.collect()}
+    assert rows == {(k, "insert", 1) for k in (3, 4)} | {
+        (k, "insert", 2) for k in (5, 6, 7, 8)
+    }
+    # empty range → empty frame with the CDF schema
+    empty = mt.read_changes(spark, path, 2, 2)
+    assert empty.count() == 0
+    assert {"_change_type", "_commit_version"} <= set(empty.columns)
+
+
+def test_manifest_read_changes_cow_diff(spark, tmp_path):
+    """CDF across a copy-on-write merge: an update surfaces as its
+    delete/insert pair, an insert as insert-only."""
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    mt.write_table(base, path, mode="overwrite")  # v0
+    changes = spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"])
+    v1 = mt.merge_table(spark, path, changes, key="k")  # v1: cow rewrite
+
+    ch = mt.read_changes(spark, path, 0, v1)
+    rows = {(r.k, r.v, r._change_type) for r in ch.collect()}
+    assert rows == {
+        (2, "B", "insert"),  # update post-image
+        (4, "d", "insert"),  # fresh insert
+        (2, "b", "delete"),  # update pre-image
+    }
+    assert {r._commit_version for r in ch.collect()} == {v1}
