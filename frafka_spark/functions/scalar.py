@@ -623,3 +623,52 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_not_a_date"),
         )
     )
+
+
+@query(
+    "q_fn_decimal",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)
+               AS price_str,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(1 + l_tax AS DECIMAL(6,4)) AS DECIMAL(18,4))
+                AS VARCHAR) AS gross_str,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(1 + l_tax AS DECIMAL(6,4)) AS DECIMAL(18,4))
+                AS DOUBLE) AS gross_dbl,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+    FROM lineitem
+    """,
+)
+def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal arithmetic: double → DECIMAL casts, exact
+    scaled multiplication, integer-cents extraction, and the
+    canonical to-string rendering (scale digits preserved).
+
+    Money columns ship as parquet doubles in the fixtures; the first
+    thing a finance-grade pipeline does is pin them to decimals so
+    every downstream add/multiply is exact integer arithmetic with
+    deterministic scale — the row-wise counterpart of the
+    ``dec_sum`` aggregate discipline. The multiplication stays exact
+    end-to-end (scale 2 × scale ≤4 ⇒ scale ≤6 with zero tail ⇒ the
+    DECIMAL(18,4) cast never rounds), so the hash match proves both
+    engines implement identical decimal semantics, not just close
+    floats. String renderings keep trailing zeros to the declared
+    scale on both engines ("1127.04" stays "1127.04", scale-4 values
+    render 4 digits).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+    gross = (price_dec * one_plus_tax).cast("decimal(18,4)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        price_dec.cast("string").alias("price_str"),
+        gross.cast("string").alias("gross_str"),
+        gross.cast("double").alias("gross_dbl"),
+        (price_dec * 100).cast("bigint").alias("cents"),
+    )

@@ -857,3 +857,37 @@ def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+@query(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT p_brand,
+           CAST(bit_and(CAST(p_size AS BIGINT)) AS BIGINT) AS all_and,
+           CAST(bit_or(CAST(p_size AS BIGINT)) AS BIGINT) AS any_or,
+           CAST(bit_xor(CAST(p_size AS BIGINT)) AS BIGINT) AS parity_xor,
+           CAST(bit_or(CAST(1 << (p_size % 6) AS BIGINT)) AS BIGINT)
+               AS size_mask
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates: AND/OR/XOR across a group, plus the
+    small-domain presence bitmap (``bit_or(1 << (v % 6))``) — the
+    compact mergeable set summary bitmap indexes and bloom-style
+    sketches build on. All four are commutative/associative single
+    longs, so Spark computes them with map-side partial aggregation
+    and constant-size state — the cheapest aggregate class there is
+    at any scale (same class as sum/count, unlike collect-based
+    state).
+    """
+    p = table(spark, sf_dir, "part")
+    size = F.col("p_size").cast("bigint")
+    return p.groupBy("p_brand").agg(
+        F.bit_and(size).alias("all_and"),
+        F.bit_or(size).alias("any_or"),
+        F.bit_xor(size).alias("parity_xor"),
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p_size % 6 AS INT))")
+        ).alias("size_mask"),
+    )

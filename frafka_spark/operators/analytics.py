@@ -1719,3 +1719,60 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         F.expr(_RFM_SEGMENT_SQL).alias("segment"),
     )
+
+
+@query(
+    "q_events_stickiness",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    dau AS (SELECT d, count(*) AS dau FROM pairs GROUP BY d),
+    mau AS (
+        SELECT t, count(DISTINCT user_id) AS mau30
+        FROM (SELECT user_id, d + CAST(k AS INTEGER) AS t
+              FROM pairs, (SELECT unnest(generate_series(0, 29)) AS k))
+        GROUP BY t
+    )
+    SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau,
+           mau.mau30,
+           round(dau.dau / CAST(mau.mau30 AS DOUBLE), 4) AS stickiness
+    FROM dau JOIN mau ON mau.t = dau.d
+    """,
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU(30) stickiness per day — the product-health ratio
+    (what share of the trailing month's actives showed up today).
+
+    Same interval-engine idea as ``q_events_rolling_actives`` at day
+    granularity: collapse events to distinct (user, day) pairs FIRST
+    (shuffle ∝ user-days, not events), then each pair votes into the
+    ≤30 future days whose trailing window contains it — an explode
+    bounded by pairs×30, never events×30 — and a distinct+count per
+    target day gives the exact rolling MAU. DAU is a plain count over
+    the same pairs relation (computed once, reused by both branches).
+    Days reported are days with ≥1 event (inner join), so partial
+    leading windows appear exactly as the oracle computes them.
+    """
+    e = table(spark, sf_dir, "events")
+    pairs = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = pairs.groupBy("d").agg(F.count("*").alias("dau"))
+    mau = (
+        pairs.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("k"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("k")).alias("t"))
+        .distinct()
+        .groupBy("t")
+        .agg(F.count("*").alias("mau30"))
+    )
+    return dau.join(mau, dau["d"] == mau["t"]).select(
+        F.col("d").cast("string").alias("day"),
+        "dau",
+        "mau30",
+        F.round(F.col("dau") / F.col("mau30").cast("double"), 4).alias(
+            "stickiness"
+        ),
+    )
