@@ -461,3 +461,69 @@ def test_pareto_rank_rides_range_partitioning(spark):
     for part, order in specs:
         if part.strip() == "" or part == "[]":
             assert "_pid" in order or "user_decile" in order, (part, order)
+
+
+def test_dedup_segment_is_hint_free_keyed_join(spark):
+    """q_llm_dedup_segment: segments and their global frequencies are
+    both O(corpus) — the join back must be a hint-free shuffle join
+    (AQE may size-broadcast at fixture scale; a hint may not force
+    it), and no builtin window may appear (everything is aggregates
+    and one keyed join)."""
+    plan = _plan_without_auto_broadcast(spark, "q_llm_dedup_segment")
+    assert "BroadcastExchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_rfm_no_single_task_data_window(spark):
+    """q_events_rfm: the three quintile scores must ride the
+    range-partitioned ranking — no Window ordered by a metric column
+    may survive (the helper's _pid-local rank and <=cluster-width
+    offsets frames are the only permitted Windows), and no builtin
+    ntile call may appear."""
+    import re
+
+    plan = _plan(spark, "q_events_rfm")
+    win_specs = re.findall(r"\(\d+\) Window[\s\S]*?Arguments: .*", plan)
+    for metric in ("recency_days", "frequency", "monetary"):
+        assert all(metric not in w for w in win_specs), (metric, win_specs)
+    assert "ntile(" not in plan, plan
+
+
+def test_stickiness_interval_vote_partial_combines(spark):
+    """q_events_stickiness: the rolling-MAU side must hash-aggregate
+    with map-side partial combine (the pairs×30 explode is the only
+    row expansion; everything after is narrow aggregates).
+
+    ``has_partial_aggregation`` can't see this shape: the map-side
+    half of a DISTINCT is a function-less HashAggregate (no
+    ``partial_`` marker), so the helper's below-the-first-exchange
+    check misfires. Assert the markers directly: the day counts
+    partial-combine, the explode generates from the DISTINCT pairs
+    (never raw events), and no window appears."""
+    df = _df(spark, "q_events_stickiness")
+    plan = plan_str(df)
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+    # the Generate (explode) must sit above a keyed aggregate of the
+    # pairs, not directly above the events scan
+    import re
+
+    gen = re.search(r"\(\d+\) Generate[\s\S]*?Input \[\d+\]: \[([^\]]*)\]", plan)
+    assert gen and "user_id" in gen.group(1) and "d#" in gen.group(1), plan
+
+
+def test_bitwise_agg_partial_combines(spark):
+    """q_agg_bitwise: constant-state commutative aggregates must show
+    map-side partial aggregation (same class as sum/count)."""
+    assert has_partial_aggregation(_df(spark, "q_agg_bitwise"))
+
+
+def test_fn_decimal_is_pure_projection(spark):
+    """q_fn_decimal: row-wise decimal arithmetic must stay a single
+    scan+project — no exchange, no Python, inside codegen."""
+    df = _df(spark, "q_fn_decimal")
+    plan = plan_str(df)
+    assert "Exchange" not in plan, plan
+    assert not python_eval_nodes(df)
+    # formatted mode prints codegen'd operators with a star prefix
+    assert "* Project" in plan, plan
