@@ -1434,3 +1434,64 @@ def q_llm_dedup_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac > 0.3).alias("is_flagged"),
         )
     )
+
+
+@query(
+    "q_llm_dedup_priority",
+    oracle="""
+    WITH ranked AS (
+        SELECT md5(text) AS content_hash, doc_id, source,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY source, doc_id) AS rn,
+               count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+               (min(source) OVER (PARTITION BY md5(text))
+                <> max(source) OVER (PARTITION BY md5(text)))
+                   AS cross_source
+        FROM documents
+    )
+    SELECT content_hash,
+           doc_id AS keep_doc_id,
+           source AS keep_source,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           cross_source
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_llm_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-precedence exact dedup: when the same content arrives
+    from several sources (union of crawl dumps, mirrored sites,
+    re-scrapes), keep the copy from the highest-priority source —
+    here the lexicographically first source name, doc_id tiebreak —
+    and report whether the duplicate set spans sources (the signal
+    separating mirror-dedup from within-crawl dedup).
+
+    ``q_llm_dedup_exact``'s min-id keeper is policy-free; this is the
+    POLICY variant every multi-source corpus build actually runs
+    (licensed/cleaner source wins over a crawl copy). One window
+    family partitioned by the content digest — state per digest is
+    O(copies), the shuffle is the same single digest exchange as the
+    group-by formulation, and rank/count/min/max all ride it
+    together.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash")
+    wo = w.orderBy("source", "doc_id")
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id", "source")
+        .select(
+            "*",
+            F.row_number().over(wo).alias("rn"),
+            F.count("*").over(w).alias("n_copies"),
+            (F.min("source").over(w) != F.max("source").over(w)).alias(
+                "cross_source"
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "content_hash",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("source").alias("keep_source"),
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            "cross_source",
+        )
+    )

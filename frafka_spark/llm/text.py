@@ -1624,3 +1624,79 @@ def q_llm_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 4).alias("mean_tf"),
         F.round(F.when(F.col("df") > 1, var / mean), 4).alias("vmr"),
     )
+
+
+@query("q_llm_quality_ensemble", oracle=None)
+def q_llm_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-style quality filter: a fixed-weight logistic ensemble
+    over the per-doc signals the heuristic filters already compute
+    (lexical uniqueness, normalized entropy, repetition, stopword
+    ratio) — the shape of a fastText/classifier quality gate
+    (CCNet/DCLM lineage) with a deterministic stand-in for learned
+    weights, so the whole decision stays oracle-checkable.
+
+    Composes three DECLARED queries (the house composition rule:
+    audits reuse the exact relation they audit, zero drift):
+    ``q_llm_quality`` ⋈ ``q_llm_entropy`` ⋈ ``q_llm_repetition`` on
+    doc_id — all one-row-per-doc relations, so the joins are narrow
+    keyed shuffles (AQE may broadcast at fixture scale) over branches
+    that share the session-cached word/bigram explodes.
+
+    Determinism: every input feature is already rounded to 4 decimals
+    by its defining query, the linear combination of identical
+    doubles is identical, and the sigmoid is rounded at 4 — the same
+    transcendental-parity footing as ``q_fn_math``/``q_llm_doc_nll``
+    (exp/ln agree across engines on identical inputs; driver-verified
+    since round 3).
+    """
+    q = q_llm_quality(spark, sf_dir).select(
+        "doc_id", "stopword_ratio", "uniq_ratio"
+    )
+    e = q_llm_entropy(spark, sf_dir).select("doc_id", "entropy_norm")
+    r = q_llm_repetition(spark, sf_dir).select("doc_id", "repetition_ratio")
+    z = (
+        F.lit(-2.0)
+        + 3.0 * F.col("uniq_ratio")
+        + 2.0 * F.col("entropy_norm")
+        - 4.0 * F.col("repetition_ratio")
+        - 2.0 * F.col("stopword_ratio")
+    )
+    prob = 1.0 / (1.0 + F.exp(-z))
+    return (
+        q.join(e, "doc_id")
+        .join(r, "doc_id")
+        .select(
+            "doc_id",
+            F.round(z, 4).alias("ens_z"),
+            F.round(prob, 4).alias("keep_prob"),
+            (prob >= 0.5).alias("keep"),
+        )
+    )
+
+
+def _quality_ensemble_oracle() -> str:
+    from frafka_spark.registry import QUERIES as _Q
+
+    quality = _Q["q_llm_quality"].oracle
+    entropy = _Q["q_llm_entropy"].oracle
+    repetition = _Q["q_llm_repetition"].oracle
+    return f"""
+    SELECT q.doc_id,
+           round(-2.0 + 3.0*q.uniq_ratio + 2.0*e.entropy_norm
+                 - 4.0*r.repetition_ratio - 2.0*q.stopword_ratio, 4) AS ens_z,
+           round(1.0 / (1.0 + exp(-(-2.0 + 3.0*q.uniq_ratio
+                 + 2.0*e.entropy_norm - 4.0*r.repetition_ratio
+                 - 2.0*q.stopword_ratio))), 4) AS keep_prob,
+           (1.0 / (1.0 + exp(-(-2.0 + 3.0*q.uniq_ratio + 2.0*e.entropy_norm
+                 - 4.0*r.repetition_ratio - 2.0*q.stopword_ratio))) >= 0.5)
+               AS keep
+    FROM ({quality}) q
+    JOIN ({entropy}) e USING (doc_id)
+    JOIN ({repetition}) r USING (doc_id)
+    """
+
+
+from frafka_spark.registry import QUERIES as _QE  # noqa: E402
+
+_QE["q_llm_quality_ensemble"].oracle = _quality_ensemble_oracle()
+del _QE

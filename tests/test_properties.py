@@ -501,3 +501,130 @@ def test_compression_ratio_semantics(spark):
     )
     ratio = lambda t: len(zlib.compress(t.encode(), 6)) / len(t)  # noqa: E731
     assert ratio(rep) < 0.05 < ratio(noise)
+
+
+def test_rfm_quintiles_balance_and_segment_rule(spark):
+    """q_events_rfm: each score column is a valid ntile(5) — buckets
+    1..5 with sizes differing by ≤1 — and the segment label obeys the
+    declared CASE rule row-by-row."""
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    rfm = QUERIES["q_events_rfm"].fn(spark, SF_DIR).toPandas()
+    n = len(rfm)
+    assert n >= 5
+    for col in ("r_score", "f_score", "m_score"):
+        counts = rfm[col].value_counts()
+        assert sorted(counts.index) == [1, 2, 3, 4, 5], (col, counts)
+        assert counts.max() - counts.min() <= 1, (col, counts)
+
+    def seg(row):
+        r, f, m = row.r_score, row.f_score, row.m_score
+        if r == 1 and f <= 2:
+            return "champion"
+        if r <= 2 and m <= 2:
+            return "loyal_high_value"
+        if r >= 4 and f <= 2:
+            return "at_risk"
+        if r >= 4 and f >= 4:
+            return "hibernating"
+        return "regular"
+
+    for row in rfm.itertuples():
+        assert row.segment == seg(row), row
+
+
+def test_segment_dedup_exact_dups_fully_flagged(spark):
+    """q_llm_dedup_segment cross-law with q_llm_dedup_exact: a doc
+    whose full text has ≥2 exact copies shares EVERY segment, so its
+    duplicated-segment fraction must be exactly 1.0; and per-doc
+    segment counts must equal ceil(n_words/10)."""
+    import math
+
+    from frafka_spark.io import table
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    seg = QUERIES["q_llm_dedup_segment"].fn(spark, SF_DIR).toPandas()
+    assert (seg["n_dup_segments"] <= seg["n_segments"]).all()
+    assert ((seg["dup_seg_frac"] >= 0) & (seg["dup_seg_frac"] <= 1)).all()
+
+    docs = table(spark, SF_DIR, "documents").toPandas()
+    n_words = docs.set_index("doc_id")["text"].str.split(" ").str.len()
+    counts = seg.set_index("doc_id")["n_segments"]
+    for doc_id, nw in n_words.items():
+        assert counts[doc_id] == max(math.ceil(nw / 10), 1), doc_id
+
+    exact = QUERIES["q_llm_dedup_exact"].fn(spark, SF_DIR).toPandas()
+    dup_hashes = exact[exact["n_copies"] > 1]
+    if len(dup_hashes):
+        import hashlib
+
+        texts = docs.assign(
+            h=docs["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+        )
+        dup_doc_ids = texts[texts["h"].isin(dup_hashes["content_hash"])]["doc_id"]
+        flagged = seg.set_index("doc_id").loc[dup_doc_ids, "dup_seg_frac"]
+        assert (flagged == 1.0).all(), flagged[flagged < 1.0]
+
+
+def test_priority_dedup_partitions_and_precedence(spark):
+    """q_llm_dedup_priority: copies sum to the corpus, one keeper per
+    digest, keeper source is the group minimum, and group sizes match
+    q_llm_dedup_exact's policy-free groups."""
+    from frafka_spark.io import table
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    pri = QUERIES["q_llm_dedup_priority"].fn(spark, SF_DIR).toPandas()
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert pri["n_copies"].sum() == n_docs
+    assert pri["content_hash"].is_unique
+    exact = QUERIES["q_llm_dedup_exact"].fn(spark, SF_DIR).toPandas()
+    merged = pri.merge(exact, on="content_hash", suffixes=("", "_exact"))
+    assert len(merged) == len(pri)
+    assert (merged["n_copies"] == merged["n_copies_exact"]).all()
+    # keeper precedence: the keeper's source is the minimum source of
+    # its group (recomputed from the raw corpus)
+    import hashlib
+
+    docs = table(spark, SF_DIR, "documents").toPandas()
+    docs["h"] = docs["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    min_src = docs.groupby("h")["source"].min()
+    keep_src = pri.set_index("content_hash")["keep_source"]
+    assert (keep_src == min_src.loc[keep_src.index]).all()
+
+
+def test_stickiness_bounds_and_day_cover(spark):
+    """q_events_stickiness: dau ≤ mau30, ratio in (0, 1], and exactly
+    the corpus's distinct active days are reported."""
+    from frafka_spark.io import table
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    st_ = QUERIES["q_events_stickiness"].fn(spark, SF_DIR).toPandas()
+    assert (st_["dau"] <= st_["mau30"]).all()
+    assert ((st_["stickiness"] > 0) & (st_["stickiness"] <= 1)).all()
+    days = (
+        table(spark, SF_DIR, "events")
+        .select(F.to_date("ts").cast("string").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert len(st_) == days
