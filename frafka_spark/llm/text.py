@@ -955,9 +955,10 @@ def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate whose state is the doc's distinct-word count list —
     the same per-doc footprint the TF-IDF family already carries.
     """
-    d = table(spark, sf_dir, "documents")
+    from frafka_spark.llm.dedup import _words
+
     counts = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        _words(spark, sf_dir)  # shared session-cached corpus explode
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("c"))
     )
