@@ -696,3 +696,67 @@ def test_end_to_end_dlq_manifest_restart(spark, tmp_path):
         bad.filter(F.col("_fr_error").contains("poison value")).count()
         == bad.count()
     )
+
+
+def test_stream_to_table_incremental_cdf_consumer(spark, tmp_path):
+    """The incremental-consumer loop the CDF read exists for: a
+    micro-batch stream appends to the manifest table; a downstream
+    consumer repeatedly polls read_changes(last_seen, head) and must
+    see every streamed row EXACTLY once (append fast path: no row
+    re-delivered across polls, versions strictly advance, base
+    snapshot never re-read)."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    # three source files -> availableNow stream chops them into batches
+    for i in range(3):
+        spark.range(i * 4, i * 4 + 4).select(
+            F.col("id").alias("k")
+        ).coalesce(1).write.mode("append").json(src)
+
+    consumed: list[tuple[int, int]] = []  # (k, commit_version)
+    last_seen = {"v": None}
+
+    def sink(df, bid):
+        mt.write_stream_batch(df, bid, tbl)
+        # downstream consumer polls the table's CDF after each commit
+        head = mt.current_version(tbl)
+        frm = last_seen["v"]
+        if frm is None:
+            # first poll: bootstrap with the full first snapshot
+            rows = [
+                (r.k, head)
+                for r in mt.read_table(spark, tbl, version=head).collect()
+            ]
+        else:
+            rows = [
+                (r.k, r._commit_version)
+                for r in mt.read_changes(spark, tbl, frm, head).collect()
+            ]
+        consumed.extend(rows)
+        last_seen["v"] = head
+
+    q = (
+        spark.readStream.schema("k bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # exactly-once across the polls: every streamed k seen once
+    ks = sorted(k for k, _ in consumed)
+    assert ks == list(range(12)), ks
+    # each poll's rows tagged with a version > the previous poll's head
+    versions = [v for _, v in consumed]
+    assert len(set(versions)) == mt.current_version(tbl) + 1
+    # a final catch-up poll sees nothing new
+    head = mt.current_version(tbl)
+    assert mt.read_changes(spark, tbl, last_seen["v"], head).count() == 0
