@@ -306,7 +306,7 @@ def test_connected_components_log_round_convergence(spark):
 @given(
     ops=st.lists(
         st.tuples(
-            st.sampled_from(["append", "overwrite", "merge"]),
+            st.sampled_from(["append", "overwrite", "merge", "compact"]),
             st.integers(0, 30),  # key range start
             st.integers(1, 8),  # row count
         ),
@@ -316,9 +316,12 @@ def test_connected_components_log_round_convergence(spark):
 )
 def test_manifest_table_matches_multiset_model(spark, tmp_path_factory, ops):
     """Model-based check of the manifest table format: a random
-    sequence of append / overwrite / merge commits must leave every
-    committed version readable and equal to a plain Python multiset
-    replaying the same sequence — time travel is total and exact.
+    sequence of append / overwrite / merge / compact commits must
+    leave every committed version readable and equal to a plain
+    Python multiset replaying the same sequence — time travel is
+    total and exact — and ``read_changes`` across every adjacent
+    version pair must equal the model's multiset diff (compaction:
+    empty; appends additionally tag the committing version).
 
     Merge follows ``operators/merge.py`` semantics: every matched
     target row (including duplicates a prior append created) takes
@@ -334,7 +337,10 @@ def test_manifest_table_matches_multiset_model(spark, tmp_path_factory, ops):
     for i, (kind, lo, n) in enumerate(ops):
         rows = {k: k * 1000 + i for k in range(lo, lo + n)}
         df = spark.createDataFrame(sorted(rows.items()), ["k", "v"])
-        if kind == "append":
+        if kind == "compact" and mt.current_version(path) is not None and model:
+            mt.compact(spark, path)
+            # logical no-op: model unchanged
+        elif kind == "append":
             mt.write_table(df, path, mode="append")
             model = model + sorted(rows.items())
         elif kind == "overwrite" or mt.current_version(path) is None:
@@ -355,6 +361,22 @@ def test_manifest_table_matches_multiset_model(spark, tmp_path_factory, ops):
             for r in mt.read_table(spark, path, version=version).collect()
         )
         assert got == expect, (version, ops)
+    # CDF model check: changes between adjacent versions == multiset diff
+    from collections import Counter
+
+    for version in range(1, len(snapshots)):
+        prev_c = Counter(snapshots[version - 1])
+        cur_c = Counter(snapshots[version])
+        expect_changes = Counter()
+        for kv in (cur_c - prev_c).elements():
+            expect_changes[(*kv, "insert")] += 1
+        for kv in (prev_c - cur_c).elements():
+            expect_changes[(*kv, "delete")] += 1
+        got_changes = Counter(
+            (r.k, r.v, r._change_type)
+            for r in mt.read_changes(spark, path, version - 1, version).collect()
+        )
+        assert got_changes == expect_changes, (version, ops)
 
 
 def test_ohlc_invariants(spark):
