@@ -160,8 +160,16 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math family: abs/floor/ceil/sqrt/pow/ln/log10/exp/mod/sign."""
-    li = table(spark, sf_dir, "lineitem")
+    """Math family: abs/floor/ceil/sqrt/pow/ln/log10/exp/mod/sign.
+
+    Fanned out past the single-file scan width before the 10-column
+    transcendental projection (the ``q_fn_try`` move: one small raw
+    shuffle buys 32-wide evaluation of the expensive expressions —
+    on a cluster the input splits provide this for free).
+    """
+    from frafka_spark.io import fan_out
+
+    li = fan_out(table(spark, sf_dir, "lineitem"), "l_orderkey")
     return li.select(
         "l_orderkey",
         "l_linenumber",
