@@ -164,7 +164,11 @@ def test_scalar_functions_stay_in_codegen(spark):
         plan = buf.getvalue()
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
-        assert "*(1)" in plan, f"{name} not codegen'd:\n{plan}"
+        # any whole-stage-codegen span counts: q_fn_math's fan-out
+        # repartition renumbers its codegen ids, so don't pin "(1)"
+        import re
+
+        assert re.search(r"\*\(\d+\)", plan), f"{name} not codegen'd:\n{plan}"
 
 
 def test_sessionize_single_exchange(spark):
