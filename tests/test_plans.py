@@ -155,20 +155,26 @@ def test_scalar_functions_stay_in_codegen(spark):
     # explain mode prints codegen'd operators as "*(n) Op").
     import contextlib
     import io
+    import re
 
-    for name in ("q_fn_string", "q_fn_math", "q_fn_date", "q_fn_json"):
-        df = QUERIES[name].fn(spark, SF_DIR)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain()
-        plan = buf.getvalue()
-        assert "BatchEvalPython" not in plan, name
-        assert "ArrowEvalPython" not in plan, name
-        # any whole-stage-codegen span counts: q_fn_math's fan-out
-        # repartition renumbers its codegen ids, so don't pin "(1)"
-        import re
-
-        assert re.search(r"\*\(\d+\)", plan), f"{name} not codegen'd:\n{plan}"
+    # AQE renders un-executed plans as AdaptiveSparkPlan(isFinalPlan
+    # =false) WITHOUT codegen stars once any Exchange is present
+    # (q_fn_math's fan-out) — disable it for the rendering only.
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        for name in ("q_fn_string", "q_fn_math", "q_fn_date", "q_fn_json"):
+            df = QUERIES[name].fn(spark, SF_DIR)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain()
+            plan = buf.getvalue()
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+            assert re.search(r"\*\(\d+\)", plan), f"{name} not codegen'd:\n{plan}"
+    finally:
+        spark.conf.set(key, prev)
 
 
 def test_sessionize_single_exchange(spark):
