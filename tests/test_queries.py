@@ -36,6 +36,8 @@ _CROSS_SF_QUERIES = (
     "q_llm_dedup_near",       # LSH pipeline (cached projections per sf)
     "q_events_rolling_actives",  # interval engine
     "q_tpch_q19_shape",       # disjunctive pushdown
+    "q_events_rfm",           # melted one-exchange multi-ranking (r6 wave 3)
+    "q_llm_dedup_segment",    # sub-document dedup join (r6 wave 3)
 )
 
 
