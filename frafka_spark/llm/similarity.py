@@ -846,3 +846,105 @@ def q_llm_sim_ann_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
     )
+
+
+SWEEP_THRESHOLDS = (0.25, 0.30, 0.35, 0.40, 0.45)
+
+
+@query(
+    "q_llm_dedup_embed_sweep",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    {_SQL_CELLS},
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               (a.label = b.label) AS same_label,
+               list_dot_product(a.emb, b.emb) / (a.norm * b.norm) AS cos
+        FROM cells a JOIN cells b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    ),
+    thr AS (
+        SELECT CAST(unnest([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}])
+                    AS DOUBLE) AS threshold
+    ),
+    hits AS (
+        SELECT t.threshold, p.va, p.vb, p.same_label
+        FROM thr t JOIN pairs p ON p.cos >= t.threshold
+    ),
+    pair_stats AS (
+        SELECT threshold, count(*) AS n_pairs,
+               round(count(*) FILTER (same_label)
+                     / CAST(count(*) AS DOUBLE), 4) AS same_label_frac
+        FROM hits GROUP BY threshold
+    ),
+    doc_stats AS (
+        SELECT threshold, count(DISTINCT v) AS n_docs
+        FROM (SELECT threshold, unnest([va, vb]) AS v FROM hits)
+        GROUP BY threshold
+    )
+    SELECT p.threshold, p.n_pairs, d.n_docs, p.same_label_frac
+    FROM pair_stats p JOIN doc_stats d USING (threshold)
+    """,
+)
+def q_llm_dedup_embed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup operating curve: semantic-dup pair count, affected-doc
+    count, and same-label purity at each candidate cosine threshold —
+    the tuning table a team reads before committing to ONE threshold
+    for `q_llm_dedup_embed` (too low deletes diversity, too high
+    leaves near-dups; purity falling with the threshold is the
+    smoking gun for over-aggressive settings).
+
+    The in-cell pair scan (the expensive part, Σ|cell|² bounded by
+    the IVF partitioning) runs ONCE with no threshold; the sweep is
+    an explode over the constant threshold list ON the detected-pair
+    relation — cost ∝ pairs×|thresholds|, so sweeping 5 settings is
+    ~free compared with re-running detection 5 times. Thresholds with
+    zero pairs drop out on both engines (inner join). Distinct
+    affected docs ride an endpoint explode + per-threshold distinct
+    aggregate on the same hits relation.
+    """
+    cells = _cells(spark, sf_dir)
+    a = cells.select(
+        F.col("vec_id").alias("va"),
+        "cent_id",
+        F.col("label").alias("label_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cent_id").alias("cent_b"),
+        F.col("label").alias("label_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    hits = (
+        a.join(
+            b,
+            (F.col("cent_id") == F.col("cent_b")) & (F.col("va") < F.col("vb")),
+        )
+        .withColumn("cos", cos)
+        .withColumn(
+            "threshold",
+            F.explode(F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])),
+        )
+        .filter(F.col("cos") >= F.col("threshold"))
+        .select("threshold", "va", "vb", (F.col("label_a") == F.col("label_b")).alias("same_label"))
+    )
+    pair_stats = hits.groupBy("threshold").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.count(F.when(F.col("same_label"), F.lit(1)))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("same_label_frac"),
+    )
+    doc_stats = (
+        hits.select("threshold", F.explode(F.array("va", "vb")).alias("v"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("v").alias("n_docs"))
+    )
+    return pair_stats.join(doc_stats, "threshold").select(
+        "threshold", "n_pairs", "n_docs", "same_label_frac"
+    )
