@@ -760,3 +760,42 @@ def test_stream_to_table_incremental_cdf_consumer(spark, tmp_path):
     # a final catch-up poll sees nothing new
     head = mt.current_version(tbl)
     assert mt.read_changes(spark, tbl, last_seen["v"], head).count() == 0
+
+
+def test_avro_msg_roundtrip_when_connector_present(spark):
+    """Deploy-delta pin, Avro edition: frizzle messages commonly ship
+    Avro-encoded payloads, and ``from_avro``/``to_avro`` are the
+    engine's decode path for them. The core avro jars ship with
+    pyspark but the spark-avro SQL connector does NOT (and this
+    sandbox has no network to fetch it), so on this image the calls
+    raise AVRO_NOT_LOADED — anything else is a real regression and
+    fails loudly. On a connector-bearing deployment (--packages
+    org.apache.spark:spark-avro_2.13:<spark-version>) the roundtrip
+    below executes end-to-end with no code change."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.avro.functions import from_avro, to_avro
+
+    schema = (
+        '{"type":"record","name":"Msg","fields":'
+        '[{"name":"k","type":"long"},{"name":"v","type":"string"}]}'
+    )
+    df = spark.range(3).select(
+        F.struct(F.col("id").alias("k"), F.lit("x").alias("v")).alias("s")
+    )
+    try:
+        rows = (
+            df.select(to_avro("s").alias("b"))
+            .select(from_avro("b", schema).alias("s"))
+            .select("s.k", "s.v")
+            .collect()
+        )
+    except Exception as exc:
+        msg = str(exc)
+        assert "AVRO_NOT_LOADED" in msg or "spark-avro" in msg, (
+            f"avro path broke before connector resolution: {msg}"
+        )
+        pytest.skip(
+            "spark-avro connector absent (sandbox); deploy with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    assert sorted((r.k, r.v) for r in rows) == [(0, "x"), (1, "x"), (2, "x")]
