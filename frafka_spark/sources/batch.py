@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-BATCH_FORMATS = ("parquet", "csv", "json", "orc")
+BATCH_FORMATS = ("parquet", "csv", "json", "orc", "text")
 
 
 def read_batch(
@@ -38,6 +38,9 @@ def read_batch(
         reader = reader.schema(schema)
     elif fmt in ("csv", "json"):
         raise ValueError(f"{fmt} requires an explicit schema (inference = extra scan)")
+    # "text" needs no schema: one line per row in a single string
+    # column `value` — the raw .txt corpus-shard front door (pair
+    # with input_file_name() for provenance)
     if fmt == "csv":
         options.setdefault("header", "true")
         options.setdefault("mode", "PERMISSIVE")

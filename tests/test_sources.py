@@ -449,3 +449,43 @@ def test_manifest_read_changes_cow_diff(spark, tmp_path):
         (2, "b", "delete"),  # update pre-image
     }
     assert {r._commit_version for r in ch.collect()} == {v1}
+
+
+def test_orc_roundtrip_preserves_rows(spark, tmp_path):
+    """ORC batch source: write/read roundtrip with pushdown-friendly
+    typed columns — the Hadoop-shop interchange format beside
+    parquet, supported by the same read_batch front door."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources.batch import read_batch
+
+    path = str(tmp_path / "orc")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    ).write.orc(path)
+    back = read_batch(spark, path, fmt="orc")
+    assert back.count() == 100
+    assert back.filter(F.col("grp") == 3).count() == 14  # 3,10,...,94
+    assert sorted(r.k for r in back.collect()) == list(range(100))
+
+
+def test_text_source_reads_corpus_shards_with_provenance(spark, tmp_path):
+    """Raw .txt corpus shards: one line per row in `value`, shard
+    provenance via input_file_name() — the front door for plain-text
+    pretraining dumps before any parquet conversion."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources.batch import read_batch
+
+    root = tmp_path / "shards"
+    root.mkdir()
+    (root / "shard-000.txt").write_text("alpha\nbeta\n")
+    (root / "shard-001.txt").write_text("gamma\n")
+    df = read_batch(spark, str(root), fmt="text").select(
+        "value", F.input_file_name().alias("shard")
+    )
+    rows = df.collect()
+    assert sorted(r.value for r in rows) == ["alpha", "beta", "gamma"]
+    by_line = {r.value: r.shard for r in rows}
+    assert by_line["alpha"].endswith("shard-000.txt")
+    assert by_line["gamma"].endswith("shard-001.txt")
