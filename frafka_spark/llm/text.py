@@ -1701,3 +1701,52 @@ from frafka_spark.registry import QUERIES as _QE  # noqa: E402
 
 _QE["q_llm_quality_ensemble"].oracle = _quality_ensemble_oracle()
 del _QE
+
+
+@query(
+    "q_llm_url_parse",
+    oracle="""
+    SELECT doc_id,
+           'https://' || source || '.example.org/docs/' || doc_id
+               || '?lang=' || lang AS url,
+           source || '.example.org' AS host,
+           'example.org' AS domain,
+           '/docs/' || doc_id AS path,
+           lang AS lang_param
+    FROM documents
+    """,
+)
+def q_llm_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing parity: host / registrable-domain / path / query-
+    param extraction with ``parse_url`` — the provenance primitive of
+    every web-corpus pipeline (per-domain quotas, blocklists, and
+    dedup all key on the registrable domain).
+
+    The fixture corpus carries no raw URLs, so the row's URL is
+    DETERMINISTICALLY SYNTHESIZED from its (source, doc_id, lang) —
+    and that is exactly what makes the differential sharp: the oracle
+    states the ground-truth parts by construction, while the engine
+    must recover them by actually parsing the assembled string
+    (``parse_url`` HOST/PATH/QUERY:lang, domain via substring after
+    the first label). Any divergence in Spark's URL grammar from the
+    constructed form fails the hash. Pure projection, codegen,
+    shuffle-free.
+    """
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        host.alias("host"),
+        F.substring_index(host, ".", -2).alias("domain"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

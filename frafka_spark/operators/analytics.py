@@ -1820,3 +1820,48 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_events_topk_hourly",
+    oracle="""
+    WITH counts AS (
+        SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT CAST(hr AS VARCHAR) AS hour, event_type, n,
+               CAST(row_number() OVER (PARTITION BY hr
+                                       ORDER BY n DESC, event_type) AS INT)
+                   AS rnk
+        FROM counts
+    )
+    SELECT hour, event_type, n, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_events_topk_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hour — the trending/leaderboard shape
+    every event dashboard serves.
+
+    Aggregate FIRST, rank SECOND: the window runs over the (hour,
+    type) count relation — at most |types| rows per partition — never
+    over raw events, so the ranking state is bounded by the type
+    cardinality no matter the event volume, and the count aggregate
+    partial-combines map-side. `event_type` tiebreak makes equal
+    counts deterministic.
+    """
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("hr").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "rnk",
+        )
+    )
