@@ -891,3 +891,40 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p_size % 6 AS INT))")
         ).alias("size_mask"),
     )
+
+
+@query(
+    "q_agg_weighted",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dec_sum('l_quantity')} AS total_qty,
+           round({sql_dec_sum('l_quantity * l_extendedprice')}
+                 / {sql_dec_sum('l_quantity')}, 4) AS wavg_price,
+           round({sql_dec_sum('l_extendedprice')} / count(*), 4)
+               AS plain_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per group, beside the plain
+    average — the BI weighted-mean primitive (unit economics, index
+    construction) whose naive float form is accumulation-order
+    unstable in BOTH numerator and denominator.
+
+    Both sums ride the exact-decimal discipline (``dec_sum``), so
+    the ratio divides two bitwise-identical doubles on both engines
+    and rounds once. One HashAggregate pass, map-side partials,
+    constant state per group.
+    """
+    from frafka_spark.functions.determinism import dec_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    wsum = dec_sum(F.col("l_quantity") * F.col("l_extendedprice"))
+    qsum = dec_sum("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        qsum.alias("total_qty"),
+        F.round(wsum / qsum, 4).alias("wavg_price"),
+        F.round(dec_sum("l_extendedprice") / F.count(F.lit(1)), 4).alias(
+            "plain_avg_price"
+        ),
+    )
