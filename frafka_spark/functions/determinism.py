@@ -82,9 +82,25 @@ def dec_sum(col: Column | str, alias: str | None = None) -> Column:
 
 
 def dec_avg(col: Column | str, alias: str | None = None, digits: int = 4) -> Column:
-    """Deterministic average: exact decimal sum / count, rounded."""
+    """Deterministic average: exact decimal sum / count, rounded by an
+    EXPLICIT half-up (``floor(q·10^d + 0.5)/10^d``), not ``round``.
+
+    The quotient is an arbitrary double even though the sum is exact,
+    and ``round(q, d)`` resolves the x.…5 tie ENGINE-SPECIFICALLY:
+    Spark rounds the shortest decimal repr HALF_UP while DuckDB
+    rounds the binary double — a quotient whose shortest repr
+    terminates exactly one digit past ``d`` (e.g. 47.25375 → d=4)
+    rounds UP on Spark and DOWN on DuckDB (caught live by the sf0.1
+    full-suite differential: q_ts_gapfill). ``floor(q·10^d + 0.5)``
+    is plain IEEE multiply/add/floor — both engines evaluate the
+    identical doubles, so the result is bit-identical by
+    construction, tie or no tie (for negative quotients the rule is
+    half-toward-+∞, same on both sides).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    out = F.round(_dec_sum_raw(c) / F.count(F.lit(1)), digits)
+    scale = float(10**digits)
+    q = _dec_sum_raw(c) / F.count(F.lit(1))
+    out = F.floor(q * scale + F.lit(0.5)) / scale
     return out.alias(alias) if alias else out
 
 
@@ -94,8 +110,12 @@ def sql_dec_sum(expr: str) -> str:
 
 
 def sql_dec_avg(expr: str, digits: int = 4) -> str:
-    """DuckDB oracle twin of :func:`dec_avg`."""
-    return f"round({sql_dec_sum(expr)} / count(*), {digits})"
+    """DuckDB oracle twin of :func:`dec_avg` (same explicit half-up)."""
+    scale = 10**digits
+    return (
+        f"floor({sql_dec_sum(expr)} / count(*) * {scale}.0 + 0.5)"
+        f" / {scale}.0"
+    )
 
 
 def round_z(col: Column | str, digits: int) -> Column:

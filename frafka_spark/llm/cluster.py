@@ -9,8 +9,9 @@ outlier scan used to surface mislabeled or off-distribution vectors
 before training.
 
 Determinism across engines is engineered end-to-end: centroids are
-exact DECIMAL means rounded to 4 decimals (both engines parse the
-same decimal literal to the same double), distances are sequential
+micro-unit-pinned integer means with an explicit half-up at 4
+decimals (plain IEEE multiply/add/floor — bit-identical on both
+engines, tie or no tie), distances are sequential
 left-to-right float folds (``aggregate(zip_with(...))`` ≡ DuckDB
 ``list_dot_product`` — the same contract similarity.py relies on),
 so every candidate distance is bit-identical on both sides and the
@@ -28,17 +29,19 @@ from frafka_spark.registry import query
 OUTLIER_TOP_N = 5  # flagged vectors per label
 
 # Shared SQL: per-label centroid as an ordered DOUBLE[] whose
-# components are exact DECIMAL(38,6) means rounded to 4 decimals —
-# the same arithmetic q_llm_embed_centroid hash-checks, reassembled
-# into a vector.
+# components are micro-unit-pinned means with an explicit half-up at
+# 4 decimals — the same arithmetic q_llm_embed_centroid hash-checks
+# (see its docstring for why the decimal-cast form was retired),
+# reassembled into a vector.
 _SQL_CENTROIDS = """
     cents AS (
         SELECT label AS c_label,
                list(centroid ORDER BY dim) AS cvec
         FROM (
             SELECT label, dim,
-                   round(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
-                         / count(*), 4) AS centroid
+                   floor(CAST(sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+                              AS DOUBLE) / count(*) / 100 + 0.5) / 10000
+                       AS centroid
             FROM (SELECT label, unnest(emb) AS x,
                          generate_subscripts(emb, 1) AS dim
                   FROM vecs)
@@ -49,9 +52,10 @@ _SQL_CENTROIDS = """
 
 
 def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid vectors: posexplode → exact decimal mean per
-    (label, dim) rounded to 4 — identical to the oracle's decimal
-    mean — reassembled into an ordered array.
+    """Per-label centroid vectors: posexplode → micro-unit-pinned
+    integer mean per (label, dim), explicit half-up at 4 decimals —
+    identical to the oracle's arithmetic — reassembled into an
+    ordered array.
 
     Map-side partials collapse the explode before the (label, dim)
     exchange (shuffle ∝ labels × dims × partitions); the reassembly
@@ -59,14 +63,16 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     are model constants, not data-driven.
     """
     v = _vectors(spark, sf_dir)
+    e6 = F.floor(F.col("x") * 1_000_000 + F.lit(0.5)).cast("bigint")
     per_dim = (
         v.select("label", F.posexplode("emb").alias("pos", "x"))
         .groupBy("label", "pos")
         .agg(
-            F.round(
-                F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
-                / F.count("*"),
-                4,
+            (
+                F.floor(
+                    F.sum(e6).cast("double") / F.count("*") / 100 + F.lit(0.5)
+                )
+                / 10_000
             ).alias("centroid")
         )
     )

@@ -449,8 +449,9 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_VECS}
     SELECT label, CAST(dim AS BIGINT) AS dim,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           round(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
-                 / count(*), 4) AS centroid
+           floor(CAST(sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+                      AS DOUBLE) / count(*) / 100 + 0.5) / 10000
+               AS centroid
     FROM (SELECT label, unnest(emb) AS x,
                  generate_subscripts(emb, 1) AS dim
           FROM vecs)
@@ -468,20 +469,35 @@ def q_llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     each partition to ≤ labels×dims rows before the exchange — so
     shuffle bytes are ∝ labels × dims × partitions, independent of
     vector count. That beats any collect-and-average (driver-bound)
-    and needs no UDF; component sums accumulate in DECIMAL(38,6) so
-    partition order cannot shift the rounded hash. Dims are 1-based
-    to match ``generate_subscripts``.
+    and needs no UDF.
+
+    Determinism (hardened after the sf0.1 full-suite differential
+    caught the decimal-cast form): each component is pinned to an
+    exact micro-unit integer with ``floor(x·1e6 + 0.5)`` — plain IEEE
+    multiply/add/floor, bit-identical on both engines even when
+    x·1e6 lands exactly on .5, where the previous
+    ``CAST(x AS DECIMAL(38,6))`` let each engine apply ITS OWN tie
+    rule (a float32 whose lowest bit is 2^-7 expands to exactly 7
+    decimals — a genuine tie population, ~100 of which shifted one
+    (label, dim) sum across a rounding boundary at sf0.1). The
+    integer sums are exact longs (order-independent), and the mean
+    re-rounds at 4 decimals with the same explicit half-up.
     """
     v = _vectors(spark, sf_dir)
     n = F.count("*")
+    e6 = F.floor(F.col("x") * 1_000_000 + F.lit(0.5)).cast("bigint")
+    mean4 = (
+        F.floor(
+            F.sum(e6).cast("double") / n / 100 + F.lit(0.5)
+        )
+        / 10_000
+    )
     return (
         v.select("label", F.posexplode("emb").alias("pos", "x"))
         .groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim"))
         .agg(
             n.cast("bigint").alias("n_vecs"),
-            F.round(
-                F.sum(F.col("x").cast("decimal(38,6)")).cast("double") / n, 4
-            ).alias("centroid"),
+            mean4.alias("centroid"),
         )
     )
 

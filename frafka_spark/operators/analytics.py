@@ -916,8 +916,10 @@ def q_events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(count(gap_us) AS BIGINT) AS n_gaps,
-           round(quantile_cont(gap_us, 0.5) / 1000000, 4) AS median_gap_s,
-           round(quantile_cont(gap_us, 0.9) / 1000000, 4) AS p90_gap_s,
+           floor(quantile_cont(gap_us, 0.5) / 100 + 0.5) / 10000
+               AS median_gap_s,
+           floor(quantile_cont(gap_us, 0.9) / 100 + 0.5) / 10000
+               AS p90_gap_s,
            CAST(max(gap_us) // 1000000 AS BIGINT) AS max_gap_floor_s
     FROM gaps WHERE gap_us IS NOT NULL
     GROUP BY user_id
@@ -933,8 +935,12 @@ def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: gaps are exact integer microseconds (epoch-µs
     differences over a (ts, event_id) total order); the interpolated
     percentiles are the same rank-(n−1)·p linear rule on both engines
-    over identical integers, and the ÷1e6 rescale + 4-digit round
-    happen after. Scale: one (user_id) exchange shared by the lag
+    over identical integers. The seconds rescale rounds by the
+    EXPLICIT half-up ``floor(p_us/100 + 0.5)/1e4`` (bit-identical
+    IEEE ops) rather than ``round(p_us/1e6, 4)`` — a median that is
+    the midpoint of two gaps ends in exactly .5 µs, which the plain
+    round resolves engine-specifically (caught live by the sf0.1
+    full-suite differential). Scale: one (user_id) exchange shared by the lag
     window and the percentile aggregate; per-user state is the gap
     list one exact percentile needs (swap for ``percentile_approx``'s
     mergeable sketch when a single user's history overflows a
@@ -948,14 +954,13 @@ def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_us"
         ),
     ).filter(F.col("gap_us").isNotNull())
+    def half_up_s(p):
+        return F.floor(p / 100 + F.lit(0.5)) / 10_000
+
     return gaps.groupBy("user_id").agg(
         F.count("gap_us").cast("bigint").alias("n_gaps"),
-        F.round(F.percentile("gap_us", F.lit(0.5)) / 1_000_000, 4).alias(
-            "median_gap_s"
-        ),
-        F.round(F.percentile("gap_us", F.lit(0.9)) / 1_000_000, 4).alias(
-            "p90_gap_s"
-        ),
+        half_up_s(F.percentile("gap_us", F.lit(0.5))).alias("median_gap_s"),
+        half_up_s(F.percentile("gap_us", F.lit(0.9))).alias("p90_gap_s"),
         F.floor(F.max("gap_us") / 1_000_000).cast("bigint").alias(
             "max_gap_floor_s"
         ),
@@ -1090,10 +1095,15 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adev", F.abs(F.col("n").cast("double") - F.col("med"))
     )
     mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
-    mz_raw = (
+    # Guard the division itself, not just the output columns: under
+    # ANSI mode an unguarded /0 raises even when a CASE discards the
+    # row's result (bitten at sf0.001, where a type's hourly counts
+    # are all equal and MAD is exactly 0).
+    mz = F.when(
+        F.col("mad") > 0,
         F.lit(0.6745)
         * (F.col("n").cast("double") - F.col("med"))
-        / F.col("mad")
+        / F.col("mad"),
     )
     return (
         dev.join(mad, "event_type")
@@ -1103,10 +1113,8 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_events"),
             F.round("med", 4).alias("med"),
             F.round("mad", 4).alias("mad"),
-            F.when(F.col("mad") > 0, round_z(mz_raw, 4)).alias("modified_z"),
-            F.coalesce(
-                (F.abs(mz_raw) > 3.5) & (F.col("mad") > 0), F.lit(False)
-            ).alias("is_anomaly"),
+            round_z(mz, 4).alias("modified_z"),
+            F.coalesce(F.abs(mz) > 3.5, F.lit(False)).alias("is_anomaly"),
         )
     )
 
