@@ -118,6 +118,31 @@ def sql_dec_avg(expr: str, digits: int = 4) -> str:
     )
 
 
+def half_up(col: Column | str, digits: int = 4) -> Column:
+    """Explicit IEEE half-up rounding: ``floor(v·10^d + 0.5)/10^d``.
+
+    The cross-engine-safe replacement for ``round(v, d)`` on ANY
+    computed quotient, ratio, score, or percentile — not just the
+    ``dec_avg`` average case. ``round`` resolves the x.…5 tie
+    engine-specifically (Spark half-ups the shortest decimal repr,
+    DuckDB rounds the binary double), so a value whose shortest repr
+    terminates one digit past ``d`` in a 5 diverges between engines.
+    ``floor(v·10^d + 0.5)`` is plain IEEE multiply/add/floor — both
+    engines evaluate the identical doubles, so the result is
+    bit-identical by construction (negatives round half-toward-+∞,
+    same on both sides). Pair with :func:`sql_half_up` in the oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10**digits)
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
+def sql_half_up(expr: str, digits: int = 4) -> str:
+    """DuckDB oracle twin of :func:`half_up` (same explicit half-up)."""
+    scale = 10**digits
+    return f"(floor(({expr}) * {scale}.0 + 0.5) / {scale}.0)"
+
+
 def round_z(col: Column | str, digits: int) -> Column:
     """Round, then normalize signed zero (``-0.0`` → ``+0.0``).
 

@@ -637,21 +637,25 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_decimal",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey,
-           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)
-               AS price_str,
-           CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                     * CAST(1 + l_tax AS DECIMAL(6,4)) AS DECIMAL(18,4))
+           CAST(CAST(floor(l_extendedprice * 100 + 0.5) / 100.0
+                     AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+           CAST(CAST(CAST(floor(l_extendedprice * 100 + 0.5) / 100.0
+                          AS DECIMAL(12,2))
+                     * CAST(floor((1 + l_tax) * 10000 + 0.5) / 10000.0
+                            AS DECIMAL(6,4)) AS DECIMAL(18,4))
                 AS VARCHAR) AS gross_str,
-           CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                     * CAST(1 + l_tax AS DECIMAL(6,4)) AS DECIMAL(18,4))
+           CAST(CAST(CAST(floor(l_extendedprice * 100 + 0.5) / 100.0
+                          AS DECIMAL(12,2))
+                     * CAST(floor((1 + l_tax) * 10000 + 0.5) / 10000.0
+                            AS DECIMAL(6,4)) AS DECIMAL(18,4))
                 AS DOUBLE) AS gross_dbl,
-           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-               AS cents
+           CAST(CAST(floor(l_extendedprice * 100 + 0.5) / 100.0
+                     AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
     FROM lineitem
     """,
 )
 def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact decimal arithmetic: double → DECIMAL casts, exact
+    """Exact decimal arithmetic: double → DECIMAL pinning, exact
     scaled multiplication, integer-cents extraction, and the
     canonical to-string rendering (scale digits preserved).
 
@@ -659,17 +663,28 @@ def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing a finance-grade pipeline does is pin them to decimals so
     every downstream add/multiply is exact integer arithmetic with
     deterministic scale — the row-wise counterpart of the
-    ``dec_sum`` aggregate discipline. The multiplication stays exact
+    ``dec_sum`` aggregate discipline. The pin goes through the
+    explicit micro-unit half-up (``floor(x·10^scale + 0.5)/10^scale``
+    before the decimal cast) rather than a bare double→DECIMAL cast:
+    a bare cast resolves the x.…5 tie ENGINE-SPECIFICALLY (Spark
+    rounds the shortest decimal repr HALF_UP, DuckDB rounds the
+    binary double), while after the explicit half-up the double is
+    the nearest double to an exact scale-digit value — no tie at the
+    cast boundary, so both engines recover the identical decimal for
+    ARBITRARY double inputs, not just fixtures exactly representable
+    at the target scale. The multiplication then stays exact
     end-to-end (scale 2 × scale ≤4 ⇒ scale ≤6 with zero tail ⇒ the
-    DECIMAL(18,4) cast never rounds), so the hash match proves both
-    engines implement identical decimal semantics, not just close
-    floats. String renderings keep trailing zeros to the declared
-    scale on both engines ("1127.04" stays "1127.04", scale-4 values
-    render 4 digits).
+    DECIMAL(18,4) cast never rounds). String renderings keep
+    trailing zeros to the declared scale on both engines ("1127.04"
+    stays "1127.04", scale-4 values render 4 digits).
     """
     li = table(spark, sf_dir, "lineitem")
-    price_dec = F.col("l_extendedprice").cast("decimal(12,2)")
-    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+    price_dec = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) / 100.0
+    ).cast("decimal(12,2)")
+    one_plus_tax = (
+        F.floor((F.lit(1) + F.col("l_tax")) * 10000 + F.lit(0.5)) / 10000.0
+    ).cast("decimal(6,4)")
     gross = (price_dec * one_plus_tax).cast("decimal(18,4)")
     return li.select(
         "l_orderkey",

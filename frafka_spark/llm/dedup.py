@@ -30,6 +30,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from frafka_spark.functions.determinism import half_up
 from frafka_spark.io import fan_out, table
 from frafka_spark.registry import query
 
@@ -1375,8 +1376,8 @@ SEG_WORDS = 10  # words per segment — the "paragraph" unit below
     SELECT s.doc_id,
            count(*) AS n_segments,
            count(*) FILTER (f.n_docs > 1) AS n_dup_segments,
-           round(count(*) FILTER (f.n_docs > 1) / CAST(count(*) AS DOUBLE), 4)
-               AS dup_seg_frac,
+           floor(count(*) FILTER (f.n_docs > 1) / CAST(count(*) AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS dup_seg_frac,
            (count(*) FILTER (f.n_docs > 1) / CAST(count(*) AS DOUBLE) > 0.3)
                AS is_flagged
     FROM segs s JOIN freq f USING (seg_hash)
@@ -1430,7 +1431,7 @@ def q_llm_dedup_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             dup.alias("n_dup_segments"),
-            F.round(frac, 4).alias("dup_seg_frac"),
+            half_up(frac, 4).alias("dup_seg_frac"),
             (frac > 0.3).alias("is_flagged"),
         )
     )

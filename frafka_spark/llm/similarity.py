@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from frafka_spark.functions.determinism import dec_avg, sql_dec_avg
+from frafka_spark.functions.determinism import dec_avg, half_up, sql_dec_avg
 from frafka_spark.io import fan_out, table
 from frafka_spark.registry import query
 
@@ -889,8 +889,9 @@ SWEEP_THRESHOLDS = (0.25, 0.30, 0.35, 0.40, 0.45)
     ),
     pair_stats AS (
         SELECT threshold, count(*) AS n_pairs,
-               round(count(*) FILTER (same_label)
-                     / CAST(count(*) AS DOUBLE), 4) AS same_label_frac
+               floor(count(*) FILTER (same_label)
+                     / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
+                   / 10000.0 AS same_label_frac
         FROM hits GROUP BY threshold
     ),
     doc_stats AS (
@@ -950,7 +951,7 @@ def q_llm_dedup_embed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pair_stats = hits.groupBy("threshold").agg(
         F.count("*").alias("n_pairs"),
-        F.round(
+        half_up(
             F.count(F.when(F.col("same_label"), F.lit(1)))
             / F.count(F.lit(1)).cast("double"),
             4,

@@ -1645,11 +1645,15 @@ def q_llm_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: every input feature is already rounded to 4 decimals
     by its defining query, the linear combination of identical
-    doubles is identical, and the sigmoid is rounded at 4 — the same
+    doubles is identical, and the sigmoid rides the same
     transcendental-parity footing as ``q_fn_math``/``q_llm_doc_nll``
     (exp/ln agree across engines on identical inputs; driver-verified
-    since round 3).
+    since round 3). Both display roundings use the EXPLICIT half-up
+    (``half_up``) rather than engine ``round`` — a z/prob whose
+    shortest repr ends one digit past the 4th decimal in a 5 would
+    otherwise split ties engine-specifically (the q_ts_gapfill class).
     """
+    from frafka_spark.functions.determinism import half_up
     q = q_llm_quality(spark, sf_dir).select(
         "doc_id", "stopword_ratio", "uniq_ratio"
     )
@@ -1668,26 +1672,28 @@ def q_llm_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, "doc_id")
         .select(
             "doc_id",
-            F.round(z, 4).alias("ens_z"),
-            F.round(prob, 4).alias("keep_prob"),
+            half_up(z, 4).alias("ens_z"),
+            half_up(prob, 4).alias("keep_prob"),
             (prob >= 0.5).alias("keep"),
         )
     )
 
 
 def _quality_ensemble_oracle() -> str:
+    from frafka_spark.functions.determinism import sql_half_up
     from frafka_spark.registry import QUERIES as _Q
 
     quality = _Q["q_llm_quality"].oracle
     entropy = _Q["q_llm_entropy"].oracle
     repetition = _Q["q_llm_repetition"].oracle
+    z_expr = (
+        "-2.0 + 3.0*q.uniq_ratio + 2.0*e.entropy_norm"
+        " - 4.0*r.repetition_ratio - 2.0*q.stopword_ratio"
+    )
     return f"""
     SELECT q.doc_id,
-           round(-2.0 + 3.0*q.uniq_ratio + 2.0*e.entropy_norm
-                 - 4.0*r.repetition_ratio - 2.0*q.stopword_ratio, 4) AS ens_z,
-           round(1.0 / (1.0 + exp(-(-2.0 + 3.0*q.uniq_ratio
-                 + 2.0*e.entropy_norm - 4.0*r.repetition_ratio
-                 - 2.0*q.stopword_ratio))), 4) AS keep_prob,
+           {sql_half_up(z_expr, 4)} AS ens_z,
+           {sql_half_up(f'1.0 / (1.0 + exp(-({z_expr})))', 4)} AS keep_prob,
            (1.0 / (1.0 + exp(-(-2.0 + 3.0*q.uniq_ratio + 2.0*e.entropy_norm
                  - 4.0*r.repetition_ratio - 2.0*q.stopword_ratio))) >= 0.5)
                AS keep

@@ -23,6 +23,7 @@ from frafka_spark.functions.determinism import (
     round_z,
     sql_dec_avg,
     sql_dec_sum,
+    sql_half_up,
     sql_round_z,
 )
 from frafka_spark.io import table
@@ -906,10 +907,10 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            {sql_dec_sum('l_quantity')} AS total_qty,
-           round({sql_dec_sum('l_quantity * l_extendedprice')}
-                 / {sql_dec_sum('l_quantity')}, 4) AS wavg_price,
-           round({sql_dec_sum('l_extendedprice')} / count(*), 4)
-               AS plain_avg_price
+           {sql_half_up(
+               sql_dec_sum('l_quantity * l_extendedprice')
+               + ' / ' + sql_dec_sum('l_quantity'), 4)} AS wavg_price,
+           {sql_dec_avg('l_extendedprice')} AS plain_avg_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -920,19 +921,21 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     unstable in BOTH numerator and denominator.
 
     Both sums ride the exact-decimal discipline (``dec_sum``), so
-    the ratio divides two bitwise-identical doubles on both engines
-    and rounds once. One HashAggregate pass, map-side partials,
-    constant state per group.
+    the ratio divides two bitwise-identical doubles on both engines;
+    the quotients then round via the EXPLICIT half-up (``half_up`` /
+    ``dec_avg``) rather than engine ``round`` — a quotient whose
+    shortest repr ends one digit past the 4th decimal in a 5 would
+    otherwise split ties engine-specifically (the q_ts_gapfill tie
+    class). One HashAggregate pass, map-side partials, constant
+    state per group.
     """
-    from frafka_spark.functions.determinism import dec_sum
+    from frafka_spark.functions.determinism import half_up
 
     li = table(spark, sf_dir, "lineitem")
     wsum = dec_sum(F.col("l_quantity") * F.col("l_extendedprice"))
     qsum = dec_sum("l_quantity")
     return li.groupBy("l_returnflag").agg(
         qsum.alias("total_qty"),
-        F.round(wsum / qsum, 4).alias("wavg_price"),
-        F.round(dec_sum("l_extendedprice") / F.count(F.lit(1)), 4).alias(
-            "plain_avg_price"
-        ),
+        half_up(wsum / qsum, 4).alias("wavg_price"),
+        dec_avg("l_extendedprice", "plain_avg_price"),
     )

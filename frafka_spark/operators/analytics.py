@@ -1653,7 +1653,8 @@ _RFM_SEGMENT_SQL = """CASE
         FROM u
     )
     SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
-           frequency, round(monetary, 4) AS monetary,
+           frequency,
+           floor(monetary * 10000.0 + 0.5) / 10000.0 AS monetary,
            r_score, f_score, m_score,
            {_RFM_SEGMENT_SQL} AS segment
     FROM s
@@ -1692,7 +1693,7 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas are far below 2^53; negation flips a sign bit), so the
     stacked double order IS each metric's native order.
     """
-    from frafka_spark.functions.determinism import dec_sum
+    from frafka_spark.functions.determinism import dec_sum, half_up
     from frafka_spark.operators.windows import range_partitioned_row_number
 
     e = table(spark, sf_dir, "events")
@@ -1757,7 +1758,7 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "recency_days",
         "frequency",
-        F.round("monetary", 4).alias("monetary"),
+        half_up("monetary", 4).alias("monetary"),
         "r_score",
         "f_score",
         "m_score",
