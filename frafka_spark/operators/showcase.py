@@ -970,3 +970,299 @@ def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "q_tpch_q2_shape",
+    oracle="""
+    WITH pair_cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    regional AS (
+        SELECT pc.l_partkey, pc.unit_cost,
+               s.s_name, s.s_acctbal, n.n_name
+        FROM pair_cost pc
+        JOIN supplier s ON s.s_suppkey = pc.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    best AS (
+        SELECT l_partkey, min(unit_cost) AS min_cost
+        FROM regional GROUP BY l_partkey
+    )
+    SELECT g.s_acctbal, g.s_name, g.n_name, p.p_partkey, p.p_brand,
+           g.unit_cost AS supply_cost
+    FROM regional g
+    JOIN best b ON b.l_partkey = g.l_partkey AND g.unit_cost = b.min_cost
+    JOIN part p ON p.p_partkey = g.l_partkey
+    WHERE p.p_size = 15
+    ORDER BY g.s_acctbal DESC, g.n_name, g.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: minimum-cost supplier — for each size-15 part, the
+    EUROPE supplier(s) whose observed unit price (min
+    l_extendedprice/l_quantity over the pair's lineitems — the
+    fixture's stand-in for ps_supplycost; no partsupp table ships)
+    matches the regional per-part minimum. The
+    aggregate-subquery-equality join is THE Q2 operator: a min
+    computed per group in a subquery, equi-joined back against the
+    detail rows that achieved it.
+
+    Scale shape: one (part,supp)-keyed aggregate collapses lineitem;
+    the supplier→nation→region dim chain broadcasts (bounded dims);
+    the per-part min re-aggregates the already-collapsed pair
+    relation and joins back on (partkey, cost) — both sides keyed on
+    partkey, so AQE plans one exchange layout. The part filter
+    broadcasts. Determinism: the unit price divides two parquet
+    doubles (IEEE division — identical doubles both engines), min is
+    order-independent, and the equality join compares those exact
+    doubles, so min-achievers cannot differ engine-to-engine. The
+    top-100 order is a total order (acctbal, nation, supplier, part
+    — (part, supplier) is unique per row).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    dims = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    regional = pair.join(
+        F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+    best = regional.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    p15 = table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        regional.alias("g")
+        .join(
+            best.alias("b"),
+            (F.col("b.l_partkey") == F.col("g.l_partkey"))
+            & (F.col("g.unit_cost") == F.col("b.min_cost")),
+        )
+        .join(F.broadcast(p15), F.col("p_partkey") == F.col("g.l_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.col("unit_cost").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q12_shape",
+    oracle="""
+    SELECT l.l_returnflag AS shipmode_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: late shipments by mode — among 1997 lines shipped
+    ≥60 days after their order date (the fixture's stand-in for
+    receipt-after-commit; no shipmode/commitdate columns ship, so
+    l_returnflag stands in for the mode axis), how many belong to
+    high- vs low-priority orders. The Q12 operator is the
+    CASE-conditional split aggregate over a fact⋈fact join with a
+    cross-relation date predicate.
+
+    Scale shape: the year filter pushes to the lineitem scan (only
+    the 1997 slice shuffles); the join keys both sides on orderkey;
+    the lateness predicate evaluates as a join residual (it needs
+    both sides, so it cannot push below the join — the interesting
+    part of the plan); both CASE sums ride ONE HashAggregate with
+    map-side partials. Counts are exact integers.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("shipmode_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q16_shape",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: supplier breadth per part attribute — how many
+    DISTINCT suppliers ship each (brand, type, size) combination,
+    excluding blacklisted suppliers (negative account balance stands
+    in for Q16's complaint-comment predicate; no partsupp table, so
+    observed lineitem (part,supp) pairs stand in for the catalog).
+    The Q16 operator stack: NOT-IN exclusion subquery + dimension
+    filters + count-distinct per attribute group.
+
+    Scale shape: the blacklist compiles to a BROADCAST anti-join
+    (bounded: suppliers with complaints), the part filter broadcasts
+    onto the fact, and the count-distinct rides Spark's two-level
+    expand/aggregate with map-side partial dedup — no all-pairs
+    anything. NOT IN's null trap is structurally avoided (s_suppkey
+    is a key, never null), so anti-join semantics match.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & ~F.col("p_type").like("MEDIUM%")
+            & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q20_shape",
+    oracle="""
+    WITH pair_qty AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    part_qty AS (
+        SELECT l_partkey, sum(l_quantity) AS part_qty
+        FROM lineitem GROUP BY l_partkey
+    ),
+    excess AS (
+        SELECT DISTINCT pq.l_suppkey
+        FROM pair_qty pq
+        JOIN part_qty t USING (l_partkey)
+        JOIN part p ON p.p_partkey = pq.l_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND pq.pair_qty > 0.05 * t.part_qty
+    )
+    SELECT s.s_name, s.s_acctbal, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN excess e ON e.l_suppkey = s.s_suppkey
+    WHERE r.r_name = 'AFRICA'
+    ORDER BY s.s_name
+    """,
+)
+def q_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: concentration suppliers — AFRICA suppliers who, for
+    some 'small…' part, shipped more than 5% of that part's
+    all-time volume inside 1997 (the fixture's stand-in for Q20's
+    availqty-vs-half-of-demand test; no partsupp ships). The Q20
+    operator stack: TWO nested aggregates at different granularities
+    ((part,supp) year volume vs part all-time volume) compared
+    row-wise, collapsed to a DISTINCT supplier set, then semi-joined
+    into the dimension chain.
+
+    Scale shape: both aggregates collapse lineitem with map-side
+    partials keyed on partkey (+suppkey) — the comparison join then
+    co-locates on partkey with no extra exchange for the pair side;
+    the part-name filter broadcasts; the distinct supplier set is
+    bounded by |suppliers| and joins the dim chain broadcast-side.
+    Quantities are integral doubles (exact at any sum order on both
+    engines — no decimal detour needed); the 5% threshold compares
+    identically-derived doubles, so membership cannot flip
+    engine-to-engine.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pair = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("pair_qty"))
+    )
+    total = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    small = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    excess = (
+        pair.join(total, F.col("t_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(small), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.col("pair_qty") > 0.05 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    dims = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return (
+        dims.join(excess, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    )
