@@ -1756,3 +1756,120 @@ def q_llm_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+# Java/DuckDB-portable detector grammars for the three classic PII
+# shapes. Kept intentionally conservative (no unicode classes, no
+# lookaround) so the SAME pattern text is valid in any RE2/PCRE-ish
+# engine a production pipeline might swap in.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\(\d{3}\) \d{3}-\d{4}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "q_llm_pii",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS n_emails,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS n_phones,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS n_ips,
+           CAST((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_pii,
+           md5(text
+               || CASE WHEN doc_id % 2 = 0 THEN ' Contact [EMAIL]'
+                       ELSE '' END
+               || CASE WHEN doc_id % 3 = 0 THEN ' call [PHONE]'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' from [IP]'
+                       ELSE '' END) AS redacted_md5,
+           true AS pii_clean
+    FROM documents
+    """,
+)
+def q_llm_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction parity: find emails / phone numbers /
+    IPv4 addresses by regex, count them, and replace each with a
+    typed placeholder — the scrub step every training-data pipeline
+    runs before release (and a compliance gate, not just hygiene).
+
+    The fixture corpus is PII-free by construction (digit- and
+    @-free word soup — asserted in tests), so each row's PII is
+    DETERMINISTICALLY SYNTHESIZED from its doc_id: an email on even
+    ids, a phone on multiples of 3, an IP on multiples of 5 —
+    varying per-row counts, including zero. That is what makes the
+    differential sharp (the ``q_llm_url_parse`` house pattern): the
+    oracle states ground-truth counts AND the md5 of the
+    ground-truth redacted text by construction, while the engine
+    must actually find each planted span with the detector grammar
+    and replace exactly that span. A detector that over- or
+    under-matches by one character fails the hash. ``pii_clean``
+    re-scans the redacted text with all three detectors — asserting
+    the redaction actually removed everything it counted.
+
+    Scale shape: pure per-row projection (regexp_count /
+    regexp_replace are codegen'd JVM expressions — no Python), no
+    shuffle, no state; at 100 TB this pipelines behind the scan at
+    I/O speed like the other text-cleanup projections.
+    """
+    d = table(spark, sf_dir, "documents")
+    email = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit(" Contact user"),
+            F.col("doc_id"),
+            F.lit("@"),
+            F.col("source"),
+            F.lit(".example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" call (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            F.col("doc_id") % 256,
+            F.lit("."),
+            (F.col("doc_id") * 7) % 256,
+            F.lit("."),
+            (F.col("doc_id") * 13) % 256,
+        ),
+    ).otherwise(F.lit(""))
+    raw = F.concat(F.col("text"), email, phone, ip)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        PII_IP_RE,
+        "[IP]",
+    )
+    n_emails = F.regexp_count(raw, F.lit(PII_EMAIL_RE))
+    n_phones = F.regexp_count(raw, F.lit(PII_PHONE_RE))
+    n_ips = F.regexp_count(raw, F.lit(PII_IP_RE))
+    residual = (
+        F.regexp_count(redacted, F.lit(PII_EMAIL_RE))
+        + F.regexp_count(redacted, F.lit(PII_PHONE_RE))
+        + F.regexp_count(redacted, F.lit(PII_IP_RE))
+    )
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        (n_emails + n_phones + n_ips).alias("n_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+        (residual == 0).alias("pii_clean"),
+    )

@@ -19,7 +19,7 @@ operator itself stays this join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frafka_spark.io import table
@@ -152,4 +152,89 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
         F.round("c_acctbal", 2).alias("c_acctbal"),
         "c_mktsegment",
+    )
+
+
+@query(
+    "q_merge_scd2",
+    oracle="""
+    WITH feed AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+               lag(o_orderpriority) OVER
+                   (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ),
+    changes AS (
+        SELECT * FROM feed WHERE prev IS NULL OR prev <> o_orderpriority
+    ),
+    versioned AS (
+        SELECT o_custkey, o_orderdate, o_orderpriority,
+               row_number() OVER w AS version,
+               lead(o_orderdate) OVER w AS next_from
+        FROM changes
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey AS custkey,
+           CAST(version AS INT) AS version,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           coalesce(strftime(next_from, '%Y-%m-%d'), '9999-12-31')
+               AS valid_to,
+           (next_from IS NULL) AS is_current,
+           o_orderpriority AS attr
+    FROM versioned
+    """,
+)
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: turn a change feed
+    (each customer's orders, ordered by date, carrying the tracked
+    attribute ``o_orderpriority``) into versioned validity intervals
+    — ``[valid_from, valid_to)``, monotonically numbered versions,
+    one open ``is_current`` row per key. The other half of the
+    lakehouse write path next to ``q_merge_upsert``: MERGE keeps the
+    latest state, SCD2 keeps the history a point-in-time join needs.
+
+    The operator that makes it SCD2 rather than a plain lead/lag
+    exercise is the RUN-LENGTH COLLAPSE: consecutive feed rows with
+    an UNCHANGED attribute do not open a new version (lag-compare,
+    keep first-of-run), so versions count attribute CHANGES — then
+    the interval chain is rebuilt over the collapsed rows only.
+    Same-day changes produce zero-length intervals, deterministically
+    ordered by the orderkey tiebreak on both engines.
+
+    Scale shape: two window passes, both PARTITIONED BY the dimension
+    key (no global window, no single-task sort) — each customer's
+    history sorts within its hash partition, the collapse filter
+    prunes between the passes, and the output is bounded by the
+    number of attribute changes, not the feed size. The date render
+    is string-typed (the house rule: no timestamp-typed output).
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    feed = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    )
+    changes = feed.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+    )
+    versioned = changes.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.row_number().over(w).alias("version"),
+        F.lead("o_orderdate").over(w).alias("next_from"),
+    )
+    return versioned.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("version").cast("int").alias("version"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format("next_from", "yyyy-MM-dd"), F.lit("9999-12-31")
+        ).alias("valid_to"),
+        F.col("next_from").isNull().alias("is_current"),
+        F.col("o_orderpriority").alias("attr"),
     )

@@ -650,3 +650,64 @@ def test_stickiness_bounds_and_day_cover(spark):
         .count()
     )
     assert len(st_) == days
+
+
+def test_pii_corpus_clean_and_redaction_total(spark):
+    """q_llm_pii laws: (1) the raw corpus really is PII-free (the
+    synthesis precondition — no digits, '@', or parens in text), (2)
+    counts follow the planting rule exactly, (3) redaction is total
+    (pii_clean everywhere), and (4) a planted row's redacted hash
+    differs from the md5 of its raw text while an unplanted row's
+    equals it."""
+    import hashlib
+
+    from frafka_spark.io import table
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    docs = table(spark, SF_DIR, "documents").toPandas()
+    assert not docs["text"].str.contains(r"[0-9@()]", regex=True).any()
+
+    pii = QUERIES["q_llm_pii"].fn(spark, SF_DIR).toPandas().set_index("doc_id")
+    ids = pii.index.to_series()
+    assert (pii["n_emails"] == (ids % 2 == 0).astype(int)).all()
+    assert (pii["n_phones"] == (ids % 3 == 0).astype(int)).all()
+    assert (pii["n_ips"] == (ids % 5 == 0).astype(int)).all()
+    assert (pii["n_pii"] == pii[["n_emails", "n_phones", "n_ips"]].sum(axis=1)).all()
+    assert pii["pii_clean"].all()
+
+    raw_md5 = docs.set_index("doc_id")["text"].map(
+        lambda t: hashlib.md5(t.encode()).hexdigest()
+    )
+    planted = pii["n_pii"] > 0
+    assert (pii.loc[planted, "redacted_md5"] != raw_md5[planted]).all()
+    assert (pii.loc[~planted, "redacted_md5"] == raw_md5[~planted]).all()
+
+
+def test_scd2_interval_chain_laws(spark):
+    """q_merge_scd2 laws per dimension key: versions are contiguous
+    1..k, exactly one open (is_current) row, each closed row's
+    valid_to equals the next version's valid_from (no gaps, no
+    overlaps), and consecutive versions always differ in the tracked
+    attribute (the run-length collapse law)."""
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    scd = QUERIES["q_merge_scd2"].fn(spark, SF_DIR).toPandas()
+    assert (scd.groupby("custkey")["is_current"].sum() == 1).all()
+    for _, g in scd.groupby("custkey"):
+        g = g.sort_values("version")
+        assert list(g["version"]) == list(range(1, len(g) + 1))
+        assert bool(g.iloc[-1]["is_current"])
+        assert (g["valid_to"].iloc[:-1].values == g["valid_from"].iloc[1:].values).all()
+        assert g["valid_to"].iloc[-1] == "9999-12-31"
+        attrs = g["attr"].tolist()
+        assert all(a != b for a, b in zip(attrs, attrs[1:]))
