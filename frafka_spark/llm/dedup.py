@@ -1496,3 +1496,97 @@ def q_llm_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cross_source",
         )
     )
+
+
+@query(
+    "q_llm_dedup_url",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/docs/'
+                   || CAST(doc_id % 100 AS VARCHAR) AS canonical_url,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://' || source || '.example.org/docs/'
+                             || CAST(doc_id % 100 AS VARCHAR)
+                 WHEN 1 THEN 'HTTPS://' || upper(source)
+                             || '.EXAMPLE.ORG/docs/'
+                             || CAST(doc_id % 100 AS VARCHAR)
+                 WHEN 2 THEN 'https://' || source || '.example.org/docs/'
+                             || CAST(doc_id % 100 AS VARCHAR) || '/'
+                 ELSE 'https://' || source || '.example.org/docs/'
+                      || CAST(doc_id % 100 AS VARCHAR)
+                      || '?utm_source=feed&utm_campaign=rs'
+               END AS raw_url
+        FROM documents
+    )
+    SELECT canonical_url,
+           count(*) AS n_docs,
+           count(DISTINCT raw_url) AS n_raw_forms,
+           min(doc_id) AS keeper_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def q_llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: collapse syntactic URL variants (scheme/
+    host case, trailing slash, tracking query params) onto one
+    canonical form and group — the crawl-frontier dedup every web
+    pipeline runs BEFORE fetching, where each variant class would
+    otherwise multiply both crawl cost and corpus dups.
+
+    The fixture carries no URLs, so each row's raw URL is
+    DETERMINISTICALLY SYNTHESIZED (the ``q_llm_url_parse`` house
+    pattern) with a planted variant by ``doc_id % 4`` — upper-cased
+    scheme+host, trailing slash, utm-tracking query, or already
+    clean — over a colliding base path (``doc_id % 100`` per
+    source), so clusters are real. The differential is sharp because
+    the ORACLE states the canonical form by construction while the
+    ENGINE must actually normalize the raw string: lowercase the
+    scheme+host segment ONLY (paths are case-sensitive in the URL
+    grammar — lowercasing the whole string would be a wrong dedup
+    that this oracle would catch if the fixture paths were mixed-
+    case; the host boundary is found structurally via parse_url),
+    strip tracking queries, strip the trailing slash.
+
+    Scale shape: pure projection (parse_url/regexp_replace codegen)
+    + ONE hash aggregate on the canonical key — identical to exact
+    dedup's digest shuffle; nothing all-pairs.
+    """
+    d = table(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0, base)
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://"),
+                F.upper(F.col("source")),
+                F.lit(".EXAMPLE.ORG/docs/"),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.concat(base, F.lit("/")))
+        .otherwise(F.concat(base, F.lit("?utm_source=feed&utm_campaign=rs")))
+    )
+    # normalize: split at the path boundary so ONLY scheme+host
+    # lowercase; then drop tracking query and the trailing slash
+    no_query = F.regexp_replace(raw, r"\?utm_[^#]*$", "")
+    host_part = F.regexp_extract(no_query, r"^([A-Za-z]+://[^/]+)", 1)
+    path_part = F.regexp_replace(
+        F.regexp_replace(no_query, r"^[A-Za-z]+://[^/]+", ""), r"/$", ""
+    )
+    canonical = F.concat(F.lower(host_part), path_part)
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"), raw.alias("raw_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("raw_url").alias("n_raw_forms"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )

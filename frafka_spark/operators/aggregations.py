@@ -14,7 +14,7 @@ see ``frafka_spark.functions.determinism``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frafka_spark.functions.determinism import (
@@ -938,4 +938,90 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsum.alias("total_qty"),
         half_up(wsum / qsum, 4).alias("wavg_price"),
         dec_avg("l_extendedprice", "plain_avg_price"),
+    )
+
+
+@query(
+    "q_agg_ratio_to_parent",
+    oracle=f"""
+    WITH by_nation AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)')}
+                   AS revenue
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, revenue,
+           floor(revenue / sum(revenue) OVER (PARTITION BY region)
+                 * 10000.0 + 0.5) / 10000.0 AS share_of_region,
+           floor(revenue / sum(revenue) OVER ()
+                 * 10000.0 + 0.5) / 10000.0 AS share_of_total,
+           CAST(rank() OVER (PARTITION BY region ORDER BY revenue DESC)
+                AS INT) AS rank_in_region
+    FROM by_nation
+    """,
+)
+def q_agg_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent rollup (Oracle's RATIO_TO_REPORT): each
+    nation's supplier revenue as a fraction of its region and of the
+    corpus total, plus its in-region rank — the denominator-at-a-
+    different-grain pattern behind every contribution/mix report.
+
+    Scale shape: the fact collapses FIRST (one hash aggregate keyed
+    on the 25-nation dimension — the only pass that touches lineitem;
+    dims broadcast onto it), and the window functions then run on the
+    COLLAPSED ≤|nations| relation, where partition sizes are bounded
+    by nations-per-region — the aggregate-then-window order is the
+    entire 100 TB story (windowing the fact first would sort the
+    world). Revenue rides the exact-decimal sum, shares round via
+    the explicit half-up; rank breaks no ties (revenues are distinct
+    exact sums).
+    """
+    from frafka_spark.functions.determinism import half_up
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    dims = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "s_suppkey",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    by_nation = (
+        li.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("region", "nation")
+        .agg(dec_sum("rev", "revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    return by_nation.select(
+        "region",
+        "nation",
+        "revenue",
+        half_up(F.col("revenue") / F.sum("revenue").over(w_region), 4).alias(
+            "share_of_region"
+        ),
+        half_up(
+            F.col("revenue")
+            / F.sum("revenue").over(Window.partitionBy()),
+            4,
+        ).alias("share_of_total"),
+        F.rank()
+        .over(w_region.orderBy(F.col("revenue").desc()))
+        .cast("int")
+        .alias("rank_in_region"),
     )

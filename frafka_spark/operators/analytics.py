@@ -1874,3 +1874,123 @@ def q_events_topk_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@query(
+    "q_events_growth_accounting",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    marked AS (
+        SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS first_day,
+               lag(day)  OVER w AS prev_day,
+               lead(day) OVER w AS next_day,
+               max(day) OVER () AS last_corpus_day
+        FROM pairs
+        WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    states AS (
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN day <> first_day
+                              AND (prev_day IS NULL OR prev_day < day - 1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM marked GROUP BY day
+    ),
+    churn AS (
+        SELECT strftime(day + 1, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_churned
+        FROM marked
+        WHERE day < last_corpus_day
+          AND (next_day IS NULL OR next_day > day + 1)
+        GROUP BY day + 1
+    )
+    SELECT s.day, s.n_active, s.n_new, s.n_retained, s.n_resurrected,
+           coalesce(c.n_churned, 0) AS n_churned
+    FROM states s LEFT JOIN churn c USING (day)
+    """,
+)
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each day's active users split into NEW
+    (first-ever day), RETAINED (also active yesterday), RESURRECTED
+    (returning after a gap), plus the day's CHURNED count (active
+    yesterday, absent today) — the standard DAU decomposition
+    (new + retained + resurrected = active, an identity the
+    differential enforces on every row) that product analytics teams
+    read before any other growth metric.
+
+    Scale shape: one DISTINCT collapses events to (user, day) pairs
+    (shuffle ∝ pairs, not events); every window is PARTITIONED BY
+    user (lag/lead/min ride one sort within the user's hash
+    partition — no global window); the per-day rollups are hash
+    aggregates with map-side partials; churn attributes each exit to
+    the day AFTER the last active day via the same lead() pass, then
+    joins back on the (bounded) day dimension. The one global max
+    (corpus end, to avoid charging churn past the observation
+    window) is a broadcast 1-row aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    pairs = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    last_day = pairs.agg(F.max("day").alias("last_corpus_day"))
+    marked = (
+        pairs.select(
+            "user_id",
+            "day",
+            F.min("day").over(Window.partitionBy("user_id")).alias("first_day"),
+            F.lag("day").over(w).alias("prev_day"),
+            F.lead("day").over(w).alias("next_day"),
+        )
+        .crossJoin(F.broadcast(last_day))
+    )
+    states = marked.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_active"),
+        F.sum(
+            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+        ).alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_day") == F.date_sub("day", 1), 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("day") != F.col("first_day"))
+                & (
+                    F.col("prev_day").isNull()
+                    | (F.col("prev_day") < F.date_sub("day", 1))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        marked.filter(
+            (F.col("day") < F.col("last_corpus_day"))
+            & (
+                F.col("next_day").isNull()
+                | (F.col("next_day") > F.date_add("day", 1))
+            )
+        )
+        .groupBy(
+            F.date_format(F.date_add("day", 1), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        states.join(churn, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )

@@ -238,3 +238,99 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_from").isNull().alias("is_current"),
         F.col("o_orderpriority").alias("attr"),
     )
+
+
+@query(
+    "q_join_pit",
+    oracle="""
+    WITH feed AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+               lag(o_orderpriority) OVER
+                   (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ),
+    changes AS (
+        SELECT * FROM feed WHERE prev IS NULL OR prev <> o_orderpriority
+    ),
+    dim AS (
+        SELECT o_custkey AS custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+               coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
+                        '9999-12-31') AS valid_to,
+               o_orderpriority AS attr
+        FROM changes
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    fact AS (
+        SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+               strftime(l.l_shipdate, '%Y-%m-%d') AS ship_day
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT coalesce(d.attr, '(no history)') AS priority_at_ship,
+           count(*) AS n_lines
+    FROM fact f
+    LEFT JOIN dim d ON d.custkey = f.o_custkey
+                   AND f.ship_day >= d.valid_from
+                   AND f.ship_day <  d.valid_to
+    GROUP BY coalesce(d.attr, '(no history)')
+    """,
+)
+def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the read-side payoff of SCD2: each shipped
+    lineitem is joined to the dimension version that was VALID on its
+    ship date (``valid_from ≤ ship_day < valid_to``), recovering the
+    customer's order-priority state as of shipment, then aggregated.
+    This is the temporal-validity join every warehouse runs against a
+    versioned dimension (prices as-of order date, org charts as-of
+    event time).
+
+    Composes the DECLARED ``q_merge_scd2`` interval build (same CTE
+    chain on the oracle side — the house composition rule). The
+    interval endpoints are yyyy-MM-dd strings, whose lexicographic
+    order IS chronological order, so the range predicate needs no
+    date re-parse and the open '9999-12-31' sentinel compares
+    correctly for free.
+
+    Scale shape: the join carries an EQUALITY key (custkey) with the
+    interval bounds as residual predicates — Spark shuffles both
+    sides on custkey and evaluates the range inside the matched
+    group (per-customer fan bounded by that customer's version
+    count), never an all-pairs range join. The intervals PARTITION
+    each customer's timeline from the first change record onward, so
+    a fact row matches AT MOST one version; facts dated BEFORE the
+    history began (this fixture's ship dates are not constrained to
+    follow order dates) fall into an explicit '(no history)' bucket
+    via LEFT join rather than silently dropping — exactly-one-
+    match-or-bucket is the law the tests assert, the property that
+    makes PIT joins safe to run unsupervised.
+    """
+    dim = q_merge_scd2(spark, sf_dir).select(
+        "custkey", "valid_from", "valid_to", "attr"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fact = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("custkey") == F.col("o_custkey"))
+            & (F.col("ship_day") >= F.col("valid_from"))
+            & (F.col("ship_day") < F.col("valid_to")),
+            "left",
+        )
+        .groupBy(
+            F.coalesce(F.col("attr"), F.lit("(no history)")).alias(
+                "priority_at_ship"
+            )
+        )
+        .agg(F.count("*").alias("n_lines"))
+    )

@@ -711,3 +711,73 @@ def test_scd2_interval_chain_laws(spark):
         assert g["valid_to"].iloc[-1] == "9999-12-31"
         attrs = g["attr"].tolist()
         assert all(a != b for a, b in zip(attrs, attrs[1:]))
+
+
+def test_growth_accounting_identity(spark):
+    """q_events_growth_accounting laws: active = new + retained +
+    resurrected on every day; churned(d) = active(d-1) - retained(d)
+    for consecutive days; day-1 churn is 0; totals of n_new equal the
+    distinct user count (every user is new exactly once)."""
+    from frafka_spark.io import table
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    g = (
+        QUERIES["q_events_growth_accounting"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert (
+        g["n_active"] == g["n_new"] + g["n_retained"] + g["n_resurrected"]
+    ).all()
+    assert g.loc[0, "n_churned"] == 0
+    prev_active = g["n_active"].shift(1)
+    consec = g.index[1:]
+    assert (
+        g.loc[consec, "n_churned"]
+        == prev_active[consec] - g.loc[consec, "n_retained"]
+    ).all()
+    n_users = table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert g["n_new"].sum() == n_users
+
+
+def test_pit_join_total_coverage(spark):
+    """q_join_pit law: every lineitem lands exactly once — in a real
+    version's bucket when its ship date falls inside the customer's
+    history, else in the explicit '(no history)' bucket — so the
+    per-priority counts sum to the full lineitem count and the
+    no-history bucket matches an independent recount of pre-history
+    ship dates."""
+    from frafka_spark.io import table
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark
+
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    pit = QUERIES["q_join_pit"].fn(spark, SF_DIR).toPandas()
+    n_lines = table(spark, SF_DIR, "lineitem").count()
+    assert pit["n_lines"].sum() == n_lines
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    first = (
+        table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min(F.to_date("o_orderdate")).alias("first_day"))
+        .withColumnRenamed("o_custkey", "fk")
+    )
+    n_prehistory = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(first, F.col("fk") == F.col("o_custkey"))
+        .filter(F.to_date("l_shipdate") < F.col("first_day"))
+        .count()
+    )
+    no_hist = pit.set_index("priority_at_ship")["n_lines"].get("(no history)", 0)
+    assert no_hist == n_prehistory
