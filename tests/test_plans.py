@@ -537,3 +537,69 @@ def test_fn_decimal_is_pure_projection(spark):
     assert not python_eval_nodes(df)
     # formatted mode prints codegen'd operators with a star prefix
     assert "* Project" in plan, plan
+
+
+def test_tpch_completions_broadcast_dims_not_fact(spark):
+    """q_tpch_q2/q16/q20: the dimension chain (supplier→nation→region,
+    filtered part) must broadcast; the lineitem-derived side must
+    never appear on the build side of a broadcast (no O(fact)
+    broadcast at scale)."""
+    for name in ("q_tpch_q2_shape", "q_tpch_q16_shape", "q_tpch_q20_shape"):
+        df = _df(spark, name)
+        assert uses_broadcast_join(df), name
+        plan = plan_str(df)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_pii_is_pure_projection(spark):
+    """q_llm_pii: synthesis, detection, and redaction must stay one
+    scan+project — no exchange, no Python, inside codegen (the scrub
+    step pipelines behind the scan at 100 TB)."""
+    df = _df(spark, "q_llm_pii")
+    plan = plan_str(df)
+    assert "Exchange" not in plan, plan
+    assert not python_eval_nodes(df)
+    assert "* Project" in plan, plan
+
+
+def test_scd2_and_growth_windows_stay_keyed(spark):
+    """q_merge_scd2 / q_events_growth_accounting: every Window must be
+    partitioned by the dimension/user key — no empty-partition global
+    window (single-task sort) may appear."""
+    import re
+
+    for name, key in (
+        ("q_merge_scd2", "o_custkey"),
+        ("q_events_growth_accounting", "user_id"),
+    ):
+        plan = _plan(spark, name)
+        specs = re.findall(r"windowspecdefinition\(([A-Za-z_0-9#]+)", plan)
+        assert specs, (name, plan)  # regex must actually match
+        for first_part_key in specs:
+            assert first_part_key.startswith(key), (name, first_part_key)
+
+
+def test_pit_join_is_keyed_not_nested_loop(spark):
+    """q_join_pit: the interval predicate must ride the custkey
+    EQUALITY join (SortMergeJoin/ShuffledHashJoin with range
+    residuals) — a BroadcastNestedLoopJoin here would be the
+    all-pairs range join that dies at scale."""
+    plan = _plan(spark, "q_join_pit")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_ratio_to_parent_aggregates_before_window(spark):
+    """q_agg_ratio_to_parent: the fact must collapse through a hash
+    aggregate BEFORE any Window node (windowing the fact first would
+    sort the world at 100 TB)."""
+    plan = _plan(spark, "q_agg_ratio_to_parent")
+    assert "HashAggregate" in plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert win_pos != -1
+    # formatted plans print leaves last: the aggregate must appear
+    # BELOW the window in execution order, i.e. later in the text
+    assert agg_pos > win_pos or "partial" in plan[:win_pos], plan
