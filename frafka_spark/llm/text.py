@@ -1873,3 +1873,68 @@ def q_llm_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(redacted).alias("redacted_md5"),
         (residual == 0).alias("pii_clean"),
     )
+
+
+@query(
+    "q_llm_bpe_pairs",
+    oracle="""
+    WITH vocab AS (
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    ),
+    expl AS (
+        SELECT word || '$' AS a, freq,
+               unnest(generate_series(1, len(word))) AS i
+        FROM vocab
+    )
+    SELECT substr(a, i, 2) AS pair, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM expl GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC LIMIT 20
+    """,
+)
+def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate counting: the frequency of every adjacent
+    symbol pair across the corpus (characters, with '$' as the
+    end-of-word sentinel — absent from the corpus alphabet, asserted
+    by the differential itself: a corpus '$' would shift counts),
+    ranked — i.e., the statistic a byte-pair-encoding tokenizer
+    trainer computes at EVERY merge step; the top row is the first
+    merge. Declared because tokenizer training is the one
+    corpus-scale counting job an LLM data platform runs that none of
+    the word-level queries cover.
+
+    Scale shape: the decisive move is pair-counting the VOCABULARY,
+    not the corpus — the (word, freq) rollup collapses the token
+    stream first (rides the session-cached ``_words`` explode shared
+    with tfidf/heavy-hitters), and the character explode then runs
+    over |vocab| rows weighted by freq instead of every corpus
+    token: at 100 TB the explode input shrinks by the corpus's
+    token-per-type ratio (thousands). Per-word pair multiplicity is
+    preserved (a word contributes each of its positions, times its
+    frequency — exactly the BPE statistic). One hash aggregate +
+    TakeOrdered top-20 with a total-order tiebreak.
+    """
+    from frafka_spark.llm.dedup import _words
+
+    vocab = (
+        _words(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("a", F.concat(F.col("word"), F.lit("$")))
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("a").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(20)
+    )

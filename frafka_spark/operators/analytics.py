@@ -1994,3 +1994,181 @@ def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
         )
     )
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, event_id AS t_id, event_type AS channel, ts AS t_ts
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    matched AS (
+        SELECT p.p_id, t.channel, t.t_ts, t.t_id,
+               count(*) OVER (PARTITION BY p.p_id) AS n_touches,
+               row_number() OVER (PARTITION BY p.p_id
+                                  ORDER BY t.t_ts, t.t_id) AS rn_first,
+               row_number() OVER (PARTITION BY p.p_id
+                                  ORDER BY t.t_ts DESC, t.t_id DESC)
+                   AS rn_last
+        FROM purchases p
+        JOIN touches t ON t.user_id = p.user_id
+                      AND t.t_ts < p.p_ts
+                      AND t.t_ts >= p.p_ts - INTERVAL 24 HOUR
+    )
+    SELECT channel,
+           CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch,
+           CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch,
+           floor(sum(CAST(floor(1000000.0 / n_touches + 0.5) AS BIGINT))
+                 / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS linear_credit,
+           count(*) AS n_touchpoints
+    FROM matched
+    GROUP BY channel
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every purchase credits the view/click
+    touchpoints the same user generated in the 24 h before it —
+    first-touch and last-touch counts plus fractional linear credit
+    (1/n per touch, so credits sum to conversions) per channel. The
+    marketing-analytics allocation every event warehouse runs, and
+    relationally the interesting compound: a PER-CONVERSION lookback
+    join + within-conversion ranking + cross-conversion rollup.
+
+    Scale shape: the conversion⋈touch join carries the user_id
+    EQUALITY key with the 24 h lookback as residual (per-user fan
+    bounded by activity density × window — never all-pairs); both
+    ranking windows partition by the conversion id (bounded groups);
+    the final rollup is a 2-row hash aggregate. Linear credit does
+    NOT sum raw 1/n doubles (a float sum is accumulation-order
+    sensitive — the partial-aggregate tree could land a different
+    last-ulp than the oracle's): each touch's share is pinned to an
+    integer MICRO-CREDIT (``floor(1e6/n + 0.5)`` — identical on both
+    engines, n ≤ 10^6 exact), the credits sum as plain longs
+    (order-independent, codegen primitive adds — the ``dec_sum``
+    discipline), and the display divides once and rounds via the
+    explicit half-up.
+    """
+    from frafka_spark.functions.determinism import half_up
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    matched = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    w_conv = Window.partitionBy("p_id")
+    w_first = w_conv.orderBy("t_ts", "t_id")
+    w_last = w_conv.orderBy(F.col("t_ts").desc(), F.col("t_id").desc())
+    ranked = matched.select(
+        "p_id",
+        "channel",
+        F.count("*").over(w_conv).alias("n_touches"),
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    return ranked.groupBy("channel").agg(
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0)).alias(
+            "first_touch"
+        ),
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0)).alias(
+            "last_touch"
+        ),
+        half_up(
+            F.sum(
+                F.floor(F.lit(1e6) / F.col("n_touches") + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            / 1e6,
+            4,
+        ).alias("linear_credit"),
+        F.count("*").alias("n_touchpoints"),
+    )
+
+
+@query(
+    "q_events_error_bursts",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               (event_type = 'error') AS is_err,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    err AS (
+        SELECT user_id,
+               rn - row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS grp
+        FROM seq WHERE is_err
+    ),
+    runs AS (
+        SELECT user_id, count(*) AS run_len
+        FROM err GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bursts,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST(sum(run_len) AS BIGINT) AS n_errors
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run-length encoding: maximal runs of
+    CONSECUTIVE error events in each user's stream (no intervening
+    non-error event), reporting run count, bursts (runs ≥ 3 — the
+    alerting threshold), longest run, and total errors. The
+    MATCH_RECOGNIZE-class sequence operator (A+ pattern) expressed
+    relationally with the two-row_number islands identity:
+    ``global_rn − within-error_rn`` is constant exactly along each
+    maximal error run, so grouping by it reconstitutes the islands
+    without any iteration.
+
+    Scale shape: both row_number windows partition by user_id (one
+    sort each inside the user's hash partition — the second reuses
+    the first's order, so AQE plans one exchange); the island and
+    per-user rollups are hash aggregates over ≤events rows with
+    map-side partials. Counts are exact integers; the (ts, event_id)
+    tiebreak makes run boundaries deterministic under equal
+    timestamps on both engines.
+    """
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "error").alias("is_err"),
+        F.row_number().over(w_all).alias("rn"),
+    )
+    err = seq.filter("is_err").select(
+        "user_id",
+        (F.col("rn") - F.row_number().over(w_all)).alias("grp"),
+    )
+    runs = err.groupBy("user_id", "grp").agg(F.count("*").alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.count("*").alias("n_runs"),
+        F.sum(F.when(F.col("run_len") >= 3, 1).otherwise(0)).alias("n_bursts"),
+        F.max("run_len").alias("longest_run"),
+        F.sum("run_len").alias("n_errors"),
+    )
