@@ -629,3 +629,83 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+TOL_DAYS = 9000  # as-of tolerance: bridge the fixture's events↔orders epoch gap
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    WITH cand AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC NULLS LAST,
+                            o.o_orderkey DESC NULLS LAST
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND o.o_orderdate <= e.ts
+         AND o.o_orderdate >= e.ts - INTERVAL {TOL_DAYS} DAY
+    )
+    SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS asof_date,
+           round(o_totalprice, 4) AS asof_price
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE window — the fourth and last
+    parameter of the pandas/polars ``merge_asof`` surface
+    (backward / forward / nearest / tolerance): latest order
+    at-or-before each event, but only if it is RECENT ENOUGH
+    (within {TOL_DAYS} days — sized to bridge the fixture's
+    events↔orders epoch gap so both matched and staleness-rejected
+    rows exist); staler states are treated as expired and the event
+    keeps NULLs. The semantics every feature-store lookup needs: a
+    quote/feature older than the freshness SLA must NOT join.
+
+    Same physical shape as ``q_join_asof`` (candidate range join →
+    packed-long max in a HashAggregate → broadcast join-back): the
+    tolerance adds one residual lower-bound predicate to the
+    candidate join, which only SHRINKS the candidate set — at scale
+    the tolerance is the lever that bounds per-probe fan (a 100 TB
+    as-of with unbounded lookback carries every historical version;
+    with a tolerance it carries only the fresh window).
+    """
+    sc = spark.sparkContext
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .repartition(sc.defaultParallelism, "user_id")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cand = e.join(
+        F.broadcast(o),
+        (o.o_custkey == e.user_id)
+        & (o.o_orderdate <= e.ts)
+        & (o.o_orderdate >= e.ts - F.expr(f"INTERVAL {TOL_DAYS} DAYS")),
+        "left",
+    )
+    epoch_day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    packed = F.shiftleft(epoch_day.cast("bigint"), 44) + F.col("o_orderkey")
+    best = cand.groupBy("event_id", "user_id").agg(F.max(packed).alias("pk"))
+    payload = o.select(
+        F.col("o_orderkey").alias("asof_orderkey"), "o_orderdate", "o_totalprice"
+    )
+    return (
+        best.withColumn("asof_orderkey", F.col("pk").bitwiseAND(F.lit((1 << 44) - 1)))
+        .join(F.broadcast(payload), "asof_orderkey", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "asof_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_date"),
+            F.round("o_totalprice", 4).alias("asof_price"),
+        )
+    )
