@@ -976,9 +976,12 @@ def q_agg_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     COLLAPSED ≤|nations| relation, where partition sizes are bounded
     by nations-per-region — the aggregate-then-window order is the
     entire 100 TB story (windowing the fact first would sort the
-    world). Revenue rides the exact-decimal sum, shares round via
-    the explicit half-up; rank breaks no ties (revenues are distinct
-    exact sums).
+    world). The corpus-total denominator is a broadcast 1-row
+    aggregate (the house pattern), NOT an empty-partition window —
+    ``sum() OVER ()`` funnels the whole relation through one task
+    and warns; harmless at 25 rows, wrong as a habit. Revenue rides
+    the exact-decimal sum, shares round via the explicit half-up;
+    rank breaks no ties (revenues are distinct exact sums).
     """
     from frafka_spark.functions.determinism import half_up
 
@@ -1008,20 +1011,22 @@ def q_agg_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec_sum("rev", "revenue"))
     )
     w_region = Window.partitionBy("region")
-    return by_nation.select(
-        "region",
-        "nation",
-        "revenue",
-        half_up(F.col("revenue") / F.sum("revenue").over(w_region), 4).alias(
-            "share_of_region"
-        ),
-        half_up(
-            F.col("revenue")
-            / F.sum("revenue").over(Window.partitionBy()),
-            4,
-        ).alias("share_of_total"),
-        F.rank()
-        .over(w_region.orderBy(F.col("revenue").desc()))
-        .cast("int")
-        .alias("rank_in_region"),
+    total = by_nation.agg(F.sum("revenue").alias("_total"))
+    return (
+        by_nation.crossJoin(F.broadcast(total))
+        .select(
+            "region",
+            "nation",
+            "revenue",
+            half_up(
+                F.col("revenue") / F.sum("revenue").over(w_region), 4
+            ).alias("share_of_region"),
+            half_up(F.col("revenue") / F.col("_total"), 4).alias(
+                "share_of_total"
+            ),
+            F.rank()
+            .over(w_region.orderBy(F.col("revenue").desc()))
+            .cast("int")
+            .alias("rank_in_region"),
+        )
     )

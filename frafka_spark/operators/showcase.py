@@ -10,7 +10,7 @@ one pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frafka_spark.functions.determinism import dec_sum, sql_dec_sum
@@ -1013,12 +1013,17 @@ def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed per group in a subquery, equi-joined back against the
     detail rows that achieved it.
 
-    Scale shape: one (part,supp)-keyed aggregate collapses lineitem;
-    the supplier→nation→region dim chain broadcasts (bounded dims);
-    the per-part min re-aggregates the already-collapsed pair
-    relation and joins back on (partkey, cost) — both sides keyed on
-    partkey, so AQE plans one exchange layout. The part filter
-    broadcasts. Determinism: the unit price divides two parquet
+    Scale shape: one (part,supp)-keyed aggregate collapses lineitem
+    (the ONLY pass over the fact); the supplier→nation→region dim
+    chain and the part filter broadcast onto the collapsed pair
+    relation; the per-part regional min is then a WINDOW over that
+    filtered relation (partitioned by partkey — groups bounded by
+    suppliers-per-part), and the achiever filter compares in place.
+    One window instead of a re-aggregate + self-join: the round-7
+    bench showed the join-back formulation re-derived the pair
+    aggregate twice (1.26 s → this shape; the oracle keeps the
+    two-CTE join-back form, so the hash match also proves the
+    window≡self-join identity). Determinism: the unit price divides two parquet
     doubles (IEEE division — identical doubles both engines), min is
     order-independent, and the equality join compares those exact
     doubles, so min-achievers cannot differ engine-to-engine. The
@@ -1041,21 +1046,25 @@ def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    regional = pair.join(
-        F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey")
-    ).select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
-    best = regional.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
     p15 = table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
         "p_partkey", "p_brand"
     )
-    return (
-        regional.alias("g")
-        .join(
-            best.alias("b"),
-            (F.col("b.l_partkey") == F.col("g.l_partkey"))
-            & (F.col("g.unit_cost") == F.col("b.min_cost")),
+    regional = (
+        pair.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        # part filter pushed BEFORE the per-part min: it restricts
+        # parts (not suppliers), so each surviving part's regional
+        # min is unchanged — and the window below runs on the
+        # filtered pair relation only
+        .join(F.broadcast(p15), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name",
+            "p_partkey", "p_brand",
         )
-        .join(F.broadcast(p15), F.col("p_partkey") == F.col("g.l_partkey"))
+    )
+    w_part = Window.partitionBy("l_partkey")
+    return (
+        regional.withColumn("min_cost", F.min("unit_cost").over(w_part))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
             F.col("unit_cost").alias("supply_cost"),
