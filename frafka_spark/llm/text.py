@@ -1938,3 +1938,74 @@ def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+KWIC_TERM = "spark"  # inspection target; swap per investigation
+KWIC_CTX = 3  # context words each side
+
+
+@query(
+    "q_llm_kwic",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+        FROM toks
+    )
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           coalesce(array_to_string(
+               list_slice(w, greatest(i - {KWIC_CTX}, 1), i - 1), ' '), '')
+               AS left_ctx,
+           coalesce(array_to_string(
+               list_slice(w, i + 1, least(i + {KWIC_CTX}, len(w))), ' '), '')
+               AS right_ctx
+    FROM pos WHERE w[i] = '{KWIC_TERM}'
+    """,
+)
+def q_llm_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance: every occurrence of a
+    target term with ±{KWIC_CTX} words of context — the corpus
+    inspection primitive behind every "show me how the corpus uses
+    X" review (tokenizer debugging, contamination triage, filter-
+    rule autopsies all start from a concordance).
+
+    Scale shape: one tokenize + positional explode per document
+    (rows ∝ corpus tokens, same cost class as the word explode the
+    TF-IDF family rides), a predicate on the exploded term that
+    Catalyst evaluates inside the Generate's projection — the match
+    filter prunes BEFORE the context slices are built, so slice work
+    is ∝ matches, not tokens — and no shuffle at all: the output is
+    a pure per-document projection. At 100 TB this pipelines behind
+    the scan; an inverted-index variant (pre-filter on a term
+    bitmap) is the next step only when the term set is dynamic.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = fan_out(d, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    pos = toks.select(
+        "doc_id",
+        "w",
+        F.posexplode("w").alias("i0", "word"),
+    ).filter(F.col("word") == KWIC_TERM)
+    i = F.col("i0") + 1  # 1-based to mirror the oracle's list indexing
+    left_start = F.greatest(i - KWIC_CTX, F.lit(1))
+    return pos.select(
+        "doc_id",
+        i.cast("int").alias("pos"),
+        F.concat_ws(
+            " ", F.slice("w", left_start, i - left_start)
+        ).alias("left_ctx"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "w",
+                i + 1,
+                F.greatest(
+                    F.least(i + KWIC_CTX, F.size("w")) - i, F.lit(0)
+                ),
+            ),
+        ).alias("right_ctx"),
+    )

@@ -2172,3 +2172,83 @@ def q_events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").alias("longest_run"),
         F.sum("run_len").alias("n_errors"),
     )
+
+
+@query(
+    "q_events_forecast_baseline",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(ts AS DATE) AS day, extract(hour FROM ts) AS hr,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    last_day AS (SELECT max(day) AS d FROM hourly),
+    pred AS (
+        SELECT extract(dow FROM h.day) AS dow, h.hr,
+               avg(h.n) AS yhat
+        FROM hourly h, last_day WHERE h.day < d
+        GROUP BY 1, 2
+    ),
+    actual AS (
+        SELECT h.hr, h.n, extract(dow FROM h.day) AS dow
+        FROM hourly h, last_day WHERE h.day = d
+    )
+    SELECT CAST(a.hr AS INT) AS hr,
+           a.n AS actual,
+           floor(p.yhat * 10000.0 + 0.5) / 10000.0 AS predicted,
+           floor(abs(a.n - p.yhat) * 10000.0 + 0.5) / 10000.0 AS abs_err
+    FROM actual a JOIN pred p ON p.dow = a.dow AND p.hr = a.hr
+    """,
+)
+def q_events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: hold out the corpus's last
+    day, predict each of its hours as the MEAN of the same
+    (weekday, hour) cell over the training days, and report per-hour
+    actual / predicted / absolute error — the baseline every
+    capacity-planning or anomaly pipeline must beat before any model
+    earns its keep (and the backtest harness is the operator here:
+    temporal split + seasonal profile + held-out join are the same
+    three moves at any model complexity).
+
+    Weekday indexing is the documented cross-engine trap
+    (``q_events_weekday_profile``): DuckDB ``extract(dow)`` is
+    Sunday=0 while Spark ``dayofweek`` is Sunday=1, so the engine
+    maps ``dayofweek − 1`` to align the join key. The predicted mean
+    divides an exact integer sum by an exact count (identical
+    doubles both engines) and displays through the explicit half-up.
+
+    Scale shape: events collapse to (day, hour) counts FIRST (one
+    hash aggregate — the only pass over the fact; shuffle ∝
+    day×hour cells); the anchor day is a broadcast 1-row max; the
+    seasonal profile re-aggregates the tiny cell relation, and the
+    held-out join runs on ≤24 rows. At 100 TB the profile costs the
+    same as a daily rollup.
+    """
+    from frafka_spark.functions.determinism import half_up
+
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.select(F.to_date("ts").alias("day"), F.hour("ts").alias("hr"))
+        .groupBy("day", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    last_day = hourly.agg(F.max("day").alias("d"))
+    cells = hourly.crossJoin(F.broadcast(last_day))
+    dow = F.dayofweek("day") - 1  # align to DuckDB's Sunday=0
+    pred = (
+        cells.filter(F.col("day") < F.col("d"))
+        .groupBy(dow.alias("dow"), "hr")
+        .agg(F.avg("n").alias("yhat"))
+    )
+    actual = cells.filter(F.col("day") == F.col("d")).select(
+        F.col("hr").alias("a_hr"), "n", dow.alias("a_dow")
+    )
+    return actual.join(
+        F.broadcast(pred),
+        (F.col("dow") == F.col("a_dow")) & (F.col("hr") == F.col("a_hr")),
+    ).select(
+        F.col("a_hr").cast("int").alias("hr"),
+        F.col("n").alias("actual"),
+        half_up(F.col("yhat"), 4).alias("predicted"),
+        half_up(F.abs(F.col("n") - F.col("yhat")), 4).alias("abs_err"),
+    )
