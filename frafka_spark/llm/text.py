@@ -1976,10 +1976,12 @@ def q_llm_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF family rides), a predicate on the exploded term that
     Catalyst evaluates inside the Generate's projection — the match
     filter prunes BEFORE the context slices are built, so slice work
-    is ∝ matches, not tokens — and no shuffle at all: the output is
-    a pure per-document projection. At 100 TB this pipelines behind
-    the scan; an inverted-index variant (pre-filter on a term
-    bitmap) is the next step only when the term set is dynamic.
+    is ∝ matches, not tokens. The ONLY exchange is the explicit
+    scan-width fan-out (the fixture's single file scans as one
+    task); the concordance itself is a per-document projection with
+    no keyed shuffle. At 100 TB the fan-out disappears (the scan is
+    already wide) and an inverted-index variant (pre-filter on a
+    term bitmap) is the next step only when the term set is dynamic.
     """
     d = table(spark, sf_dir, "documents")
     toks = fan_out(d, "doc_id").select(
