@@ -1590,3 +1590,65 @@ def q_llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+@query(
+    "q_llm_dedup_cross_source",
+    oracle="""
+    WITH hashed AS (
+        SELECT md5(array_to_string(string_split(text, ' ')[1:10], ' '))
+                   AS h,
+               source
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b, a.h
+        FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_shared_texts,
+           count(*) AS n_copy_pairs
+    FROM pairs
+    GROUP BY source_a, source_b
+    """,
+)
+def q_llm_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how
+    many distinct opening fingerprints (first-10-words digest — the
+    `q_llm_dedup_prefix` key class, which is what syndicated copies
+    and boilerplate leads actually share; full-text digests collide
+    only at sf0.1 in this fixture, and a grading-scale differential
+    must not be vacuous) they have in common, and how many copy
+    pairs that implies — the curation diagnostic that tells a team
+    WHERE its duplication comes from (mirrors, scrapes of scrapes,
+    feed syndication) before it decides which source to cap or drop;
+    per-source dup RATES are `q_llm_dedup_report`'s job, the
+    between-source structure is this one's.
+
+    Scale shape: one fingerprint projection, one self-join ON THE
+    DIGEST (shuffle keyed on h; fan bounded by per-fingerprint copy
+    count — never content), with the `source <` inequality as a
+    residual that halves the pair set and removes self-pairs; one
+    hash aggregate to the |sources|² matrix. The count-distinct
+    rides the usual expand; output is bounded by 20×19/2 rows
+    regardless of corpus size.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10))
+        ).alias("h"),
+        "source",
+    )
+    b = d.select(F.col("h").alias("h2"), F.col("source").alias("source_b"))
+    return (
+        d.join(
+            b,
+            (F.col("h") == F.col("h2"))
+            & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(
+            F.countDistinct("h").alias("n_shared_texts"),
+            F.count("*").alias("n_copy_pairs"),
+        )
+    )

@@ -2252,3 +2252,83 @@ def q_events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_up(F.col("yhat"), 4).alias("predicted"),
         half_up(F.abs(F.col("n") - F.col("yhat")), 4).alias("abs_err"),
     )
+
+
+@query(
+    "q_events_ltv_curve",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS c_day FROM events
+        GROUP BY user_id
+    ),
+    daily AS (
+        SELECT c.c_day,
+               date_diff('day', c.c_day, CAST(e.ts AS DATE)) AS offset,
+               sum(CAST(e.value AS DECIMAL(38,6))) AS v,
+               count(DISTINCT e.user_id) AS n_active
+        FROM events e JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    ),
+    sized AS (SELECT c_day, count(*) AS cohort_size FROM cohort GROUP BY 1)
+    SELECT strftime(d.c_day, '%Y-%m-%d') AS cohort_day,
+           CAST(d.offset AS INT) AS day_offset,
+           s.cohort_size,
+           CAST(d.n_active AS BIGINT) AS n_active,
+           floor(CAST(sum(d.v) OVER (PARTITION BY d.c_day ORDER BY d.offset)
+                      AS DOUBLE)
+                 / s.cohort_size * 10000.0 + 0.5) / 10000.0
+               AS cum_value_per_user
+    FROM daily d JOIN sized s USING (c_day)
+    """,
+)
+def q_events_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: for each acquisition cohort (first-active
+    day), cumulative value per cohort member at every day offset —
+    the payback-period table every growth team reads next to the
+    retention triangle (`q_events_retention` counts WHO returns;
+    this accumulates WHAT they're worth).
+
+    Scale shape: events collapse FIRST to (cohort_day, offset) cells
+    — value summed in exact decimal (order-independent; the
+    partial-aggregate discipline), actives as the usual expand-based
+    distinct — and the cumulative window then runs over the
+    COLLAPSED ≤days² relation, partitioned by cohort day (bounded
+    partitions, no fact-level window). The per-user normalization
+    divides two exact quantities and displays through the explicit
+    half-up; the cohort-size denominator joins from its own tiny
+    aggregate.
+    """
+    from frafka_spark.functions.determinism import dec_sum, half_up
+
+    e = table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("c_day")
+    )
+    joined = e.join(cohort, "user_id").select(
+        "c_day",
+        F.datediff(F.to_date("ts"), F.col("c_day")).alias("offset"),
+        "value",
+        "user_id",
+    )
+    daily = joined.groupBy("c_day", "offset").agg(
+        dec_sum("value", "v"),
+        F.countDistinct("user_id").alias("n_active"),
+    )
+    sized = cohort.groupBy("c_day").agg(F.count("*").alias("cohort_size"))
+    w_cum = (
+        Window.partitionBy("c_day")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.join(F.broadcast(sized), "c_day")
+        .select(
+            F.date_format("c_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("offset").cast("int").alias("day_offset"),
+            "cohort_size",
+            "n_active",
+            half_up(
+                F.sum("v").over(w_cum) / F.col("cohort_size"), 4
+            ).alias("cum_value_per_user"),
+        )
+    )
