@@ -2332,3 +2332,134 @@ def q_events_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_value_per_user"),
         )
     )
+
+
+@query(
+    "q_ts_interpolate",
+    oracle=f"""
+    WITH actual AS (
+        SELECT event_type, date_trunc('minute', ts) AS mi,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {{DEC_AVG}} AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(mi) AS m0, max(mi) AS m1 FROM actual),
+    grid AS (
+        SELECT t.event_type, m.mi
+        FROM (SELECT DISTINCT event_type FROM actual) t,
+             (SELECT unnest(generate_series(m0, m1, INTERVAL 1 MINUTE))
+                  AS mi FROM bounds) m
+    ),
+    joined AS (
+        SELECT g.event_type, g.mi, a.n_events, a.avg_value,
+               CASE WHEN a.avg_value IS NOT NULL THEN g.mi END AS obs_mi
+        FROM grid g
+        LEFT JOIN actual a ON a.event_type = g.event_type AND a.mi = g.mi
+    ),
+    filled AS (
+        SELECT event_type, mi, n_events, avg_value,
+               last_value(avg_value IGNORE NULLS) OVER wp AS pv,
+               last_value(obs_mi IGNORE NULLS) OVER wp AS pt,
+               first_value(avg_value IGNORE NULLS) OVER wf AS nv,
+               first_value(obs_mi IGNORE NULLS) OVER wf AS nt
+        FROM joined
+        WINDOW wp AS (PARTITION BY event_type ORDER BY mi
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY mi
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(mi, '%Y-%m-%d %H:%M') AS bucket,
+           COALESCE(n_events, 0) AS n_events,
+           (avg_value IS NOT NULL) AS is_observed,
+           CASE
+             WHEN avg_value IS NOT NULL
+                 THEN floor(avg_value * 10000.0 + 0.5) / 10000.0
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+                 THEN floor((pv + (nv - pv) * (epoch(mi) - epoch(pt))
+                                  / (epoch(nt) - epoch(pt)))
+                            * 10000.0 + 0.5) / 10000.0
+           END AS value_interp
+    FROM filled
+    """.replace("{DEC_AVG}", sql_dec_avg("value")),
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on a dense minute grid — the fill
+    policy ``q_ts_gapfill`` deliberately does NOT implement (LOCF is
+    right for state-like metrics; linear is right for sampled
+    continuous signals — sensor readings, rates): every empty minute
+    bucket gets ``prev + (next−prev)·Δt/ΔT`` between its neighboring
+    observations, exact at the observed endpoints, NULL outside the
+    observed range (no extrapolation). The minute grain is chosen
+    because this fixture's hourly buckets are dense — a fill
+    operator differentially verified only on a grid with real gaps
+    is worth having; at sf0.01 ~80% of minute cells interpolate.
+
+    Scale shape: identical to gapfill's — one map-side-combined
+    rollup is the only pass over raw events; the dense grid and
+    both fill windows (one backward, one forward, both PARTITIONED
+    BY event_type over calendar-bounded partitions) run on
+    O(types × minutes) rows. The interpolation weight divides exact
+    integer epoch seconds; the endpoints are ``dec_avg`` values
+    (bitwise identical both engines), so the blend is identical
+    arithmetic and the display rounds through the explicit half-up.
+    """
+    from frafka_spark.functions.determinism import half_up
+
+    e = table(spark, sf_dir, "events")
+    actual = e.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("mi")
+    ).agg(F.count("*").alias("n_events"), dec_avg("value", "avg_value"))
+    bounds = actual.agg(F.min("mi").alias("m0"), F.max("mi").alias("m1"))
+    grid = (
+        actual.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("m0", "m1", F.expr("interval 1 minute"))
+            ).alias("mi"),
+        )
+    )
+    joined = grid.join(
+        F.broadcast(actual), ["event_type", "mi"], "left"
+    ).withColumn(
+        "obs_mi", F.when(F.col("avg_value").isNotNull(), F.col("mi"))
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("mi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("mi")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = joined.select(
+        "event_type",
+        "mi",
+        "n_events",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(wp).alias("pv"),
+        F.last("obs_mi", ignorenulls=True).over(wp).alias("pt"),
+        F.first("avg_value", ignorenulls=True).over(wf).alias("nv"),
+        F.first("obs_mi", ignorenulls=True).over(wf).alias("nt"),
+    )
+    t = F.unix_timestamp("mi").cast("double")
+    pt = F.unix_timestamp("pt").cast("double")
+    nt = F.unix_timestamp("nt").cast("double")
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (t - pt) / (nt - pt)
+    return filled.select(
+        "event_type",
+        F.date_format("mi", "yyyy-MM-dd HH:mm").alias("bucket"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("avg_value").isNotNull().alias("is_observed"),
+        F.when(F.col("avg_value").isNotNull(), half_up(F.col("avg_value"), 4))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            half_up(interp, 4),
+        )
+        .alias("value_interp"),
+    )
