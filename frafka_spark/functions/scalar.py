@@ -695,3 +695,57 @@ def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         gross.cast("double").alias("gross_dbl"),
         (price_dec * 100).cast("bigint").alias("cents"),
     )
+
+
+@query(
+    "q_fn_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')
+               AS plus_3_months,
+           strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH
+                    - INTERVAL 1 DAY, '%Y-%m-%d') AS month_last_day,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(date_diff('month', o_orderdate,
+                          TIMESTAMP '2002-01-01 00:00:00') AS INT)
+               AS whole_months_to_2002,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+               AS quarter_start
+    FROM orders
+    """,
+)
+def q_fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic beyond ``q_fn_date``'s field extraction:
+    month addition (with both engines' end-of-month clamping rules
+    in agreement — the differential is the proof), last-day-of-month,
+    ISO week / ISO weekday (the Monday=1 grammar, vs the Sunday-
+    index trap ``q_events_weekday_profile`` documents for the
+    non-ISO variants), whole-month distance, and quarter truncation
+    — the date surface every fiscal rollup leans on.
+
+    Engine mappings worth recording: Spark ``add_months`` ≡ DuckDB
+    ``+ INTERVAL n MONTH`` (both clamp to the target month's last
+    day), Spark ``last_day`` ≡ trunc-next-month-minus-a-day, Spark
+    ``weekofyear`` and DuckDB ``weekofyear`` are both ISO weeks,
+    Spark ``weekday()+1`` ≡ DuckDB ``isodow``, and whole-month
+    distance is ``months_between`` floored only when both dates are
+    day-aligned — DuckDB's ``date_diff('month')`` counts calendar-
+    month boundaries crossed, so the Spark side must count the same
+    boundaries (year·12+month deltas), not fractional months. Pure
+    projection, codegen, shuffle-free.
+    """
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    months_to = (2002 * 12 + 1) - (F.year(d) * 12 + F.month(d))
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3_months"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_last_day"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        months_to.cast("int").alias("whole_months_to_2002"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+    )

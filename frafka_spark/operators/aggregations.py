@@ -1030,3 +1030,71 @@ def q_agg_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_in_region"),
         )
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               CAST(l_quantity AS BIGINT) AS wt,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumw,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag) AS totw
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           min(v) AS wmedian,
+           CAST(any_value(totw) AS BIGINT) AS total_weight
+    FROM w WHERE 2 * cumw >= totw
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price at which half of each group's
+    QUANTITY (not half its rows) lies at-or-below — the
+    inventory-weighted midpoint a plain median misstates whenever
+    row weights vary. Neither Spark nor DuckDB ships this aggregate,
+    so BOTH engines express the same cumulative-weight definition
+    (first value whose running weight reaches half the total, with
+    a deterministic (value, orderkey, linenumber) tiebreak) — the
+    differential proves the distributed formulation implements the
+    textbook definition, not one engine's builtin.
+
+    Scale shape: one cumulative-weight window partitioned by the
+    group key (each group sorts within its hash partition — no
+    global sort), the group-total as a frame-free window over the
+    same partitioning (one exchange serves both), then a min-filter
+    aggregate with map-side partials. Weights are integral
+    (quantities), so every comparison is exact integer arithmetic —
+    the 2·cumw ≥ totw crossing cannot flip engine-to-engine. At
+    100 TB the one sort-exchange on the group key is the entire
+    cost; skewed groups take the salting utility like any keyed
+    window.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    wt = F.col("l_quantity").cast("bigint")
+    staged = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum(wt).over(w_cum).alias("cumw"),
+        F.sum(wt).over(w_tot).alias("totw"),
+    )
+    return (
+        staged.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("wmedian"),
+            F.any_value("totw").alias("total_weight"),
+        )
+    )
