@@ -2463,3 +2463,89 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("value_interp"),
     )
+
+
+@query(
+    "q_events_concurrency",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type, ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL 300 SECOND, -1 FROM events
+    ),
+    swept AS (
+        SELECT event_type, t,
+               sum(delta) OVER (PARTITION BY event_type
+                                ORDER BY t, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS live
+        FROM bounds
+    ),
+    peak AS (
+        SELECT event_type, max(live) AS peak_concurrency FROM swept
+        GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(p.peak_concurrency AS BIGINT) AS peak_concurrency,
+           strftime(min(s.t), '%Y-%m-%d %H:%M:%S') AS first_peak_at
+    FROM swept s JOIN peak p
+      ON p.event_type = s.event_type AND s.live = p.peak_concurrency
+    GROUP BY s.event_type, p.peak_concurrency
+    """,
+)
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep line: each event opens a 5-minute
+    activity interval ``[ts, ts+300 s)``; interval starts emit +1,
+    ends emit −1, a running sum over the boundary sequence counts
+    live intervals, and its maximum (plus the first instant it is
+    reached) is the per-type peak — the interval-overlap operator
+    behind "max concurrent sessions/connections/viewers", which no
+    relational builtin expresses directly. Half-open semantics are
+    encoded IN THE SORT: at an equal timestamp the −1 boundary
+    orders before the +1 (``ORDER BY t, delta``), so an interval
+    ending exactly when another starts never counts as overlap —
+    identical tie handling on both engines by construction.
+
+    Scale shape: the boundary explode is a 2× union of the events
+    scan; the sweep is ONE cumulative window partitioned by
+    event_type (each type's boundary stream sorts within its hash
+    partition — no global sweep, the standard parallelization of
+    sweep lines by independent partitions); peak + first-peak-time
+    resolve with a per-type aggregate and a filter-join back on the
+    swept relation. Counts are exact integers end-to-end.
+    """
+    e = table(spark, sf_dir, "events").select("event_type", "ts")
+    bounds = e.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        e.select(
+            "event_type",
+            (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w_sweep = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = bounds.select(
+        "event_type", "t", F.sum("delta").over(w_sweep).alias("live")
+    )
+    peak = swept.groupBy(F.col("event_type").alias("pt")).agg(
+        F.max("live").alias("peak_concurrency")
+    )
+    return (
+        swept.join(
+            F.broadcast(peak),
+            (F.col("pt") == F.col("event_type"))
+            & (F.col("live") == F.col("peak_concurrency")),
+        )
+        .groupBy("event_type", "peak_concurrency")
+        .agg(
+            F.date_format(F.min("t"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_peak_at"
+            )
+        )
+        .select("event_type", "peak_concurrency", "first_peak_at")
+    )
