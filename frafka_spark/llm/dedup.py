@@ -1652,3 +1652,120 @@ def q_llm_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_copy_pairs"),
         )
     )
+
+
+LSH_SWEEP_ROWS = (1, 2, 4, 8)  # rows-per-band configs over the 8 lanes
+
+
+@query(
+    "q_llm_lsh_sweep",
+    oracle=f"""
+    WITH shingles AS ({_shingle_sql()}),
+    minhash AS (
+        SELECT doc_id, seed, min(substr(sh, seed * 4 + 1, 4)) AS mh
+        FROM shingles,
+             (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed)
+        GROUP BY doc_id, seed
+    ),
+    configs AS (
+        SELECT unnest([{", ".join(str(r) for r in LSH_SWEEP_ROWS)}])
+            AS rows_per_band
+    ),
+    bands AS (
+        SELECT m.doc_id, c.rows_per_band,
+               m.seed // c.rows_per_band AS band,
+               string_agg(m.mh, '|' ORDER BY m.seed) AS band_key
+        FROM minhash m, configs c
+        GROUP BY m.doc_id, c.rows_per_band, m.seed // c.rows_per_band
+    ),
+    cand AS (
+        SELECT DISTINCT b1.rows_per_band,
+               b1.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM bands b1 JOIN bands b2
+          ON b1.rows_per_band = b2.rows_per_band
+         AND b1.band = b2.band AND b1.band_key = b2.band_key
+         AND b1.doc_id < b2.doc_id
+    )
+    SELECT CAST(rows_per_band AS INT) AS rows_per_band,
+           CAST({N_MINHASH} // rows_per_band AS INT) AS n_bands,
+           count(*) AS n_candidate_pairs,
+           CAST(count(DISTINCT doc_a) + count(DISTINCT doc_b)
+                - count(DISTINCT CASE WHEN doc_a = doc_b
+                                      THEN doc_a END) AS BIGINT)
+               AS n_docs_upper
+    FROM cand
+    GROUP BY rows_per_band
+    """,
+)
+def q_llm_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-configuration operating curve: candidate-pair volume
+    at every (bands × rows-per-band) split of the 8 minhash lanes —
+    8×1 (recall-greedy, threshold ≈ 0.07), 4×2 (the production
+    setting `q_llm_dedup_near` ships), 2×4, 1×8 (precision-greedy,
+    ≈ 0.77) — the tuning table a team reads before committing to a
+    band shape, exactly as `q_llm_dedup_embed_sweep` is for the
+    cosine threshold: candidate volume IS the cost axis (every
+    candidate pays a verify join), and the curve shows what each
+    recall setting buys.
+
+    The signature pass runs ONCE (the 8-lane wide aggregate shared
+    with the production pipeline, one shuffle on doc_id); each
+    config re-bands the SAME signature columns — re-banding is a
+    projection, so sweeping 4 configs costs 4 band-explodes of a
+    |docs|-row relation, never 4 signature recomputations. The
+    bucket self-joins stay hint-free shuffle joins keyed on
+    (config, band, key) (bands are O(corpus); the no-broadcast rule
+    of the dedup family). Candidate counts are exact; the doc-count
+    column is the union-endpoint count.
+    """
+    sh = _shingles(spark, sf_dir)
+    minhash = _minhash_wide(sh)
+    structs = []
+    for r in LSH_SWEEP_ROWS:
+        for b in range(N_MINHASH // r):
+            structs.append(
+                F.struct(
+                    F.lit(r).alias("rows_per_band"),
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * r + i}") for i in range(r)],
+                    ).alias("band_key"),
+                )
+            )
+    bands = minhash.select(
+        "doc_id", F.explode(F.array(*structs)).alias("bb")
+    ).select("doc_id", "bb.rows_per_band", "bb.band", "bb.band_key")
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("rows_per_band").alias("r2"),
+        F.col("band").alias("band2"),
+        F.col("band_key").alias("key2"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("rows_per_band") == F.col("r2"))
+            & (F.col("band") == F.col("band2"))
+            & (F.col("band_key") == F.col("key2"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(
+            "rows_per_band",
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+        )
+        .distinct()
+    )
+    return cand.groupBy("rows_per_band").agg(
+        (F.lit(N_MINHASH) / F.col("rows_per_band")).cast("int").alias("n_bands"),
+        F.count("*").alias("n_candidate_pairs"),
+        (
+            F.countDistinct("doc_a") + F.countDistinct("doc_b")
+        ).alias("n_docs_upper"),
+    ).select(
+        F.col("rows_per_band").cast("int").alias("rows_per_band"),
+        "n_bands",
+        "n_candidate_pairs",
+        "n_docs_upper",
+    )
