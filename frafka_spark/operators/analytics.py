@@ -2549,3 +2549,107 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "peak_concurrency", "first_peak_at")
     )
+
+
+@query(
+    "q_events_active_time",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS s, ts + INTERVAL 300 SECOND AS e
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING),
+                        TIMESTAMP '1900-01-01 00:00:00')
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id
+                                     ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS island
+        FROM marked
+    ),
+    merged AS (
+        SELECT user_id, island, min(s) AS m_start, max(e) AS m_end
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(epoch_us(m_end) - epoch_us(m_start)) // 1000000
+                AS BIGINT) AS active_seconds,
+           CAST(max(epoch_us(m_end) - epoch_us(m_start)) // 1000000
+                AS BIGINT) AS longest_session_seconds
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_events_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (merge-overlapping): each event opens a 5-minute
+    activity interval; overlapping/touching intervals per user merge
+    into maximal sessions, and the user's TOTAL active seconds is
+    the union's measure — the billing/uptime operator ("time spent",
+    "minutes watched") that naive per-event sums overcount wherever
+    activity overlaps. The dual of `q_events_concurrency`'s sweep:
+    same intervals, union length instead of overlap depth.
+
+    The merge is the running-max islands identity: an interval
+    starts a NEW session iff its start exceeds the running max end
+    of every earlier interval (window ordered by (start, end),
+    frame ending 1 PRECEDING — the current row must not see itself);
+    the island id is the running sum of those flags, and min/max
+    per island reconstitute the merged spans. Touching endpoints
+    (start == previous end) merge — half-open adjacency counts as
+    continuity here, the billing convention.
+
+    Scale shape: both windows partition by user_id (sorting each
+    user's intervals within its hash partition, one exchange serves
+    both), then two hash aggregates with map-side partials. All
+    arithmetic is integer microseconds — exact on both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w_prev),
+                F.lit("1900-01-01").cast("timestamp"),
+            ),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("m_start"), F.max("e").alias("m_end")
+    )
+    dur_us = F.unix_micros("m_end") - F.unix_micros("m_start")
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.floor(F.sum(dur_us) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("active_seconds"),
+        F.floor(F.max(dur_us) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("longest_session_seconds"),
+    )
