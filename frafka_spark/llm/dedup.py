@@ -1769,3 +1769,81 @@ def q_llm_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_candidate_pairs",
         "n_docs_upper",
     )
+
+
+@query(
+    "q_llm_dedup_incremental",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, md5(text) AS h,
+               md5(array_to_string(string_split(text, ' ')[1:10], ' '))
+                   AS pfx
+        FROM documents WHERE doc_id % 7 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, source, md5(text) AS h,
+               md5(array_to_string(string_split(text, ' ')[1:10], ' '))
+                   AS pfx
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    labeled AS (
+        SELECT b.doc_id, b.source,
+               CASE
+                 WHEN EXISTS (SELECT 1 FROM idx i WHERE i.h = b.h)
+                     THEN 'exact_dup'
+                 WHEN EXISTS (SELECT 1 FROM idx i WHERE i.pfx = b.pfx)
+                     THEN 'near_dup'
+                 ELSE 'novel'
+               END AS verdict
+        FROM batch b
+    )
+    SELECT source, verdict, count(*) AS n_docs
+    FROM labeled GROUP BY source, verdict
+    """,
+)
+def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the PRODUCTION shape of every dedup
+    operator here: a new ingestion batch (``doc_id % 7 = 0`` stands
+    in for today's crawl — 7 is coprime with the source assignment,
+    so the batch spans all sources) is checked against the EXISTING corpus
+    index, not against itself, and each batch doc gets a verdict:
+    ``exact_dup`` (full digest already indexed), ``near_dup``
+    (first-10-words fingerprint already indexed — the
+    `q_llm_dedup_prefix` key), or ``novel``. Batch-mode dedup
+    rewrites the whole corpus per run; this is the O(batch) path an
+    ingestion pipeline actually executes, reported per source.
+
+    Scale shape: the index side carries ONLY (digest, fingerprint)
+    — the two key columns, never text — so at 100 TB the index
+    relation is the compact key table a real pipeline materializes
+    once and reuses per batch. The exact tier is a semi-join on the
+    digest; the near tier a semi-join on the fingerprint applied to
+    the exact tier's ANTI-join survivors (tiers short-circuit:
+    a doc pays the second probe only if the first missed — the
+    cheap-test-first cascade); both joins key on their digest with
+    no broadcast hint (AQE decides; the batch side is the small one
+    by construction). Verdict counts are exact.
+    """
+    d = table(spark, sf_dir, "documents")
+    pfx = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)))
+    keyed = d.select(
+        "doc_id", "source", F.md5("text").alias("h"), pfx.alias("pfx")
+    )
+    idx = keyed.filter(F.col("doc_id") % 7 != 0).select("h", "pfx")
+    batch = keyed.filter(F.col("doc_id") % 7 == 0)
+    exact = batch.join(idx.select("h"), "h", "left_semi").select(
+        "doc_id", "source", F.lit("exact_dup").alias("verdict")
+    )
+    rest = batch.join(idx.select("h"), "h", "left_anti")
+    near = rest.join(idx.select("pfx"), "pfx", "left_semi").select(
+        "doc_id", "source", F.lit("near_dup").alias("verdict")
+    )
+    novel = rest.join(idx.select("pfx"), "pfx", "left_anti").select(
+        "doc_id", "source", F.lit("novel").alias("verdict")
+    )
+    return (
+        exact.unionAll(near)
+        .unionAll(novel)
+        .groupBy("source", "verdict")
+        .agg(F.count("*").alias("n_docs"))
+    )
