@@ -2653,3 +2653,408 @@ def q_events_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("longest_session_seconds"),
     )
+
+
+@query(
+    "q_events_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS d_days,
+               CAST(sum(n) AS BIGINT) AS t_events
+        FROM daily GROUP BY event_type
+    ),
+    resid AS (
+        SELECT d.event_type, d.day, d.n, t.d_days, t.t_events,
+               t.d_days * d.n - t.t_events AS r
+        FROM daily d JOIN tot t USING (event_type)
+    ),
+    cum AS (
+        SELECT event_type, day, n, d_days, t_events,
+               sum(r) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS c
+        FROM resid
+    ),
+    cus AS (
+        SELECT event_type, day, n, d_days, t_events,
+               c - least(0, min(c) OVER w) AS s_up,
+               greatest(0, max(c) OVER w) - c AS s_dn
+        FROM cum
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    ranked AS (
+        SELECT event_type, day, d_days, t_events, s_up, s_dn,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY s_up DESC, day ASC) AS rk_up,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY s_dn DESC, day ASC) AS rk_dn
+        FROM cus
+    )
+    SELECT up.event_type,
+           CAST(up.day AS BIGINT) AS up_peak_day,
+           CAST(up.s_up AS BIGINT) AS up_cusum,
+           (floor(CAST(up.s_up AS DOUBLE)
+                  / (up.d_days * up.t_events) * 1000000.0 + 0.5)
+            / 1000000.0) AS up_shift_frac,
+           CAST(dn.day AS BIGINT) AS down_peak_day,
+           CAST(dn.s_dn AS BIGINT) AS down_cusum,
+           (floor(CAST(dn.s_dn AS DOUBLE)
+                  / (dn.d_days * dn.t_events) * 1000000.0 + 0.5)
+            / 1000000.0) AS down_shift_frac
+    FROM ranked up
+    JOIN ranked dn
+      ON dn.event_type = up.event_type AND dn.rk_dn = 1
+    WHERE up.rk_up = 1
+    """,
+)
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection on daily event volume, per event
+    type: the "when did traffic change" primitive behind crawler
+    regression triage and data-freshness monitoring. For each type,
+    both one-sided CUSUM statistics (upward and downward shift) are
+    computed over the day-indexed count series and the argmax day of
+    each — the most likely changepoint — is reported with the peak
+    statistic and a normalized shift fraction.
+
+    The textbook CUSUM is a recursion (``S_t = max(0, S_{t-1} +
+    r_t)``), which looks stream-only; the closed form ``S_t = C_t −
+    min(0, min_{j≤t} C_j)`` (cumulative sum minus its running
+    minimum) turns it into two plain windowed aggregates — the same
+    running-extreme identity as ``q_events_drawdown``, so Spark plans
+    it with one keyed sort, no iteration. The downward statistic is
+    the mirror image (running max minus current).
+
+    Determinism is integer-exact end to end: residuals are scaled to
+    ``D·n_t − T`` (day count times daily count minus total — integer,
+    sums to zero over the series), so cumulative sums, running
+    extrema, CUSUM peaks, and the argmax tiebreak (peak desc, day
+    asc) involve no floats; the only division is the final display
+    fraction, pinned half-up on both engines.
+
+    Scale shape: the raw stream collapses to (type, day) counts with
+    map-side partials first — every later relation is calendar-
+    bounded (days × types), so the keyed windows and the top-1
+    row_number are negligible regardless of event volume. Day is an
+    integer epoch index: no timestamp rendering or timezone in the
+    result.
+    """
+    from frafka_spark.functions.determinism import half_up
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.unix_date(F.to_date("ts")).cast("bigint").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").alias("d_days"), F.sum("n").alias("t_events")
+    )
+    resid = daily.join(tot, "event_type").withColumn(
+        "r", F.col("d_days") * F.col("n") - F.col("t_events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = resid.withColumn("c", F.sum("r").over(w))
+    cus = cum.select(
+        "event_type",
+        "day",
+        "d_days",
+        "t_events",
+        (F.col("c") - F.least(F.lit(0).cast("bigint"), F.min("c").over(w))).alias(
+            "s_up"
+        ),
+        (F.greatest(F.lit(0).cast("bigint"), F.max("c").over(w)) - F.col("c")).alias(
+            "s_dn"
+        ),
+    )
+    w_up = Window.partitionBy("event_type").orderBy(
+        F.col("s_up").desc(), F.col("day").asc()
+    )
+    w_dn = Window.partitionBy("event_type").orderBy(
+        F.col("s_dn").desc(), F.col("day").asc()
+    )
+    ranked = cus.select(
+        "event_type",
+        "day",
+        "d_days",
+        "t_events",
+        "s_up",
+        "s_dn",
+        F.row_number().over(w_up).alias("rk_up"),
+        F.row_number().over(w_dn).alias("rk_dn"),
+    )
+    up = ranked.filter(F.col("rk_up") == 1).select(
+        "event_type",
+        F.col("day").alias("up_peak_day"),
+        F.col("s_up").alias("up_cusum"),
+        half_up(
+            F.col("s_up").cast("double") / (F.col("d_days") * F.col("t_events")), 6
+        ).alias("up_shift_frac"),
+    )
+    dn = ranked.filter(F.col("rk_dn") == 1).select(
+        "event_type",
+        F.col("day").alias("down_peak_day"),
+        F.col("s_dn").alias("down_cusum"),
+        half_up(
+            F.col("s_dn").cast("double") / (F.col("d_days") * F.col("t_events")), 6
+        ).alias("down_shift_frac"),
+    )
+    return up.join(dn, "event_type")
+
+
+@query(
+    "q_events_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS d_days,
+               CAST(sum(n) AS BIGINT) AS t_events
+        FROM daily GROUP BY event_type
+    ),
+    u AS (
+        SELECT d.event_type, d.day,
+               t.d_days * d.n - t.t_events AS u
+        FROM daily d JOIN tot t USING (event_type)
+    ),
+    den AS (
+        SELECT event_type,
+               sum(CAST(u AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0)))
+                   AS den
+        FROM u GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type, l.lag,
+               CAST(a.u AS DECIMAL(19,0)) * CAST(b.u AS DECIMAL(19,0)) AS p
+        FROM u a
+        CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT)
+                        AS lag) l
+        JOIN u b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+    ),
+    num AS (
+        SELECT event_type, lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               sum(p) AS num
+        FROM pairs GROUP BY event_type, lag
+    )
+    SELECT n.event_type, n.lag, n.n_pairs,
+           CASE WHEN d.den > 0 THEN
+               (floor(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE)
+                      * 10000.0 + 0.5) / 10000.0)
+           END AS acf
+    FROM num n JOIN den d USING (event_type)
+    """,
+)
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily event volume, per event type,
+    at lags 1–7 days: the periodicity probe (weekly seasonality shows
+    as a lag-7 peak, day-over-day momentum as lag-1) run before
+    fitting any forecast baseline — and the diagnostic that justifies
+    ``q_events_forecast_baseline``'s seasonal-naive choice.
+
+    Exactness is engineered by scaling the centered series to
+    integers: with ``D`` days and ``T`` total events, ``u_t = D·n_t −
+    T`` is an integer multiple (``D·(n_t − mean)``) of the centered
+    count, and the common factor cancels in the ACF ratio. Numerator
+    ``Σ u_t·u_{t+k}`` and denominator ``Σ u_t²`` are DECIMAL(38,0)
+    sums of integer products — exact in both engines regardless of
+    accumulation order (and overflow-safe far past bigint at
+    100 TB day-counts); the single final division is pinned half-up.
+    A constant series (zero variance) yields NULL, guarded on both
+    sides. Lagged pairs come from an equi-join on ``day + k`` —
+    missing days simply contribute no pair (n_pairs records the
+    support), so no gap-fill pass is needed.
+
+    Scale shape: the event stream collapses to (type, day) counts
+    with map-side partials; everything after — the 7× lag fan-out,
+    the self-join on (type, day), both aggregates — runs on a
+    calendar-bounded relation (days × types × 7), independent of
+    event volume. The lag spine is a broadcast 7-row range.
+    """
+    from frafka_spark.functions.determinism import half_up
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.unix_date(F.to_date("ts")).cast("bigint").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").alias("d_days"), F.sum("n").alias("t_events")
+    )
+    u = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("d_days") * F.col("n") - F.col("t_events")).alias("u"),
+    )
+    u_dec = F.col("u").cast("decimal(19,0)")
+    den = u.groupBy("event_type").agg(
+        F.sum(u_dec * u_dec).alias("den")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
+    a = u.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        (F.col("day") + F.col("lag")).alias("day_b"),
+        F.col("u").alias("u_a"),
+    )
+    b = u.select("event_type", F.col("day").alias("day_b"), F.col("u").alias("u_b"))
+    num = (
+        a.join(b, ["event_type", "day_b"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.col("u_a").cast("decimal(19,0)")
+                * F.col("u_b").cast("decimal(19,0)")
+            ).alias("num"),
+        )
+    )
+    return num.join(den, "event_type").select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.when(
+            F.col("den") > 0,
+            half_up(F.col("num").cast("double") / F.col("den").cast("double"), 4),
+        ).alias("acf"),
+    )
+
+
+@query(
+    "q_events_seasonality",
+    oracle="""
+    WITH hod AS (
+        SELECT event_type,
+               CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, hod
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_hours_active,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM hod GROUP BY event_type
+    ),
+    ss AS (
+        SELECT h.event_type,
+               sum(CAST(24 * h.n - t.n_events AS DECIMAL(19,0))
+                   * CAST(24 * h.n - t.n_events AS DECIMAL(19,0))) AS ss_obs
+        FROM hod h JOIN tot t USING (event_type)
+        GROUP BY h.event_type
+    ),
+    peak AS (
+        SELECT event_type, hod, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, hod ASC) AS rk
+        FROM hod
+    )
+    SELECT t.event_type, t.n_events, t.n_hours_active,
+           p.hod AS peak_hour,
+           (floor(CAST(p.n AS DOUBLE) / t.n_events * 10000.0 + 0.5)
+            / 10000.0) AS peak_share,
+           (floor((CAST(s.ss_obs AS DOUBLE)
+                   + (24 - t.n_hours_active)
+                     * CAST(t.n_events AS DOUBLE) * t.n_events)
+                  / (576.0 * CAST(t.n_events AS DOUBLE) * t.n_events)
+                  * 10000.0 + 0.5) / 10000.0) AS season_strength
+    FROM tot t
+    JOIN ss s USING (event_type)
+    JOIN peak p ON p.event_type = t.event_type AND p.rk = 1
+    """,
+)
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength per event type: how far the
+    24-slot intraday profile departs from uniform, summarized as the
+    sum of squared share deviations ``Σ_h (share_h − 1/24)²`` (0 =
+    perfectly flat, ≈0.958 = everything in one hour), plus the peak
+    hour and its share — the load-shaping / bot-cohort diagnostic
+    that decides whether hourly partitioning of a 100 TB event lake
+    will skew.
+
+    The deviation sum is made integer-exact by clearing denominators:
+    ``share_h − 1/24 = (24·n_h − T)/(24T)``, so the statistic is
+    ``Σ (24·n_h − T)² / (576·T²)`` with a DECIMAL(38,0)-summed
+    integer numerator (overflow-safe past bigint at warehouse-scale
+    counts). Hours with zero events are not materialized by the
+    aggregate — their ``(0 − T/24)²`` mass is added in closed form as
+    ``(24 − hours_active)·T²`` — so no 24-slot gap-fill join exists
+    in the plan. Peak selection tiebreaks (count desc, hour asc);
+    the two final divisions are pinned half-up on both engines.
+
+    Scale shape: one map-side-partial aggregate collapses the stream
+    to ≤ 24 rows per type; the three tiny follow-up relations (totals,
+    squared sums, peak) join on event_type. Nothing downstream of the
+    first aggregate depends on event volume.
+    """
+    from frafka_spark.functions.determinism import half_up
+
+    e = table(spark, sf_dir, "events")
+    hod = (
+        e.select("event_type", F.hour("ts").cast("bigint").alias("hod"))
+        .groupBy("event_type", "hod")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = hod.groupBy("event_type").agg(
+        F.count("*").alias("n_hours_active"), F.sum("n").alias("n_events")
+    )
+    dev = (F.lit(24) * F.col("n") - F.col("n_events")).cast("decimal(19,0)")
+    ss = (
+        hod.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(F.sum(dev * dev).alias("ss_obs"))
+    )
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("hod").asc()
+    )
+    peak = (
+        hod.withColumn("rk", F.row_number().over(w_peak))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("hod").alias("peak_hour"), F.col("n").alias("n_peak"))
+    )
+    t_dbl = F.col("n_events").cast("double")
+    return (
+        tot.join(ss, "event_type")
+        .join(peak, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_hours_active",
+            "peak_hour",
+            half_up(F.col("n_peak").cast("double") / F.col("n_events"), 4).alias(
+                "peak_share"
+            ),
+            half_up(
+                (
+                    F.col("ss_obs").cast("double")
+                    + (F.lit(24) - F.col("n_hours_active")) * t_dbl * F.col("n_events")
+                )
+                / (F.lit(576.0) * t_dbl * F.col("n_events")),
+                4,
+            ).alias("season_strength"),
+        )
+    )
