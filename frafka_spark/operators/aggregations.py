@@ -1098,3 +1098,122 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("totw").alias("total_weight"),
         )
     )
+
+
+@query(
+    "q_agg_profile",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(l_orderkey) AS BIGINT) AS nn_orderkey,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_orderkey,
+               CAST(min(l_orderkey) AS VARCHAR) AS mn_orderkey,
+               CAST(max(l_orderkey) AS VARCHAR) AS mx_orderkey,
+               CAST(count(l_quantity) AS BIGINT) AS nn_quantity,
+               CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd_quantity,
+               CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
+                   AS mn_quantity,
+               CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
+                   AS mx_quantity,
+               CAST(count(l_extendedprice) AS BIGINT) AS nn_price,
+               CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS nd_price,
+               CAST(CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR)
+                   AS mn_price,
+               CAST(CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR)
+                   AS mx_price,
+               CAST(count(l_shipdate) AS BIGINT) AS nn_shipdate,
+               CAST(count(DISTINCT l_shipdate) AS BIGINT) AS nd_shipdate,
+               CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS mn_shipdate,
+               CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS mx_shipdate,
+               CAST(count(l_returnflag) AS BIGINT) AS nn_returnflag,
+               CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd_returnflag,
+               min(l_returnflag) AS mn_returnflag,
+               max(l_returnflag) AS mx_returnflag
+        FROM lineitem
+    )
+    SELECT 'l_orderkey' AS col_name, n_rows,
+           n_rows - nn_orderkey AS n_null, nd_orderkey AS n_distinct,
+           mn_orderkey AS min_s, mx_orderkey AS max_s FROM m
+    UNION ALL
+    SELECT 'l_quantity', n_rows, n_rows - nn_quantity, nd_quantity,
+           mn_quantity, mx_quantity FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', n_rows, n_rows - nn_price, nd_price,
+           mn_price, mx_price FROM m
+    UNION ALL
+    SELECT 'l_shipdate', n_rows, n_rows - nn_shipdate, nd_shipdate,
+           mn_shipdate, mx_shipdate FROM m
+    UNION ALL
+    SELECT 'l_returnflag', n_rows, n_rows - nn_returnflag, nd_returnflag,
+           mn_returnflag, mx_returnflag FROM m
+    """,
+)
+def q_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — the data-quality pass every ingestion
+    pipeline runs before admitting a new drop into a 100 TB lake:
+    per column, row count, null count, exact distinct count, and
+    min/max rendered as strings, stacked into one (column, stats)
+    relation that feeds schema-drift alerts and partition planning.
+
+    One pass over the table: every measure for every profiled column
+    is computed in a SINGLE wide aggregate (Catalyst plans the five
+    count-distincts as one Expand — a 5× map-side fan-out, the
+    classic multi-distinct shape — with partial aggregation before
+    the shuffle), and the 1-row result is unpivoted driver-free by a
+    5-arm ``stack``. At lake scale the exact distincts are the knob
+    to watch: the Expand multiplies scan output by the distinct-arm
+    count, so production profiling swaps ``count(DISTINCT)`` for
+    ``approx_count_distinct`` per column — same plan minus the
+    Expand; exact here because the oracle must agree bit-for-bit.
+
+    Rendering discipline: doubles are never stringified directly
+    (engines disagree on shortest-repr formatting) — money/quantity
+    columns pin through DECIMAL(18,2) whose text form both engines
+    render identically (fixture values are exact at 2 decimals);
+    timestamps render as DATE strings; integers and varchars are
+    collation-free byte order on both sides.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_orderkey").alias("nn_orderkey"),
+        F.countDistinct("l_orderkey").alias("nd_orderkey"),
+        F.min("l_orderkey").cast("string").alias("mn_orderkey"),
+        F.max("l_orderkey").cast("string").alias("mx_orderkey"),
+        F.count("l_quantity").alias("nn_quantity"),
+        F.countDistinct("l_quantity").alias("nd_quantity"),
+        F.min("l_quantity").cast("decimal(18,2)").cast("string").alias("mn_quantity"),
+        F.max("l_quantity").cast("decimal(18,2)").cast("string").alias("mx_quantity"),
+        F.count("l_extendedprice").alias("nn_price"),
+        F.countDistinct("l_extendedprice").alias("nd_price"),
+        F.min("l_extendedprice")
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("mn_price"),
+        F.max("l_extendedprice")
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("mx_price"),
+        F.count("l_shipdate").alias("nn_shipdate"),
+        F.countDistinct("l_shipdate").alias("nd_shipdate"),
+        F.min("l_shipdate").cast("date").cast("string").alias("mn_shipdate"),
+        F.max("l_shipdate").cast("date").cast("string").alias("mx_shipdate"),
+        F.count("l_returnflag").alias("nn_returnflag"),
+        F.countDistinct("l_returnflag").alias("nd_returnflag"),
+        F.min("l_returnflag").alias("mn_returnflag"),
+        F.max("l_returnflag").alias("mx_returnflag"),
+    )
+    arms = ", ".join(
+        f"'{col}', n_rows - nn_{key}, nd_{key}, mn_{key}, mx_{key}"
+        for col, key in (
+            ("l_orderkey", "orderkey"),
+            ("l_quantity", "quantity"),
+            ("l_extendedprice", "price"),
+            ("l_shipdate", "shipdate"),
+            ("l_returnflag", "returnflag"),
+        )
+    )
+    return m.selectExpr(
+        "n_rows",
+        f"stack(5, {arms}) AS (col_name, n_null, n_distinct, min_s, max_s)",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
