@@ -2011,3 +2011,132 @@ def q_llm_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("right_ctx"),
     )
+
+
+@query(
+    "q_llm_bm25",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        FROM words GROUP BY doc_id, word
+    ),
+    dl AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ),
+    df AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+    ),
+    corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS n_words
+        FROM dl
+    ),
+    terms AS (
+        SELECT word, df
+        FROM df CROSS JOIN corpus
+        WHERE 20 * df >= n_docs
+        ORDER BY df ASC, word ASC
+        LIMIT 5
+    ),
+    scored AS (
+        SELECT t.word, q.df, t.doc_id, t.tf, d.dl,
+               (floor(
+                   ln(1.0 + (c.n_docs - q.df + 0.5) / (q.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+                        / (CAST(c.n_words AS DOUBLE) / c.n_docs)))
+                   * 10000.0 + 0.5) / 10000.0) AS score
+        FROM tf t
+        JOIN terms q ON q.word = t.word
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN corpus c
+    ),
+    ranked AS (
+        SELECT word, df, doc_id, tf, dl, score,
+               row_number() OVER (PARTITION BY word
+                                  ORDER BY score DESC, doc_id ASC) AS rk
+        FROM scored
+    )
+    SELECT word, df, doc_id, tf, dl, score, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi, k1=1.2, b=0.75) retrieval scoring: top-10
+    documents per query term for a data-derived 5-term query set —
+    the ranking function behind corpus search / decontamination
+    lookup tooling, one step past ``q_llm_tfidf``'s linear weighting
+    (BM25 adds tf saturation and document-length normalization).
+
+    Query terms are selected deterministically from the corpus
+    itself: the 5 RAREST words with ≥5 % document support
+    (integer-exact predicate ``20·df ≥ N`` — no float percentile;
+    tiebreak df asc, word asc) — the most idf-informative terms the
+    corpus offers (the synthetic fixture's vocabulary is ~31 words,
+    most near-universal, so a mid-band cut would under-fill the
+    query set). All score inputs (tf, df, dl,
+    N, ΣdL) are exact integers from hash-aggregates over the shared
+    cached ``_words`` relation; avgdl enters as one double division
+    and ``ln`` differs from libm only in the last ulp — absorbed by
+    the half-up 4-digit pin (same accepted class as tfidf), and the
+    top-10 cut ranks the *rounded* score with doc_id tiebreak so an
+    ulp of jitter can never reorder the page across engines.
+
+    Scale shape: explode → three hash-aggregates (tf, dl, df), all
+    with map-side partials; the 5-row term list and the 2-scalar
+    corpus stats broadcast, so the only volume-bearing joins key on
+    (word) restricted to 5 terms — a semi-join-sized slice of tf —
+    and on doc_id for lengths. The per-term top-10 is a keyed
+    window over that slice, never a global sort.
+    """
+    from frafka_spark.functions.determinism import half_up
+    from frafka_spark.llm.dedup import _words
+
+    words = _words(spark, sf_dir)
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("n_words")
+    )
+    terms = (
+        df.crossJoin(F.broadcast(corpus))
+        .filter(20 * F.col("df") >= F.col("n_docs"))
+        .orderBy(F.col("df").asc(), F.col("word").asc())
+        .limit(5)
+        .select("word", "df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = half_up(
+        idf
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2
+            * (
+                0.25
+                + 0.75
+                * F.col("dl")
+                / (F.col("n_words").cast("double") / F.col("n_docs"))
+            )
+        ),
+        4,
+    )
+    scored = (
+        tf.join(F.broadcast(terms), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("word", "df", "doc_id", "tf", "dl", score.alias("score"))
+    )
+    w = Window.partitionBy("word").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+    )
