@@ -2140,3 +2140,122 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 10)
     )
+
+
+@query(
+    "q_llm_bpe_merge_apply",
+    oracle="""
+    WITH vocab AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    ),
+    expl AS (
+        SELECT word, freq, word || '$' AS a,
+               unnest(generate_series(1, len(word))) AS i
+        FROM vocab
+    ),
+    top_pair AS (
+        SELECT substr(a, i, 2) AS pair
+        FROM expl GROUP BY pair
+        ORDER BY sum(freq) DESC, pair ASC LIMIT 1
+    ),
+    hits AS (
+        SELECT e.word, e.i,
+               e.i - row_number() OVER (PARTITION BY e.word
+                                        ORDER BY e.i) AS island
+        FROM expl e JOIN top_pair t ON substr(e.a, e.i, 2) = t.pair
+    ),
+    merges AS (
+        SELECT word, i, island,
+               row_number() OVER (PARTITION BY word, island
+                                  ORDER BY i) - 1 AS off
+        FROM hits
+    ),
+    per_word AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n_merges
+        FROM merges WHERE off % 2 = 0 GROUP BY word
+    )
+    SELECT v.word, v.freq, t.pair, p.n_merges,
+           CAST(len(v.word) + 1 AS BIGINT) AS sym_len_before,
+           CAST(len(v.word) + 1 AS BIGINT) - p.n_merges AS sym_len_after,
+           v.freq * p.n_merges AS corpus_merges
+    FROM per_word p
+    JOIN vocab v USING (word)
+    CROSS JOIN top_pair t
+    """,
+)
+def q_llm_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step, completed: take ``q_llm_bpe_pairs``'s
+    top-ranked character pair and APPLY the merge to the vocabulary —
+    greedy left-to-right, non-overlapping, exactly as a BPE trainer
+    rewrites its word list between merge steps. Reports, per affected
+    word, how many merge sites fire, the symbol-length change, and
+    the corpus-weighted merge count (the trainer's bookkeeping for
+    updating pair statistics).
+
+    Greedy non-overlap without iteration: a merge site at position i
+    conflicts only with i±1, so within each maximal RUN of
+    consecutive matching positions (e.g. 'aaaa' under pair 'aa'
+    matches at 1,2,3) the left-to-right scan takes exactly the
+    even offsets — a gaps-and-islands window (island key ``i −
+    row_number``) followed by an offset-parity filter reproduces the
+    sequential algorithm in two keyed windows, no recursion. The
+    whole query is integer/string algebra: no floats anywhere, so
+    cross-engine parity is structural rather than numeric.
+
+    Scale shape: like the pair counter, the rewrite runs on the
+    VOCABULARY (words × freq), not the token stream — the explode is
+    |vocab|-bounded, the windows partition by word (bounded run
+    lengths), and the 1-row top pair broadcasts. At 100 TB the
+    corpus-scale work remains the one shared ``_words`` rollup.
+    """
+    from frafka_spark.llm.dedup import _words
+
+    vocab = (
+        _words(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("a", F.concat(F.col("word"), F.lit("$")))
+    )
+    expl = vocab.select(
+        "word",
+        "freq",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("a").substr(i, F.lit(2)),
+            )
+        ).alias("i0", "pair"),
+    ).select("word", "freq", (F.col("i0") + 1).alias("i"), "pair")
+    top_pair = (
+        expl.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(1)
+        .select("pair")
+    )
+    hits = expl.join(F.broadcast(top_pair), "pair").select("word", "i")
+    w_run = Window.partitionBy("word").orderBy("i")
+    islands = hits.withColumn("island", F.col("i") - F.row_number().over(w_run))
+    w_isl = Window.partitionBy("word", "island").orderBy("i")
+    per_word = (
+        islands.withColumn("off", F.row_number().over(w_isl) - 1)
+        .filter(F.col("off") % 2 == 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n_merges"))
+    )
+    before = (F.length("word") + 1).cast("bigint")
+    return (
+        per_word.join(vocab.select("word", "freq"), "word")
+        .crossJoin(F.broadcast(top_pair))
+        .select(
+            "word",
+            "freq",
+            "pair",
+            "n_merges",
+            before.alias("sym_len_before"),
+            (before - F.col("n_merges")).alias("sym_len_after"),
+            (F.col("freq") * F.col("n_merges")).alias("corpus_merges"),
+        )
+    )
