@@ -3058,3 +3058,93 @@ def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("season_strength"),
         )
     )
+
+
+@query(
+    "q_events_audience_overlap",
+    oracle="""
+    WITH au AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+        FROM au GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM au a JOIN au b
+          ON b.user_id = a.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT i.type_a, i.type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+           i.n_both,
+           (floor(CAST(i.n_both AS DOUBLE)
+                  / (sa.n_users + sb.n_users - i.n_both)
+                  * 10000.0 + 0.5) / 10000.0) AS jaccard,
+           (floor(CAST(i.n_both AS DOUBLE)
+                  / least(sa.n_users, sb.n_users)
+                  * 10000.0 + 0.5) / 10000.0) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: Jaccard and
+    containment of the user sets behind every unordered type pair —
+    the segment-overlap matrix product analytics asks for ("do
+    purchasers also click?") and, in a training-data lens, the
+    source-audience dual of ``q_llm_dedup_cross_source``'s document
+    matrix.
+
+    Exact set algebra on aggregates: the stream collapses to the
+    DISTINCT (type, user) relation first (map-side partial distinct),
+    then one self-join keyed on user_id with an anti-symmetric type
+    predicate (a < b, each unordered pair once) counts
+    intersections, and per-type set sizes join back by type. Both
+    coefficients are single divisions of exact integers, pinned
+    half-up on both engines.
+
+    Scale shape: everything downstream of the first distinct is
+    bounded by users × types, never events. The self-join fans each
+    user's type list into its pairs — with T types a user appears in,
+    T(T−1)/2 rows, T ≤ |type vocabulary| (single digits here, and
+    capped in any schema'd event stream); the join keys on user_id so
+    AQE handles the power-user skew, and the final joins are
+    broadcast-sized (types² rows vs per-type sizes).
+    """
+    from frafka_spark.functions.determinism import half_up
+
+    e = table(spark, sf_dir, "events")
+    au = e.select("event_type", "user_id").distinct()
+    sizes = au.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = au.select(F.col("event_type").alias("type_a"), "user_id")
+    b = au.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            half_up(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+            half_up(
+                F.col("n_both").cast("double") / F.least("n_a", "n_b"), 4
+            ).alias("containment"),
+        )
+    )
