@@ -1100,53 +1100,43 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = (
+    # (column, renderer tag) — renderer pins the cross-engine string
+    # form of min/max: doubles via DECIMAL(18,2), timestamps via DATE
+    ("l_orderkey", "str"),
+    ("l_quantity", "dec2"),
+    ("l_extendedprice", "dec2"),
+    ("l_shipdate", "date"),
+    ("l_returnflag", "raw"),
+)
+
+
+def _sql_profile_arm(col: str, tag: str) -> str:
+    render = {
+        "str": "CAST({m}(k) AS VARCHAR)",
+        "dec2": "CAST(CAST({m}(k) AS DECIMAL(18,2)) AS VARCHAR)",
+        "date": "CAST(CAST({m}(k) AS DATE) AS VARCHAR)",
+        "raw": "{m}(k)",
+    }[tag]
+    mn = render.format(m="min")
+    mx = render.format(m="max")
+    return f"""
+    SELECT '{col}' AS col_name,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(n) FILTER (WHERE k IS NULL), 0) AS BIGINT)
+               AS n_null,
+           CAST(count(k) AS BIGINT) AS n_distinct,
+           {mn} AS min_s,
+           {mx} AS max_s
+    FROM (SELECT {col} AS k, count(*) AS n FROM lineitem GROUP BY {col})
+    """
+
+
 @query(
     "q_agg_profile",
-    oracle="""
-    WITH m AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(count(l_orderkey) AS BIGINT) AS nn_orderkey,
-               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_orderkey,
-               CAST(min(l_orderkey) AS VARCHAR) AS mn_orderkey,
-               CAST(max(l_orderkey) AS VARCHAR) AS mx_orderkey,
-               CAST(count(l_quantity) AS BIGINT) AS nn_quantity,
-               CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd_quantity,
-               CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
-                   AS mn_quantity,
-               CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
-                   AS mx_quantity,
-               CAST(count(l_extendedprice) AS BIGINT) AS nn_price,
-               CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS nd_price,
-               CAST(CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR)
-                   AS mn_price,
-               CAST(CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR)
-                   AS mx_price,
-               CAST(count(l_shipdate) AS BIGINT) AS nn_shipdate,
-               CAST(count(DISTINCT l_shipdate) AS BIGINT) AS nd_shipdate,
-               CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS mn_shipdate,
-               CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS mx_shipdate,
-               CAST(count(l_returnflag) AS BIGINT) AS nn_returnflag,
-               CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd_returnflag,
-               min(l_returnflag) AS mn_returnflag,
-               max(l_returnflag) AS mx_returnflag
-        FROM lineitem
-    )
-    SELECT 'l_orderkey' AS col_name, n_rows,
-           n_rows - nn_orderkey AS n_null, nd_orderkey AS n_distinct,
-           mn_orderkey AS min_s, mx_orderkey AS max_s FROM m
-    UNION ALL
-    SELECT 'l_quantity', n_rows, n_rows - nn_quantity, nd_quantity,
-           mn_quantity, mx_quantity FROM m
-    UNION ALL
-    SELECT 'l_extendedprice', n_rows, n_rows - nn_price, nd_price,
-           mn_price, mx_price FROM m
-    UNION ALL
-    SELECT 'l_shipdate', n_rows, n_rows - nn_shipdate, nd_shipdate,
-           mn_shipdate, mx_shipdate FROM m
-    UNION ALL
-    SELECT 'l_returnflag', n_rows, n_rows - nn_returnflag, nd_returnflag,
-           mn_returnflag, mx_returnflag FROM m
-    """,
+    oracle=" UNION ALL ".join(
+        _sql_profile_arm(col, tag) for col, tag in _PROFILE_COLS
+    ),
 )
 def q_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiler — the data-quality pass every ingestion
@@ -1155,16 +1145,22 @@ def q_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max rendered as strings, stacked into one (column, stats)
     relation that feeds schema-drift alerts and partition planning.
 
-    One pass over the table: every measure for every profiled column
-    is computed in a SINGLE wide aggregate (Catalyst plans the five
-    count-distincts as one Expand — a 5× map-side fan-out, the
-    classic multi-distinct shape — with partial aggregation before
-    the shuffle), and the 1-row result is unpivoted driver-free by a
-    5-arm ``stack``. At lake scale the exact distincts are the knob
-    to watch: the Expand multiplies scan output by the distinct-arm
-    count, so production profiling swaps ``count(DISTINCT)`` for
-    ``approx_count_distinct`` per column — same plan minus the
-    Expand; exact here because the oracle must agree bit-for-bit.
+    Plan shape is chosen FOR columnar storage: one profile arm per
+    column, each a parquet scan pruned to that single column (plan-
+    asserted), rolled up by value first — a hash aggregate with
+    map-side partial combine — and then profiled on the rollup,
+    whose cardinality is the column's distinct count, not the table's
+    row count. This deliberately avoids the single-pass alternative
+    (one wide aggregate with five count-distincts): that plans as an
+    Expand (×5 row fan-out) and — because exact min/max over varchar
+    has a variable-width buffer — degrades the WHOLE pass to
+    SortAggregate, sorting 5n expanded rows; here the only
+    non-hash aggregate left is the min/max over the already-tiny
+    rollup. Total I/O is identical (each column read once — that is
+    what a columnar format means), and each arm's shuffle carries
+    distinct values, not rows. Null counts fall out of the rollup's
+    NULL-key row; ``count(k)`` over the rollup IS the exact distinct
+    count, with no distinct-Expand anywhere.
 
     Rendering discipline: doubles are never stringified directly
     (engines disagree on shortest-repr formatting) — money/quantity
@@ -1174,46 +1170,36 @@ def q_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     collation-free byte order on both sides.
     """
     li = table(spark, sf_dir, "lineitem")
-    m = li.agg(
-        F.count("*").alias("n_rows"),
-        F.count("l_orderkey").alias("nn_orderkey"),
-        F.countDistinct("l_orderkey").alias("nd_orderkey"),
-        F.min("l_orderkey").cast("string").alias("mn_orderkey"),
-        F.max("l_orderkey").cast("string").alias("mx_orderkey"),
-        F.count("l_quantity").alias("nn_quantity"),
-        F.countDistinct("l_quantity").alias("nd_quantity"),
-        F.min("l_quantity").cast("decimal(18,2)").cast("string").alias("mn_quantity"),
-        F.max("l_quantity").cast("decimal(18,2)").cast("string").alias("mx_quantity"),
-        F.count("l_extendedprice").alias("nn_price"),
-        F.countDistinct("l_extendedprice").alias("nd_price"),
-        F.min("l_extendedprice")
-        .cast("decimal(18,2)")
-        .cast("string")
-        .alias("mn_price"),
-        F.max("l_extendedprice")
-        .cast("decimal(18,2)")
-        .cast("string")
-        .alias("mx_price"),
-        F.count("l_shipdate").alias("nn_shipdate"),
-        F.countDistinct("l_shipdate").alias("nd_shipdate"),
-        F.min("l_shipdate").cast("date").cast("string").alias("mn_shipdate"),
-        F.max("l_shipdate").cast("date").cast("string").alias("mx_shipdate"),
-        F.count("l_returnflag").alias("nn_returnflag"),
-        F.countDistinct("l_returnflag").alias("nd_returnflag"),
-        F.min("l_returnflag").alias("mn_returnflag"),
-        F.max("l_returnflag").alias("mx_returnflag"),
-    )
-    arms = ", ".join(
-        f"'{col}', n_rows - nn_{key}, nd_{key}, mn_{key}, mx_{key}"
-        for col, key in (
-            ("l_orderkey", "orderkey"),
-            ("l_quantity", "quantity"),
-            ("l_extendedprice", "price"),
-            ("l_shipdate", "shipdate"),
-            ("l_returnflag", "returnflag"),
+    render = {
+        "str": lambda c: c.cast("string"),
+        "dec2": lambda c: c.cast("decimal(18,2)").cast("string"),
+        "date": lambda c: c.cast("date").cast("string"),
+        "raw": lambda c: c,
+    }
+    arms = []
+    for col, tag in _PROFILE_COLS:
+        roll = li.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("n"))
+        r = render[tag]
+        arms.append(
+            roll.agg(
+                F.sum("n").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("k").isNull(), F.col("n"))),
+                    F.lit(0).cast("bigint"),
+                ).alias("n_null"),
+                F.count("k").alias("n_distinct"),
+                r(F.min("k")).alias("min_s"),
+                r(F.max("k")).alias("max_s"),
+            ).select(
+                F.lit(col).alias("col_name"),
+                "n_rows",
+                "n_null",
+                "n_distinct",
+                "min_s",
+                "max_s",
+            )
         )
-    )
-    return m.selectExpr(
-        "n_rows",
-        f"stack(5, {arms}) AS (col_name, n_null, n_distinct, min_s, max_s)",
-    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out

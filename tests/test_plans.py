@@ -603,3 +603,89 @@ def test_ratio_to_parent_aggregates_before_window(spark):
     # formatted plans print leaves last: the aggregate must appear
     # BELOW the window in execution order, i.e. later in the text
     assert agg_pos > win_pos or "partial" in plan[:win_pos], plan
+
+
+def test_changepoint_windows_stay_keyed(spark):
+    """q_events_changepoint: every window partitions by event_type
+    (no empty-partition window anywhere — the day axis is calendar-
+    bounded but the rule is absolute), and the (type, day) rollup
+    partial-combines before any window runs."""
+    import re
+
+    plan = _plan(spark, "q_events_changepoint")
+    assert "partial_count" in plan, plan
+    for args in re.findall(r"\(\d+\) Window[\s\S]*?Arguments: .*", plan):
+        assert "event_type" in args, args
+
+
+def test_autocorr_lag_spine_broadcasts(spark):
+    """q_events_autocorr: the 7-row lag spine must broadcast (never a
+    shuffle join against the calendar-bounded daily relation), the
+    raw-event rollup must partial-combine, and no window may appear
+    (the lag pairing is an equi-join, not a windowed lag)."""
+    plan = _plan(spark, "q_events_autocorr")
+    assert "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_seasonality_collapses_before_joins(spark):
+    """q_events_seasonality: one partial-combining aggregate collapses
+    the stream to ≤24 rows per type before the three tiny per-type
+    joins; the peak window partitions by event_type."""
+    import re
+
+    plan = _plan(spark, "q_events_seasonality")
+    assert "partial_count" in plan, plan
+    for args in re.findall(r"\(\d+\) Window[\s\S]*?Arguments: .*", plan):
+        assert "event_type" in args, args
+
+
+def test_profile_prunes_each_arm_to_one_column(spark):
+    """q_agg_profile: each profile arm's parquet scan must read
+    EXACTLY its one column (columnar pruning is the whole design —
+    total I/O equals reading each column once), every rollup must
+    partial-combine, and no distinct-Expand may appear anywhere
+    (distinct counts come from the rollup, never an Expand)."""
+    df = _df(spark, "q_agg_profile")
+    schemas = read_schemas(df)
+    assert len(schemas) == 5, schemas
+    for s in schemas:
+        assert s.count(":") == 1, s  # one field per ReadSchema
+    plan = plan_str(df)
+    assert "Expand" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_bm25_terms_and_corpus_broadcast(spark):
+    """q_llm_bm25: the 5-row term list and the 1-row corpus stats
+    must broadcast into the tf slice (the only volume-bearing joins
+    key on word/doc_id), and the per-term page window partitions by
+    word — never a global sort over scored docs."""
+    import re
+
+    plan = _plan(spark, "q_llm_bm25")
+    assert "BroadcastExchange" in plan, plan
+    for args in re.findall(r"\(\d+\) Window[\s\S]*?Arguments: .*", plan):
+        assert "word" in args, args
+
+
+def test_bpe_merge_windows_key_on_word(spark):
+    """q_llm_bpe_merge_apply: the top pair broadcasts into the hits
+    filter and both islands/parity windows partition by word (run
+    detection is per-word, never a global ordering)."""
+    import re
+
+    plan = _plan(spark, "q_llm_bpe_merge_apply")
+    assert "BroadcastExchange" in plan, plan
+    for args in re.findall(r"\(\d+\) Window[\s\S]*?Arguments: .*", plan):
+        assert "word" in args, args
+
+
+def test_audience_overlap_distinct_first_broadcast_sizes(spark):
+    """q_events_audience_overlap: the stream collapses to DISTINCT
+    (type, user) before the pair self-join, and the per-type size
+    joins broadcast; no window appears."""
+    plan = _plan(spark, "q_events_audience_overlap")
+    assert "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan
