@@ -1203,3 +1203,107 @@ def q_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionAll(a)
     return out
+
+
+@query(
+    "q_agg_anova",
+    oracle="""
+    WITH cents AS (
+        SELECT l_returnflag AS grp,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT) AS c
+        FROM lineitem
+    ),
+    per_g AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(c) AS HUGEINT) AS s_g,
+               CAST(sum(c * c) AS HUGEINT) AS ss_g
+        FROM cents GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(sum(s_g) AS HUGEINT) AS s,
+               CAST(sum(ss_g) AS HUGEINT) AS ss,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum((s_g * s_g * 10000) // n_g) AS HUGEINT) AS gterm
+        FROM per_g
+    )
+    SELECT n, k,
+           CAST(gterm - (s * s * 10000) // n AS DOUBLE) AS ssb_scaled,
+           CAST(ss * 10000 - (s * s * 10000) // n AS DOUBLE) AS sst_scaled,
+           (floor(CAST(gterm - (s * s * 10000) // n AS DOUBLE)
+                  / CAST(ss * 10000 - (s * s * 10000) // n AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0) AS eta_sq
+    FROM tot
+    """,
+)
+def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA variance decomposition of revenue by return
+    flag: between-group and total sums of squares and the effect
+    size η² = SSB/SST — the "does this categorical column explain
+    this metric" screen run during feature selection and cohort
+    diagnostics, one step past ``q_agg_stats``'s per-group moments.
+
+    The cross-engine hazard is that SSB = Σ_g (Σx_g)²/n_g − (Σx)²/N
+    sums RATIONALS with per-group denominators — as doubles, the
+    group accumulation order (nondeterministic under partial
+    aggregation) moves the last ulp. Exactness is engineered by (1)
+    pinning the money column to integer cents, (2) replacing each
+    division by a FLOOR division at a fixed 1e4 micro-unit scale —
+    ``(s_g²·10⁴) // n_g`` is an exact integer (Spark: the
+    ``(a − a mod b)/b`` identity on DECIMAL(38,0), where every step
+    is exact; DuckDB: HUGEINT ``//``) — so the cross-group sum is
+    integer arithmetic with a bounded, engine-identical 1e-4-cents²
+    per-group quantization, and (3) dividing once at the end,
+    half-up. The scaled SS values are displayed as doubles (a
+    correctly-rounded, engine-identical cast from the exact
+    integers); η² is exact-ratio half-up at 6 digits.
+
+    Scale shape: one scan, one partial-combining hash aggregate to k
+    group rows, one 1-row reduction — nothing after the first
+    aggregate depends on row count, and no window or second pass
+    exists. DECIMAL(38,0) headroom holds to ~10¹⁵ cents of group
+    revenue (10 TB of money column) before the 10⁴ scale must drop.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    c = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("decimal(38,0)")
+    per_g = li.select(F.col("l_returnflag").alias("grp"), c.alias("c")).groupBy(
+        "grp"
+    ).agg(
+        F.count("*").alias("n_g"),
+        F.sum("c").alias("s_g"),
+        F.sum(F.col("c") * F.col("c")).alias("ss_g"),
+    )
+
+    def floor_div(a, b):
+        # exact floor division on DECIMAL(38,0): every step exact
+        return (a - a % b) / b
+
+    gterm = F.sum(
+        floor_div(
+            (F.col("s_g") * F.col("s_g") * 10000).cast("decimal(38,0)"),
+            F.col("n_g").cast("decimal(38,0)"),
+        ).cast("decimal(38,0)")
+    )
+    tot = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.count("*").alias("k"),
+        gterm.alias("gterm"),
+    )
+    corr = floor_div(
+        (F.col("s") * F.col("s") * 10000).cast("decimal(38,0)"),
+        F.col("n").cast("decimal(38,0)"),
+    ).cast("decimal(38,0)")
+    ssb = (F.col("gterm") - corr).cast("double")
+    sst = ((F.col("ss") * 10000).cast("decimal(38,0)") - corr).cast("double")
+    return tot.select(
+        "n",
+        "k",
+        ssb.alias("ssb_scaled"),
+        sst.alias("sst_scaled"),
+        (F.floor(ssb / sst * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+            "eta_sq"
+        ),
+    )
