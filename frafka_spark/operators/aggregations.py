@@ -1307,3 +1307,93 @@ def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eta_sq"
         ),
     )
+
+
+@query(
+    "q_agg_chisq_cells",
+    oracle="""
+    WITH obs AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(count(*) AS BIGINT) AS o
+        FROM lineitem GROUP BY rf, ls
+    ),
+    rt AS (SELECT rf, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY rf),
+    ct AS (SELECT ls, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY ls),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+    SELECT obs.rf, obs.ls, obs.o,
+           (floor(CAST(rt.r AS DOUBLE) * ct.c / n.n * 10000.0 + 0.5)
+            / 10000.0) AS expected,
+           (floor(CAST(CAST(n.n AS HUGEINT) * obs.o
+                       - CAST(rt.r AS HUGEINT) * ct.c AS DOUBLE)
+                  * CAST(CAST(n.n AS HUGEINT) * obs.o
+                       - CAST(rt.r AS HUGEINT) * ct.c AS DOUBLE)
+                  / (CAST(n.n AS DOUBLE) * n.n)
+                  / (CAST(rt.r AS DOUBLE) * ct.c / n.n)
+                  * 10000.0 + 0.5) / 10000.0) AS cell_chi2,
+           (CAST(n.n AS HUGEINT) * obs.o
+              > CAST(rt.r AS HUGEINT) * ct.c) AS over_represented
+    FROM obs
+    JOIN rt USING (rf)
+    JOIN ct USING (ls)
+    CROSS JOIN n
+    """,
+)
+def q_agg_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence decomposition of the return-flag ×
+    line-status contingency table, reported PER CELL: observed count,
+    expected count under independence, the cell's χ² contribution
+    (O−E)²/E, and the over/under-representation direction — the
+    residual view an analyst actually reads ('which cell drives the
+    dependence'), and the categorical-association screen paired with
+    ``q_agg_anova``'s numeric one.
+
+    Deliberately cell-granular rather than a single χ² total: the
+    total would sum per-cell DOUBLES across the table (engine-
+    dependent accumulation order — the exact hazard ``q_agg_anova``
+    engineers away with integer floor-division; here the per-cell
+    report makes the sum the reader's one exact fold away and keeps
+    every emitted number a SINGLE division chain of exact integers:
+    (N·O − R·C) is integer (DECIMAL(38,0) / HUGEINT — overflow-safe
+    to ~10¹⁹-row tables), its square and the E, χ² quotients are
+    computed with the identical double operation sequence on both
+    engines, pinned half-up. The independence direction is a pure
+    integer comparison — no float enters the boolean.
+
+    Scale shape: one scan, one partial-combining hash aggregate to
+    |rf|×|ls| cells; margins and the total derive from the cell
+    relation (never a second scan) and broadcast back onto it. The
+    whole post-aggregate graph is bounded by category cardinalities.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    obs = (
+        li.select(F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls"))
+        .groupBy("rf", "ls")
+        .agg(F.count("*").alias("o"))
+    )
+    rt = obs.groupBy("rf").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("ls").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    dev = (
+        F.col("n").cast("decimal(38,0)") * F.col("o")
+        - F.col("r").cast("decimal(38,0)") * F.col("c")
+    ).cast("decimal(38,0)")
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    chi2 = (
+        dev.cast("double")
+        * dev.cast("double")
+        / (F.col("n").cast("double") * F.col("n"))
+        / e
+    )
+    return (
+        obs.join(F.broadcast(rt), "rf")
+        .join(F.broadcast(ct), "ls")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "rf",
+            "ls",
+            "o",
+            (F.floor(e * 10000.0 + F.lit(0.5)) / 10000.0).alias("expected"),
+            (F.floor(chi2 * 10000.0 + F.lit(0.5)) / 10000.0).alias("cell_chi2"),
+            (dev > 0).alias("over_represented"),
+        )
+    )
