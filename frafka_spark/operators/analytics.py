@@ -3148,3 +3148,124 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@query(
+    "q_events_pagerank_step",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type AS src, event_type AS dst,
+               CAST(count(*) AS BIGINT) AS c
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY src, dst
+    ),
+    outd AS (
+        SELECT src, CAST(sum(c) AS BIGINT) AS out_c FROM pairs GROUP BY src
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    contrib AS (
+        SELECT p.dst,
+               CAST(floor(CAST(p.c AS DOUBLE) / o.out_c / nn.n
+                          * 1000000000000.0 + 0.5) AS BIGINT) AS micro
+        FROM pairs p JOIN outd o USING (src) CROSS JOIN nn
+    ),
+    insum AS (
+        SELECT dst, CAST(count(*) AS BIGINT) AS in_degree,
+               CAST(sum(micro) AS BIGINT) AS in_micro
+        FROM contrib GROUP BY dst
+    )
+    SELECT nodes.node AS event_type,
+           CAST(coalesce(i.in_degree, 0) AS BIGINT) AS in_degree,
+           (floor(1.0 / nn.n * 1000000.0 + 0.5) / 1000000.0) AS rank_before,
+           (floor((0.15 / nn.n
+                   + 0.85 * (CAST(coalesce(i.in_micro, 0) AS DOUBLE)
+                             / 1000000000000.0))
+                  * 1000000.0 + 0.5) / 1000000.0) AS rank_after
+    FROM nodes
+    LEFT JOIN insum i ON i.dst = nodes.node
+    CROSS JOIN nn
+    """,
+)
+def q_events_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One damped PageRank iteration (d = 0.85) from a uniform start
+    over the event-type transition graph — nodes are event types,
+    edge weights the user-consecutive transition counts of
+    ``q_events_transitions`` — the graph-centrality primitive beyond
+    ``q_llm_dedup_cluster``'s connected components; the same join+
+    aggregate step iterates to the stationary behavioral importance
+    of each action (this declared single step is the loop body;
+    nodes without out-edges leak their mass in this simplified
+    formulation, stated rather than silently renormalized).
+
+    The cross-engine hazard is the in-mass fold: Σ_j rank_j·w_ji sums
+    DOUBLES whose accumulation order differs between engines. House
+    discipline (the attribution-credit pattern): each term
+    ``(c_ji/out_j)/n`` is computed by an identical single-division
+    chain on both engines — hence bit-identical — then pinned to
+    integer 1e-12 micro-units, and the fold sums LONGS, exactly. The
+    final rank is one half-up-pinned affine map of that exact
+    integer. In an iterated deployment the re-quantization per step
+    makes the whole fixed point engine-identical, not just one step.
+
+    Scale shape: per-user lag under a keyed window (the transition
+    extraction), collapse to ≤types² weighted edges with map-side
+    partials, then all graph arithmetic runs on the edge relation —
+    bounded by the type vocabulary squared, independent of event
+    volume. The node spine and scalar n broadcast.
+    """
+    from frafka_spark.functions.determinism import half_up
+
+    e = table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "event_type",
+            F.lag("event_type").over(w_lag).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count("*").alias("c"))
+    )
+    outd = pairs.groupBy("src").agg(F.sum("c").alias("out_c"))
+    nodes = e.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    contrib = (
+        pairs.join(outd, "src")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "dst",
+            F.floor(
+                F.col("c").cast("double") / F.col("out_c") / F.col("n")
+                * 1e12
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("micro"),
+        )
+    )
+    insum = contrib.groupBy("dst").agg(
+        F.count("*").alias("in_degree"), F.sum("micro").alias("in_micro")
+    )
+    return (
+        nodes.join(insum, nodes.node == insum.dst, "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("node").alias("event_type"),
+            F.coalesce("in_degree", F.lit(0).cast("bigint")).alias("in_degree"),
+            half_up(F.lit(1.0) / F.col("n"), 6).alias("rank_before"),
+            half_up(
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85)
+                * (F.coalesce("in_micro", F.lit(0).cast("bigint")).cast("double") / 1e12),
+                6,
+            ).alias("rank_after"),
+        )
+    )
