@@ -3269,3 +3269,127 @@ def q_events_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank_after"),
         )
     )
+
+
+@query(
+    "q_events_rolling_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.day, a.n AS x, b.n AS y
+        FROM daily a JOIN daily b
+          ON b.day = a.day AND a.event_type < b.event_type
+    ),
+    win AS (
+        SELECT type_a, type_b, day,
+               CAST(count(*) OVER w AS BIGINT) AS n_win,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(y) OVER w AS BIGINT) AS sy,
+               sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                   OVER w AS sxy,
+               sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                   OVER w AS sxx,
+               sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                   OVER w AS syy
+        FROM pairs
+        WINDOW w AS (PARTITION BY type_a, type_b ORDER BY day
+                     RANGE BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    terms AS (
+        SELECT type_a, type_b, day, n_win,
+               CAST(n_win * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE)
+                   AS num,
+               CAST(n_win * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE)
+                   AS va,
+               CAST(n_win * syy - CAST(sy AS DECIMAL(19,0)) * sy AS DOUBLE)
+                   AS vb
+        FROM win WHERE n_win >= 10
+    )
+    SELECT type_a, type_b, day, n_win,
+           CASE WHEN va > 0 AND vb > 0 THEN
+               (floor(num / (sqrt(va) * sqrt(vb)) * 10000.0 + 0.5)
+                / 10000.0)
+           END AS corr14
+    FROM terms
+    """,
+)
+def q_events_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-day Pearson correlation between every pair of
+    event types' daily volumes: the co-movement monitor ("do clicks
+    still track views?") whose breakdowns localize instrumentation
+    regressions in time — the windowed, pairwise extension of
+    ``q_agg_corr``, built on the same exact-sums discipline as
+    ``q_events_anomaly``.
+
+    Every windowed statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an
+    integer sum — DECIMAL(19→38,0) for the product sums, exact in
+    both engines regardless of accumulation order; the correlation
+    is then derived by one identical double chain (the two variance
+    terms cast to double BEFORE multiplying, so no DECIMAL(38)
+    overflow at warehouse-scale counts and both engines evaluate the
+    same IEEE sqrt/product/quotient), pinned half-up — which also
+    canonicalizes the signed zero a dead-flat window can produce
+    (``floor(±ε·10⁴ + 0.5)/10⁴`` is +0.0 from either sign). Windows
+    with under 10 observed days are suppressed; zero-variance
+    windows yield NULL on both sides.
+
+    Scale shape: the stream collapses to (type, day) counts first;
+    the pair fan-out and the RANGE-framed window run on the
+    calendar-bounded rollup (days × type-pairs), so cost is
+    independent of event volume. Gap days contribute no pair row —
+    the RANGE frame does calendar truncation without gap-filling.
+    """
+    from frafka_spark.functions.determinism import half_up
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.unix_date(F.to_date("ts")).cast("bigint").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    a = daily.select(F.col("event_type").alias("type_a"), "day", F.col("n").alias("x"))
+    b = daily.select(F.col("event_type").alias("type_b"), "day", F.col("n").alias("y"))
+    pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("day")
+        .rangeBetween(-13, 0)
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    win = pairs.select(
+        "type_a",
+        "type_b",
+        "day",
+        F.count("*").over(w).alias("n_win"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(xd * yd).over(w).alias("sxy"),
+        F.sum(xd * xd).over(w).alias("sxx"),
+        F.sum(yd * yd).over(w).alias("syy"),
+    ).filter(F.col("n_win") >= 10)
+    sxd = F.col("sx").cast("decimal(19,0)")
+    syd = F.col("sy").cast("decimal(19,0)")
+    num = (F.col("n_win") * F.col("sxy") - sxd * F.col("sy")).cast("double")
+    va = (F.col("n_win") * F.col("sxx") - sxd * F.col("sx")).cast("double")
+    vb = (F.col("n_win") * F.col("syy") - syd * F.col("sy")).cast("double")
+    return win.select(
+        "type_a",
+        "type_b",
+        "day",
+        "n_win",
+        F.when(
+            (va > 0) & (vb > 0),
+            half_up(num / (F.sqrt(va) * F.sqrt(vb)), 4),
+        ).alias("corr14"),
+    )
