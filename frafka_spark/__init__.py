@@ -37,6 +37,7 @@ def load_all() -> None:
         showcase,
         skew,
         sorts,
+        stats_tests,
         stream_batch,
         subqueries,
         windows,

@@ -184,6 +184,40 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS fs_lineitem_bkt")
 
 
+def test_range_partitioned_cumsum_equals_global(spark):
+    """The distributed running-sum replacement must agree with the
+    single-task Window.orderBy formulation row for row, including
+    when the cumulated columns carry ties and zeros, and its plan
+    must not contain a Window ordered by the data column."""
+    from pyspark.sql import Window
+
+    from frafka_spark.operators.stats_tests import range_partitioned_cumsum
+    from frafka_spark.plans.inspect import plan_str
+
+    base = (
+        spark.range(0, 5000)
+        .select(
+            (F.col("id") * 2654435761 % 100003).alias("v"),
+            (F.col("id") % 7).alias("a"),
+            (F.col("id") % 3).alias("b"),
+        )
+        .groupBy("v")
+        .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    )
+    got = range_partitioned_cumsum(base, ["v"], ["a", "b"])
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = base.withColumn("cum_a", F.sum("a").over(w)).withColumn(
+        "cum_b", F.sum("b").over(w)
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    import re
+
+    plan = plan_str(got)
+    win_specs = re.findall(r"\(\d+\) Window[\s\S]*?Arguments: .*", plan)
+    assert all(" v#" not in s for s in win_specs), win_specs
+
+
 def test_range_partitioned_row_number_equals_global(spark):
     """The distributed global-rank replacement must agree with the
     single-task Window.orderBy formulation row for row, and its plan
