@@ -2259,3 +2259,76 @@ def q_llm_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("freq") * F.col("n_merges")).alias("corpus_merges"),
         )
     )
+
+
+@query(
+    "q_llm_rrf",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, n_chars,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_vocab
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_chars, n_vocab,
+               CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                    AS BIGINT) AS r1,
+               CAST(row_number() OVER (ORDER BY n_vocab DESC, doc_id ASC)
+                    AS BIGINT) AS r2
+        FROM base
+    )
+    SELECT doc_id, n_chars, n_vocab, r1, r2,
+           CAST(floor(1000000000000.0 / (60.0 + r1))
+                + floor(1000000000000.0 / (60.0 + r2)) AS BIGINT)
+               AS rrf_micro
+    FROM r
+    ORDER BY rrf_micro DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def q_llm_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two document rankings (by length and
+    by distinct-token vocabulary), k = 60 — the standard hybrid-
+    retrieval combiner (BM25 + dense lists fuse exactly like this;
+    here the two deterministic corpus signals stand in for the two
+    retrievers). Top-20 fused.
+
+    Exactness: each ranking is a total order (doc_id tiebreak); the
+    RRF terms 1/(60+r) are pinned to INTEGER micro-units as
+    floor(1e12/(60+r)) — one correctly-rounded IEEE division each,
+    identical on both engines — and the fused score is the exact
+    integer sum, so the top-20 cut (rrf_micro DESC, doc_id) is
+    bit-deterministic with no float comparison anywhere.
+
+    Scale shape: both global rankings ride
+    ``range_partitioned_row_number`` (distributed rank state — no
+    single-task global window; the oracle uses plain windows, which
+    the hash match proves equivalent), joined by the second pass
+    re-ranging the first pass's output; the final cut is
+    TakeOrderedAndProject (per-task heaps).
+    """
+    from frafka_spark.operators.windows import range_partitioned_row_number
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_vocab"),
+    )
+    r1 = range_partitioned_row_number(
+        d, [F.col("n_chars").desc(), F.col("doc_id").asc()], out="r1"
+    )
+    r = range_partitioned_row_number(
+        r1, [F.col("n_vocab").desc(), F.col("doc_id").asc()], out="r2"
+    )
+    fused = (
+        F.floor(F.lit(1000000000000.0) / (F.lit(60.0) + F.col("r1")))
+        + F.floor(F.lit(1000000000000.0) / (F.lit(60.0) + F.col("r2")))
+    ).cast("bigint")
+    return (
+        r.select("doc_id", "n_chars", "n_vocab", "r1", "r2", fused.alias("rrf_micro"))
+        .orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

@@ -3393,3 +3393,275 @@ def q_events_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             half_up(num / (F.sqrt(va) * F.sqrt(vb)), 4),
         ).alias("corr14"),
     )
+
+
+@query(
+    "q_events_triangles",
+    oracle="""
+    WITH hu AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id FROM events
+    ),
+    peru AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS h FROM hu GROUP BY user_id
+    ),
+    hrs AS (SELECT CAST(count(DISTINCT hr) AS BIGINT) AS nh FROM hu),
+    pairs AS (
+        SELECT a.user_id AS u1, b.user_id AS u2,
+               CAST(count(*) AS BIGINT) AS co
+        FROM hu a JOIN hu b ON b.hr = a.hr AND a.user_id < b.user_id
+        GROUP BY u1, u2
+    ),
+    edges AS (
+        SELECT p.u1, p.u2
+        FROM pairs p
+        JOIN peru x ON x.user_id = p.u1
+        JOIN peru y ON y.user_id = p.u2
+        CROSS JOIN hrs
+        WHERE 10 * p.co * hrs.nh >= 11 * x.h * y.h
+        ORDER BY CAST(floor(CAST(p.co AS DOUBLE) * hrs.nh
+                            / (CAST(x.h AS DOUBLE) * y.h)
+                            * 1000000.0) AS BIGINT) DESC,
+                 p.u1 ASC, p.u2 ASC
+        LIMIT 2000
+    ),
+    deg AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT u1 AS user_id FROM edges
+              UNION ALL SELECT u2 FROM edges)
+        GROUP BY user_id
+    ),
+    tri AS (
+        SELECT e1.u1 AS x, e1.u2 AS y, e2.u2 AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.u1 = e1.u2
+        JOIN edges e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2
+    ),
+    tcnt AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS tri_cnt
+        FROM (SELECT x AS user_id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY user_id
+    )
+    SELECT d.user_id, d.degree,
+           CAST(coalesce(t.tri_cnt, 0) AS BIGINT) AS tri_cnt
+    FROM deg d LEFT JOIN tcnt t ON t.user_id = d.user_id
+    ORDER BY tri_cnt DESC, d.degree DESC, d.user_id ASC
+    LIMIT 15
+    """,
+)
+def q_events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the user co-activity graph — the motif/
+    community-cohesion primitive: project the bipartite (hour, user)
+    incidence onto users (edge when two users' co-active hours exceed
+    1.1x the independence expectation co·H >= 1.1·h_a·h_b, i.e. lift
+    >= 1.1, keeping only the 2000 strongest edges by lift), then
+    count triangles by the ordered-triple join. Top 15 users by
+    triangle participation (degree, then user_id tiebreaks).
+
+    Exactness: the lift floor is cleared of division — the edge
+    test is the INTEGER comparison 10·co·H >= 11·h_a·h_b — and
+    the top-K
+    edge ranking orders by the INTEGER-floored lift micro-score (one
+    identical double chain) with (u1, u2) tiebreaks — and everything
+    else is counting, so the graph (and thus the result) is
+    bit-identical cross-engine with no pinned float anywhere.
+
+    Scale shape: the classic bounded-projection discipline — collapse
+    events to DISTINCT (hour, user) first (partial-agg), pair only
+    within an hour block (fan-out quadratic in per-hour actives — the
+    known hazard of any co-occurrence projection; at corpus scale the
+    block cap / salting of q_llm_dedup_near_capped applies verbatim),
+    aggregate pairs before thresholding, and SPARSIFY to the K=2000
+    strongest edges (TakeOrderedAndProject — per-task heaps, never a
+    global sort) so the triangle join's input is bounded by a code
+    constant at every scale: without the cap the sf0.1 fixture alone
+    builds 427k edges and 32M triangles. The ordered-triple join
+    (u1 < u2 < u3) emits each triangle exactly once over the
+    broadcast-sized edge list. No window, no collect, no broadcast
+    of a data-bounded side.
+    """
+    e = table(spark, sf_dir, "events")
+    hu = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+    ).distinct()
+    peru = hu.groupBy("user_id").agg(F.count("*").alias("h"))
+    hrs = hu.agg(F.countDistinct("hr").alias("nh"))
+    a = hu.alias("a")
+    b = hu.alias("b")
+    pairs = (
+        a.join(b, "hr")
+        .filter(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+        )
+        .agg(F.count("*").alias("co"))
+    )
+    edges = (
+        pairs.join(
+            peru.select(F.col("user_id").alias("u1"), F.col("h").alias("h1")),
+            "u1",
+        )
+        .join(
+            peru.select(F.col("user_id").alias("u2"), F.col("h").alias("h2")),
+            "u2",
+        )
+        .crossJoin(F.broadcast(hrs))
+        .filter(
+            10 * F.col("co") * F.col("nh") >= 11 * F.col("h1") * F.col("h2")
+        )
+        .orderBy(
+            F.floor(
+                F.col("co").cast("double")
+                * F.col("nh")
+                / (F.col("h1").cast("double") * F.col("h2"))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .desc(),
+            F.col("u1").asc(),
+            F.col("u2").asc(),
+        )
+        .limit(2000)
+        .select("u1", "u2")
+    )
+    deg = (
+        edges.select(F.col("u1").alias("user_id"))
+        .unionAll(edges.select(F.col("u2").alias("user_id")))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u1") == F.col("e1.u2"))
+        .join(
+            e3,
+            (F.col("e3.u1") == F.col("e1.u1"))
+            & (F.col("e3.u2") == F.col("e2.u2")),
+        )
+        .select(
+            F.col("e1.u1").alias("x"),
+            F.col("e1.u2").alias("y"),
+            F.col("e2.u2").alias("z"),
+        )
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+    return (
+        deg.join(tcnt, "user_id", "left")
+        .select(
+            "user_id",
+            "degree",
+            F.coalesce("tri_cnt", F.lit(0).cast("bigint")).alias("tri_cnt"),
+        )
+        .orderBy(
+            F.col("tri_cnt").desc(), F.col("degree").desc(), F.col("user_id")
+        )
+        .limit(15)
+    )
+
+
+@query(
+    "q_basket_lift",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    cb AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS c FROM ob GROUP BY brand
+    ),
+    nb AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM ob),
+    pair AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS c_ab
+        FROM ob a JOIN ob b ON b.okey = a.okey AND a.brand < b.brand
+        GROUP BY brand_a, brand_b
+    )
+    SELECT p.brand_a, p.brand_b, p.c_ab,
+           floor(CAST(p.c_ab AS DOUBLE) / nb.n * 1000000.0 + 0.5)
+               / 1000000.0 AS support,
+           floor(CAST(p.c_ab AS DOUBLE) / ca.c * 1000000.0 + 0.5)
+               / 1000000.0 AS confidence,
+           floor(CAST(p.c_ab AS DOUBLE) * nb.n
+                 / (CAST(ca.c AS DOUBLE) * cb2.c) * 1000000.0 + 0.5)
+               / 1000000.0 AS lift
+    FROM pair p
+    JOIN cb ca ON ca.brand = p.brand_a
+    JOIN cb cb2 ON cb2.brand = p.brand_b
+    CROSS JOIN nb
+    WHERE p.c_ab >= 20
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order baskets: for every
+    brand pair co-occurring in >= 20 orders, support, confidence
+    (A=>B) and lift — the co-occurrence mining shape (A-priori's
+    pair pass) that also powers "docs that cite X also cite Y"
+    curation heuristics.
+
+    Exactness: all counts are DISTINCT-collapsed integers; support /
+    confidence / lift are each ONE identical double chain over those
+    integers, half-up pinned to 6 digits.
+
+    Scale shape: the basket relation is first collapsed to DISTINCT
+    (order, brand) — bounding the self-join fan-out by the per-basket
+    distinct-brand count (a small constant here; the cap discipline
+    of q_llm_dedup_near_capped applies to pathological baskets).
+    The pair generation shuffles on the basket key it was just
+    aggregated on (one exchange reused), pair counts partial-agg to
+    |brands|^2, and the dimension-count joins broadcast (brand
+    vocabulary + 1-row basket total). min-support prunes before any
+    emission. No window, no collect.
+    """
+    from frafka_spark.functions.determinism import half_up
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    cb = ob.groupBy("brand").agg(F.count("*").alias("c"))
+    nb = ob.agg(F.countDistinct("okey").alias("n"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pair = (
+        a.join(b, "okey")
+        .filter(F.col("a.brand") < F.col("b.brand"))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 20)
+    )
+    ca = cb.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a"))
+    cbb = cb.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b"))
+    return (
+        pair.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cbb), "brand_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            half_up(F.col("c_ab").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            half_up(F.col("c_ab").cast("double") / F.col("c_a"), 6).alias(
+                "confidence"
+            ),
+            half_up(
+                F.col("c_ab").cast("double")
+                * F.col("n")
+                / (F.col("c_a").cast("double") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -112,3 +112,66 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 5)
     )
+
+
+@query(
+    "q_sort_skyline",
+    oracle="""
+    SELECT x.p_partkey, x.p_size, round(x.p_retailprice, 4) AS price
+    FROM part x
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part y
+        WHERE y.p_retailprice <= x.p_retailprice
+          AND y.p_size >= x.p_size
+          AND (y.p_retailprice < x.p_retailprice OR y.p_size > x.p_size)
+    )
+    """,
+)
+def q_sort_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (minimize retail price, maximize size) — the multi-objective
+    curation filter ("keep only documents no other beats on both
+    quality and length" runs this exact operator).
+
+    The oracle states dominance declaratively (NOT EXISTS — a
+    quadratic anti-join, fine for the reference engine); the Spark
+    side uses the O(n) two-pass identity instead: a part survives
+    iff its price equals the min price AT its size and beats the min
+    price at every STRICTLY LARGER size, i.e.
+
+        survive(x)  <=>  price(x) = m(size(x))  AND
+                         price(x) < m_strict(size(x))
+
+    where m is the per-size min and m_strict the strict-suffix min
+    over sizes. Duplicates of a frontier point all survive (no
+    strict part of the dominance test separates them) — on both
+    formulations.
+
+    Scale shape: one partial-agg group-by collapses data to the size
+    vocabulary (bounded domain); the strict-suffix min is a
+    vocabulary-sized broadcast self-join (window-free); the final
+    test is a broadcast hash join against the spine — the big
+    relation is scanned twice, shuffled never.
+    """
+    p = table(spark, sf_dir, "part")
+    spine = p.groupBy("p_size").agg(F.min("p_retailprice").alias("minp"))
+    s = spine.alias("s")
+    t = spine.alias("t")
+    strict = (
+        s.join(F.broadcast(t), F.col("t.p_size") > F.col("s.p_size"), "left")
+        .groupBy(F.col("s.p_size").alias("p_size"), F.col("s.minp").alias("minp"))
+        .agg(F.min(F.col("t.minp")).alias("m_strict"))
+    )
+    return (
+        p.join(F.broadcast(strict), "p_size")
+        .filter(
+            (F.col("p_retailprice") == F.col("minp"))
+            & (
+                F.col("m_strict").isNull()
+                | (F.col("p_retailprice") < F.col("m_strict"))
+            )
+        )
+        .select(
+            "p_partkey", "p_size", F.round("p_retailprice", 4).alias("price")
+        )
+    )
