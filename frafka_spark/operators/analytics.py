@@ -3412,10 +3412,19 @@ def q_events_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, CAST(count(*) AS BIGINT) AS h FROM hu GROUP BY user_id
     ),
     hrs AS (SELECT CAST(count(DISTINCT hr) AS BIGINT) AS nh FROM hu),
+    capped AS (
+        SELECT hr, user_id FROM (
+            SELECT hu.hr, hu.user_id,
+                   row_number() OVER (PARTITION BY hu.hr
+                                      ORDER BY p.h DESC, hu.user_id ASC
+                                     ) AS rn
+            FROM hu JOIN peru p ON p.user_id = hu.user_id
+        ) WHERE rn <= 512
+    ),
     pairs AS (
         SELECT a.user_id AS u1, b.user_id AS u2,
                CAST(count(*) AS BIGINT) AS co
-        FROM hu a JOIN hu b ON b.hr = a.hr AND a.user_id < b.user_id
+        FROM capped a JOIN capped b ON b.hr = a.hr AND a.user_id < b.user_id
         GROUP BY u1, u2
     ),
     edges AS (
@@ -3475,10 +3484,12 @@ def q_events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine with no pinned float anywhere.
 
     Scale shape: the classic bounded-projection discipline — collapse
-    events to DISTINCT (hour, user) first (partial-agg), pair only
-    within an hour block (fan-out quadratic in per-hour actives — the
-    known hazard of any co-occurrence projection; at corpus scale the
-    block cap / salting of q_llm_dedup_near_capped applies verbatim),
+    events to DISTINCT (hour, user) first (partial-agg), CAP each hour
+    block to its 512 most-active users (rank by global hour-count h
+    desc, user_id tiebreak — the q_llm_dedup_near_capped block-cap
+    discipline, applied here for real, mirrored in the oracle; the
+    cap never binds on this fixture's 150 users) so the within-hour
+    pairing fans out at most 512²/2 per block at ANY corpus scale,
     aggregate pairs before thresholding, and SPARSIFY to the K=2000
     strongest edges (TakeOrderedAndProject — per-task heaps, never a
     global sort) so the triangle join's input is bounded by a code
@@ -3494,8 +3505,20 @@ def q_events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     peru = hu.groupBy("user_id").agg(F.count("*").alias("h"))
     hrs = hu.agg(F.countDistinct("hr").alias("nh"))
-    a = hu.alias("a")
-    b = hu.alias("b")
+    # Block cap: keep each hour's 512 most-active users (h desc,
+    # user_id tiebreak) before pairing — bounds the quadratic
+    # within-block fan-out to a code constant at any corpus scale.
+    w_blk = Window.partitionBy("hr").orderBy(
+        F.desc("h"), F.asc("user_id")
+    )
+    capped = (
+        hu.join(peru, "user_id")
+        .withColumn("rn", F.row_number().over(w_blk))
+        .filter(F.col("rn") <= 512)
+        .select("hr", "user_id")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     pairs = (
         a.join(b, "hr")
         .filter(F.col("a.user_id") < F.col("b.user_id"))
