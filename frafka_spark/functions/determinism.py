@@ -81,6 +81,29 @@ def dec_sum(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def dec_sum_dec(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent exact sum of a float column → DECIMAL(38,6).
+
+    The :func:`dec_sum` arithmetic WITHOUT the final double cast —
+    for the case where the per-group sum feeds a downstream exact
+    accumulation (a cumulative window sum, a re-aggregation into a
+    parent total): keeping the intermediate as decimal makes the
+    OUTER sum order-independent too, and the single double cast
+    happens once at display, mirroring the oracle's
+    ``CAST(sum(v) OVER (...) AS DOUBLE)``. Summing doubles per cell
+    instead would re-introduce an order-unpinned float fold whose
+    last ulp can flip a half-up display tie (ADVICE r7).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scaled = F.floor(c * _MICRO + F.lit(0.5))
+    lo = F.pmod(scaled, F.lit(_MICRO))
+    hi = ((scaled - lo) / _MICRO).cast("bigint")
+    total = (F.sum(hi).cast(DEC) + F.sum(lo).cast(DEC) / F.lit(_MICRO)).cast(
+        DEC
+    )
+    return total.alias(alias) if alias else total
+
+
 def dec_avg(col: Column | str, alias: str | None = None, digits: int = 4) -> Column:
     """Deterministic average: exact decimal sum / count, rounded by an
     EXPLICIT half-up (``floor(q·10^d + 0.5)/10^d``), not ``round``.

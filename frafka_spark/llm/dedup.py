@@ -1545,10 +1545,13 @@ def q_llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme+host segment ONLY (paths are case-sensitive in the URL
     grammar — lowercasing the whole string would be a wrong dedup
     that this oracle would catch if the fixture paths were mixed-
-    case; the host boundary is found structurally via parse_url),
+    case; the scheme://authority boundary is matched by the anchored
+    regex ``^([A-Za-z]+://[^/]+)`` — regex, not parse_url, so any
+    userinfo/port stay inside the lowered authority segment by the
+    pattern, not by URL-struct semantics),
     strip tracking queries, strip the trailing slash.
 
-    Scale shape: pure projection (parse_url/regexp_replace codegen)
+    Scale shape: pure projection (regexp codegen)
     + ONE hash aggregate on the canonical key — identical to exact
     dedup's digest shuffle; nothing all-pairs.
     """

@@ -1881,6 +1881,7 @@ def q_llm_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH vocab AS (
         SELECT word, count(*) AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0
         GROUP BY word
     ),
     expl AS (
@@ -1917,8 +1918,14 @@ def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from frafka_spark.llm.dedup import _words
 
+    # Empty words (double/leading spaces) must be dropped BEFORE the
+    # character explode: sequence(1, 0) defaults to step -1 on Spark
+    # ([1, 0] -> two phantom '$'-pairs via substr) while DuckDB
+    # generate_series(1, 0) is empty — a cross-engine divergence for
+    # any non-single-spaced corpus (ADVICE r7; oracle mirrors).
     vocab = (
         _words(spark, sf_dir)
+        .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .withColumn("a", F.concat(F.col("word"), F.lit("$")))
@@ -2148,6 +2155,7 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH vocab AS (
         SELECT word, CAST(count(*) AS BIGINT) AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0
         GROUP BY word
     ),
     expl AS (
@@ -2212,8 +2220,14 @@ def q_llm_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from frafka_spark.llm.dedup import _words
 
+    # Empty words (double/leading spaces) must be dropped BEFORE the
+    # character explode: sequence(1, 0) defaults to step -1 on Spark
+    # ([1, 0] -> two phantom '$'-pairs via substr) while DuckDB
+    # generate_series(1, 0) is empty — a cross-engine divergence for
+    # any non-single-spaced corpus (ADVICE r7; oracle mirrors).
     vocab = (
         _words(spark, sf_dir)
+        .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .withColumn("a", F.concat(F.col("word"), F.lit("$")))

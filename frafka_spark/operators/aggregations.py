@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from frafka_spark.functions.determinism import (
     dec_avg,
     dec_sum,
+    dec_sum_dec,
     round_z,
     sql_dec_avg,
     sql_dec_sum,
@@ -946,20 +947,22 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH by_nation AS (
         SELECT r.r_name AS region, n.n_name AS nation,
-               {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)')}
-                   AS revenue
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(38,6))) AS rev_dec
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n   ON n.n_nationkey = s.s_nationkey
         JOIN region r   ON r.r_regionkey = n.n_regionkey
         GROUP BY r.r_name, n.n_name
     )
-    SELECT region, nation, revenue,
-           floor(revenue / sum(revenue) OVER (PARTITION BY region)
+    SELECT region, nation, CAST(rev_dec AS DOUBLE) AS revenue,
+           floor(CAST(rev_dec AS DOUBLE)
+                 / CAST(sum(rev_dec) OVER (PARTITION BY region) AS DOUBLE)
                  * 10000.0 + 0.5) / 10000.0 AS share_of_region,
-           floor(revenue / sum(revenue) OVER ()
+           floor(CAST(rev_dec AS DOUBLE)
+                 / CAST(sum(rev_dec) OVER () AS DOUBLE)
                  * 10000.0 + 0.5) / 10000.0 AS share_of_total,
-           CAST(rank() OVER (PARTITION BY region ORDER BY revenue DESC)
+           CAST(rank() OVER (PARTITION BY region ORDER BY rev_dec DESC)
                 AS INT) AS rank_in_region
     FROM by_nation
     """,
@@ -1005,27 +1008,32 @@ def q_agg_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region"),
         )
     )
+    # Per-nation revenue stays DECIMAL through the region-window and
+    # corpus-total sums (order-independent parent denominators); the
+    # double cast happens once per quotient operand, mirroring the
+    # oracle's CAST(sum(rev_dec) OVER ... AS DOUBLE) (ADVICE r7).
     by_nation = (
         li.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("region", "nation")
-        .agg(dec_sum("rev", "revenue"))
+        .agg(dec_sum_dec("rev", "rev_dec"))
     )
     w_region = Window.partitionBy("region")
-    total = by_nation.agg(F.sum("revenue").alias("_total"))
+    total = by_nation.agg(F.sum("rev_dec").alias("_total_dec"))
+    rev_d = F.col("rev_dec").cast("double")
     return (
         by_nation.crossJoin(F.broadcast(total))
         .select(
             "region",
             "nation",
-            "revenue",
+            rev_d.alias("revenue"),
             half_up(
-                F.col("revenue") / F.sum("revenue").over(w_region), 4
+                rev_d / F.sum("rev_dec").over(w_region).cast("double"), 4
             ).alias("share_of_region"),
-            half_up(F.col("revenue") / F.col("_total"), 4).alias(
+            half_up(rev_d / F.col("_total_dec").cast("double"), 4).alias(
                 "share_of_total"
             ),
             F.rank()
-            .over(w_region.orderBy(F.col("revenue").desc()))
+            .over(w_region.orderBy(F.col("rev_dec").desc()))
             .cast("int")
             .alias("rank_in_region"),
         )

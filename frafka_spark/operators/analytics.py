@@ -2298,7 +2298,7 @@ def q_events_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up; the cohort-size denominator joins from its own tiny
     aggregate.
     """
-    from frafka_spark.functions.determinism import dec_sum, half_up
+    from frafka_spark.functions.determinism import dec_sum_dec, half_up
 
     e = table(spark, sf_dir, "events")
     cohort = e.groupBy("user_id").agg(
@@ -2310,8 +2310,11 @@ def q_events_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "user_id",
     )
+    # Per-cell sums stay DECIMAL so the cumulative window sum below is
+    # exact/order-independent; the double cast happens ONCE after the
+    # window, mirroring the oracle's CAST(sum(v) OVER ... AS DOUBLE).
     daily = joined.groupBy("c_day", "offset").agg(
-        dec_sum("value", "v"),
+        dec_sum_dec("value", "v"),
         F.countDistinct("user_id").alias("n_active"),
     )
     sized = cohort.groupBy("c_day").agg(F.count("*").alias("cohort_size"))
@@ -2328,7 +2331,9 @@ def q_events_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_size",
             "n_active",
             half_up(
-                F.sum("v").over(w_cum) / F.col("cohort_size"), 4
+                F.sum("v").over(w_cum).cast("double")
+                / F.col("cohort_size"),
+                4,
             ).alias("cum_value_per_user"),
         )
     )
