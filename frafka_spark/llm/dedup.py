@@ -232,8 +232,9 @@ _NEAR_SQL_BODY = f"""
         SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
     )
     SELECT v.doc_a, v.doc_b,
-           round(CAST(v.n_inter AS DOUBLE)
-                 / (v.n_a + sz.n_sh - v.n_inter), 4) AS jaccard
+           floor(CAST(v.n_inter AS DOUBLE)
+                 / (v.n_a + sz.n_sh - v.n_inter)
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM verified v JOIN sized sz ON sz.doc_id = v.doc_b
     WHERE CAST(v.n_inter AS DOUBLE) / (v.n_a + sz.n_sh - v.n_inter)
           >= {JACCARD_THRESHOLD}
@@ -339,7 +340,7 @@ def _minhash_lsh_pairs(sh: DataFrame) -> DataFrame:
         F.col("n_a") + F.col("n_sh") - F.col("n_inter")
     )
     return verified.filter(jaccard >= JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
+        "doc_a", "doc_b", half_up(jaccard, 4).alias("jaccard")
     )
 
 
@@ -573,8 +574,9 @@ def q_llm_dedup_simhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s1.doc_id, s2.doc_id
     )
     SELECT p.doc_a, p.doc_b,
-           round(CAST(p.n_inter AS DOUBLE)
-                 / (a.n_sh + b.n_sh - p.n_inter), 4) AS jaccard
+           floor(CAST(p.n_inter AS DOUBLE)
+                 / (a.n_sh + b.n_sh - p.n_inter)
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM pair_inter p
     JOIN sized a ON a.doc_id = p.doc_a
     JOIN sized b ON b.doc_id = p.doc_b
@@ -607,7 +609,7 @@ def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
     return jac.filter(jaccard >= NGRAM_THRESHOLD).select(
-        "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
+        "doc_a", "doc_b", half_up(jaccard, 4).alias("jaccard")
     )
 
 
@@ -868,8 +870,9 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_shingles,
            CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_novel,
-           round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS novelty
+           floor(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS novelty
     FROM shingles s JOIN first_seen f ON f.sh = s.sh
     GROUP BY s.doc_id
     """,
@@ -899,7 +902,7 @@ def q_llm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_shingles"),
             F.sum(is_novel).alias("n_novel"),
-            F.round(
+            half_up(
                 F.sum(is_novel).cast("double") / F.count("*"), 6
             ).alias("novelty"),
         )
@@ -1106,10 +1109,12 @@ CONTAIN_THRESHOLD = 0.6  # containment ≥ 60% of the smaller doc's shingles
     )
     SELECT p.doc_a, p.doc_b,
            CAST(p.n_inter AS BIGINT) AS n_inter,
-           round(CAST(p.n_inter AS DOUBLE)
-                 / least(a.n_sh, b.n_sh), 4) AS containment,
-           round(CAST(p.n_inter AS DOUBLE)
-                 / (a.n_sh + b.n_sh - p.n_inter), 4) AS jaccard
+           floor(CAST(p.n_inter AS DOUBLE)
+                 / least(a.n_sh, b.n_sh)
+                 * 10000.0 + 0.5) / 10000.0 AS containment,
+           floor(CAST(p.n_inter AS DOUBLE)
+                 / (a.n_sh + b.n_sh - p.n_inter)
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM pair_inter p
     JOIN sized a ON a.doc_id = p.doc_a
     JOIN sized b ON b.doc_id = p.doc_b
@@ -1163,8 +1168,8 @@ def q_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         "doc_b",
         F.col("n_inter").cast("bigint").alias("n_inter"),
-        F.round(containment, 4).alias("containment"),
-        F.round(jaccard, 4).alias("jaccard"),
+        half_up(containment, 4).alias("containment"),
+        half_up(jaccard, 4).alias("jaccard"),
     )
 
 
@@ -1182,8 +1187,9 @@ def q_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            CAST(sum(CASE WHEN h.doc_id <> k.keep_id THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_dups,
-           round(CAST(sum(CASE WHEN h.doc_id <> k.keep_id THEN 1 ELSE 0 END)
-                AS DOUBLE) / count(*), 4) AS dup_rate,
+           floor(CAST(sum(CASE WHEN h.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0
+               AS dup_rate,
            CAST(sum(CASE WHEN h.doc_id <> k.keep_id THEN h.n_chars
                     ELSE 0 END) AS BIGINT) AS dup_chars
     FROM hashed h JOIN keepers k USING (dg)
@@ -1217,7 +1223,7 @@ def q_llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(is_dup).alias("n_dups"),
-            F.round(
+            half_up(
                 F.sum(is_dup).cast("double") / F.count("*"), 4
             ).alias("dup_rate"),
             F.sum(
@@ -1247,9 +1253,10 @@ def _minhash_audit_oracle() -> str:
     )
     SELECT doc_a, doc_b,
            jaccard AS exact_jaccard,
-           round(CAST(n_agree AS DOUBLE) / {N_MINHASH}, 4) AS est_jaccard,
-           round(abs(CAST(n_agree AS DOUBLE) / {N_MINHASH} - jaccard), 4)
-               AS abs_err
+           floor(CAST(n_agree AS DOUBLE) / {N_MINHASH}
+                 * 10000.0 + 0.5) / 10000.0 AS est_jaccard,
+           floor(abs(CAST(n_agree AS DOUBLE) / {N_MINHASH} - jaccard)
+                 * 10000.0 + 0.5) / 10000.0 AS abs_err
     FROM agree
     """
 
@@ -1293,8 +1300,8 @@ def q_llm_dedup_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.col("jaccard").alias("exact_jaccard"),
-            F.round(est, 4).alias("est_jaccard"),
-            F.round(F.abs(est - F.col("jaccard")), 4).alias("abs_err"),
+            half_up(est, 4).alias("est_jaccard"),
+            half_up(F.abs(est - F.col("jaccard")), 4).alias("abs_err"),
         )
     )
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from frafka_spark.functions.determinism import half_up
 from frafka_spark.io import table
 from frafka_spark.registry import query
 
@@ -48,10 +49,12 @@ VOCAB_K = 500  # vocabulary size for the coverage report
     SELECT source,
            CAST(n_docs AS BIGINT) AS n_docs,
            CAST(n_chars AS BIGINT) AS n_chars,
-           round(CAST(n_docs AS DOUBLE) / total_docs, 4) AS natural_share,
-           round(pow(n_docs, {MIX_ALPHA}) / z, 4) AS mix_weight,
-           round(pow(n_docs, {MIX_ALPHA}) / z * {TOKEN_BUDGET} / n_chars, 4)
-               AS effective_epochs
+           floor(CAST(n_docs AS DOUBLE) / total_docs * 10000.0 + 0.5)
+               / 10000.0 AS natural_share,
+           floor(pow(n_docs, {MIX_ALPHA}) / z * 10000.0 + 0.5) / 10000.0
+               AS mix_weight,
+           floor(pow(n_docs, {MIX_ALPHA}) / z * {TOKEN_BUDGET} / n_chars
+                 * 10000.0 + 0.5) / 10000.0 AS effective_epochs
     FROM per_source, tot
     """,
 )
@@ -86,11 +89,11 @@ def q_llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_chars",
-        F.round(F.col("n_docs").cast("double") / F.col("total_docs"), 4).alias(
-            "natural_share"
-        ),
-        F.round(raw_w, 4).alias("mix_weight"),
-        F.round(raw_w * TOKEN_BUDGET / F.col("n_chars"), 4).alias(
+        half_up(
+            F.col("n_docs").cast("double") / F.col("total_docs"), 4
+        ).alias("natural_share"),
+        half_up(raw_w, 4).alias("mix_weight"),
+        half_up(raw_w * TOKEN_BUDGET / F.col("n_chars"), 4).alias(
             "effective_epochs"
         ),
     )
@@ -113,9 +116,9 @@ def q_llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) FILTER (
                WHERE word NOT IN (SELECT word FROM vocab)
            ) AS BIGINT) AS n_oov,
-           round(CAST(count(*) FILTER (
+           floor(CAST(count(*) FILTER (
                WHERE word NOT IN (SELECT word FROM vocab)
-           ) AS DOUBLE) / count(*), 4) AS oov_ratio
+           ) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS oov_ratio
     FROM words
     GROUP BY lang
     """,
@@ -163,7 +166,7 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_tokens"),
         n_oov.cast("bigint").alias("n_oov"),
-        F.round(n_oov.cast("double") / F.count("*"), 4).alias("oov_ratio"),
+        half_up(n_oov.cast("double") / F.count("*"), 4).alias("oov_ratio"),
     )
 
 
@@ -175,9 +178,10 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
            CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
                 AS BIGINT) AS n_tokens_bpe,
-           round(CAST(sum(len(regexp_extract_all(text,
+           floor(CAST(sum(len(regexp_extract_all(text,
                          '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE)
-                 / sum(len(string_split(text, ' '))), 4) AS fertility
+                 / sum(len(string_split(text, ' ')))
+                 * 10000.0 + 0.5) / 10000.0 AS fertility
     FROM documents
     GROUP BY lang
     """,
@@ -202,7 +206,7 @@ def q_llm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         n_words.cast("bigint").alias("n_words"),
         n_bpe.cast("bigint").alias("n_tokens_bpe"),
-        F.round(n_bpe.cast("double") / n_words, 4).alias("fertility"),
+        half_up(n_bpe.cast("double") / n_words, 4).alias("fertility"),
     )
 
 
@@ -227,7 +231,7 @@ def q_llm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS BIGINT) < CAST(floor(r.rate * 65536) AS BIGINT)
     )
     SELECT source,
-           round(rate, 4) AS rate,
+           floor(rate * 10000.0 + 0.5) / 10000.0 AS rate,
            CAST(count(*) AS BIGINT) AS n_kept,
            CAST(sum(n_chars) AS BIGINT) AS chars_kept
     FROM kept GROUP BY source, rate
@@ -273,7 +277,7 @@ def q_llm_resample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.join(F.broadcast(rates), "source")
         .filter(hk < F.floor(F.col("rate") * 65536).cast("bigint"))
-        .groupBy("source", F.round("rate", 4).alias("rate"))
+        .groupBy("source", half_up(F.col("rate"), 4).alias("rate"))
         .agg(
             F.count("*").cast("bigint").alias("n_kept"),
             F.sum("n_chars").cast("bigint").alias("chars_kept"),
@@ -307,9 +311,9 @@ def q_llm_resample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_terms,
-           round(list_reduce(
-               list(q * ln(q / p) ORDER BY word), (a, b) -> a + b), 4)
-               AS kl_nats
+           floor(list_reduce(
+               list(q * ln(q / p) ORDER BY word), (a, b) -> a + b)
+                 * 10000.0 + 0.5) / 10000.0 AS kl_nats
     FROM terms GROUP BY source
     """,
 )
@@ -364,7 +368,7 @@ def q_llm_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "source",
         "n_terms",
-        F.round(
+        half_up(
             F.aggregate("ts", F.lit(0.0), lambda a, b: a + b), 4
         ).alias("kl_nats"),
     )

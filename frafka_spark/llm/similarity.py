@@ -110,7 +110,8 @@ def _broadcast_unit_matrix(spark: SparkSession, sf_dir: str):
         FROM vecs a CROSS JOIN vecs b
         WHERE a.vec_id <> b.vec_id
     )
-    SELECT vec_id, neighbor_id, neighbor_label, round(cos, 6) AS cosine
+    SELECT vec_id, neighbor_id, neighbor_label,
+           floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
     FROM scored WHERE rn = 1
     """,
 )
@@ -151,7 +152,10 @@ def q_llm_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "neighbor_id": b_ids[best],
                     "neighbor_label": b_labels[best],
-                    "cosine": np.round(sims[np.arange(len(best)), best], 6),
+                    "cosine": np.floor(
+                        sims[np.arange(len(best)), best] * 1e6 + 0.5
+                    )
+                    / 1e6,
                 }
             )
 
@@ -235,7 +239,8 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cells a JOIN cells b
           ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
     )
-    SELECT vec_id, cent_id, neighbor_id, round(cos, 6) AS cosine
+    SELECT vec_id, cent_id, neighbor_id,
+           floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
     FROM scored WHERE rn = 1
     """,
 )
@@ -271,7 +276,12 @@ def q_llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", cos)
         .withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
+        .select(
+            "vec_id",
+            "cent_id",
+            "neighbor_id",
+            half_up(F.col("cos"), 6).alias("cosine"),
+        )
     )
 
 
@@ -282,7 +292,8 @@ def q_llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_SQL_CELLS}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cent_id,
            (a.label = b.label) AS same_label,
-           round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS cosine
+           floor(list_dot_product(a.emb, b.emb) / (a.norm * b.norm)
+                 * 1000000.0 + 0.5) / 1000000.0 AS cosine
     FROM cells a JOIN cells b
       ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.emb, b.emb) / (a.norm * b.norm)
@@ -332,7 +343,7 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             "cent_id",
             (F.col("label_a") == F.col("label_b")).alias("same_label"),
-            F.round("cos", 6).alias("cosine"),
+            half_up(F.col("cos"), 6).alias("cosine"),
         )
     )
 
@@ -343,12 +354,12 @@ def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_VECS}
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           round(CAST(sum(CAST(norm AS DECIMAL(38,6))) AS DOUBLE)
-                 / count(*), 4) AS avg_norm,
-           round(min(norm), 4) AS min_norm,
-           round(max(norm), 4) AS max_norm,
-           round(CAST(sum(CAST(emb[1] AS DECIMAL(38,6))) AS DOUBLE)
-                 / count(*), 4) AS avg_dim0
+           floor(CAST(sum(CAST(norm AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_norm,
+           floor(min(norm) * 10000.0 + 0.5) / 10000.0 AS min_norm,
+           floor(max(norm) * 10000.0 + 0.5) / 10000.0 AS max_norm,
+           floor(CAST(sum(CAST(emb[1] AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_dim0
     FROM vecs
     GROUP BY label
     """,
@@ -364,12 +375,12 @@ def q_llm_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count("*")
     return v.groupBy("label").agg(
         n.cast("bigint").alias("n_vecs"),
-        F.round(
+        half_up(
             F.sum(F.col("norm").cast("decimal(38,6)")).cast("double") / n, 4
         ).alias("avg_norm"),
-        F.round(F.min("norm"), 4).alias("min_norm"),
-        F.round(F.max("norm"), 4).alias("max_norm"),
-        F.round(
+        half_up(F.min("norm"), 4).alias("min_norm"),
+        half_up(F.max("norm"), 4).alias("max_norm"),
+        half_up(
             F.sum(F.element_at("emb", 1).cast("decimal(38,6)")).cast("double") / n,
             4,
         ).alias("avg_dim0"),
@@ -588,7 +599,7 @@ _SQL_SIGS = """
         JOIN vecs b ON b.vec_id = sb.vec_id
     )
     SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, neighbor_id,
-           round(cos, 6) AS cosine
+           floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
     FROM scored WHERE rn = 1
     """,
 )
@@ -647,7 +658,7 @@ def q_llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("bucket").cast("bigint").alias("bucket"),
             "neighbor_id",
-            F.round("cos", 6).alias("cosine"),
+            half_up(F.col("cos"), 6).alias("cosine"),
         )
     )
 
@@ -665,8 +676,8 @@ def q_llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT vec_id, sum(qx) AS rowsum FROM q GROUP BY vec_id)
     SELECT q.dim,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           round(CAST(sum(CAST(q.qx * r.rowsum AS DECIMAL(38,0))) AS DOUBLE)
-                 / 1e12, 6) AS s
+           floor(CAST(sum(CAST(q.qx * r.rowsum AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS s
     FROM q JOIN r USING (vec_id)
     GROUP BY q.dim
     """,
@@ -705,7 +716,7 @@ def q_llm_embed_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim")
         .agg(
             F.count("*").cast("bigint").alias("n_vecs"),
-            F.round(
+            half_up(
                 F.sum(
                     (F.col("qx") * F.col("rowsum")).cast("decimal(38,0)")
                 ).cast("double")
@@ -725,10 +736,10 @@ def _ann_recall_oracle() -> str:
     SELECT count(*) AS n_queries,
            CAST(sum(CASE WHEN a.neighbor_id = b.neighbor_id
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
-           round(CAST(sum(CASE WHEN a.neighbor_id = b.neighbor_id
+           floor(CAST(sum(CASE WHEN a.neighbor_id = b.neighbor_id
                               THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 4) AS recall_at_1,
-           round({sql_dec_avg('a.cosine - b.cosine')}, 4) AS mean_cos_loss
+                 / count(*) * 10000.0 + 0.5) / 10000.0 AS recall_at_1,
+           {sql_dec_avg('a.cosine - b.cosine')} AS mean_cos_loss
     FROM ann a
     JOIN brute b USING (vec_id)
     """
@@ -765,7 +776,7 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_queries"),
             F.sum(hit).alias("n_top1_match"),
-            F.round(
+            half_up(
                 F.sum(hit).cast("double") / F.count("*"), 4
             ).alias("recall_at_1"),
             dec_avg(F.col("ann_cos") - F.col("true_cos"), "mean_cos_loss"),
@@ -802,7 +813,8 @@ N_PROBES = 2  # cells searched per query in the multi-probe variant
         FROM probes p
         JOIN cells b ON b.cent_id = p.cent_id AND b.vec_id <> p.vec_id
     )
-    SELECT vec_id, neighbor_id, round(cos, 6) AS cosine
+    SELECT vec_id, neighbor_id,
+           floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
     FROM scored WHERE rn = 1
     """,
 )
@@ -860,7 +872,9 @@ def q_llm_sim_ann_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", cos)
         .withColumn("rnk", F.row_number().over(w_top))
         .filter(F.col("rnk") == 1)
-        .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
+        .select(
+            "vec_id", "neighbor_id", half_up(F.col("cos"), 6).alias("cosine")
+        )
     )
 
 
