@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from frafka_spark.functions.determinism import sql_dec_avg
+from frafka_spark.functions.determinism import half_up, sql_dec_avg
 from frafka_spark.io import fan_out, table
 from frafka_spark.registry import query
 
@@ -49,8 +49,9 @@ def _sql_list(words) -> str:
            (CAST(length(text) AS BIGINT) = n_chars) AS n_chars_ok,
            CAST(len(string_split(text, ' ')) AS INT) AS n_words,
            CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_words,
-           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                 / len(string_split(text, ' ')), 4) AS avg_word_len,
+           floor(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' '))
+                 * 10000.0 + 0.5) / 10000.0 AS avg_word_len,
            CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_tokens_bpe
     FROM documents
     """,
@@ -71,7 +72,7 @@ def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text").cast("bigint") == F.col("n_chars")).alias("n_chars_ok"),
         F.size(words).alias("n_words"),
         F.size(F.array_distinct(words)).alias("n_uniq_words"),
-        F.round(
+        half_up(
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
             / F.size(words),
             4,
@@ -179,13 +180,16 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH feat AS (
         SELECT doc_id, lang,
                CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-               round(CAST(len(list_filter(string_split(text, ' '),
+               floor(CAST(len(list_filter(string_split(text, ' '),
                                           w -> w IN ({_sql_list(STOPWORDS)}))) AS DOUBLE)
-                     / len(string_split(text, ' ')), 4) AS stopword_ratio,
-               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                     / len(string_split(text, ' ')), 4) AS uniq_ratio,
-               round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                     / len(string_split(text, ' ')), 4) AS mean_word_len
+                     / len(string_split(text, ' '))
+                     * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+               floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' '))
+                     * 10000.0 + 0.5) / 10000.0 AS uniq_ratio,
+               floor(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' '))
+                     * 10000.0 + 0.5) / 10000.0 AS mean_word_len
         FROM documents
     )
     SELECT doc_id, lang, n_words, stopword_ratio, uniq_ratio, mean_word_len,
@@ -212,17 +216,17 @@ def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         n_words.alias("n_words"),
-        F.round(
+        half_up(
             F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast(
                 "double"
             )
             / n_words,
             4,
         ).alias("stopword_ratio"),
-        F.round(F.size(F.array_distinct(words)).cast("double") / n_words, 4).alias(
-            "uniq_ratio"
-        ),
-        F.round(
+        half_up(
+            F.size(F.array_distinct(words)).cast("double") / n_words, 4
+        ).alias("uniq_ratio"),
+        half_up(
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
             / n_words,
             4,
@@ -299,7 +303,8 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(max(n) AS INT) AS top_bigram_n,
            CAST(sum(n) AS BIGINT) AS n_bigrams,
-           round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS repetition_ratio,
+           floor(CAST(max(n) AS DOUBLE) / sum(n) * 10000.0 + 0.5) / 10000.0
+               AS repetition_ratio,
            (CAST(max(n) AS DOUBLE) / sum(n) > 0.2) AS is_repetitive
     FROM counts
     GROUP BY doc_id
@@ -322,7 +327,7 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.groupBy("doc_id").agg(
         F.max("n").cast("int").alias("top_bigram_n"),
         F.sum("n").cast("bigint").alias("n_bigrams"),
-        F.round(ratio, 4).alias("repetition_ratio"),
+        half_up(ratio, 4).alias("repetition_ratio"),
         (ratio > 0.2).alias("is_repetitive"),
     )
 
@@ -344,7 +349,8 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
     SELECT t.doc_id, t.word, t.tf, d.df,
-           round(t.tf * ln((n.n_docs + 1) / (d.df + 1)), 4) AS tf_idf
+           floor(t.tf * ln((n.n_docs + 1) / (d.df + 1))
+                 * 10000.0 + 0.5) / 10000.0 AS tf_idf
     FROM tf t JOIN df d ON d.word = t.word CROSS JOIN n
     WHERE d.df >= 5 AND t.tf >= 2
     """,
@@ -383,7 +389,7 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word",
             "tf",
             "df",
-            F.round(
+            half_up(
                 F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 4
             ).alias("tf_idf"),
         )
@@ -805,9 +811,10 @@ def _mix_thr(rate: float) -> str:
            CAST(count(*) AS BIGINT) AS n_total,
            CAST(sum(CASE WHEN hk < thr THEN 1 ELSE 0 END) AS BIGINT)
                AS n_sampled,
-           round(any_value(target_rate), 4) AS target_rate,
-           round(CAST(sum(CASE WHEN hk < thr THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 4) AS achieved_rate
+           floor(any_value(target_rate) * 10000.0 + 0.5) / 10000.0
+               AS target_rate,
+           floor(CAST(sum(CASE WHEN hk < thr THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000.0 + 0.5) / 10000.0 AS achieved_rate
     FROM keyed
     GROUP BY source
     """,
@@ -845,8 +852,8 @@ def q_llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_total"),
             F.sum("kept").cast("bigint").alias("n_sampled"),
-            F.round(F.first("target_rate"), 4).alias("target_rate"),
-            F.round(F.sum("kept").cast("double") / F.count("*"), 4).alias(
+            half_up(F.first("target_rate"), 4).alias("target_rate"),
+            half_up(F.sum("kept").cast("double") / F.count("*"), 4).alias(
                 "achieved_rate"
             ),
         )
@@ -926,14 +933,15 @@ def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counts GROUP BY doc_id
     )
     SELECT doc_id, n_words, n_uniq,
-           round(-list_reduce(
+           floor(-list_reduce(
                list_transform(cs, x -> x / n_words * ln(x / n_words)),
-               (a, b) -> a + b) / ln(2), 4) AS entropy_bits,
-           round(-list_reduce(
+               (a, b) -> a + b) / ln(2) * 10000.0 + 0.5) / 10000.0
+               AS entropy_bits,
+           floor(-list_reduce(
                list_transform(cs, x -> x / n_words * ln(x / n_words)),
                (a, b) -> a + b) / ln(2)
-               / CASE WHEN n_uniq > 1 THEN log2(n_uniq) ELSE 1 END, 4)
-               AS entropy_norm
+               / CASE WHEN n_uniq > 1 THEN log2(n_uniq) ELSE 1 END
+               * 10000.0 + 0.5) / 10000.0 AS entropy_norm
     FROM per_doc
     """,
 )
@@ -987,8 +995,8 @@ def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_words",
         "n_uniq",
-        F.round(ent_bits, 4).alias("entropy_bits"),
-        F.round(ent_bits / norm, 4).alias("entropy_norm"),
+        half_up(ent_bits, 4).alias("entropy_bits"),
+        half_up(ent_bits / norm, 4).alias("entropy_norm"),
     )
 
 
@@ -1057,7 +1065,8 @@ def q_llm_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3, 4
     )
     SELECT w1, w2, c12, df1, df2,
-           round(ln(CAST(c12 AS DOUBLE) * n_docs / (df1 * df2)), 4) AS pmi
+           floor(ln(CAST(c12 AS DOUBLE) * n_docs / (df1 * df2))
+                 * 10000.0 + 0.5) / 10000.0 AS pmi
     FROM pairs, n
     WHERE c12 >= 3
     """,
@@ -1110,7 +1119,7 @@ def q_llm_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c12",
             "df1",
             "df2",
-            F.round(
+            half_up(
                 F.log(
                     F.col("c12").cast("double")
                     * F.col("n_docs")
@@ -1136,10 +1145,10 @@ def q_llm_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in generate_series(1, len(ws) - 2)]))
                ELSE 0 END AS BIGINT) AS uniq_3g,
            CASE WHEN len(ws) >= 3 THEN
-               round(1.0 - CAST(len(list_distinct(
+               floor((1.0 - CAST(len(list_distinct(
                    [concat_ws(' ', ws[i], ws[i+1], ws[i+2])
                     for i in generate_series(1, len(ws) - 2)])) AS DOUBLE)
-                   / (len(ws) - 2), 4)
+                   / (len(ws) - 2)) * 10000.0 + 0.5) / 10000.0
            END AS dup_frac
     FROM t
     """,
@@ -1179,7 +1188,7 @@ def q_llm_dup_shingle_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("uniq_3g"),
             F.when(
                 F.size("ws") >= 3,
-                F.round(
+                half_up(
                     F.lit(1.0)
                     - F.size(F.array_distinct(tri)).cast("double")
                     / (F.size("ws") - 2),
@@ -1251,8 +1260,9 @@ def _lang_confusion_oracle() -> str:
     WITH pred AS ({QUERIES['q_llm_lang_id'].oracle})
     SELECT lang, predicted_lang,
            count(*) AS n,
-           round(CAST(count(*) AS DOUBLE)
-                 / sum(count(*)) OVER (PARTITION BY lang), 4) AS frac_of_true
+           floor(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY lang)
+                 * 10000.0 + 0.5) / 10000.0 AS frac_of_true
     FROM pred
     GROUP BY lang, predicted_lang
     """
@@ -1281,7 +1291,7 @@ def q_llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "predicted_lang",
             "n",
-            F.round(
+            half_up(
                 F.col("n").cast("double") / F.sum("n").over(w), 4
             ).alias("frac_of_true"),
         )
@@ -1393,8 +1403,8 @@ def _curate_report_oracle() -> str:
     SELECT d.source,
            count(*) AS n_docs,
            CAST(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-           round(CAST(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 4) AS keep_rate,
+           floor(CAST(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000.0 + 0.5) / 10000.0 AS keep_rate,
            CAST(sum(CASE WHEN NOT v.lang_ok THEN 1 ELSE 0 END) AS BIGINT)
                AS n_fail_lang,
            CAST(sum(CASE WHEN NOT v.len_ok THEN 1 ELSE 0 END) AS BIGINT)
@@ -1432,7 +1442,7 @@ def q_llm_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("keep").cast("long")).alias("n_keep"),
-            F.round(
+            half_up(
                 F.sum(F.col("keep").cast("long")).cast("double") / F.count("*"),
                 4,
             ).alias("keep_rate"),
@@ -1482,8 +1492,10 @@ ZIPF_TOP = 50  # words in the log-log regression
         FROM pts
     )
     SELECT CAST(k AS BIGINT) AS n_points,
-           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS slope,
-           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 4)
+           floor((k * sxy - sx * sy) / (k * sxx - sx * sx)
+                 * 10000.0 + 0.5) / 10000.0 AS slope,
+           floor((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k
+                 * 10000.0 + 0.5) / 10000.0
                AS intercept
     FROM sums
     """,
@@ -1547,8 +1559,8 @@ def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sums.select(
         F.col("k").cast("bigint").alias("n_points"),
-        F.round(slope, 4).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 4).alias(
+        half_up(slope, 4).alias("slope"),
+        half_up((F.col("sy") - slope * F.col("sx")) / F.col("k"), 4).alias(
             "intercept"
         ),
     )
@@ -1569,13 +1581,14 @@ def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.word, v.df AS n_docs,
            CAST(sum(t.tf) AS BIGINT) AS total_tf,
-           round(CAST(sum(t.tf) AS DOUBLE) / v.df, 4) AS mean_tf,
-           round(CASE WHEN v.df > 1 THEN
+           floor(CAST(sum(t.tf) AS DOUBLE) / v.df * 10000.0 + 0.5)
+               / 10000.0 AS mean_tf,
+           floor(CASE WHEN v.df > 1 THEN
                ((CAST(sum(t.tf * t.tf) AS DOUBLE)
                  - CAST(sum(t.tf) AS DOUBLE) * sum(t.tf) / v.df)
                 / (v.df - 1))
                / (CAST(sum(t.tf) AS DOUBLE) / v.df)
-           END, 4) AS vmr
+           END * 10000.0 + 0.5) / 10000.0 AS vmr
     FROM tf t JOIN vocab v USING (word)
     GROUP BY t.word, v.df
     """,
@@ -1622,8 +1635,8 @@ def q_llm_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         F.col("df").alias("n_docs"),
         F.col("s").cast("bigint").alias("total_tf"),
-        F.round(mean, 4).alias("mean_tf"),
-        F.round(F.when(F.col("df") > 1, var / mean), 4).alias("vmr"),
+        half_up(mean, 4).alias("mean_tf"),
+        half_up(F.when(F.col("df") > 1, var / mean), 4).alias("vmr"),
     )
 
 
