@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from frafka_spark.functions.determinism import half_up
 from frafka_spark.llm.similarity import _SQL_VECS, _dot, _vectors
 from frafka_spark.registry import query
 
@@ -111,7 +112,7 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
     SELECT vec_id, label,
            CAST(c_label AS INT) AS assigned,
-           round(d, 4) AS sq_dist,
+           floor(d * 10000.0 + 0.5) / 10000.0 AS sq_dist,
            (c_label <> label) AS moved
     FROM scored WHERE rk = 1
     """,
@@ -155,7 +156,7 @@ def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.col("m.c_label").cast("int").alias("assigned"),
-        F.round("m.d", 4).alias("sq_dist"),
+        half_up(F.col("m.d"), 4).alias("sq_dist"),
         (F.col("m.c_label") != F.col("label")).alias("moved"),
     )
 
@@ -178,7 +179,8 @@ def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY label ORDER BY d DESC, vec_id) AS rk
         FROM scored
     )
-    SELECT vec_id, label, round(d, 4) AS sq_dist,
+    SELECT vec_id, label,
+           floor(d * 10000.0 + 0.5) / 10000.0 AS sq_dist,
            CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= {OUTLIER_TOP_N}
     """,
@@ -212,7 +214,7 @@ def q_llm_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "vec_id",
             "label",
-            F.round("d", 4).alias("sq_dist"),
+            half_up(F.col("d"), 4).alias("sq_dist"),
             F.row_number().over(w).cast("bigint").alias("rk"),
         )
         .filter(F.col("rk") <= OUTLIER_TOP_N)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from frafka_spark.functions.determinism import half_up
 from frafka_spark.io import table
 from frafka_spark.llm.dedup import _shingle_sql, _shingles
 from frafka_spark.registry import query
@@ -102,7 +103,8 @@ LEAK_MIN_SHARED = 5  # shared distinct shingles before a doc is flagged
     SELECT doc_id, split,
            CAST(n_shingles AS BIGINT) AS n_shingles,
            CAST(n_shared AS BIGINT) AS n_shared,
-           round(n_shared / n_shingles, 4) AS leak_ratio,
+           floor(n_shared / n_shingles * 10000.0 + 0.5) / 10000.0
+               AS leak_ratio,
            (n_shared >= {LEAK_MIN_SHARED}) AS flagged
     FROM eval_docs
     """,
@@ -147,7 +149,9 @@ def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_shingles"),
             n_shared.cast("bigint").alias("n_shared"),
-            F.round(n_shared / F.count("*").cast("double"), 4).alias("leak_ratio"),
+            half_up(
+                n_shared / F.count("*").cast("double"), 4
+            ).alias("leak_ratio"),
             (n_shared >= LEAK_MIN_SHARED).alias("flagged"),
         )
     )
@@ -166,8 +170,8 @@ TRIM_LO, TRIM_HI = 0.1, 0.9
         FROM documents GROUP BY lang
     )
     SELECT d.lang,
-           round(c.lo, 4) AS lo,
-           round(c.hi, 4) AS hi,
+           floor(c.lo * 10000.0 + 0.5) / 10000.0 AS lo,
+           floor(c.hi * 10000.0 + 0.5) / 10000.0 AS hi,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(*) FILTER (WHERE d.n_chars < c.lo) AS BIGINT) AS n_low,
            CAST(count(*) FILTER (WHERE d.n_chars > c.hi) AS BIGINT) AS n_high,
@@ -224,8 +228,8 @@ def q_llm_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "lang",
-            F.round("lo", 4).alias("lo"),
-            F.round("hi", 4).alias("hi"),
+            half_up(F.col("lo"), 4).alias("lo"),
+            half_up(F.col("hi"), 4).alias("hi"),
             "n_docs",
             "n_low",
             "n_high",

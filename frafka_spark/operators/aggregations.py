@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from frafka_spark.functions.determinism import (
     dec_avg,
+    half_up,
     dec_sum,
     dec_sum_dec,
     round_z,
@@ -190,11 +191,13 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_stats",
     oracle=f"""
     SELECT l_returnflag,
-           round(stddev_samp(l_quantity), 4) AS sd_qty,
-           round(var_samp(l_discount), 4) AS var_disc,
+           floor(stddev_samp(l_quantity) * 10000.0 + 0.5) / 10000.0
+               AS sd_qty,
+           floor(var_samp(l_discount) * 10000.0 + 0.5) / 10000.0
+               AS var_disc,
            {sql_round_z('corr(l_quantity, l_extendedprice)', 4)} AS corr_qty_price,
            {sql_round_z('covar_samp(l_quantity, l_discount)', 4)} AS cov_qty_disc,
-           round(avg(l_tax), 4) AS avg_tax
+           floor(avg(l_tax) * 10000.0 + 0.5) / 10000.0 AS avg_tax
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -210,11 +213,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_discount"), 4).alias("var_disc"),
+        half_up(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        half_up(F.var_samp("l_discount"), 4).alias("var_disc"),
         round_z(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         round_z(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
-        F.round(F.avg("l_tax"), 4).alias("avg_tax"),
+        half_up(F.avg("l_tax"), 4).alias("avg_tax"),
     )
 
 
@@ -328,9 +331,12 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_percentile",
     oracle="""
     SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           floor(quantile_cont(o_totalprice, 0.25) * 10000.0 + 0.5)
+               / 10000.0 AS p25,
+           floor(quantile_cont(o_totalprice, 0.50) * 10000.0 + 0.5)
+               / 10000.0 AS p50,
+           floor(quantile_cont(o_totalprice, 0.75) * 10000.0 + 0.5)
+               / 10000.0 AS p75,
            round(max(o_totalprice), 4) AS p_max
     FROM orders
     GROUP BY o_orderpriority
@@ -358,9 +364,9 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_orderpriority",
-            F.round(F.col("_pcts")[0], 4).alias("p25"),
-            F.round(F.col("_pcts")[1], 4).alias("p50"),
-            F.round(F.col("_pcts")[2], 4).alias("p75"),
+            half_up(F.col("_pcts")[0], 4).alias("p25"),
+            half_up(F.col("_pcts")[1], 4).alias("p50"),
+            half_up(F.col("_pcts")[2], 4).alias("p75"),
             "p_max",
         )
     )
@@ -421,8 +427,9 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_median",
     oracle="""
     SELECT c_mktsegment,
-           round(median(c_acctbal), 4) AS med_bal,
-           round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+           floor(median(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS med_bal,
+           floor(quantile_cont(c_acctbal, 0.9) * 10000.0 + 0.5) / 10000.0
+               AS p90_bal,
            count(*) AS n
     FROM customer
     GROUP BY c_mktsegment
@@ -432,8 +439,8 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median (interpolated) per group."""
     c = table(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
-        F.round(F.median("c_acctbal"), 4).alias("med_bal"),
-        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+        half_up(F.median("c_acctbal"), 4).alias("med_bal"),
+        half_up(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
         F.count("*").alias("n"),
     )
 
@@ -633,7 +640,7 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           round(mu / 100, 4) AS mean_qty,
+           floor(mu / 100 * 10000.0 + 0.5) / 10000.0 AS mean_qty,
            (round(m3 / pow(m2, 1.5), 6) + 0.0) AS skewness_pop,
            (round(m4 / (m2 * m2) - 3, 6) + 0.0) AS excess_kurtosis_pop
     FROM c
@@ -694,7 +701,7 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n"),
-        F.round(mu / 100, 4).alias("mean_qty"),
+        half_up(mu / 100, 4).alias("mean_qty"),
         round_z(m3 / F.pow(m2, 1.5), 6).alias("skewness_pop"),
         round_z(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis_pop"),
     )
@@ -809,11 +816,13 @@ def q_agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-                 4) AS intercept,
-           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * 10000.0 + 0.5) / 10000.0 AS slope,
+           floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 * 10000.0 + 0.5) / 10000.0 AS intercept,
+           floor(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 10000.0 + 0.5) / 10000.0 AS r2
     FROM s
     """,
 )
@@ -857,11 +866,11 @@ def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n"),
-        F.round(slope, 4).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+        half_up(slope, 4).alias("slope"),
+        half_up((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
             "intercept"
         ),
-        F.round(
+        half_up(
             (dn * dn)
             / (dd * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
             4,

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from frafka_spark.functions.determinism import DEC
+from frafka_spark.functions.determinism import DEC, half_up
 from frafka_spark.io import table
 from frafka_spark.registry import query
 
@@ -121,8 +121,9 @@ def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_moving",
     oracle="""
     SELECT event_id, user_id,
-           round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
-                 / count(*) OVER w, 4) AS moving_avg,
+           floor(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                 / count(*) OVER w * 10000.0 + 0.5) / 10000.0
+               AS moving_avg,
            CAST(min(value) OVER w AS DOUBLE) AS moving_min
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY event_id
@@ -136,7 +137,7 @@ def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.round(
+        half_up(
             F.sum(F.col("value").cast(DEC)).over(w).cast("double")
             / F.count(F.lit(1)).over(w),
             4,
@@ -150,8 +151,9 @@ def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            ntile(4)       OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume
+           floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0
+               AS pct_rank,
+           floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume
     FROM customer
     WINDOW w AS (ORDER BY c_acctbal, c_custkey)
     """,
@@ -193,10 +195,13 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "c_custkey",
         quartile.alias("quartile"),
-        F.when(F.col("_n") > 1, F.round((F.col("_rn") - 1) / (F.col("_n") - 1), 6))
+        F.when(
+            F.col("_n") > 1,
+            half_up((F.col("_rn") - 1) / (F.col("_n") - 1), 6),
+        )
         .otherwise(F.lit(0.0))
         .alias("pct_rank"),
-        F.round(F.col("_rn") / F.col("_n"), 6).alias("cume"),
+        half_up(F.col("_rn") / F.col("_n"), 6).alias("cume"),
     )
 
 
@@ -379,8 +384,10 @@ def q_win_rank_global_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_dist",
     oracle="""
     SELECT o_orderkey, o_orderpriority,
-           round(cume_dist() OVER w, 6) AS cdist,
-           round(percent_rank() OVER w, 6) AS prank,
+           floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0
+               AS cdist,
+           floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0
+               AS prank,
            nth_value(o_orderkey, 3) OVER (
                PARTITION BY o_orderpriority
                ORDER BY o_totalprice, o_orderkey
@@ -405,8 +412,8 @@ def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        half_up(F.cume_dist().over(w), 6).alias("cdist"),
+        half_up(F.percent_rank().over(w), 6).alias("prank"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
     )
 
