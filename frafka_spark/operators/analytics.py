@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from frafka_spark.functions.determinism import dec_avg, sql_dec_avg
+from frafka_spark.functions.determinism import dec_avg, half_up, sql_dec_avg
 from frafka_spark.io import table
 from frafka_spark.registry import query
 
@@ -78,9 +78,9 @@ def funnel_stages(
         SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
     )
     SELECT stage, n_users,
-           round(CAST(n_users AS DOUBLE)
-                 / (SELECT n_users FROM stages WHERE stage = '1_view'), 4)
-               AS pct_of_entry
+           floor(CAST(n_users AS DOUBLE)
+                 / (SELECT n_users FROM stages WHERE stage = '1_view')
+                 * 10000.0 + 0.5) / 10000.0 AS pct_of_entry
     FROM stages
     """,
 )
@@ -110,7 +110,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stages.crossJoin(entry).select(
         "stage",
         "n_users",
-        F.round(F.col("n_users").cast("double") / F.col("n_entry"), 4).alias(
+        half_up(F.col("n_users").cast("double") / F.col("n_entry"), 4).alias(
             "pct_of_entry"
         ),
     )
@@ -355,7 +355,8 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w1, CAST(sum(n) AS BIGINT) AS n_first FROM counts GROUP BY w1
     )
     SELECT c.w1, c.w2, c.n, f.n_first,
-           round(CAST(c.n AS DOUBLE) / f.n_first, 4) AS p_next
+           floor(CAST(c.n AS DOUBLE) / f.n_first * 10000.0 + 0.5) / 10000.0
+               AS p_next
     FROM counts c JOIN firsts f ON f.w1 = c.w1
     WHERE c.n >= 20
     """,
@@ -391,7 +392,9 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "n",
             "n_first",
-            F.round(F.col("n").cast("double") / F.col("n_first"), 4).alias("p_next"),
+            half_up(
+                F.col("n").cast("double") / F.col("n_first"), 4
+            ).alias("p_next"),
         )
     )
 
@@ -490,7 +493,7 @@ def q_events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, hr,
            CAST(n AS BIGINT) AS n_events,
            CAST(n_base AS BIGINT) AS n_base,
-           round(mean, 4) AS base_mean,
+           floor(mean * 10000.0 + 0.5) / 10000.0 AS base_mean,
            z,
            coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
     FROM scored
@@ -561,7 +564,7 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hr",
         F.col("n").cast("bigint").alias("n_events"),
         F.col("n_base").cast("bigint").alias("n_base"),
-        F.round(mean, 4).alias("base_mean"),
+        half_up(mean, 4).alias("base_mean"),
         z.alias("z"),
         F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
@@ -741,9 +744,9 @@ EMA_ALPHA = 0.1
     oracle=f"""
     SELECT user_id,
            CAST(len(vals) AS BIGINT) AS n_events,
-           round(list_reduce(vals,
-                 (acc, x) -> {EMA_ALPHA} * x + {1 - EMA_ALPHA} * acc), 6)
-               AS ema_value
+           floor(list_reduce(vals,
+                 (acc, x) -> {EMA_ALPHA} * x + {1 - EMA_ALPHA} * acc)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ema_value
     FROM (
         SELECT user_id, list(value::DOUBLE ORDER BY event_id) AS vals
         FROM events GROUP BY user_id
@@ -791,7 +794,7 @@ def q_events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         "user_id",
         F.size("vals").cast("bigint").alias("n_events"),
-        F.round(fold, 6).alias("ema_value"),
+        half_up(fold, 6).alias("ema_value"),
     )
 
 
@@ -1135,8 +1138,9 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY prev_type, event_type
     )
     SELECT prev_type, event_type, n,
-           round(CAST(n AS DOUBLE)
-                 / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+           floor(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev_type)
+                 * 10000.0 + 0.5) / 10000.0 AS p
     FROM pairs
     """,
 )
@@ -1171,7 +1175,7 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "event_type",
         "n",
-        F.round(
+        half_up(
             F.col("n").cast("double") / F.sum("n").over(w_norm), 4
         ).alias("p"),
     )
@@ -1267,8 +1271,10 @@ def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c JOIN p USING (user_id)
     )
     SELECT step, count(*) AS n_users,
-           round(quantile_cont(gap_us, 0.5) / 1e6, 4) AS median_s,
-           round(quantile_cont(gap_us, 0.9) / 1e6, 4) AS p90_s
+           floor(quantile_cont(gap_us, 0.5) / 1e6 * 10000.0 + 0.5)
+               / 10000.0 AS median_s,
+           floor(quantile_cont(gap_us, 0.9) / 1e6 * 10000.0 + 0.5)
+               / 10000.0 AS p90_s
     FROM gaps GROUP BY step
     """,
 )
@@ -1304,8 +1310,8 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "step",
             "n_users",
-            F.round(F.col("_p")[0] / 1e6, 4).alias("median_s"),
-            F.round(F.col("_p")[1] / 1e6, 4).alias("p90_s"),
+            half_up(F.col("_p")[0] / 1e6, 4).alias("median_s"),
+            half_up(F.col("_p")[1] / 1e6, 4).alias("p90_s"),
         )
     )
 
@@ -1329,11 +1335,12 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked GROUP BY user_decile
     )
     SELECT user_decile, n_users, n_events,
-           round(CAST(sum(n_events) OVER (
+           floor(CAST(sum(n_events) OVER (
                      ORDER BY user_decile
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                  ) AS DOUBLE)
-                 / sum(n_events) OVER (), 4) AS cum_share
+                 / sum(n_events) OVER () * 10000.0 + 0.5) / 10000.0
+               AS cum_share
     FROM deciles
     """,
 )
@@ -1378,7 +1385,7 @@ def q_events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_decile",
         "n_users",
         "n_events",
-        F.round(
+        half_up(
             F.sum("n_events").over(w_cum).cast("double")
             / F.sum("n_events").over(w_all),
             4,
@@ -1433,9 +1440,9 @@ def q_events_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type, dow
     )
     SELECT event_type, dow, n,
-           round(CAST(n AS DOUBLE)
-                 / (sum(n) OVER (PARTITION BY event_type) / 7.0), 4)
-               AS vs_flat
+           floor(CAST(n AS DOUBLE)
+                 / (sum(n) OVER (PARTITION BY event_type) / 7.0)
+                 * 10000.0 + 0.5) / 10000.0 AS vs_flat
     FROM counts
     """,
 )
@@ -1472,7 +1479,7 @@ def q_events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "dow",
         "n",
-        F.round(
+        half_up(
             F.col("n").cast("double") / (F.sum("n").over(w) / 7.0), 4
         ).alias("vs_flat"),
     )
@@ -1492,10 +1499,10 @@ def q_events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(max(n_users) AS BIGINT) AS n_users,
            CAST(sum(n) AS BIGINT) AS n_events,
-           round(CAST(2 * sum(rnk * n) AS DOUBLE)
+           floor((CAST(2 * sum(rnk * n) AS DOUBLE)
                  / (max(n_users) * sum(n))
-                 - CAST(max(n_users) + 1 AS DOUBLE) / max(n_users), 4)
-               AS gini
+                 - CAST(max(n_users) + 1 AS DOUBLE) / max(n_users))
+                 * 10000.0 + 0.5) / 10000.0 AS gini
     FROM ranked
     """,
 )
@@ -1525,7 +1532,7 @@ def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("n").cast("bigint").alias("n_events"),
-        F.round(
+        half_up(
             (2 * F.sum(F.col("rnk") * F.col("n"))).cast("double")
             / (F.count("*") * F.sum("n"))
             - (F.count("*") + 1).cast("double") / F.count("*"),
@@ -1555,10 +1562,11 @@ def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(n_gaps AS BIGINT) AS n_gaps,
-           round(s / n_gaps / 1e6, 4) AS mean_gap_s,
-           round(CASE WHEN s > 0 THEN
+           floor(s / n_gaps / 1e6 * 10000.0 + 0.5) / 10000.0
+               AS mean_gap_s,
+           floor(CASE WHEN s > 0 THEN
                sqrt(greatest((ss - s * s / n_gaps) / (n_gaps - 1), 0))
-               / (s / n_gaps) END, 4) AS gap_cv,
+               / (s / n_gaps) END * 10000.0 + 0.5) / 10000.0 AS gap_cv,
            coalesce(CASE WHEN s > 0 THEN
                sqrt(greatest((ss - s * s / n_gaps) / (n_gaps - 1), 0))
                / (s / n_gaps) < 0.30 END, FALSE) AS is_bot_like
@@ -1615,8 +1623,8 @@ def q_events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "user_id",
         F.col("n_gaps").cast("bigint").alias("n_gaps"),
-        F.round(mean / 1e6, 4).alias("mean_gap_s"),
-        F.round(cv, 4).alias("gap_cv"),
+        half_up(mean / 1e6, 4).alias("mean_gap_s"),
+        half_up(cv, 4).alias("gap_cv"),
         F.coalesce(cv < 0.30, F.lit(False)).alias("is_bot_like"),
     )
 
@@ -1781,7 +1789,8 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau,
            mau.mau30,
-           round(dau.dau / CAST(mau.mau30 AS DOUBLE), 4) AS stickiness
+           floor(dau.dau / CAST(mau.mau30 AS DOUBLE) * 10000.0 + 0.5)
+               / 10000.0 AS stickiness
     FROM dau JOIN mau ON mau.t = dau.d
     """,
 )
@@ -1824,7 +1833,7 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").cast("string").alias("day"),
             "dau",
             "mau30",
-            F.round(F.col("dau") / F.col("mau30").cast("double"), 4).alias(
+            half_up(F.col("dau") / F.col("mau30").cast("double"), 4).alias(
                 "stickiness"
             ),
         )
