@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
+from frafka_spark.functions.determinism import half_up
 from frafka_spark.io import fan_out, table
 from frafka_spark.registry import query
 
@@ -64,8 +65,10 @@ def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_pandas",
     oracle="""
     SELECT event_id,
-           round(ln(1 + value), 6) AS log_value,
-           round(value / 200.0, 6) AS unit_scaled
+           floor(ln(1 + value) * 1000000.0 + 0.5) / 1000000.0
+               AS log_value,
+           floor(value / 200.0 * 1000000.0 + 0.5) / 1000000.0
+               AS unit_scaled
     FROM events
     """,
 )
@@ -83,8 +86,8 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.round(log1p_vec("value"), 6).alias("log_value"),
-        F.round(unit_scale("value"), 6).alias("unit_scaled"),
+        half_up(log1p_vec("value"), 6).alias("log_value"),
+        half_up(unit_scale("value"), 6).alias("unit_scaled"),
     )
 
 
@@ -92,10 +95,10 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udaf_pandas",
     oracle="""
     SELECT l_returnflag,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                 / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
-               AS weighted_avg_price,
+                 / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS weighted_avg_price,
            count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -129,7 +132,7 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(weighted_mean("l_extendedprice", "l_quantity"), 4).alias(
+        half_up(weighted_mean("l_extendedprice", "l_quantity"), 4).alias(
             "weighted_avg_price"
         ),
         n_rows("l_orderkey").alias("n"),
@@ -141,7 +144,8 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey,
            t.n,
-           round(o.o_totalprice / 3, 6) AS installment,
+           floor(o.o_totalprice / 3 * 1000000.0 + 0.5) / 1000000.0
+               AS installment,
            CAST(t.n = 3 AS BOOLEAN) AS is_final
     FROM orders o, generate_series(1, 3) t(n)
     WHERE o.o_totalprice > 300000
@@ -186,7 +190,9 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan_out(o, "o_orderkey").createOrReplaceTempView("fs_orders_udtf")
     return spark.sql(
         """
-        SELECT o.o_orderkey, t.n, round(t.installment, 6) AS installment, t.is_final
+        SELECT o.o_orderkey, t.n,
+               floor(t.installment * 1e6 + 5e-1) / 1e6 AS installment,
+               t.is_final
         FROM fs_orders_udtf o,
              LATERAL fs_split_installments(o.o_totalprice) t
         """
@@ -197,8 +203,9 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_grouped_map",
     oracle="""
     SELECT event_id, event_type,
-           round((value - min(value) OVER w)
-                 / (max(value) OVER w - min(value) OVER w), 4) AS scaled
+           floor((value - min(value) OVER w)
+                 / (max(value) OVER w - min(value) OVER w)
+                 * 10000.0 + 0.5) / 10000.0 AS scaled
     FROM events
     WINDOW w AS (PARTITION BY event_type)
     """,
@@ -241,7 +248,7 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale, schema="event_id long, event_type string, scaled_raw double"
     )
     return out.select(
-        "event_id", "event_type", F.round("scaled_raw", 4).alias("scaled")
+        "event_id", "event_type", half_up(F.col("scaled_raw"), 4).alias("scaled")
     )
 
 
@@ -278,11 +285,11 @@ def q_llm_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     per_doc = d.select(
-        "source", F.round(zratio("text"), 6).alias("ratio")
+        "source", half_up(zratio("text"), 6).alias("ratio")
     )
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         dec_avg("ratio", "mean_ratio"),
-        F.round(F.min("ratio"), 6).alias("min_ratio"),
-        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        half_up(F.min("ratio"), 6).alias("min_ratio"),
+        half_up(F.max("ratio"), 6).alias("max_ratio"),
     )

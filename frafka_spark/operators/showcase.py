@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from frafka_spark.functions.determinism import dec_sum, sql_dec_sum
+from frafka_spark.functions.determinism import dec_sum, half_up, sql_dec_sum
 from frafka_spark.io import table
 from frafka_spark.registry import query
 
@@ -259,11 +259,11 @@ def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q14_shape",
     oracle=f"""
-    SELECT round(100.00 * {sql_dec_sum(
+    SELECT floor(100.00 * {sql_dec_sum(
         "CASE WHEN p.p_type = 'PROMO' "
         "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END"
-    )} / {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)')}, 6)
-               AS promo_revenue_pct,
+    )} / {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)')}
+                 * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue_pct,
            count(*) AS n_rows
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -295,7 +295,7 @@ def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
+            half_up(
                 F.lit(100.0) * dec_sum(promo) / dec_sum(rev), 6
             ).alias("promo_revenue_pct"),
             F.count("*").alias("n_rows"),
@@ -511,9 +511,10 @@ def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
     )
     SELECT o_year,
-           round({sql_dec_sum(
+           floor({sql_dec_sum(
                "CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END"
-           )} / {sql_dec_sum('volume')}, 6) AS mkt_share,
+           )} / {sql_dec_sum('volume')}
+                 * 1000000.0 + 0.5) / 1000000.0 AS mkt_share,
            count(*) AS n_rows
     FROM vol
     GROUP BY o_year
@@ -560,7 +561,7 @@ def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(dec_sum(gated) / dec_sum(vol), 6).alias("mkt_share"),
+            half_up(dec_sum(gated) / dec_sum(vol), 6).alias("mkt_share"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -577,7 +578,8 @@ def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT {sql_dec_sum('l_extendedprice * (1 - l_discount)')}
             AS total FROM lineitem)
     SELECT b.l_suppkey, b.value,
-           round(b.value / t.total, 6) AS share
+           floor(b.value / t.total * 1000000.0 + 0.5) / 1000000.0
+               AS share
     FROM by_supp b, tot t
     WHERE b.value > 0.0015 * t.total
     """,
@@ -608,7 +610,7 @@ def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_suppkey",
             "value",
-            F.round(F.col("value") / F.col("total"), 6).alias("share"),
+            half_up(F.col("value") / F.col("total"), 6).alias("share"),
         )
     )
 
@@ -787,8 +789,8 @@ def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, avg(l_quantity) AS avg_qty
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT round({sql_dec_sum('l.l_extendedprice')} / 7.0, 4)
-               AS avg_yearly,
+    SELECT floor({sql_dec_sum('l.l_extendedprice')} / 7.0
+                 * 10000.0 + 0.5) / 10000.0 AS avg_yearly,
            count(*) AS n_rows
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
@@ -824,7 +826,7 @@ def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part_avg, F.col("a_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            F.round(dec_sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            half_up(dec_sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
             F.count("*").alias("n_rows"),
         )
     )
