@@ -3709,3 +3709,97 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_MATCH_WINDOW_US = 30 * 60 * 1_000_000  # click -> purchase bound: 30 min
+
+
+@query(
+    "q_events_sequence_match",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) AS us,
+               max(CASE WHEN event_type = 'click'
+                        THEN epoch_us(ts) END)
+                   OVER w AS click_us,
+               max(CASE WHEN event_type = 'error'
+                        THEN epoch_us(ts) END)
+                   OVER w AS err_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           event_id AS purchase_event_id,
+           us AS purchase_us,
+           click_us,
+           us - click_us AS gap_us
+    FROM marked
+    WHERE event_type = 'purchase'
+      AND click_us IS NOT NULL
+      AND (err_us IS NULL OR err_us < click_us)
+      AND us - click_us <= {_MATCH_WINDOW_US}
+    """,
+)
+def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern over per-user event
+    streams: emit every ``purchase`` whose most recent preceding
+    ``click`` is (a) within 30 minutes and (b) NOT superseded by an
+    intervening ``error`` — the `click (no error)* purchase` regex
+    that SQL MATCH_RECOGNIZE / Flink CEP express, compiled here to
+    plain running windows (Spark has no MATCH_RECOGNIZE; this is the
+    standard lowering for patterns whose predicates only reference
+    the LATEST occurrence of each symbol).
+
+    The lowering: one ordered pass per user computes the running
+    max event-time of each trigger symbol (`click`, `error`) in an
+    UNBOUNDED-PRECEDING..CURRENT frame — running max is the O(n)
+    frame shape (contrast the O(n²) unbounded-FOLLOWING trap that
+    sank q_ts_interpolate in round 7) — and the match predicate
+    becomes a row-local comparison on the purchase rows: a veto is
+    just ``last_error < last_click`` failing. Event-times compare as
+    exact integer microseconds (``unix_micros``/``epoch_us``), with
+    the unique ``event_id`` as the order tiebreak, so match
+    boundaries are bit-deterministic across engines — no timestamp
+    rendering, no float time arithmetic.
+
+    Scale shape: ONE shuffle (hash by ``user_id``), per-user sort
+    within the partition, output bounded by the purchase count. A
+    100 TB stream pattern-matches with the same plan — or streaming,
+    where the running maxes become per-key state in
+    ``applyInPandasWithState`` (see streaming tests).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.max(
+            F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+        )
+        .over(w)
+        .alias("click_us"),
+        F.max(
+            F.when(F.col("event_type") == "error", F.unix_micros("ts"))
+        )
+        .over(w)
+        .alias("err_us"),
+    )
+    return marked.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("click_us").isNotNull()
+        & (F.col("err_us").isNull() | (F.col("err_us") < F.col("click_us")))
+        & ((F.col("us") - F.col("click_us")) <= _MATCH_WINDOW_US)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("us").alias("purchase_us"),
+        "click_us",
+        (F.col("us") - F.col("click_us")).alias("gap_us"),
+    )

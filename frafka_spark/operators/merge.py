@@ -343,3 +343,101 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_lines"))
     )
+
+
+@query(
+    "q_merge_cdc",
+    oracle="""
+    WITH feed AS (
+        SELECT o_orderkey AS seq,
+               o_custkey + CASE WHEN o_orderkey % 13 = 0
+                                THEN 1000000 ELSE 0 END AS key,
+               CASE WHEN o_orderkey % 97 = 0 THEN 'D'
+                    WHEN o_orderkey % 13 = 0 THEN 'I'
+                    ELSE 'U' END AS op,
+               o_totalprice AS bal
+        FROM orders
+    ),
+    compacted AS (
+        SELECT key,
+               CAST(count(*) AS BIGINT) AS n_ops,
+               max_by(op, seq) AS last_op,
+               max_by(bal, seq) AS last_bal
+        FROM feed GROUP BY key
+    ),
+    applied AS (
+        SELECT coalesce(c.key, t.c_custkey) AS c_custkey,
+               coalesce(c.n_ops, 0) AS n_ops,
+               coalesce(c.last_op, 'KEEP') AS last_op,
+               CASE WHEN c.key IS NULL THEN t.c_acctbal
+                    ELSE c.last_bal END AS acctbal,
+               CASE WHEN c.key IS NULL THEN t.c_mktsegment
+                    WHEN t.c_custkey IS NULL THEN 'CDC-NEW'
+                    ELSE 'CDC' END AS segment
+        FROM (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer) t
+        FULL OUTER JOIN compacted c ON c.key = t.c_custkey
+    )
+    SELECT * FROM applied WHERE last_op <> 'D'
+    """,
+)
+def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changefeed apply: compact an ordered I/U/D operation log
+    to the LATEST op per key, then apply it to a keyed target in one
+    pass — the third lakehouse write-path member next to
+    ``q_merge_upsert`` (stateless patch) and ``q_merge_scd2``
+    (history build). This is how Debezium/binlog feeds land in a
+    table: ops on the same key supersede each other by log sequence,
+    a trailing D tombstone deletes the row no matter what preceded
+    it, and an I on an unseen key inserts.
+
+    The feed is synthesized deterministically from ``orders`` (the
+    house sentinel rule): each order is an op on its customer keyed
+    by the unique ``o_orderkey`` as the log sequence — ``%97`` rows
+    are delete tombstones, ``%13`` rows target a shifted brand-new
+    key (inserts), the rest update the balance to the order's total.
+
+    Scale shape: compaction is ONE hash aggregate (``max_by`` keyed
+    on the unique sequence — partial-aggregates map-side, so a
+    billion-op log reduces to |keys| rows before the shuffle), and
+    the apply is ONE full-outer shuffle join target ∪ compacted on
+    the key. No window over the log (a per-key ``row_number`` DESC
+    formulation sorts the whole feed; ``max_by`` does not), no
+    broadcast of anything unbounded — the change set compacts to
+    table-sized, the asymmetric-broadcast variant stays
+    ``merge_upsert``'s territory.
+    """
+    feed = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("seq"),
+        (
+            F.col("o_custkey")
+            + F.when(F.col("o_orderkey") % 13 == 0, 1000000).otherwise(0)
+        ).alias("key"),
+        F.when(F.col("o_orderkey") % 97 == 0, "D")
+        .when(F.col("o_orderkey") % 13 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_totalprice").alias("bal"),
+    )
+    compacted = feed.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n_ops"),
+        F.max_by("op", "seq").alias("last_op"),
+        F.max_by("bal", "seq").alias("last_bal"),
+    )
+    target = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    applied = target.join(
+        compacted, F.col("c_custkey") == F.col("key"), "full_outer"
+    ).select(
+        F.coalesce(F.col("key"), F.col("c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("n_ops"), F.lit(0).cast("bigint")).alias("n_ops"),
+        F.coalesce(F.col("last_op"), F.lit("KEEP")).alias("last_op"),
+        F.when(F.col("key").isNull(), F.col("c_acctbal"))
+        .otherwise(F.col("last_bal"))
+        .alias("acctbal"),
+        F.when(F.col("key").isNull(), F.col("c_mktsegment"))
+        .when(F.col("c_custkey").isNull(), "CDC-NEW")
+        .otherwise("CDC")
+        .alias("segment"),
+    )
+    return applied.filter(F.col("last_op") != "D")
