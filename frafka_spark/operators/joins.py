@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from frafka_spark.functions.determinism import dec_sum, sql_dec_sum
+from frafka_spark.functions.determinism import dec_sum, half_up, sql_dec_sum
 from frafka_spark.io import table
 from frafka_spark.registry import query
 
@@ -707,5 +707,120 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "asof_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_date"),
             F.round("o_totalprice", 4).alias("asof_price"),
+        )
+    )
+
+
+_GEO_RADIUS = 2.0  # grid cell size == match radius, in planar degrees
+
+# Deterministic synthetic coordinates (house sentinel rule: derive
+# the feature from keys, so ground truth holds by construction).
+_GEO_SQL_POINTS = """
+    cust_pts AS (
+        SELECT c_custkey,
+               ((c_custkey * 9973) % 1800) / 10.0 - 90.0 AS lat,
+               ((c_custkey * 7919) % 3600) / 10.0 - 180.0 AS lon
+        FROM customer
+    ),
+    supp_pts AS (
+        SELECT s_suppkey,
+               ((s_suppkey * 6547) % 1800) / 10.0 - 90.0 AS lat,
+               ((s_suppkey * 4513) % 3600) / 10.0 - 180.0 AS lon
+        FROM supplier
+    )
+"""
+
+
+@query(
+    "q_join_geo_radius",
+    oracle=f"""
+    WITH {_GEO_SQL_POINTS}
+    SELECT c.c_custkey, s.s_suppkey,
+           floor(((c.lat - s.lat) * (c.lat - s.lat)
+                  + (c.lon - s.lon) * (c.lon - s.lon))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dist2
+    FROM cust_pts c JOIN supp_pts s
+      ON (c.lat - s.lat) * (c.lat - s.lat)
+         + (c.lon - s.lon) * (c.lon - s.lon)
+         <= {_GEO_RADIUS} * {_GEO_RADIUS}
+    """,
+)
+def q_join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join, grid-bucketed: customers matched to all
+    suppliers within planar distance R of their (synthesized)
+    coordinates. The oracle states the semantics as the naive
+    all-pairs theta join; the engine plan is the SCALE formulation —
+    snap both sides to an R-sized grid, explode the probe side to
+    its 3×3 cell neighborhood, EQUI-join on the cell id, then apply
+    the exact distance predicate to candidates only. Because the
+    cell size equals the radius, every true match lies in a
+    neighboring cell: recall is exact, and the all-pairs O(|C|·|S|)
+    scan becomes Σ per-cell products — the standard spatial-join
+    bucketing (same discipline as the LSH band-bucket and IVF cell
+    joins in llm/).
+
+    Coordinates are planar degrees (no spherical wraparound; the
+    haversine variant swaps only the final predicate — kept planar
+    so the cross-engine arithmetic stays transcendental-free:
+    integer-mod synthesis, then identically-ordered double subtract/
+    multiply/compare on both engines, with the boundary exact).
+
+    Scale shape: the 9× probe fan-out is constant-factor, the join
+    is a hash shuffle on (cell_x, cell_y) — skew only if points
+    concentrate in one cell, the classic urban-hotspot case, handled
+    the same way as any skewed key (salt or AQE); nothing is
+    broadcast by hint and no side is scanned quadratically.
+    """
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 9973) % 1800) / 10.0 - 90.0).alias("lat"),
+        (((F.col("c_custkey") * 7919) % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 6547) % 1800) / 10.0 - 90.0).alias("s_lat"),
+        (((F.col("s_suppkey") * 4513) % 3600) / 10.0 - 180.0).alias("s_lon"),
+    )
+    r = F.lit(_GEO_RADIUS)
+    probe = (
+        cust.select(
+            "c_custkey",
+            "lat",
+            "lon",
+            F.floor(F.col("lat") / r).alias("cx0"),
+            F.floor(F.col("lon") / r).alias("cy0"),
+        )
+        .select(
+            "*", F.explode(F.expr("array(-1, 0, 1)")).alias("dx")
+        )
+        .select(
+            "c_custkey",
+            "lat",
+            "lon",
+            (F.col("cx0") + F.col("dx")).alias("cx"),
+            "cy0",
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dy"),
+        )
+        .select(
+            "c_custkey", "lat", "lon", "cx", (F.col("cy0") + F.col("dy")).alias("cy")
+        )
+    )
+    build = supp.select(
+        "s_suppkey",
+        "s_lat",
+        "s_lon",
+        F.floor(F.col("s_lat") / r).alias("cx"),
+        F.floor(F.col("s_lon") / r).alias("cy"),
+    )
+    d2 = (F.col("lat") - F.col("s_lat")) * (F.col("lat") - F.col("s_lat")) + (
+        F.col("lon") - F.col("s_lon")
+    ) * (F.col("lon") - F.col("s_lon"))
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter(d2 <= r * r)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            half_up(d2, 6).alias("dist2"),
         )
     )
