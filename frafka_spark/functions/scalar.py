@@ -749,3 +749,76 @@ def q_fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quarter_start"
         ),
     )
+
+
+@query(
+    "q_fn_csv",
+    oracle="""
+    WITH lines AS (
+        SELECT c_custkey,
+               c_name || ','
+               || CASE WHEN c_custkey % 71 = 0 THEN 'not-a-number'
+                       ELSE CAST(c_nationkey AS VARCHAR) END
+               || CASE WHEN c_custkey % 50 = 0 THEN ''
+                       ELSE ',' || c_mktsegment END AS line
+        FROM customer
+    )
+    SELECT c_custkey,
+           line,
+           split_part(line, ',', 1) AS name,
+           TRY_CAST(split_part(line, ',', 2) AS INT) AS nationkey,
+           nullif(split_part(line, ',', 3), '') AS segment,
+           (TRY_CAST(split_part(line, ',', 2) AS INT) IS NULL
+            OR split_part(line, ',', 3) = '') AS malformed
+    FROM lines
+    """,
+)
+def q_fn_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV family: parse embedded CSV payloads with ``from_csv`` —
+    the delimited sibling of ``q_fn_json``'s ``from_json`` (Kafka
+    topics carry CSV lines as often as JSON; the reference hands
+    such payloads to user code [SURVEY §2 A13], a table engine
+    parses them declaratively).
+
+    The payload is synthesized from customer columns (house sentinel
+    rule) with two planted malformation classes: ``%50`` rows drop
+    the trailing field (short row → null field) and ``%71`` rows
+    carry a non-numeric value in the int field (type-cast failure →
+    null field, row survives) — pinning PERMISSIVE-parse semantics
+    against the oracle's ``split_part`` + ``TRY_CAST`` statement of
+    the same rules. Only string/int fields ride the payload (no
+    doubles: double→string rendering is engine-specific; a real feed
+    parses the STRING and casts downstream, same as here).
+
+    Scale shape: one vectorized Jackson-CSV parse per row inside
+    whole-stage codegen — a single projection, no shuffle, no UDF;
+    at 100 TB this is scan-bound, exactly like the JSON twin.
+    """
+    c = table(spark, sf_dir, "customer")
+    line = F.concat(
+        F.col("c_name"),
+        F.lit(","),
+        F.when(F.col("c_custkey") % 71 == 0, F.lit("not-a-number")).otherwise(
+            F.col("c_nationkey").cast("string")
+        ),
+        F.when(F.col("c_custkey") % 50 == 0, F.lit("")).otherwise(
+            F.concat(F.lit(","), F.col("c_mktsegment"))
+        ),
+    )
+    parsed = F.from_csv(
+        F.col("line"), "name string, nationkey int, segment string"
+    )
+    return (
+        c.select("c_custkey", line.alias("line"))
+        .select("c_custkey", "line", parsed.alias("_p"))
+        .select(
+            "c_custkey",
+            "line",
+            F.col("_p.name").alias("name"),
+            F.col("_p.nationkey").alias("nationkey"),
+            F.col("_p.segment").alias("segment"),
+            (
+                F.col("_p.nationkey").isNull() | F.col("_p.segment").isNull()
+            ).alias("malformed"),
+        )
+    )
