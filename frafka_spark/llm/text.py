@@ -2359,3 +2359,131 @@ def q_llm_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+from frafka_spark.llm.similarity import _SQL_CELLS, _SQL_VECS  # noqa: E402
+
+_LABEL_MIN_CORPUS_TF = 5  # drop rare words before scoring lift
+_LABEL_MIN_CELL_TF = 2  # a label term must recur within the cell
+_LABEL_TOP = 3
+
+
+@query(
+    "q_llm_cluster_label",
+    oracle=f"""
+    WITH {_SQL_VECS},
+    {_SQL_CELLS},
+    words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    tagged AS (
+        SELECT c.cent_id, w.word
+        FROM words w JOIN cells c ON c.vec_id = w.doc_id
+    ),
+    cell_tf AS (
+        SELECT cent_id, word, CAST(count(*) AS BIGINT) AS cell_tf
+        FROM tagged GROUP BY cent_id, word
+    ),
+    cell_tot AS (
+        SELECT cent_id, CAST(count(*) AS BIGINT) AS cell_total
+        FROM tagged GROUP BY cent_id
+    ),
+    corpus_tf AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS corpus_tf
+        FROM tagged GROUP BY word
+    ),
+    corpus_tot AS (SELECT CAST(count(*) AS BIGINT) AS corpus_total FROM tagged),
+    scored AS (
+        SELECT t.cent_id, t.word, t.cell_tf,
+               CAST(t.cell_tf * n.corpus_total AS DOUBLE)
+               / CAST(ct.cell_total * cf.corpus_tf AS DOUBLE) AS lift
+        FROM cell_tf t
+        JOIN cell_tot ct ON ct.cent_id = t.cent_id
+        JOIN corpus_tf cf ON cf.word = t.word
+        CROSS JOIN corpus_tot n
+        WHERE cf.corpus_tf >= {_LABEL_MIN_CORPUS_TF}
+          AND t.cell_tf >= {_LABEL_MIN_CELL_TF}
+    )
+    SELECT cent_id, CAST(rank AS INT) AS rank, word, cell_tf,
+           floor(lift * 10000.0 + 0.5) / 10000.0 AS lift
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cent_id ORDER BY lift DESC, word ASC) AS rank
+        FROM scored)
+    WHERE rank <= {_LABEL_TOP}
+    """,
+)
+def q_llm_cluster_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling: the top-{_LABEL_TOP} DISTINCTIVE terms of each
+    embedding cluster — the step that turns an unsupervised IVF/
+    k-means partition into a human-readable corpus map ("cluster 17
+    is legal boilerplate"). Cross-modal by construction: cluster
+    membership comes from the EMBEDDING table (the declared IVF cell
+    assignment ``_cells`` — same relation q_llm_sim_ann searches),
+    term statistics come from the TEXT table, joined doc_id = vec_id
+    (docs without embeddings drop out — label only what's indexed).
+
+    Distinctiveness is LIFT — (term share within cluster) / (term
+    share in the embedded corpus) — not raw TF, so corpus-wide
+    filler ranks last no matter how common (lift ≈ 1), computed as
+    exact integer cross-products with ONE double division at the end
+    (transcendental-free; cf. the TF-IDF family's ln). Rare-word
+    noise is gated by corpus tf ≥ {_LABEL_MIN_CORPUS_TF} and
+    within-cell recurrence ≥ {_LABEL_MIN_CELL_TF}.
+
+    Scale shape: rides the session-cached ``_words`` explode (shared
+    with tfidf/keywords/heavy-hitters) and the cached ``_cells``
+    assignment (shared with the ANN family); the join key is doc_id
+    (hash shuffle), every aggregate partial-aggregates map-side, the
+    corpus total is a 1-row broadcast crossJoin (house rule: never
+    an empty-partition window), and the final top-k-per-cluster is
+    the bounded ``row_number`` window over |cells| × |vocab| at
+    most.
+    """
+    from frafka_spark.llm.dedup import _words
+    from frafka_spark.llm.similarity import _cells
+
+    cells = _cells(spark, sf_dir).select("vec_id", "cent_id")
+    words = _words(spark, sf_dir)
+    tagged = words.join(
+        cells, words["doc_id"] == cells["vec_id"]
+    ).select("cent_id", "word")
+    cell_tf = tagged.groupBy("cent_id", "word").agg(
+        F.count("*").alias("cell_tf")
+    )
+    cell_tot = tagged.groupBy("cent_id").agg(F.count("*").alias("cell_total"))
+    corpus_tf = tagged.groupBy("word").agg(F.count("*").alias("corpus_tf"))
+    corpus_tot = tagged.agg(F.count("*").alias("corpus_total"))
+    scored = (
+        cell_tf.filter(F.col("cell_tf") >= _LABEL_MIN_CELL_TF)
+        .join(cell_tot, "cent_id")
+        .join(
+            corpus_tf.filter(F.col("corpus_tf") >= _LABEL_MIN_CORPUS_TF),
+            "word",
+        )
+        .crossJoin(F.broadcast(corpus_tot))
+        .select(
+            "cent_id",
+            "word",
+            "cell_tf",
+            (
+                (F.col("cell_tf") * F.col("corpus_total")).cast("double")
+                / (F.col("cell_total") * F.col("corpus_tf")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("cent_id").orderBy(
+        F.col("lift").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _LABEL_TOP)
+        .select(
+            "cent_id",
+            F.col("rank").cast("int").alias("rank"),
+            "word",
+            "cell_tf",
+            half_up(F.col("lift"), 4).alias("lift"),
+        )
+    )
