@@ -1414,3 +1414,50 @@ def q_agg_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev > 0).alias("over_represented"),
         )
     )
+
+
+@query("q_agg_sketch_merge")  # no oracle: Datasketches binaries are engine-specific
+def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: build one Apache Datasketches HLL per
+    (nation, segment) group, then UNION the sketches up to nation
+    level and estimate — WITHOUT re-touching the fact rows. This is
+    the two-level pattern ``approx_count_distinct`` hides: at 100 TB
+    the fine-grained sketches are built once (map-side, fixed-size
+    state), and every coarser rollup (nation, region, global) is a
+    sketch-merge over |groups| rows, not a re-scan — the property
+    that makes distinct-count dashboards O(groups) after the first
+    pass. Exposed via ``hll_sketch_agg`` / ``hll_union_agg`` /
+    ``hll_sketch_estimate`` (Spark 3.5+ Datasketches bindings).
+
+    Rows-only by design (the sketch binary and its estimate are
+    engine-specific; DuckDB's HLL is not bit-compatible) — the
+    estimate column is deterministic for Spark's fixed hash, and the
+    query carries its own exact audit: ``exact_customers`` from a
+    COUNT(DISTINCT), with the relative error pinned ≤ 5% by pytest
+    (lgConfigK=12 ⇒ ~1.6% standard error).
+
+    Scale note: the exact audit column exists for the fixture-scale
+    contract; the 100 TB deployment drops it (that's the point of
+    the sketch) or samples it.
+    """
+    c = table(spark, sf_dir, "customer")
+    fine = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(12)).alias("sk"),
+        F.count_distinct("c_custkey").alias("exact_seg"),
+    )
+    merged = fine.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
+        F.sum("exact_seg").alias("exact_customers"),
+    )
+    return merged.select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        "n_segments",
+        "est_customers",
+        "exact_customers",
+        half_up(
+            F.abs(F.col("est_customers") - F.col("exact_customers"))
+            / F.col("exact_customers"),
+            4,
+        ).alias("err_frac"),
+    )

@@ -433,3 +433,33 @@ def test_length_trim_partitions_corpus(spark):
     # p10/p90 bound each tail by ~10% (ties can push it under, never far over)
     assert (pdf["n_low"] <= 0.11 * pdf["n_docs"] + 1).all()
     assert (pdf["n_high"] <= 0.11 * pdf["n_docs"] + 1).all()
+
+
+def test_sketch_merge_error_bound(spark):
+    """q_agg_sketch_merge is rows-only at the driver (Datasketches
+    binaries are engine-specific), so pin the quantitative floor
+    here: the merged-sketch estimate must sit within 5% of the exact
+    per-nation distinct (lgConfigK=12 ⇒ ~1.6% standard error), and
+    the merge must be lossless against a direct one-level sketch."""
+    import frafka_spark
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    rows = QUERIES["q_agg_sketch_merge"].fn(spark, SF_DIR).toPandas()
+    assert len(rows) == 25
+    assert (rows["err_frac"] <= 0.05).all()
+    # merge-losslessness: union of per-segment sketches == one-shot
+    # per-nation sketch (Datasketches HLL union is exact over sketches)
+    direct = (
+        table(spark, SF_DIR, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("c_custkey", F.lit(12))
+            ).alias("est_direct")
+        )
+        .toPandas()
+        .set_index("c_nationkey")["est_direct"]
+    )
+    for _, r in rows.iterrows():
+        assert int(r["est_customers"]) == int(direct[r["nationkey"]])
