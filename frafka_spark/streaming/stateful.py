@@ -1,0 +1,109 @@
+"""Custom stateful streaming operators (B9 — beyond the built-ins).
+
+The batch engine's gapfill/interpolate pair (``q_ts_gapfill``,
+``q_ts_interpolate``) has a natural streaming twin: per-key ordered
+state that closes each observation interval as soon as its right
+endpoint arrives. ``interpolate_stream`` implements it with
+``applyInPandasWithState`` — the arbitrary-stateful-op API the
+reference's transform hook would feed [SURVEY §2 A13] — keeping
+per-key state BOUNDED (one (minute, value) pair per key) and per-
+record output bounded by ``max_gap_minutes``.
+
+Semantics vs the batch operator (deliberate, causal): a minute grid
+point is emitted only once the NEXT observation closes its interval —
+linear interpolation needs both endpoints, so a stream can only emit
+interior points (no leading/trailing extrapolation, which the batch
+pass back-/forward-fills). Rows arriving at or before the state's
+watermark minute are dropped as late — upstream event-time
+watermarking (``FrSource`` + ``withWatermark``) is what makes that
+drop correct, mirroring Spark's own late-data discipline.
+
+Scale shape: state is O(keys) with a constant payload (contrast
+buffering whole partitions); each input row does O(gap) work capped
+by ``max_gap_minutes`` (a reconnect after an outage does not emit an
+unbounded grid); shuffle is the one hash exchange on the state key
+that every stateful op pays.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+OUTPUT_SCHEMA = "key string, mi bigint, value double, kind string"
+STATE_SCHEMA = "pm bigint, pv double"
+
+
+def interpolate_stream(
+    obs: DataFrame,
+    key_col: str = "key",
+    minute_col: str = "mi",
+    value_col: str = "v",
+    max_gap_minutes: int = 120,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming linear interpolation onto a per-key minute grid.
+
+    ``obs`` is a (possibly streaming) DataFrame of per-minute
+    observations ``(key, mi, v)`` — one row per key+minute, minutes
+    ascending within and across micro-batches (enforce upstream with
+    a watermark + the file source's ordered replay). Emits every
+    grid minute in ``(prev_mi, mi]`` per consecutive observation
+    pair, linearly interpolated, tagged ``kind`` = 'obs' (right
+    endpoint — the observation itself) or 'interp'; the first
+    observation of a key is emitted as 'obs' with no fill. Gaps
+    wider than ``max_gap_minutes`` emit the endpoints only (bounded
+    fan-out; the batch pass is the backfill tool for outages).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fill(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        if state.exists:
+            pm, pv = state.get
+        else:
+            pm, pv = None, None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(minute_col)
+        out_mi: list[int] = []
+        out_v: list[float] = []
+        out_kind: list[str] = []
+        for mi, v in zip(rows[minute_col], rows[value_col]):
+            mi = int(mi)
+            v = float(v)
+            if pm is None:
+                out_mi.append(mi)
+                out_v.append(v)
+                out_kind.append("obs")
+            elif mi <= pm:
+                continue  # late or duplicate minute: watermark territory
+            elif mi - pm > max_gap_minutes:
+                out_mi.append(mi)
+                out_v.append(v)
+                out_kind.append("obs")  # outage: endpoints only
+            else:
+                for m in range(pm + 1, mi + 1):
+                    frac = (m - pm) / (mi - pm)
+                    out_mi.append(m)
+                    out_v.append(pv + (v - pv) * frac)
+                    out_kind.append("obs" if m == mi else "interp")
+            pm, pv = mi, v
+        if pm is not None:
+            state.update((pm, pv))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(out_mi),
+                "mi": out_mi,
+                "value": out_v,
+                "kind": out_kind,
+            }
+        )
+
+    return obs.groupBy(key_col).applyInPandasWithState(
+        fill,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -799,3 +799,112 @@ def test_avro_msg_roundtrip_when_connector_present(spark):
             "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
         )
     assert sorted((r.k, r.v) for r in rows) == [(0, "x"), (1, "x"), (2, "x")]
+
+
+def test_interpolate_stream_matches_batch(spark, tmp_path):
+    """Streaming linear interpolation (applyInPandasWithState — the
+    q_ts_interpolate causal twin, VERDICT r7 #7): replaying the
+    per-minute observation feed in three ordered micro-batches must
+    reproduce the batch lag+explode interpolation exactly — state
+    carries one (minute, value) pair per key across batch
+    boundaries, so every interval straddling a trigger still closes.
+    """
+    from pyspark.sql import Window
+
+    from frafka_spark.streaming.stateful import interpolate_stream
+
+    # Per-(type, minute) observation feed, thinned (every 3rd minute
+    # observed) so there are gaps to interpolate.
+    obs = (
+        table(spark, SF_DIR, "events")
+        .groupBy(
+            F.col("event_type").alias("key"),
+            (F.unix_timestamp("ts") / 60).cast("bigint").alias("mi"),
+        )
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+        .filter(F.col("mi") % 3 == 0)
+    )
+    # Write three chronological chunks with increasing mtimes so the
+    # file source replays them in minute order, one per trigger.
+    lo, hi = obs.agg(F.min("mi"), F.max("mi")).first()
+    feed = str(tmp_path / "feed")
+    step = (hi - lo) // 3 + 1
+    for i in range(3):
+        (
+            obs.filter(
+                (F.col("mi") >= lo + i * step) & (F.col("mi") < lo + (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed)
+        )
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("key string, mi bigint, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        interpolate_stream(stream, max_gap_minutes=60)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("interp_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT key, mi, round(value, 6) AS value, kind FROM interp_out"
+    )
+
+    # Batch expectation: same pairwise interpolation via lag + explode.
+    w = Window.partitionBy("key").orderBy("mi")
+    paired = obs.select(
+        "key",
+        "mi",
+        "v",
+        F.lag("mi").over(w).alias("pm"),
+        F.lag("v").over(w).alias("pv"),
+    )
+    first_rows = paired.filter(F.col("pm").isNull()).select(
+        "key", "mi", F.col("v").alias("value"), F.lit("obs").alias("kind")
+    )
+    wide = paired.filter(
+        F.col("pm").isNotNull() & ((F.col("mi") - F.col("pm")) > 60)
+    ).select("key", "mi", F.col("v").alias("value"), F.lit("obs").alias("kind"))
+    interp = (
+        paired.filter(
+            F.col("pm").isNotNull() & ((F.col("mi") - F.col("pm")) <= 60)
+        )
+        .select(
+            "key",
+            "mi",
+            "v",
+            "pm",
+            "pv",
+            F.explode(F.sequence(F.col("pm") + 1, F.col("mi"))).alias("m"),
+        )
+        .select(
+            "key",
+            F.col("m").alias("mi_out"),
+            (
+                F.col("pv")
+                + (F.col("v") - F.col("pv"))
+                * (
+                    (F.col("m") - F.col("pm"))
+                    / (F.col("mi") - F.col("pm"))
+                )
+            ).alias("value"),
+            F.when(F.col("m") == F.col("mi"), "obs")
+            .otherwise("interp")
+            .alias("kind"),
+        )
+        .withColumnRenamed("mi_out", "mi")
+    )
+    want = first_rows.unionByName(wide).unionByName(interp).select(
+        "key", "mi", F.round("value", 6).alias("value"), "kind"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
