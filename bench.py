@@ -51,7 +51,46 @@ from frafka_spark.registry import get_queries
 from frafka_spark.session import get_spark
 
 
+def _bench_named(names: list[str]) -> None:
+    """Incremental mode: ``python bench.py q_foo q_bar`` times ONLY
+    the named queries (sequential, min of 2 warm passes) and merges
+    them into the committed sidecar's per-query map, leaving the
+    suite summary untouched. This keeps the bench-guard invariant —
+    every declared key benched from the current tree — affordable
+    per-operator; the FULL capture (suite passes included) still
+    runs at round close.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="frafka-spark-bench-inc", shuffle_partitions=8)
+    queries = get_queries()
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
+    def run(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run(queries["q_agg_group"])  # warm-up
+    warm_shared_projections(spark, sf_dir)
+    times: dict[str, float] = {}
+    for _ in range(2):
+        for name in names:
+            t = round(run(queries[name]), 3)
+            if name not in times or t < times[name]:
+                times[name] = t
+    side = Path(__file__).resolve().parent / "bench_queries.json"
+    data = json.loads(side.read_text())
+    data["queries"].update(times)
+    side.write_text(json.dumps(data, indent=1, sort_keys=True))
+    print(json.dumps(times, sort_keys=True))
+
+
 def main() -> None:
+    if len(sys.argv) > 1:
+        _bench_named(sys.argv[1:])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(Path(sf_dir).name.removeprefix("sf"))

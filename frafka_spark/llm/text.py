@@ -2487,3 +2487,91 @@ def q_llm_cluster_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             half_up(F.col("lift"), 4).alias("lift"),
         )
     )
+
+
+@query(
+    "q_llm_heaps",
+    oracle="""
+    WITH n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+    words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    first_occ AS (
+        SELECT word, min(doc_id) AS first_doc FROM words GROUP BY word
+    ),
+    doc_tokens AS (
+        SELECT doc_id, count(*) AS n_tok FROM words GROUP BY doc_id
+    ),
+    spine AS (SELECT unnest(generate_series(1, 10)) AS decile),
+    vocab AS (
+        SELECT s.decile, CAST(count(*) AS BIGINT) AS vocab
+        FROM first_occ f CROSS JOIN n CROSS JOIN spine s
+        WHERE f.first_doc < n.n_docs * s.decile / 10.0
+        GROUP BY s.decile
+    ),
+    toks AS (
+        SELECT s.decile, CAST(sum(d.n_tok) AS BIGINT) AS n_tokens
+        FROM doc_tokens d CROSS JOIN n CROSS JOIN spine s
+        WHERE d.doc_id < n.n_docs * s.decile / 10.0
+        GROUP BY s.decile
+    )
+    SELECT CAST(v.decile AS INT) AS decile, t.n_tokens, v.vocab,
+           floor(CAST(v.vocab AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ttr
+    FROM vocab v JOIN toks t USING (decile)
+    """,
+)
+def q_llm_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: distinct-word count and
+    type-token ratio at each tenth of the corpus prefix (ordered by
+    doc_id) — the statistic that says whether more data keeps buying
+    new vocabulary (natural corpora: V ∝ N^β, β ≈ 0.4–0.6; a
+    template-heavy crawl flattens early, a tokenizer sized on the
+    early curve undershoots). Complements ``q_llm_zipf`` (frequency
+    shape at a point) with GROWTH along the corpus.
+
+    The trick that makes cumulative-distinct distributed: a word
+    joins decile k iff its FIRST occurrence (one ``min(doc_id)``
+    hash aggregate) falls in the prefix — no sequential scan, no
+    per-prefix re-count; both vocabulary and token curves are then
+    10×-bounded fans of two narrow aggregates against a broadcast
+    decile spine and a 1-row corpus size (never an empty-partition
+    window). TTR's single division is the only float.
+
+    Scale shape: rides the session-cached ``_words`` explode; the
+    two aggregates partial-aggregate map-side; every join side
+    beyond them is ≤ 10 rows.
+    """
+    from frafka_spark.llm.dedup import _words
+
+    words = _words(spark, sf_dir)
+    n = table(spark, sf_dir, "documents").agg(
+        (F.max("doc_id") + 1).alias("n_docs")
+    )
+    first_occ = words.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = words.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    spine = spark.range(1, 11).select(F.col("id").alias("decile"))
+    thresh = F.col("n_docs") * F.col("decile") / 10.0
+    vocab = (
+        first_occ.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(spine))
+        .filter(F.col("first_doc") < thresh)
+        .groupBy("decile")
+        .agg(F.count("*").alias("vocab"))
+    )
+    toks = (
+        doc_tokens.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(spine))
+        .filter(F.col("doc_id") < thresh)
+        .groupBy("decile")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    return vocab.join(toks, "decile").select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_tokens",
+        "vocab",
+        half_up(
+            F.col("vocab").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("ttr"),
+    )
