@@ -822,3 +822,72 @@ def q_fn_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("malformed"),
         )
     )
+
+
+@query(
+    "q_fn_xml",
+    oracle="""
+    SELECT p_partkey,
+           p_name AS name,
+           CAST(p_size AS INT) AS size_i,
+           p_partkey AS id_attr,
+           (p_size > 25) AS big,
+           CAST(len(string_split(p_type, ' ')) AS INT) AS n_tags
+    FROM part
+    WHERE p_size > 35
+    """,
+)
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML family: ``xpath`` extraction from an XML payload — the
+    third embedded-payload dialect next to ``q_fn_json`` and
+    ``q_fn_csv`` (legacy feeds are XML as often as anything). The
+    payload is synthesized per row from part columns (house sentinel
+    rule), so the oracle states every extracted value BY
+    CONSTRUCTION while the engine must genuinely parse: the full
+    text node-set (``/part//text()`` — name, size, one ``<t>`` per
+    word of ``p_type``, projected by position) plus the id
+    ATTRIBUTE (``xpath_long`` on ``/part/@id``, not a text node).
+
+    Java XPath re-parses the document per ``xpath_*`` call (no CSE
+    across different path arguments — the q_fn_json Jackson lesson,
+    ~75 µs/row·call measured at sf0.1), so the plan makes exactly
+    TWO parses per row instead of five: one node-set fetch serves
+    name/size/predicate/tag-count, and — the discipline that
+    actually matters at 100 TB — the selective predicate runs
+    BEFORE synthesis/parse, so the XPath work touches only the
+    surviving rows (parse-after-prune; at scale, parse once
+    upstream and store columns).
+
+    Scale shape: pure projection after a pushed-down filter, no
+    shuffle; scan-bound like the JSON/CSV twins, with the per-row
+    constant documented above.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") > 35)
+    xml = F.concat(
+        F.lit('<part id="'),
+        F.col("p_partkey"),
+        F.lit('"><name>'),
+        F.col("p_name"),
+        F.lit("</name><size>"),
+        F.col("p_size"),
+        F.lit("</size><tags><t>"),
+        F.regexp_replace("p_type", " ", "</t><t>"),
+        F.lit("</t></tags></part>"),
+    )
+    parsed = (
+        p.select("p_partkey", xml.alias("xml"))
+        .select(
+            "p_partkey",
+            F.expr("xpath(xml, '/part//text()')").alias("texts"),
+            F.expr("xpath_long(xml, '/part/@id')").alias("id_attr"),
+        )
+    )
+    size_i = F.col("texts").getItem(1).cast("int")
+    return parsed.select(
+        "p_partkey",
+        F.col("texts").getItem(0).alias("name"),
+        size_i.alias("size_i"),
+        "id_attr",
+        (size_i > 25).alias("big"),
+        (F.size("texts") - 2).cast("int").alias("n_tags"),
+    )

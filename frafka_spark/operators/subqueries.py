@@ -72,3 +72,46 @@ def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained CTEs feeding a windowed top-N + dimension join."""
     register_views(spark, sf_dir)
     return spark.sql(_CTE_SQL)
+
+
+# Shared verbatim by engine and oracle (dialect-neutral: integer
+# parent derivation via (k - k%10)/10, concat's implicit casts).
+_RECURSIVE_SQL = """
+WITH RECURSIVE chain AS (
+    SELECT c_custkey AS key, c_custkey AS root, 0 AS depth,
+           concat('', c_custkey) AS path
+    FROM customer WHERE c_custkey < 10
+  UNION ALL
+    SELECT c.c_custkey, ch.root, ch.depth + 1,
+           concat(ch.path, '/', c.c_custkey)
+    FROM customer c JOIN chain ch
+      ON CAST((c.c_custkey - c.c_custkey % 10) / 10 AS BIGINT) = ch.key
+     AND c.c_custkey >= 10
+)
+SELECT key, root, CAST(depth AS INT) AS depth, path
+FROM chain
+"""
+
+
+@query("q_cte_recursive", oracle=_RECURSIVE_SQL)
+def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): walk a synthetic
+    customer hierarchy — parent(k) = k div 10, roots below 10 — from
+    the roots down, carrying root id, depth, and the materialized
+    path. The org-chart/BOM traversal every warehouse eventually
+    needs, expressed in the one SQL construct that iterates until a
+    fixpoint; the identical statement runs on both engines (the
+    parent derivation is spelled ``(k − k%10)/10`` to stay
+    dialect-neutral).
+
+    Scale shape: each recursion level is ONE equi-join of the
+    (pruned) customer scan against the previous frontier on the
+    parent key — a hash shuffle per level, no driver-side loop; the
+    fixture's key space bounds the depth at ⌈log₁₀(maxkey)⌉ ≈ 4
+    levels, and generally depth scales with log of the key range,
+    not row count. The recursion-level limit
+    (``spark.sql.cteRecursionLevelLimit``, default 100) is the
+    engine's runaway guard.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
