@@ -110,3 +110,62 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("ps").cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type, count(*) AS n_type,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+                              * d.n_type > d.sum_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join, DECLARED end-to-end: events join a
+    5-row per-type dimension on ``event_type`` — a pathologically
+    skewed key (each key owns ~20% of the fact) — through
+    ``salted_join``: the fact side salts deterministically
+    (hash-mod-8 of the row payload, retry-stable), the dim side
+    replicates 8×, the join runs on (key, salt), and the result is
+    provably identical to the plain join (the oracle IS the plain
+    join). Above-mean flags compare exact integer cents × counts
+    (``round(value·100)·n > Σcents``) so the threshold needs no
+    cross-engine float mean.
+
+    Scale shape: the hot key's rows spread over 8 shuffle partitions
+    instead of one straggler task — the manual fallback when AQE's
+    skew split can't help (e.g. the skewed side feeds a window, or
+    the join is the first exchange). Cost: 8× the 5-row dim, nothing
+    on the fact but one int column. The plan pin in
+    ``tests/test_plans.py`` asserts the salt actually reaches the
+    join keys.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    dim = e.groupBy(F.col("event_type").alias("d_type")).agg(
+        F.count("*").alias("n_type"), F.sum("cents").alias("sum_cents")
+    )
+    joined = salted_join(
+        e, dim, F.col("event_type") == F.col("d_type"), n_salts=8
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("cents") * F.col("n_type") > F.col("sum_cents"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_above"),
+    )

@@ -115,3 +115,36 @@ def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, l.o_orderkey, l.price
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, round(o_totalprice, 4) AS price
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 2
+) l
+"""
+
+
+@query("q_join_lateral", oracle=_LATERAL_SQL)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's top-2 orders by
+    price, written as the SQL-standard lateral derived table (the
+    construct APPLY/CROSS JOIN LATERAL users reach for) rather than
+    the window formulation ``q_topk_per_group`` already pins.
+
+    The parity point is the PLANNER, not the semantics: a naive
+    engine re-executes the subquery per outer row; Catalyst
+    decorrelates the LATERAL-with-LIMIT into a per-key ranking over
+    ONE orders scan (DecorrelateInnerQuery — same physical shape as
+    the window top-k), so the identical statement stays a two-scan
+    hash join at any scale. Deterministic via the (price DESC,
+    orderkey ASC) total order; customers without orders drop (inner
+    lateral join semantics, also pinned).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
