@@ -891,3 +891,45 @@ def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         (size_i > 25).alias("big"),
         (F.size("texts") - 2).cast("int").alias("n_tags"),
     )
+
+
+@query(
+    "q_fn_binary",
+    oracle="""
+    SELECT p_partkey,
+           base64(encode(p_name)) AS b64,
+           (decode(from_base64(base64(encode(p_name)))) = p_name)
+               AS roundtrip_ok,
+           hex(substr(p_name, 1, 4)) AS hex4,
+           CAST(bit_length(p_name) AS BIGINT) AS bits,
+           CAST(octet_length(encode(p_name)) AS BIGINT) AS octets,
+           CAST(ascii(p_name) AS INT) AS first_code
+    FROM part
+    """,
+)
+def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding family: base64 round-trip through real BINARY
+    values, hex rendering, bit/octet lengths, code-point extraction
+    — the byte-level toolkit a transport layer leans on (the
+    reference ships opaque value bytes end-to-end [SURVEY §2 A2];
+    a table engine re-encodes them for JSON-safe transport exactly
+    like this). The ASCII fixture corpus makes octet = char length
+    — pinned as data, not assumed.
+
+    Scale shape: pure projection inside whole-stage codegen, no
+    shuffle; base64 inflates 4/3× which is a STORAGE observation
+    (store bytes, encode at the edge), not a compute one.
+    """
+    p = table(spark, sf_dir, "part")
+    b = F.encode("p_name", "utf-8")
+    return p.select(
+        "p_partkey",
+        F.base64(b).alias("b64"),
+        (F.decode(F.unbase64(F.base64(b)), "utf-8") == F.col("p_name")).alias(
+            "roundtrip_ok"
+        ),
+        F.hex(F.substring("p_name", 1, 4)).alias("hex4"),
+        F.bit_length("p_name").cast("bigint").alias("bits"),
+        F.octet_length("p_name").cast("bigint").alias("octets"),
+        F.ascii("p_name").cast("int").alias("first_code"),
+    )
