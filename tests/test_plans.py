@@ -739,3 +739,51 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name_a}")
         spark.sql(f"DROP TABLE IF EXISTS {name_b}")
+
+
+def test_geo_radius_joins_on_cells_not_cross(spark):
+    """q_join_geo_radius: the join must be an EQUI hash join on the
+    grid cell keys — never the all-pairs theta (BNLJ/cartesian) the
+    oracle states."""
+    plan = _plan(spark, "q_join_geo_radius")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "cx" in plan and "cy" in plan, plan
+
+
+def test_cdc_compaction_partial_aggregates(spark):
+    """q_merge_cdc: the op-log compaction (max_by keyed on the log
+    sequence) must partial-aggregate map-side — a billion-op feed
+    reduces to |keys| rows before its shuffle — and must not sort
+    the log inside per-key windows. (max_by lowers to SortAggregate,
+    which `has_partial_aggregation` doesn't count — assert the
+    partial marker directly, the conftest-documented fallback.)"""
+    plan = _plan(spark, "q_merge_cdc")
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan
+
+
+def test_sequence_match_single_user_shuffle(spark):
+    """q_events_sequence_match: one hash exchange on user_id feeds
+    both running-max frames; no join, no extra exchange."""
+    from frafka_spark.plans.inspect import shuffle_count
+
+    df = _df(spark, "q_events_sequence_match")
+    assert shuffle_count(df) == 1, _plan(spark, "q_events_sequence_match")
+    assert "Join" not in _plan(spark, "q_events_sequence_match")
+
+
+def test_cluster_label_corpus_total_broadcasts(spark):
+    """q_llm_cluster_label: the 1-row corpus total rides a broadcast
+    crossJoin (house rule: never an empty-partition window for a
+    global denominator)."""
+    plan = _plan(spark, "q_llm_cluster_label")
+    assert "BroadcastExchange" in plan, plan
+    assert "Window.partitionBy()" not in plan
+
+
+def test_user_similarity_build_side_capped(spark):
+    """q_events_user_similarity: the quadratic block join's build
+    side is rank-capped (the near_capped discipline) — the plan
+    carries the cap filter before the join."""
+    plan = _plan(spark, "q_events_user_similarity")
+    assert "rk" in plan and "1024" in plan, plan
