@@ -781,3 +781,126 @@ def test_pit_join_total_coverage(spark):
     )
     no_hist = pit.set_index("priority_at_ship")["n_lines"].get("(no history)", 0)
     assert no_hist == n_prehistory
+
+
+def test_survival_km_laws(spark):
+    """q_events_survival: Kaplan-Meier invariants — survival starts
+    below 1, is strictly within (0, 1], and is NON-INCREASING along
+    each event type's churn-day sequence; hazards stay in (0, 1];
+    and the risk set at the first churn day equals the type's total
+    users (churned + censored all at risk initially)."""
+    import frafka_spark
+    from frafka_spark.io import table
+    from frafka_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    rows = (
+        QUERIES["q_events_survival"]
+        .fn(spark, SF_DIR)
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    assert rows
+    totals = {
+        r["event_type"]: r["n"]
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    last_surv: dict = {}
+    first_seen: set = set()
+    for r in rows:
+        t = r["event_type"]
+        assert 0.0 < r["hazard"] <= 1.0
+        assert 0.0 <= r["survival"] <= 1.0
+        if t not in first_seen:
+            first_seen.add(t)
+            assert r["n_risk"] == totals[t], (t, r["n_risk"], totals[t])
+        if t in last_surv:
+            assert r["survival"] <= last_surv[t] + 1e-9
+        last_surv[t] = r["survival"]
+
+
+def test_cdc_apply_is_idempotent_and_complete(spark):
+    """q_merge_cdc: applying the same compacted feed twice must be a
+    no-op (CDC compaction is idempotent), deleted keys must not
+    appear, and every surviving key is accounted for: target keys
+    minus deletes, plus inserted keys."""
+    import frafka_spark
+    from frafka_spark.io import table
+    from frafka_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    out = QUERIES["q_merge_cdc"].fn(spark, SF_DIR)
+    again = QUERIES["q_merge_cdc"].fn(spark, SF_DIR)
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
+    assert out.filter(F.col("last_op") == "D").count() == 0
+    orders = table(spark, SF_DIR, "orders")
+    feed_keys = orders.select(
+        (
+            F.col("o_custkey")
+            + F.when(F.col("o_orderkey") % 13 == 0, 1000000).otherwise(0)
+        ).alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 97 == 0, "D")
+        .when(F.col("o_orderkey") % 13 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+    )
+    last = (
+        feed_keys.groupBy("key")
+        .agg(F.max_by("op", "seq").alias("last_op"))
+    )
+    deleted = {r["key"] for r in last.filter(F.col("last_op") == "D").collect()}
+    target_keys = {
+        r["c_custkey"]
+        for r in table(spark, SF_DIR, "customer").select("c_custkey").collect()
+    }
+    inserted = {
+        r["key"]
+        for r in last.filter(
+            (F.col("key") >= 1000000) & (F.col("last_op") != "D")
+        ).collect()
+    }
+    want = (target_keys - deleted) | inserted
+    got = {r["c_custkey"] for r in out.select("c_custkey").collect()}
+    assert got == want
+
+
+def test_geo_radius_grid_equals_naive(spark):
+    """q_join_geo_radius: the grid-bucketed plan must find EXACTLY
+    the naive all-pairs matches (cell size = radius ⇒ exact recall)
+    — asserted engine-side, independent of the oracle."""
+    import frafka_spark
+    from frafka_spark.io import table
+    from frafka_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    frafka_spark.load_all()
+    got = (
+        QUERIES["q_join_geo_radius"]
+        .fn(spark, SF_DIR)
+        .select("c_custkey", "s_suppkey")
+    )
+    cust = table(spark, SF_DIR, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 9973) % 1800) / 10.0 - 90.0).alias("lat"),
+        (((F.col("c_custkey") * 7919) % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    supp = table(spark, SF_DIR, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 6547) % 1800) / 10.0 - 90.0).alias("s_lat"),
+        (((F.col("s_suppkey") * 4513) % 3600) / 10.0 - 180.0).alias("s_lon"),
+    )
+    d2 = (F.col("lat") - F.col("s_lat")) * (F.col("lat") - F.col("s_lat")) + (
+        F.col("lon") - F.col("s_lon")
+    ) * (F.col("lon") - F.col("s_lon"))
+    naive = cust.crossJoin(supp).filter(d2 <= 4.0).select(
+        "c_custkey", "s_suppkey"
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
