@@ -1461,3 +1461,44 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("err_frac"),
     )
+
+
+_GBA_SQL = """
+SELECT year(o_orderdate) AS y,
+       o_orderpriority AS priority,
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+FROM orders
+GROUP BY ALL
+"""
+
+
+@query(
+    "q_agg_group_by_all",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           o_orderpriority AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def q_agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the modern-SQL sugar (DuckDB-originated, Spark
+    3.4+) that infers the grouping set as every non-aggregate select
+    item; the near-identical statement runs on both engines (only
+    the year()/decimal casts differ by dialect). Analysis-time
+    resolution only: the plan is the same hash aggregate as the
+    explicit GROUP BY, partial-aggregated map-side.
+    """
+    from frafka_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    df = spark.sql(_GBA_SQL)
+    return df.select(
+        F.col("y").cast("int").alias("y"),
+        "priority",
+        "n_orders",
+        F.col("total").cast("double").alias("total"),
+    )

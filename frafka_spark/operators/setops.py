@@ -68,3 +68,49 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL: bag difference (multiplicity subtraction)."""
     urgent, finished = _sides(spark, sf_dir)
     return urgent.exceptAll(finished)
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_acctbal AS balance,
+           c_mktsegment AS segment, NULL AS priority
+    FROM customer WHERE c_acctbal > 9000
+    UNION ALL BY NAME
+    SELECT o_orderpriority AS priority, o_custkey AS entity_key,
+           o_totalprice AS balance
+    FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two relations with REORDERED and
+    PARTIALLY OVERLAPPING columns combined by column NAME, absent
+    columns null-filled — ``unionByName(allowMissingColumns=True)``
+    on the engine, DuckDB's ``UNION ALL BY NAME`` as the oracle.
+    This is the union a lakehouse actually runs (shards written
+    across schema versions drift in column order and presence);
+    positional UNION ALL would silently mis-bind or reject.
+
+    Scale shape: same as any union — no shuffle, the branches
+    concatenate partition-wise; the name resolution is purely
+    analysis-time.
+    """
+    hi_cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_acctbal").alias("balance"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    big_orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").alias("entity_key"),
+            F.col("o_totalprice").alias("balance"),
+        )
+    )
+    return hi_cust.unionByName(big_orders, allowMissingColumns=True)
