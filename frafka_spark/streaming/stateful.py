@@ -107,3 +107,75 @@ def interpolate_stream(
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ALERT_OUTPUT_SCHEMA = (
+    "key string, opened_mi bigint, closed_mi bigint, peak double, n_points bigint"
+)
+ALERT_STATE_SCHEMA = "active boolean, opened_mi bigint, peak double, n_points bigint"
+
+
+def alert_stream(
+    obs: DataFrame,
+    hi: float,
+    lo: float,
+    key_col: str = "key",
+    minute_col: str = "mi",
+    value_col: str = "v",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming threshold alerting with HYSTERESIS: per key, an
+    alert episode OPENS when the value crosses above ``hi`` and
+    CLOSES only when it falls below ``lo`` (< hi) — the two-level
+    rule that stops a value oscillating around one threshold from
+    flapping an alert per sample. Emits one row per CLOSED episode
+    (opened/closed minute, peak value, points in episode).
+
+    This is the state-machine genre ``interpolate_stream``'s
+    interval-close genre doesn't cover: state is the machine's
+    current mode plus episode accumulators — (active, opened_mi,
+    peak, n_points), CONSTANT per key — and transitions are driven
+    by event-time-ordered observations. A still-open episode stays
+    in state across micro-batches until its close crossing arrives
+    (or forever — unclosed episodes are live alerts, not output).
+
+    Scale shape: one hash exchange on the key, O(1) state per key,
+    output bounded by closed episodes. The batch equivalent of the
+    same rule is a gaps-and-islands pass; tests assert the stream
+    reproduces it exactly across trigger boundaries.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def step(key, pdfs, state: GroupState):
+        if state.exists:
+            active, opened, peak, n = state.get
+        else:
+            active, opened, peak, n = False, 0, 0.0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(minute_col)
+        out = {"opened_mi": [], "closed_mi": [], "peak": [], "n_points": []}
+        for mi, v in zip(rows[minute_col], rows[value_col]):
+            mi, v = int(mi), float(v)
+            if not active:
+                if v > hi:
+                    active, opened, peak, n = True, mi, v, 1
+            else:
+                n += 1
+                peak = max(peak, v)
+                if v < lo:
+                    out["opened_mi"].append(opened)
+                    out["closed_mi"].append(mi)
+                    out["peak"].append(peak)
+                    out["n_points"].append(n)
+                    active, opened, peak, n = False, 0, 0.0, 0
+        state.update((active, opened, peak, n))
+        k = str(key[0])
+        yield pd.DataFrame({"key": [k] * len(out["opened_mi"]), **out})
+
+    return obs.groupBy(key_col).applyInPandasWithState(
+        step,
+        outputStructType=ALERT_OUTPUT_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

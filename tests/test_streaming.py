@@ -908,3 +908,78 @@ def test_interpolate_stream_matches_batch(spark, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_alert_stream_hysteresis_matches_reference(spark, tmp_path):
+    """Streaming hysteresis alerting (applyInPandasWithState #2, the
+    state-machine genre): replaying the per-minute feed in three
+    ordered micro-batches must produce exactly the episodes a
+    single-pass reference state machine produces — episodes that
+    straddle trigger boundaries stay open in state and close in a
+    later batch."""
+    from frafka_spark.streaming.stateful import alert_stream
+
+    HI, LO = 15.0, 5.0
+    obs = (
+        table(spark, SF_DIR, "events")
+        .groupBy(
+            F.col("event_type").alias("key"),
+            (F.unix_timestamp("ts") / 60).cast("bigint").alias("mi"),
+        )
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    pdf = obs.orderBy("key", "mi").toPandas()
+
+    # independent single-pass reference machine
+    want = []
+    for key, grp in pdf.groupby("key"):
+        active, opened, peak, n = False, 0, 0.0, 0
+        for mi, v in zip(grp["mi"], grp["v"]):
+            mi, v = int(mi), float(v)
+            if not active:
+                if v > HI:
+                    active, opened, peak, n = True, mi, v, 1
+            else:
+                n += 1
+                peak = max(peak, v)
+                if v < LO:
+                    want.append((key, opened, mi, round(peak, 4), n))
+                    active = False
+    assert len(want) > 5  # the fixture actually exercises the machine
+
+    lo_mi, hi_mi = int(pdf["mi"].min()), int(pdf["mi"].max())
+    feed = str(tmp_path / "feed")
+    step = (hi_mi - lo_mi) // 3 + 1
+    for i in range(3):
+        (
+            obs.filter(
+                (F.col("mi") >= lo_mi + i * step)
+                & (F.col("mi") < lo_mi + (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed)
+        )
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("key string, mi bigint, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        alert_stream(stream, hi=HI, lo=LO)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("alert_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r.key, r.opened_mi, r.closed_mi, round(r.peak, 4), r.n_points)
+        for r in spark.sql(
+            "SELECT * FROM alert_out ORDER BY key, opened_mi"
+        ).collect()
+    ]
+    assert got == sorted(want)
