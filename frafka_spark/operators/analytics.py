@@ -4069,3 +4069,132 @@ def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_up(hazard, 6).alias("hazard"),
         half_up(F.col("surv"), 4).alias("survival"),
     )
+
+
+@query(
+    "q_ts_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               CAST(count(*) AS BIGINT) AS v
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               a.d AS di, b.d AS dj,
+               CAST(b.v - a.v AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.d > a.d
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY slope ASC, di ASC, dj ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM pairs
+    ),
+    med AS (
+        SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+               sum(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope ELSE 0 END
+                   + CASE WHEN rn = (n_pairs + 2) // 2 THEN slope ELSE 0 END
+               ) / 2.0 AS ts_slope
+        FROM ranked GROUP BY event_type, n_pairs
+    ),
+    days AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily
+        GROUP BY event_type
+    )
+    SELECT m.event_type, d.n_days, m.n_pairs,
+           floor(m.ts_slope * 1000000.0 + 0.5) / 1000000.0 AS ts_slope
+    FROM med m JOIN days d ON d.event_type = m.event_type
+    """,
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: per event type, the MEDIAN of all
+    pairwise day-over-day slopes of daily volume — the
+    outlier-immune alternative to the OLS slope ``q_agg_regr`` fits
+    (one corrupted day drags least squares; it moves a median of
+    C(n,2) slopes almost nowhere). The classic robust-statistics
+    companion to ``q_events_anomaly_mad``.
+
+    Exactness: slopes are single divisions of exact integer deltas
+    (identical IEEE ops both engines), and the median is the
+    explicit midpoint rule — row_number over (slope, di, dj), pick
+    ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉, average — never an engine quantile
+    (interpolation rules differ across engines; the
+    q_agg_weighted_median lesson).
+
+    Scale shape: the pair fan-out is per-type C(days, 2) — CALENDAR-
+    bounded (30 days ⇒ 435 pairs), not data-bounded, so the
+    quadratic is a constant multiplier on a 30-row relation however
+    many raw events fold into it; the one unbounded aggregate is
+    the daily rollup, which partial-aggregates map-side. A
+    years-long window would band-limit pairs (|dj−di| ≤ 90) to keep
+    the fan linear — noted, not needed at one month.
+    """
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+                "d"
+            ),
+        )
+        .agg(F.count("*").alias("v"))
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("di"), F.col("v").alias("vi")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("d").alias("dj"),
+        F.col("v").alias("vj"),
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("dj") > F.col("di"))
+    ).select(
+        "event_type",
+        "di",
+        "dj",
+        (
+            (F.col("vj") - F.col("vi")).cast("double")
+            / (F.col("dj") - F.col("di")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("slope").asc(), F.col("di").asc(), F.col("dj").asc()
+    )
+    wc = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_pairs"),
+    )
+    med = ranked.groupBy("event_type", "n_pairs").agg(
+        (
+            (
+                F.sum(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2),
+                        F.col("slope"),
+                    ).otherwise(0.0)
+                )
+                + F.sum(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("n_pairs") + 2) / 2),
+                        F.col("slope"),
+                    ).otherwise(0.0)
+                )
+            )
+            / 2.0
+        ).alias("ts_slope")
+    )
+    days = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    return med.join(days, "event_type").select(
+        "event_type",
+        "n_days",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        half_up(F.col("ts_slope"), 6).alias("ts_slope"),
+    )
