@@ -1857,3 +1857,62 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "verdict")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query("q_llm_dedup_keep_best")  # oracle late-bound below (composition)
+def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper election: within each resolved near-dup
+    cluster, keep the HIGHEST-QUALITY member (rule-based
+    ``q_llm_quality`` score, doc_id tiebreak) instead of the min-id
+    canonical — the policy production dedup actually wants (of four
+    crawls of the same page, keep the cleanest extraction, not the
+    lowest id). Composes TWO declared relations — cluster resolution
+    (connected components over near-dup pairs) and the quality
+    scorer — joined on doc_id; the oracle splices both registered
+    oracles as CTEs, so the composite can never drift from its
+    parts (the q_llm_keywords zero-drift rule).
+
+    The payoff column ``upgraded`` marks clusters where the quality
+    keeper differs from the min-id canonical — the rows where this
+    policy changes the corpus.
+
+    Scale shape: one doc_id equi-join of two narrow relations, one
+    per-cluster window for the argmax — both keyed, both bounded by
+    corpus size; the heavy lifting (pair detection, CC fixpoint)
+    already happened inside the composed operators and is
+    session-cached.
+    """
+    from frafka_spark.llm.text import q_llm_quality
+
+    clusters = q_llm_dedup_cluster(spark, sf_dir).filter(
+        F.col("in_dup_cluster")
+    )
+    quality = q_llm_quality(spark, sf_dir).select("doc_id", "quality_score")
+    j = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    ranked = j.select(
+        "cluster_id",
+        "doc_id",
+        "cluster_size",
+        "quality_score",
+        F.row_number().over(w).alias("rk"),
+    )
+    keepers = ranked.filter(F.col("rk") == 1).select(
+        F.col("cluster_id").alias("k_cluster"),
+        F.col("doc_id").alias("keeper_id"),
+    )
+    return (
+        ranked.join(keepers, ranked["cluster_id"] == keepers["k_cluster"])
+        .select(
+            "cluster_id",
+            "doc_id",
+            "cluster_size",
+            F.col("quality_score").cast("int").alias("quality_score"),
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+            "keeper_id",
+            (F.col("keeper_id") != F.col("cluster_id")).alias("upgraded"),
+        )
+    )
+

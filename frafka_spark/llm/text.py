@@ -2575,3 +2575,36 @@ def q_llm_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vocab").cast("double") / F.col("n_tokens").cast("double"), 6
         ).alias("ttr"),
     )
+
+
+# Late-bind q_llm_dedup_keep_best's composed oracle HERE: dedup.py
+# (where the operator lives) imports before this module, so the
+# quality spec only exists once text.py has registered it — the same
+# zero-drift CTE splice as q_llm_keywords, anchored at the later
+# import site.
+from frafka_spark.registry import QUERIES as _QKB  # noqa: E402
+
+_QKB["q_llm_dedup_keep_best"].oracle = f"""
+    WITH clusters AS ({_QKB['q_llm_dedup_cluster'].oracle}),
+    quality AS ({_QKB['q_llm_quality'].oracle}),
+    j AS (
+        SELECT c.cluster_id, c.doc_id, c.cluster_size,
+               q.quality_score,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY q.quality_score DESC, c.doc_id ASC) AS rk
+        FROM clusters c JOIN quality q ON q.doc_id = c.doc_id
+        WHERE c.in_dup_cluster
+    ),
+    keepers AS (
+        SELECT cluster_id AS k_cluster, doc_id AS keeper_id
+        FROM j WHERE rk = 1
+    )
+    SELECT j.cluster_id, j.doc_id, j.cluster_size,
+           CAST(j.quality_score AS INT) AS quality_score,
+           (j.doc_id = k.keeper_id) AS is_keeper,
+           k.keeper_id,
+           (k.keeper_id <> j.cluster_id) AS upgraded
+    FROM j JOIN keepers k ON j.cluster_id = k.k_cluster
+"""
+del _QKB
