@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from frafka_spark.functions.determinism import half_up
 from frafka_spark.io import table
 from frafka_spark.registry import query
 
@@ -932,4 +933,81 @@ def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_length("p_name").cast("bigint").alias("bits"),
         F.octet_length("p_name").cast("bigint").alias("octets"),
         F.ascii("p_name").cast("int").alias("first_code"),
+    )
+
+
+@query(
+    "q_fn_lambda",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(list_filter(e, x -> x > 0)) AS INT) AS n_pos,
+           (len(list_filter(e, x -> abs(x) < 1.0)) = len(e)) AS all_small,
+           (len(list_filter(e, x -> abs(x) > 0.3)) > 0) AS any_big,
+           floor(list_reduce(list_transform(e, x -> abs(x)),
+                             (a, b) -> a + b) * 1000000.0 + 0.5)
+               / 1000000.0 AS l1_norm,
+           floor(list_reduce(
+                     list_transform(generate_series(1, len(e)),
+                                    i -> e[i] * e[len(e) + 1 - i]),
+                     (a, b) -> a + b) * 1000000.0 + 0.5)
+               / 1000000.0 AS mirror_dot,
+           array_to_string(list_transform(e[1:3],
+               x -> CAST(CAST(x * 2.0 AS DECIMAL(24,6)) AS VARCHAR)), ',')
+               AS head3_doubled
+    FROM v
+    """,
+)
+def q_fn_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order (lambda) function family: ``filter`` /
+    ``forall`` / ``exists`` / ``aggregate`` (left fold) /
+    ``zip_with`` / ``transform`` over the embedding arrays — the B8
+    extension ``q_fn_array``'s selection ops don't touch: these
+    evaluate a LAMBDA per element inside codegen, which is what
+    makes array-typed feature columns workable without exploding
+    (the ``q_llm_sim_cosine`` dot products are exactly this
+    family in anger).
+
+    Determinism: float32 elements widen to double first (exact);
+    both folds run left-to-right with identical op sequences on
+    both engines (``aggregate``'s 0.0 seed is absorbed exactly by
+    IEEE +), so the 1e-6 pin carries no accumulation-order risk —
+    the ``q_llm_zipf`` ordered-fold rule. The transformed head is
+    serialized via DECIMAL(24,6) strings (raw double→string
+    rendering differs across engines — the q_fn_array rule).
+
+    Scale shape: pure projection, no shuffle, no explode — the
+    whole point of the lambda forms at 100 TB is that a 64-wide
+    array op stays one row.
+    """
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    e = F.col("e")
+    fold_abs = F.aggregate(
+        F.transform(e, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mirror = F.aggregate(
+        F.zip_with(e, F.reverse(e), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return v.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.forall(e, lambda x: F.abs(x) < 1.0).alias("all_small"),
+        F.exists(e, lambda x: F.abs(x) > 0.3).alias("any_big"),
+        half_up(fold_abs, 6).alias("l1_norm"),
+        half_up(mirror, 6).alias("mirror_dot"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(e, 1, 3),
+                lambda x: (x * 2.0).cast("decimal(24,6)").cast("string"),
+            ),
+        ).alias("head3_doubled"),
     )
