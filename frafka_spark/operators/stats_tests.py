@@ -459,8 +459,8 @@ _BENFORD = (
     tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
     SELECT digit, n,
            {sql_half_up('CAST(n AS DOUBLE) / total', 6)} AS share,
-           list_extract([{', '.join(str(x) for x in _BENFORD)}], digit)
-               AS expected,
+           CAST(list_extract([{', '.join(str(x) for x in _BENFORD)}], digit)
+                AS DOUBLE) AS expected,
            {sql_half_up(
                'CAST(n AS DOUBLE) / total'
                f" - list_extract([{', '.join(str(x) for x in _BENFORD)}],"
