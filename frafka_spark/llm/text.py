@@ -2608,3 +2608,77 @@ _QKB["q_llm_dedup_keep_best"].oracle = f"""
     FROM j JOIN keepers k ON j.cluster_id = k.k_cluster
 """
 del _QKB
+
+
+@query(
+    "q_llm_html_strip",
+    oracle="""
+    WITH parts AS (
+        SELECT doc_id,
+               split_part(text, ' ', 1) AS w1,
+               substr(text, length(split_part(text, ' ', 1)) + 2) AS rest
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(6 AS INT) AS n_tags,
+           trim(w1 || ' & ' || rest) AS clean_text,
+           true AS recovered
+    FROM parts
+    """,
+)
+def q_llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping: tag removal + entity decoding +
+    whitespace normalization — the first pass of every web-crawl
+    cleaning pipeline (trafilatura/justext's final mile), expressed
+    as engine-side regexp work. The HTML is SYNTHESIZED per doc from
+    its own text (house sentinel rule: wrap in div/p, bold the first
+    word, join with an ``&amp;`` entity), so the oracle states the
+    cleaned output BY CONSTRUCTION while the engine must genuinely
+    strip six tags, decode the entity, and re-normalize whitespace;
+    ``recovered`` pins that the round trip is lossless.
+
+    Scale shape: pure projection (three regexp/replace passes per
+    row, whole-stage codegen, no shuffle) — scan-bound like the
+    payload-parse family (q_fn_json/csv/xml).
+    """
+    d = table(spark, sf_dir, "documents")
+    w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    rest = F.substring(
+        F.col("text"), F.length(w1) + 2, F.lit(2_000_000_000)
+    )
+    html = F.concat(
+        F.lit('<div id="doc-'),
+        F.col("doc_id"),
+        F.lit('"><p><b>'),
+        w1,
+        F.lit("</b> &amp; "),
+        rest,
+        F.lit("</p></div>"),
+    )
+    with_html = d.select("doc_id", F.col("text").alias("orig"), html.alias("html"))
+    stripped = F.regexp_replace("html", "<[^>]+>", "")
+    decoded = F.replace(
+        F.replace(stripped, F.lit("&amp;"), F.lit("&")),
+        F.lit("&nbsp;"),
+        F.lit(" "),
+    )
+    clean = F.trim(F.regexp_replace(decoded, "\\s+", " "))
+    expected = F.trim(
+        F.concat(
+            F.split_part(F.col("orig"), F.lit(" "), F.lit(1)),
+            F.lit(" & "),
+            F.substring(
+                F.col("orig"),
+                F.length(F.split_part(F.col("orig"), F.lit(" "), F.lit(1))) + 2,
+                F.lit(2_000_000_000),
+            ),
+        )
+    )
+    return with_html.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(html, '<[^>]+>', 0)"))
+        .cast("int")
+        .alias("n_tags"),
+        clean.alias("clean_text"),
+        (clean == expected).alias("recovered"),
+    )

@@ -463,3 +463,36 @@ def test_sketch_merge_error_bound(spark):
     )
     for _, r in rows.iterrows():
         assert int(r["est_customers"]) == int(direct[r["nationkey"]])
+
+
+def test_observation_metrics_piggyback_on_query(spark):
+    """`Observation` metrics (A6/A11-adjacent observability): a
+    pipeline can collect row counts / sums / extremes DURING a query
+    it already runs — no second scan — which at 100 TB is the
+    difference between free telemetry and doubling the read. The
+    observed values must equal a direct aggregation's."""
+    from pyspark.sql import Observation
+
+    li = table(spark, SF_DIR, "lineitem")
+    obs = Observation("li_metrics")
+    out = (
+        li.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .filter(F.col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .count()
+    )
+    out.collect()  # one pass: observation rides the scan
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("s"),
+        F.max("l_extendedprice").alias("m"),
+    ).first()
+    got = obs.get
+    assert got["n_rows"] == direct.n
+    assert got["sum_qty"] == direct.s
+    assert got["max_price"] == direct.m
