@@ -1919,3 +1919,72 @@ def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@query("q_llm_dedup_policy_compare")  # oracle late-bound in text.py (composition)
+def q_llm_dedup_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup policy A/B report: for each of the three declared
+    policies — EXACT (content digest), NEAR (MinHash pairs resolved
+    to connected components), SEMANTIC (embedding-cosine pairs in
+    IVF cells) — how many documents each would drop and how many
+    characters that saves. The one-page answer to "which dedup tier
+    is worth running on this corpus", composed entirely from the
+    declared relations so the report can never disagree with the
+    operators it summarizes.
+
+    Policy semantics (documented, deliberately different): exact and
+    near drop non-canonical members of resolved groups (transitive);
+    semantic uses the pair-local greedy rule (drop any doc with a
+    smaller-id partner above the cosine threshold) over the
+    EMBEDDED subset — its universe column says so.
+
+    Scale shape: three narrow compositions (each bounded by its
+    operator's output), one union of three 1-row aggregates; the
+    heavy detection work is the composed operators', shared via the
+    session caches.
+    """
+    from frafka_spark.llm.similarity import q_llm_dedup_embed
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n_docs = docs.count()
+
+    exact = q_llm_dedup_exact(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h"), "n_chars"
+    )
+    exact_dropped = d.join(
+        exact, d["h"] == exact["content_hash"]
+    ).filter(F.col("doc_id") != F.col("keep_doc_id"))
+
+    near_dropped = (
+        q_llm_dedup_cluster(spark, sf_dir)
+        .filter(F.col("in_dup_cluster") & ~F.col("is_canonical"))
+        .join(docs, "doc_id")
+    )
+
+    emb_universe = table(spark, sf_dir, "embeddings").count()
+    embed_dropped = (
+        q_llm_dedup_embed(spark, sf_dir)
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+        .join(docs, "doc_id")
+    )
+
+    def summarize(df, policy, universe):
+        return df.agg(
+            F.lit(policy).alias("policy"),
+            F.lit(universe).cast("bigint").alias("universe"),
+            F.count("*").alias("n_dropped"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias(
+                "chars_dropped"
+            ),
+            half_up(F.count("*") / F.lit(float(universe)), 6).alias(
+                "pct_dropped"
+            ),
+        )
+
+    return (
+        summarize(exact_dropped, "1_exact", n_docs)
+        .unionByName(summarize(near_dropped, "2_near_cc", n_docs))
+        .unionByName(summarize(embed_dropped, "3_semantic_pairs", emb_universe))
+    )

@@ -2682,3 +2682,52 @@ def q_llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean_text"),
         (clean == expected).alias("recovered"),
     )
+
+
+from frafka_spark.registry import QUERIES as _QPC  # noqa: E402
+
+_QPC["q_llm_dedup_policy_compare"].oracle = f"""
+    WITH exact AS ({_QPC['q_llm_dedup_exact'].oracle}),
+    clusters AS ({_QPC['q_llm_dedup_cluster'].oracle}),
+    embed_pairs AS ({_QPC['q_llm_dedup_embed'].oracle}),
+    docs AS (SELECT doc_id, n_chars FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_emb FROM embeddings),
+    exact_dropped AS (
+        SELECT d.doc_id, d.n_chars
+        FROM (SELECT doc_id, md5(text) AS h, n_chars FROM documents) d
+        JOIN exact e ON e.content_hash = d.h
+        WHERE d.doc_id <> e.keep_doc_id
+    ),
+    near_dropped AS (
+        SELECT c.doc_id, d.n_chars
+        FROM clusters c JOIN docs d ON d.doc_id = c.doc_id
+        WHERE c.in_dup_cluster AND NOT c.is_canonical
+    ),
+    embed_dropped AS (
+        SELECT DISTINCT p.vec_b AS doc_id, d.n_chars
+        FROM embed_pairs p JOIN docs d ON d.doc_id = p.vec_b
+    )
+    SELECT '1_exact' AS policy,
+           (SELECT n_docs FROM n) AS universe,
+           CAST(count(*) AS BIGINT) AS n_dropped,
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_dropped,
+           floor(CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS pct_dropped
+    FROM exact_dropped
+    UNION ALL
+    SELECT '2_near_cc', (SELECT n_docs FROM n),
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT),
+           floor(CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM n)
+                 * 1000000.0 + 0.5) / 1000000.0
+    FROM near_dropped
+    UNION ALL
+    SELECT '3_semantic_pairs', (SELECT n_emb FROM ne),
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT),
+           floor(CAST(count(*) AS DOUBLE) / (SELECT n_emb FROM ne)
+                 * 1000000.0 + 0.5) / 1000000.0
+    FROM embed_dropped
+"""
+del _QPC
