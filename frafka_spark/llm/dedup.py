@@ -765,6 +765,9 @@ def connected_components(
     )
 
 
+_CLUSTER_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 @query(
     "q_llm_dedup_cluster",
     oracle=f"""
@@ -808,6 +811,11 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution: pairs → connected components →
     one canonical (min-id) doc per component.
 
+    Session-memoized: construction EXECUTES the superstep loop (see
+    below), so the two composing queries (keep_best, policy_compare)
+    must not re-run the fixpoint — the labeled relation is cached and
+    reused per (session, sf_dir), like the shared projections.
+
     Pair lists alone don't dedup a corpus — {A,B}, {B,C} must
     collapse to ONE keeper. Labels propagate to CONVERGENCE via
     ``connected_components`` (round 2 ran a fixed 3 rounds, which
@@ -822,6 +830,9 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``connected_components``). Every other declared query builds its
     plan lazily; this is the documented exception.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CLUSTER_MEMO:
+        return _CLUSTER_MEMO[key]
     pairs = q_llm_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
     # cache(): every propagation round references the edge list, so an
     # uncached plan re-executes the whole n-gram pair pipeline once
@@ -852,13 +863,19 @@ def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = table(spark, sf_dir, "documents").select("doc_id")
     lbl = connected_components(nodes, edges)
     sizes = lbl.groupBy("lbl").agg(F.count("*").alias("sz"))
-    return lbl.join(sizes, "lbl").select(
-        "doc_id",
-        F.col("lbl").alias("cluster_id"),
-        (F.col("sz") > 1).alias("in_dup_cluster"),
-        F.col("sz").cast("bigint").alias("cluster_size"),
-        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+    out = (
+        lbl.join(sizes, "lbl")
+        .select(
+            "doc_id",
+            F.col("lbl").alias("cluster_id"),
+            (F.col("sz") > 1).alias("in_dup_cluster"),
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+        )
+        .cache()
     )
+    _CLUSTER_MEMO[key] = out
+    return out
 
 
 @query(
