@@ -4204,3 +4204,103 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         half_up(F.col("ts_slope"), 6).alias("ts_slope"),
     )
+
+
+_SEAS_MIN_SAMPLES = 4  # (dow, hour) cells need >= 4 observed days
+
+
+@query(
+    "q_events_anomaly_seasonal",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               CAST(hour(ts) AS INT) AS hr,
+               dayofweek(ts) AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE), hour(ts), dayofweek(ts)
+    ),
+    cells AS (
+        SELECT *,
+               count(*) OVER w AS k,
+               sum(n) OVER w AS s,
+               sum(n * n) OVER w AS ss
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type, dow, hr)
+    ),
+    loo AS (
+        SELECT event_type, day, hr, n, CAST(k AS BIGINT) AS k,
+               CAST(s - n AS DOUBLE) / (k - 1) AS mean_loo,
+               (CAST(ss - n * n AS DOUBLE)
+                - CAST(s - n AS DOUBLE) * (s - n) / (k - 1))
+               / (k - 2) AS var_loo
+        FROM cells WHERE k >= {_SEAS_MIN_SAMPLES}
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           hr, n, k,
+           {{z}} AS z,
+           (abs((CAST(n AS DOUBLE) - mean_loo) / sqrt(var_loo)) > 2.0)
+               AS is_anomaly
+    FROM loo WHERE var_loo > 0
+    """.replace(
+        "{z}",
+        "floor((CAST(n AS DOUBLE) - mean_loo) / sqrt(var_loo)"
+        " * 10000.0 + 0.5) / 10000.0 + 0.0",
+    ),
+)
+def q_events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly: each (type, day, hour) volume
+    z-scored against ITS OWN (weekday, hour) cell across the month,
+    leave-one-out — the "is this Tuesday 9am weird FOR a Tuesday
+    9am" detector that completes the anomaly family (global mean →
+    q_events_anomaly, robust MAD → _mad, trailing window → both;
+    seasonal baseline → here). LOO matters at k≈4 samples: an
+    in-sample baseline absorbs the outlier it should flag.
+
+    Exactness: per-cell k/S/SS are exact integers from one
+    partitioned window (no per-row re-aggregation), the LOO
+    mean/variance algebra is one identical double chain off
+    ``S − n`` and ``SS − n²``, and the z pin is explicit half-up
+    with a signed-zero normalization (``+ 0.0``) since z straddles
+    zero.
+
+    Scale shape: one hash aggregate events → (type, day, hour), one
+    PARTITION-only window over the 5×7×24-bounded cell space, then
+    row-local math — the window's partition count is fixed by the
+    calendar, its rows by observed days.
+    """
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").cast("int").alias("hr"),
+            F.dayofweek("ts").alias("dow"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type", "dow", "hr")
+    cells = hourly.select(
+        "*",
+        F.count("*").over(w).alias("k"),
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+    ).filter(F.col("k") >= _SEAS_MIN_SAMPLES)
+    mean_loo = (F.col("s") - F.col("n")).cast("double") / (F.col("k") - 1)
+    var_loo = (
+        (F.col("ss") - F.col("n") * F.col("n")).cast("double")
+        - (F.col("s") - F.col("n")).cast("double")
+        * (F.col("s") - F.col("n"))
+        / (F.col("k") - 1)
+    ) / (F.col("k") - 2)
+    z_raw = (F.col("n").cast("double") - mean_loo) / F.sqrt(var_loo)
+    return cells.filter(var_loo > 0).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "hr",
+        "n",
+        F.col("k").cast("bigint").alias("k"),
+        (half_up(z_raw, 4) + 0.0).alias("z"),
+        (F.abs(z_raw) > 2.0).alias("is_anomaly"),
+    )
