@@ -53,3 +53,10 @@ def load_all() -> None:
         similarity,
         text,
     )
+
+    # Registered LAST on purpose: never-graded keys lead the driver's
+    # grading rotation in registration order, and the round-8 window
+    # was sized to exactly the pre-existing 50-key backlog — keys
+    # added after that close must queue BEHIND it (they'll lead the
+    # next round's window) rather than bump planned keys out.
+    from frafka_spark.operators import sketches  # noqa: F401

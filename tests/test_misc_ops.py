@@ -496,3 +496,30 @@ def test_observation_metrics_piggyback_on_query(spark):
     assert got["n_rows"] == direct.n
     assert got["sum_qty"] == direct.s
     assert got["max_price"] == direct.m
+
+
+def test_cms_one_sided_error_and_bloom_no_false_negatives(spark):
+    """Sketch-family structural guarantees (the oracle hash proves
+    cross-engine equality; these pin the *math*): a Count-Min
+    estimate NEVER undercounts (min over per-row cells each ≥ the
+    true count), and a Bloom filter NEVER false-negatives (every
+    member's K bits were set by construction)."""
+    import frafka_spark
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    cms = QUERIES["q_agg_cms"].fn(spark, SF_DIR).toPandas()
+    assert len(cms) == 10
+    assert (cms["over_cnt"] >= 0).all()
+    assert (cms["est_cnt"] == cms["true_cnt"] + cms["over_cnt"]).all()
+
+    bloom = QUERIES["q_agg_bloom"].fn(spark, SF_DIR).toPandas()
+    assert len(bloom) == 1
+    r = bloom.iloc[0]
+    assert r["false_negatives"] == 0
+    assert r["bloom_positives"] >= r["n_true_members"]
+    assert (
+        r["bloom_positives"] - r["n_true_members"] == r["false_positives"]
+    )
+    # geometry: can't set more bits than K·members or M
+    assert r["n_bits_set"] <= min(3 * int(r["n_members"]), 4096)

@@ -787,3 +787,23 @@ def test_user_similarity_build_side_capped(spark):
     carries the cap filter before the join."""
     plan = _plan(spark, "q_events_user_similarity")
     assert "rk" in plan and "1024" in plan, plan
+
+
+def test_cms_sketch_broadcasts_and_partial_aggregates(spark):
+    """q_agg_cms: the D×W sketch relation (≤256 rows by construction)
+    rides a BroadcastExchange into the probe join, and the sketch
+    build partial-aggregates map-side (the explode's D-fold fan-out
+    collapses to ≤ D·W rows per partition before the shuffle)."""
+    df = _df(spark, "q_agg_cms")
+    assert uses_broadcast_join(df)
+    assert has_partial_aggregation(df)
+
+
+def test_bloom_bits_broadcast_no_data_sized_build(spark):
+    """q_agg_bloom: the K·M-bounded bit set is the broadcast side of
+    the probe join — the probe stream never shuffles against a
+    data-sized build relation."""
+    df = _df(spark, "q_agg_bloom")
+    assert uses_broadcast_join(df)
+    plan = plan_str(df)
+    assert "BroadcastExchange" in plan, plan
