@@ -3514,10 +3514,19 @@ def q_events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a data-bounded side.
     """
     e = table(spark, sf_dir, "events")
-    hu = e.select(
-        F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
-    ).distinct()
-    peru = hu.groupBy("user_id").agg(F.count("*").alias("h"))
+    # Shared-subtree discipline: hu feeds 3 consumers (peru, hrs,
+    # capped), peru 3 (cap rank, h1, h2), edges 4 (deg + the triple
+    # self-join) — uncached, the events-scan→distinct→window→pair
+    # subtree re-executes per consumer (measured 5.3 s at sf0.1;
+    # cached 1.3 s). hu/peru are the collapsed incidence/degree
+    # relations (∝ users, not events); edges is 2000 rows by code
+    # constant.
+    hu = (
+        e.select(F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id")
+        .distinct()
+        .cache()
+    )
+    peru = hu.groupBy("user_id").agg(F.count("*").alias("h")).cache()
     hrs = hu.agg(F.countDistinct("hr").alias("nh"))
     # Block cap: keep each hour's 512 most-active users (h desc,
     # user_id tiebreak) before pairing — bounds the quadratic
@@ -3568,6 +3577,7 @@ def q_events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(2000)
         .select("u1", "u2")
+        .cache()
     )
     deg = (
         edges.select(F.col("u1").alias("user_id"))
