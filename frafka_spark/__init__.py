@@ -59,4 +59,5 @@ def load_all() -> None:
     # was sized to exactly the pre-existing 50-key backlog — keys
     # added after that close must queue BEHIND it (they'll lead the
     # next round's window) rather than bump planned keys out.
-    from frafka_spark.operators import sketches  # noqa: F401
+    from frafka_spark.llm import blocking, semdedup  # noqa: F401
+    from frafka_spark.operators import experiments, graph, sketches  # noqa: F401

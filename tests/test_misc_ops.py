@@ -523,3 +523,72 @@ def test_cms_one_sided_error_and_bloom_no_false_negatives(spark):
     )
     # geometry: can't set more bits than K·members or M
     assert r["n_bits_set"] <= min(3 * int(r["n_members"]), 4096)
+
+
+def test_semdedup_and_hard_negative_laws(spark):
+    """Structural guarantees behind the wave-3 embedding ops: the
+    minimum vec_id of every IVF cell is always kept (the min-id
+    keeper rule can't drop the most-canonical member), verdicts
+    partition the corpus, and every mined hard negative really is a
+    different-label neighbor emitted in descending-cosine rank."""
+    import frafka_spark
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    sd = QUERIES["q_llm_semdedup"].fn(spark, SF_DIR).toPandas()
+    assert (sd["kept"] == (sd["n_dups_lower"] == 0)).all()
+    first = sd.sort_values("vec_id").groupby("cent_id").first()
+    assert first["kept"].all(), "a cell's min vec_id was dropped"
+
+    hn = QUERIES["q_llm_hard_negatives"].fn(spark, SF_DIR).toPandas()
+    assert (hn.groupby("vec_id")["rank"].count() == 3).all()
+    assert (hn["neighbor_label"] != hn["label"]).all()
+    by_rank = hn.sort_values(["vec_id", "rank"]).groupby("vec_id")["cosine"]
+    assert (by_rank.apply(lambda s: s.is_monotonic_decreasing)).all()
+
+
+def test_phonetic_block_and_ab_test_laws(spark):
+    """Blocking-join and A/B-readout invariants: every candidate pair
+    shares its phonetic key, the verify column is exactly the lev<=2
+    rule (red/rod survives it), and the A/B moments account for every
+    user with a z whose sign matches the mean difference."""
+    import frafka_spark
+    from frafka_spark.io import table
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    pb = QUERIES["q_llm_phonetic_block"].fn(spark, SF_DIR).toPandas()
+    assert (pb["is_match"] == (pb["lev"] <= 2)).all()
+    matches = set(map(tuple, pb[pb["is_match"]][["w1", "w2"]].values))
+    assert ("red", "rod") in matches
+
+    ab = QUERIES["q_events_ab_test"].fn(spark, SF_DIR).toPandas().iloc[0]
+    n_users = (
+        table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert ab["n_a"] + ab["n_b"] == n_users
+    assert (ab["welch_z"] > 0) == (ab["diff"] > 0) or ab["diff"] == 0
+
+
+def test_label_prop_and_markov_laws(spark):
+    """Propagation/chain invariants: seeds keep their round-0 label,
+    rounds only take values 0/1/2/null, every label is a declared
+    event type; the stationary vector is nonnegative and sums to 1e6
+    within the documented per-iteration flooring loss."""
+    import frafka_spark
+    from frafka_spark.operators.graph import MARKOV_ITERS, MARKOV_TYPES
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    lp = QUERIES["q_events_label_prop"].fn(spark, SF_DIR).toPandas()
+    seeds = lp[lp["user_id"] % 10 == 0]
+    assert (seeds["rnd"] == 0).all()
+    assert set(lp["label"].dropna()) <= set(MARKOV_TYPES)
+    assert set(lp["rnd"].dropna()) <= {0, 1, 2}
+
+    mk = QUERIES["q_events_markov_stationary"].fn(spark, SF_DIR).toPandas()
+    assert len(mk) == len(MARKOV_TYPES)
+    assert (mk["stationary_micro"] >= 0).all()
+    total = mk["stationary_micro"].sum()
+    loss_bound = (len(MARKOV_TYPES) + 1) * (MARKOV_ITERS + 1)
+    assert 1_000_000 - loss_bound <= total <= 1_000_000

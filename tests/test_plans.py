@@ -91,6 +91,9 @@ def test_python_boundary_inventory(spark):
         # composes the GEMM baseline above, inheriting its declared
         # MapInPandas kernel (the audit joins brute force vs IVF)
         "q_llm_ann_recall",
+        # same GEMM kernel with a label mask — the brute-force tier
+        # of hard-negative mining (llm/semdedup.py)
+        "q_llm_hard_negatives",
         # greedy next-fit is a non-associative sequential recurrence —
         # no built-in window/aggregate form exists; the per-segment
         # applyInPandas scan IS the operator (llm/pack.py).
@@ -807,3 +810,37 @@ def test_bloom_bits_broadcast_no_data_sized_build(spark):
     assert uses_broadcast_join(df)
     plan = plan_str(df)
     assert "BroadcastExchange" in plan, plan
+
+
+def test_semdedup_codebook_broadcast_cell_equijoin(spark):
+    """q_llm_semdedup: the only broadcast is the bounded centroid
+    codebook, and the within-cell pairing is an equi-join on cent_id
+    — never a cartesian pairing of the corpus."""
+    plan = _plan(spark, "q_llm_semdedup")
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_phonetic_block_equijoin_and_cap(spark):
+    """q_llm_phonetic_block: candidates pair via a pkey equi-join
+    (no all-pairs product) and the 256 block cap sits below it."""
+    plan = _plan(spark, "q_llm_phonetic_block")
+    assert "CartesianProduct" not in plan, plan
+    assert "256" in plan, plan
+
+
+def test_ab_test_two_partial_agg_passes(spark):
+    """q_events_ab_test: both stages (per-user counts, group moments)
+    partial-aggregate map-side; no join, no window in the plan."""
+    df = _df(spark, "q_events_ab_test")
+    assert has_partial_aggregation(df)
+    plan = plan_str(df)
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_label_prop_edges_take_ordered(spark):
+    """q_events_label_prop: edge sparsification is TakeOrdered (per-
+    task heaps), not a global sort, and no cartesian join appears."""
+    plan = _plan(spark, "q_events_label_prop")
+    assert "TakeOrdered" in plan, plan
+    assert "CartesianProduct" not in plan, plan
