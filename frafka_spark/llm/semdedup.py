@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from frafka_spark.functions.determinism import half_up
+from frafka_spark.functions.determinism import half_up, sql_half_up
+from frafka_spark.io import table
 from frafka_spark.llm.similarity import (
     _SQL_CELLS,
     _SQL_VECS,
@@ -39,10 +40,10 @@ SEMDEDUP_TAU = 0.35  # drops ~16% of fixture vectors (0.4 drops ~4%)
 HARD_NEG_K = 3
 
 
-@query(
-    "q_llm_semdedup",
-    oracle=f"""
-    WITH {_SQL_VECS},
+# CTE chain ending in the per-vector `verdicts` relation — shared by
+# q_llm_semdedup (emits it) and q_llm_semdedup_by_source (the
+# curation report over it).
+_SD_CTES = f"""{_SQL_VECS},
     {_SQL_CELLS},
     dups AS (
         SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_dups_lower
@@ -51,11 +52,20 @@ HARD_NEG_K = 3
         WHERE list_dot_product(a.emb, b.emb) / (a.norm * b.norm)
               > {SEMDEDUP_TAU}
         GROUP BY b.vec_id
-    )
-    SELECT c.vec_id, c.cent_id, c.label,
-           CAST(coalesce(d.n_dups_lower, 0) AS BIGINT) AS n_dups_lower,
-           (d.vec_id IS NULL) AS kept
-    FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id
+    ),
+    verdicts AS (
+        SELECT c.vec_id, c.cent_id, c.label,
+               CAST(coalesce(d.n_dups_lower, 0) AS BIGINT) AS n_dups_lower,
+               (d.vec_id IS NULL) AS kept
+        FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id
+    )"""
+
+
+@query(
+    "q_llm_semdedup",
+    oracle=f"""
+    WITH {_SD_CTES}
+    SELECT vec_id, cent_id, label, n_dups_lower, kept FROM verdicts
     """,
 )
 def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,6 +85,15 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     three consumers here (both self-join sides + the verdict spine)
     read one materialization.
     """
+    return _verdicts(spark, sf_dir)
+
+
+def _verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SemDeDup verdict relation, session-memoized (two
+    consumers: the verdict emit and the by-source curation report).
+    Corpus-row-sized but column-narrow; at scale this is the relation
+    a curation run would persist anyway."""
+    from frafka_spark.llm.dedup import materialize_once
     from frafka_spark.llm.similarity import _dot
 
     cells = _cells(spark, sf_dir)
@@ -103,7 +122,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("b_id").alias("vec_id"))
         .agg(F.count("*").cast("bigint").alias("n_dups_lower"))
     )
-    return (
+    out = (
         cells.select("vec_id", "cent_id", "label")
         .join(dups, "vec_id", "left")
         .select(
@@ -114,6 +133,58 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_dups_lower"
             ),
             F.col("n_dups_lower").isNull().alias("kept"),
+        )
+        .cache()
+    )
+    return materialize_once(out, spark, sf_dir, "semdedup_verdicts")
+
+
+@query(
+    "q_llm_semdedup_by_source",
+    oracle=f"""
+    WITH {{SD_CTES}}
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN v.kept THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped,
+           {{RATE}} AS drop_rate
+    FROM verdicts v JOIN documents d ON d.doc_id = v.vec_id
+    GROUP BY d.source
+    """.replace("{SD_CTES}", _SD_CTES).replace(
+        "{RATE}",
+        sql_half_up(
+            "CAST(sum(CASE WHEN v.kept THEN 0 ELSE 1 END) AS DOUBLE)"
+            " / count(*)",
+            4,
+        ),
+    ),
+)
+def q_llm_semdedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation report on top of the SemDeDup verdicts: semantic
+    drop rate per document source (join verdicts back to the
+    documents dimension on vec_id = doc_id — the embedded subset) —
+    the table a data-mixture owner reads to see WHICH sources feed
+    the semantic-duplicate mass before re-weighting them.
+
+    Exactness: integer counts and one pinned half-up quotient.
+
+    Scale shape: the verdict relation is session-memoized (computed
+    once for both consumers), the report is one hash aggregate keyed
+    on source after an id-equi join — both partial-aggregate, no new
+    pairwise work.
+    """
+    v = _verdicts(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    dropped = F.sum(F.when(F.col("kept"), 0).otherwise(1))
+    return (
+        v.join(d, v["vec_id"] == d["doc_id"])
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            dropped.cast("bigint").alias("n_dropped"),
+            half_up(dropped.cast("double") / F.count("*"), 4).alias(
+                "drop_rate"
+            ),
         )
     )
 

@@ -148,3 +148,170 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_z"),
     )
+
+
+@query(
+    "q_events_ab_cuped",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                              AND ts < TIMESTAMP '2024-01-16'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                              AND ts >= TIMESTAMP '2024-01-16'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END)
+                    AS BIGINT) AS sx_a,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END)
+                    AS BIGINT) AS sy_a,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END)
+                    AS BIGINT) AS sx_b,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END)
+                    AS BIGINT) AS sy_b
+        FROM per_user
+    )
+    SELECT n_a, n_b,
+           {{THETA}} AS theta,
+           {{RAW}} AS raw_diff,
+           {{ADJ}} AS adj_diff,
+           {{VR}} AS var_reduction
+    FROM m
+    """.replace(
+        "{THETA}",
+        sql_round_z(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)",
+            6,
+        ),
+    ).replace(
+        "{RAW}",
+        sql_round_z(
+            "CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b", 4
+        ),
+    ).replace(
+        "{ADJ}",
+        sql_round_z(
+            "(CAST(sy_a AS DOUBLE) / n_a"
+            " - CAST(n * sxy - sx * sy AS DOUBLE)"
+            "   / CAST(n * sxx - sx * sx AS DOUBLE)"
+            "   * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n))"
+            " - (CAST(sy_b AS DOUBLE) / n_b"
+            " - CAST(n * sxy - sx * sy AS DOUBLE)"
+            "   / CAST(n * sxx - sx * sx AS DOUBLE)"
+            "   * (CAST(sx_b AS DOUBLE) / n_b - CAST(sx AS DOUBLE) / n))",
+            4,
+        ),
+    ).replace(
+        "{VR}",
+        sql_half_up(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " * (n * sxy - sx * sy)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)"
+            " / CAST(n * syy - sy * sy AS DOUBLE)",
+            6,
+        ),
+    ),
+)
+def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, controlled
+    pre-period covariate) for the ``user_id % 2`` experiment: the
+    pre-period purchase count (Jan 1–15) adjusts the outcome period
+    (Jan 16–31) via the pooled regression coefficient
+    ``θ = cov(X,Y)/var(X)``, shrinking the arm-mean difference toward
+    what the experiment would have shown with pre-period imbalance
+    removed. Emits θ, the raw and adjusted mean differences, and the
+    achieved variance-reduction fraction ``ρ² = cov²/(var_x·var_y)``.
+
+    Exactness: one pass of integer moments per user (x, y, x², y²,
+    xy + per-arm conditionals), so θ and both diffs are single double
+    chains over exact integers (the (nΣxy − ΣxΣy)-style lift clears
+    every mean-subtraction float pass); all sign-straddling outputs
+    ride round_z.
+
+    Scale shape: identical to q_events_ab_test — one map-side-
+    combined per-user aggregate, then a single-row aggregate of
+    twelve longs. The entire covariate adjustment costs twelve
+    numbers of shuffle, independent of event volume.
+    """
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_p & (F.col("ts") < cutoff), 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(is_p & (F.col("ts") >= cutoff), 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    is_a = F.col("user_id") % 2 == 0
+    m = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(is_a, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx_a"),
+        F.sum(F.when(is_a, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(~is_a, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx_b"),
+        F.sum(F.when(~is_a, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_b"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    theta = cov / var_x
+    xbar = F.col("sx").cast("double") / F.col("n")
+    ya = F.col("sy_a").cast("double") / F.col("n_a")
+    yb = F.col("sy_b").cast("double") / F.col("n_b")
+    xa = F.col("sx_a").cast("double") / F.col("n_a")
+    xb = F.col("sx_b").cast("double") / F.col("n_b")
+    return m.select(
+        "n_a",
+        "n_b",
+        round_z(theta, 6).alias("theta"),
+        round_z(ya - yb, 4).alias("raw_diff"),
+        round_z(
+            (ya - theta * (xa - xbar)) - (yb - theta * (xb - xbar)), 4
+        ).alias("adj_diff"),
+        half_up(
+            cov
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / var_x
+            / var_y,
+            6,
+        ).alias("var_reduction"),
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from frafka_spark.functions.determinism import sql_half_up
+from frafka_spark.functions.determinism import round_z, sql_half_up, sql_round_z
 from frafka_spark.io import table
 from frafka_spark.registry import query
 
@@ -32,11 +32,11 @@ MARKOV_TYPES = ("click", "error", "purchase", "signup", "view")
 MARKOV_ITERS = 20
 _MICRO = 1_000_000
 
-
-@query(
-    "q_events_label_prop",
-    oracle=f"""
-    WITH hu AS (
+# Shared CTE prefix: the sparsified co-activity graph (the same
+# bounded build q_events_triangles pins — DISTINCT incidence,
+# capped hour blocks, pair partial-agg, top-K edges). Spliced into
+# every oracle in this module that consumes the graph.
+_EDGES_SQL = f"""hu AS (
         SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id FROM events
     ),
     peru AS (
@@ -60,7 +60,50 @@ _MICRO = 1_000_000
     edges AS (
         SELECT u1, u2 FROM pairs
         ORDER BY co DESC, u1 ASC, u2 ASC LIMIT {EDGE_TOP_K}
-    ),
+    )"""
+
+
+def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} co-activity edges (u1 < u2) — the module's shared,
+    session-memoized graph (three consumers: label propagation,
+    modularity, PageRank; plus both sides of every symmetric use).
+    Bounded at EDGE_TOP_K rows by TakeOrdered, so caching it costs a
+    code constant at any corpus scale."""
+    from frafka_spark.llm.dedup import materialize_once
+
+    e = table(spark, sf_dir, "events")
+    hu = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+    ).distinct()
+    peru = hu.groupBy("user_id").agg(F.count("*").alias("h"))
+    w_blk = Window.partitionBy("hr").orderBy(F.desc("h"), F.asc("user_id"))
+    capped = (
+        hu.join(peru, "user_id")
+        .withColumn("rn", F.row_number().over(w_blk))
+        .filter(F.col("rn") <= LP_BLOCK_CAP)
+        .select("hr", "user_id")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    edges = (
+        a.join(b, "hr")
+        .filter(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+        )
+        .agg(F.count("*").alias("co"))
+        .orderBy(F.desc("co"), F.asc("u1"), F.asc("u2"))
+        .limit(EDGE_TOP_K)
+        .select("u1", "u2")
+        .cache()
+    )
+    return materialize_once(edges, spark, sf_dir, "coactivity_edges")
+
+
+# Label-propagation CTE chain ending in the `lp` verdict relation —
+# shared by q_events_label_prop (emits it) and q_events_modularity
+# (scores its partition).
+_LP_CTES = f"""{_EDGES_SQL},
     sym AS (
         SELECT u1 AS u, u2 AS v FROM edges
         UNION ALL SELECT u2, u1 FROM edges
@@ -100,17 +143,26 @@ _MICRO = 1_000_000
             WHERE s.u NOT IN (SELECT user_id FROM known)
             GROUP BY s.u, k.label
         ) WHERE rn = 1
-    )
-    SELECT u.user_id,
-           coalesce(s.label, r1.label, r2.label) AS label,
-           CAST(CASE WHEN s.user_id IS NOT NULL THEN 0
-                     WHEN r1.user_id IS NOT NULL THEN 1
-                     WHEN r2.user_id IS NOT NULL THEN 2
-                END AS INT) AS rnd
-    FROM (SELECT DISTINCT user_id FROM hu) u
-    LEFT JOIN seeds s ON s.user_id = u.user_id
-    LEFT JOIN r1 ON r1.user_id = u.user_id
-    LEFT JOIN r2 ON r2.user_id = u.user_id
+    ),
+    lp AS (
+        SELECT u.user_id,
+               coalesce(s.label, r1.label, r2.label) AS label,
+               CAST(CASE WHEN s.user_id IS NOT NULL THEN 0
+                         WHEN r1.user_id IS NOT NULL THEN 1
+                         WHEN r2.user_id IS NOT NULL THEN 2
+                    END AS INT) AS rnd
+        FROM (SELECT DISTINCT user_id FROM hu) u
+        LEFT JOIN seeds s ON s.user_id = u.user_id
+        LEFT JOIN r1 ON r1.user_id = u.user_id
+        LEFT JOIN r2 ON r2.user_id = u.user_id
+    )"""
+
+
+@query(
+    "q_events_label_prop",
+    oracle=f"""
+    WITH {_LP_CTES}
+    SELECT user_id, label, rnd FROM lp
     """,
 )
 def q_events_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,33 +183,7 @@ def q_events_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolver in llm/dedup.py, which documents the log-diameter loop).
     """
     e = table(spark, sf_dir, "events")
-    hu = (
-        e.select(F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id")
-        .distinct()
-        .cache()
-    )
-    peru = hu.groupBy("user_id").agg(F.count("*").alias("h"))
-    w_blk = Window.partitionBy("hr").orderBy(F.desc("h"), F.asc("user_id"))
-    capped = (
-        hu.join(peru, "user_id")
-        .withColumn("rn", F.row_number().over(w_blk))
-        .filter(F.col("rn") <= LP_BLOCK_CAP)
-        .select("hr", "user_id")
-    )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    edges = (
-        a.join(b, "hr")
-        .filter(F.col("a.user_id") < F.col("b.user_id"))
-        .groupBy(
-            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
-        )
-        .agg(F.count("*").alias("co"))
-        .orderBy(F.desc("co"), F.asc("u1"), F.asc("u2"))
-        .limit(EDGE_TOP_K)
-        .select("u1", "u2")
-        .cache()
-    )
+    edges = _coactivity_edges(spark, sf_dir)
     sym = edges.select(
         F.col("u1").alias("u"), F.col("u2").alias("v")
     ).unionAll(edges.select(F.col("u2").alias("u"), F.col("u1").alias("v")))
@@ -199,8 +225,8 @@ def q_events_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = propagate(seeds).cache()
     known = seeds.unionAll(r1)
     r2 = propagate(known)
-    users = hu.select("user_id").distinct()
-    return (
+    users = e.select("user_id").distinct()
+    out = (
         users.join(
             seeds.select("user_id", F.col("label").alias("l0")),
             "user_id",
@@ -225,7 +251,14 @@ def q_events_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("rnd"),
         )
+        .cache()
     )
+    # User-sized verdict relation, two consumers in this module (the
+    # emit + modularity's partition) — session-memoize like the
+    # near-dup cluster relation so the propagation rounds run once.
+    from frafka_spark.llm.dedup import materialize_once
+
+    return materialize_once(out, spark, sf_dir, "lp_labels")
 
 
 def _markov_sql() -> str:
@@ -369,4 +402,304 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "event_type string, stationary_micro bigint, stationary_p double"
+    )
+
+
+@query(
+    "q_events_modularity",
+    oracle=f"""
+    WITH {_LP_CTES},
+    lab AS (
+        SELECT user_id, coalesce(label, concat('u', user_id)) AS c FROM lp
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM edges),
+    el AS (
+        SELECT la.c AS c1, lb.c AS c2 FROM edges e
+        JOIN lab la ON la.user_id = e.u1
+        JOIN lab lb ON lb.user_id = e.u2
+    ),
+    deg AS (
+        SELECT l.c, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u1 AS user_id FROM edges
+            UNION ALL SELECT u2 FROM edges
+        ) x JOIN lab l ON l.user_id = x.user_id GROUP BY l.c
+    ),
+    intra AS (
+        SELECT c1 AS c, CAST(count(*) AS BIGINT) AS e_intra
+        FROM el WHERE c1 = c2 GROUP BY c1
+    ),
+    members AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS n_users FROM lab GROUP BY c
+    ),
+    contrib AS (
+        SELECT mb.c, mb.n_users,
+               CAST(coalesce(d.d, 0) AS BIGINT) AS degree_sum,
+               CAST(coalesce(i.e_intra, 0) AS BIGINT) AS e_intra,
+               CAST(4 * m.m_edges * coalesce(i.e_intra, 0)
+                    - coalesce(d.d, 0) * coalesce(d.d, 0) AS BIGINT)
+                   AS q_contrib
+        FROM members mb
+        LEFT JOIN deg d ON d.c = mb.c
+        LEFT JOIN intra i ON i.c = mb.c
+        CROSS JOIN m
+    )
+    SELECT c.c AS community, c.n_users, c.degree_sum, c.e_intra,
+           c.q_contrib, m.m_edges,
+           {{ROUND_Z}} AS modularity
+    FROM contrib c CROSS JOIN m
+    """.replace(
+        "{ROUND_Z}",
+        sql_round_z(
+            "CAST((SELECT sum(q_contrib) FROM contrib) AS DOUBLE)"
+            " / (4.0 * m.m_edges * m.m_edges)",
+            6,
+        ),
+    ),
+)
+def q_events_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition — the
+    standard "are these communities real" score, composed over
+    ``q_events_label_prop`` (still-unlabeled users score as
+    singletons). Per-community accounting (members, degree mass,
+    intra-community edges, the integer contribution
+    ``4·m·e_c − d_c²``) plus the global Q repeated per row.
+
+    Exactness: Q = Σ_c (e_c/m − (d_c/2m)²) is algebraically lifted to
+    ``Σ_c (4·m·e_c − d_c²) / (4m²)`` so the numerator is ONE exact
+    integer sum (order-free) and the only float op is the final
+    division of two exact integers — the order-dependent
+    float-sum-over-communities trap never exists (the same lift the
+    triangles edge test uses to clear its division).
+
+    Scale shape: everything runs on the top-K edge relation (a code
+    constant) joined to the per-user label map — community counts
+    partial-aggregate, the 1-row m/Σ aggregates ride broadcast cross
+    joins, and nothing touches raw events beyond the shared
+    session-memoized graph build.
+    """
+    lp = q_events_label_prop(spark, sf_dir)
+    edges = _coactivity_edges(spark, sf_dir)
+    lab = lp.select(
+        "user_id",
+        F.coalesce(
+            "label", F.concat(F.lit("u"), F.col("user_id").cast("string"))
+        ).alias("c"),
+    ).cache()
+    m = edges.agg(F.count("*").cast("bigint").alias("m_edges"))
+    # Label the edge list by streaming the user-sized map against the
+    # BROADCAST bounded edge relation (never the reverse: lab is
+    # user-sized, edges a code constant), then keep the ≤2K-row
+    # labeled-edge relation broadcast-small for everything downstream.
+    e1 = lab.select(F.col("user_id").alias("u1"), F.col("c").alias("c1")).join(
+        F.broadcast(edges), "u1"
+    )
+    el = (
+        lab.select(F.col("user_id").alias("u2"), F.col("c").alias("c2"))
+        .join(F.broadcast(e1), "u2")
+        .select("c1", "c2")
+        .cache()
+    )
+    deg = (
+        el.select(F.explode(F.array("c1", "c2")).alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    intra = (
+        el.filter(F.col("c1") == F.col("c2"))
+        .groupBy(F.col("c1").alias("c"))
+        .agg(F.count("*").cast("bigint").alias("e_intra"))
+    )
+    members = lab.groupBy("c").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    contrib = (
+        members.join(F.broadcast(deg), "c", "left")
+        .join(F.broadcast(intra), "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "c",
+            "n_users",
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("degree_sum"),
+            F.coalesce("e_intra", F.lit(0))
+            .cast("bigint")
+            .alias("e_intra"),
+            (
+                4 * F.col("m_edges") * F.coalesce("e_intra", F.lit(0))
+                - F.coalesce("d", F.lit(0)) * F.coalesce("d", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("q_contrib"),
+        )
+        .cache()
+    )
+    total = contrib.agg(
+        F.sum("q_contrib").cast("bigint").alias("q_total")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("c").alias("community"),
+            "n_users",
+            "degree_sum",
+            "e_intra",
+            "q_contrib",
+            "m_edges",
+            round_z(
+                F.col("q_total").cast("double")
+                / (4.0 * F.col("m_edges") * F.col("m_edges")),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+PAGERANK_ITERS = 5
+PAGERANK_TOP = 15
+_PR_DAMP = 850_000  # 0.85 in micro-units
+_PR_BASE = 150_000  # 0.15 in micro-units
+
+
+def _pr_sql() -> str:
+    """Unrolled fixed-point PageRank SQL (shared arithmetic with the
+    engine's DataFrame loop; this text is the oracle)."""
+    head = f"""
+    WITH {_EDGES_SQL},
+    sym AS (
+        SELECT u1 AS u, u2 AS v FROM edges
+        UNION ALL SELECT u2, u1 FROM edges
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    pr0 AS (
+        SELECT deg.u,
+               CAST(({_MICRO} - {_MICRO} % nn.n) / nn.n AS BIGINT) AS pr
+        FROM deg CROSS JOIN nn
+    )"""
+    steps = []
+    for k in range(1, PAGERANK_ITERS + 1):
+        steps.append(f"""
+    sh{k} AS (
+        SELECT p.u,
+               CAST((dmp.t2 - dmp.t2 % deg.d) / deg.d AS BIGINT) AS share
+        FROM pr{k - 1} p
+        JOIN deg ON deg.u = p.u
+        CROSS JOIN LATERAL (
+            SELECT CAST((p.pr * {_PR_DAMP}
+                         - (p.pr * {_PR_DAMP}) % {_MICRO}) / {_MICRO}
+                        AS BIGINT) AS t2
+        ) dmp
+    ),
+    pr{k} AS (
+        SELECT deg.u,
+               CAST(({_PR_BASE} - {_PR_BASE} % nn.n) / nn.n
+                    + coalesce(agg.s, 0) AS BIGINT) AS pr
+        FROM deg
+        CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.v AS u, CAST(sum(sh.share) AS BIGINT) AS s
+            FROM sym e JOIN sh{k} sh ON sh.u = e.u
+            GROUP BY e.v
+        ) agg ON agg.u = deg.u
+    )""")
+    last = f"pr{PAGERANK_ITERS}"
+    tail = f"""
+    SELECT p.u AS user_id, p.pr AS pagerank_micro, deg.d AS degree
+    FROM {last} p JOIN deg ON deg.u = p.u
+    ORDER BY p.pr DESC, p.u ASC
+    LIMIT {PAGERANK_TOP}
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+_PR_SQL = _pr_sql()
+
+
+@query("q_events_pagerank", oracle=_PR_SQL)
+def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the co-activity graph: 5 damped power iterations
+    (d = 0.85) over the top-K symmetric edge list, entirely in
+    fixed-point integer micro-units — damping and the per-neighbor
+    share are floor divisions, neighbor contributions sum as exact
+    integers — so every iteration (and the final top-15 ranking with
+    its user_id tiebreak) is bit-identical cross-engine. Unlike the
+    Markov chain (a code-constant matrix), the PageRank state is
+    NODE-SIZED, so here the iteration genuinely runs as distributed
+    dataflow: a fixed unrolled chain of edge joins + hash aggregates
+    (the oracle unrolls the identical arithmetic as chained CTEs).
+
+    Scale shape: per iteration, ONE join of the rank vector with the
+    edge list and one sum keyed on the destination — O(iters·|E|)
+    with every shuffle keyed, the bounded-iteration cousin of the CC
+    resolver's data-dependent loop. Ranks leak mass through flooring
+    and damping (no dangling redistribution), which is fine for a
+    RANKING: order, not mass, is the contract.
+    """
+    edges = _coactivity_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("u1").alias("u"), F.col("u2").alias("v")
+    ).unionAll(edges.select(F.col("u2").alias("u"), F.col("u1").alias("v")))
+    deg = (
+        sym.groupBy("u").agg(F.count("*").cast("bigint").alias("d")).cache()
+    )
+    nn = deg.agg(F.count("*").cast("bigint").alias("n"))
+    pr = (
+        deg.crossJoin(F.broadcast(nn))
+        .select(
+            "u",
+            (
+                (F.lit(_MICRO) - F.lit(_MICRO) % F.col("n")) / F.col("n")
+            )
+            .cast("bigint")
+            .alias("pr"),
+        )
+    )
+    # Every per-node relation here is bounded by 2*EDGE_TOP_K nodes
+    # (the sparsified graph's vertex set — a code constant), so the
+    # broadcast hints below are bounded by construction, and each
+    # iteration costs exactly ONE keyed shuffle (the destination sum).
+    sym = sym.cache()
+    for _ in range(PAGERANK_ITERS):
+        t = F.col("pr") * _PR_DAMP
+        damped = ((t - t % _MICRO) / _MICRO).cast("bigint")
+        share = (
+            pr.join(F.broadcast(deg), "u")
+            .withColumn("t2", damped)
+            .select(
+                "u",
+                ((F.col("t2") - F.col("t2") % F.col("d")) / F.col("d"))
+                .cast("bigint")
+                .alias("share"),
+            )
+        )
+        agg = (
+            sym.join(F.broadcast(share), "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.sum("share").cast("bigint").alias("s"))
+        )
+        pr = (
+            deg.crossJoin(F.broadcast(nn))
+            .join(F.broadcast(agg), "u", "left")
+            .select(
+                "u",
+                (
+                    (
+                        (F.lit(_PR_BASE) - F.lit(_PR_BASE) % F.col("n"))
+                        / F.col("n")
+                    ).cast("bigint")
+                    + F.coalesce("s", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+        )
+    return (
+        pr.join(deg, "u")
+        .orderBy(F.desc("pr"), F.asc("u"))
+        .limit(PAGERANK_TOP)
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("pr").alias("pagerank_micro"),
+            F.col("d").alias("degree"),
+        )
     )

@@ -592,3 +592,30 @@ def test_label_prop_and_markov_laws(spark):
     total = mk["stationary_micro"].sum()
     loss_bound = (len(MARKOV_TYPES) + 1) * (MARKOV_ITERS + 1)
     assert 1_000_000 - loss_bound <= total <= 1_000_000
+
+
+def test_modularity_pagerank_cuped_laws(spark):
+    """Wave-4 invariants: modularity's integer accounting ties out
+    (Σ degree_sum = 2m, Σ e_intra <= m, Q = Σcontrib/4m² within the
+    display pin, Q in [-1, 1]); PageRank emits the top-15 with
+    positive ranks and degrees; CUPED's variance reduction is a
+    fraction and theta has the sign of the pooled covariance."""
+    import frafka_spark
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    mo = QUERIES["q_events_modularity"].fn(spark, SF_DIR).toPandas()
+    m = int(mo["m_edges"].iloc[0])
+    assert mo["degree_sum"].sum() == 2 * m
+    assert mo["e_intra"].sum() <= m
+    q = mo["modularity"].iloc[0]
+    assert -1.0 <= q <= 1.0
+    assert abs(q - mo["q_contrib"].sum() / (4.0 * m * m)) < 1e-6
+
+    pr = QUERIES["q_events_pagerank"].fn(spark, SF_DIR).toPandas()
+    assert len(pr) == 15
+    assert (pr["pagerank_micro"] > 0).all() and (pr["degree"] > 0).all()
+    assert pr["pagerank_micro"].is_monotonic_decreasing
+
+    cu = QUERIES["q_events_ab_cuped"].fn(spark, SF_DIR).toPandas().iloc[0]
+    assert 0.0 <= cu["var_reduction"] <= 1.0

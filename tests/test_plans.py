@@ -844,3 +844,34 @@ def test_label_prop_edges_take_ordered(spark):
     plan = _plan(spark, "q_events_label_prop")
     assert "TakeOrdered" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_modularity_broadcasts_bounded_graph_sides(spark):
+    """q_events_modularity: the bounded relations (edge list, labeled
+    edges, per-community aggregates, 1-row totals) ride broadcasts;
+    the user-sized label map is never the build side of a shuffle-free
+    join. Also pins the integer-lift: the plan carries the exact
+    bigint q_contrib column, not a per-community float sum."""
+    plan = _plan(spark, "q_events_modularity")
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "q_contrib" in plan, plan
+
+
+def test_pagerank_one_keyed_shuffle_per_iteration(spark):
+    """q_events_pagerank: with the node-sized relations broadcast
+    (bounded by 2*EDGE_TOP_K vertices by construction), the only
+    repeated exchanges are the per-iteration destination-sum
+    hash aggregates — no sort-merge join anywhere in the loop."""
+    plan = _plan(spark, "q_events_pagerank")
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cuped_single_row_moment_aggregate(spark):
+    """q_events_ab_cuped: like q_events_ab_test, the whole covariate
+    adjustment is two partial-agg passes — no join, no window."""
+    df = _df(spark, "q_events_ab_cuped")
+    assert has_partial_aggregation(df)
+    plan = plan_str(df)
+    assert "Join" not in plan and "Window" not in plan, plan
