@@ -52,13 +52,34 @@ def materialize_once(
 ) -> DataFrame:
     """Register ``df`` (already ``.cache()``d) as a shared projection.
 
-    Lazy: records the frame and returns it unchanged — no job runs at
-    plan-construction time. An unwarmed plan stays correct and
-    degrades to cache-on-first-action (worst case concurrent branches
-    duplicate partition builds: slower, never wrong)."""
+    Lazy: records the frame — no job runs at plan-construction time.
+    An unwarmed plan stays correct and degrades to
+    cache-on-first-action (worst case concurrent branches duplicate
+    partition builds: slower, never wrong).
+
+    Returns the FIRST-registered frame for the tag, not the caller's
+    reconstruction: later constructions of the same projection then
+    share one plan object, so (a) the cache lookup is an identity
+    hit, and (b) compositions over a checkpointed projection inherit
+    its TRUNCATED lineage — re-deriving the plan per construction
+    re-inflates the logical tree, and Catalyst walks trees, not DAGs
+    (a relation referenced k times is optimized k times — measured
+    minutes of driver CPU on the modularity composition)."""
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     with _SHARED_LOCK:
-        _SHARED.setdefault((spark.sparkContext.applicationId, sf_dir, tag), df)
-    return df
+        _SHARED.setdefault(key, df)
+        return _SHARED[key]
+
+
+def shared_lookup(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> DataFrame | None:
+    """Pre-construction memo probe. Builders whose construction is
+    itself EAGER (an eager ``localCheckpoint``) must call this FIRST
+    and return the hit — otherwise every reconstruction re-runs the
+    checkpoint job before ``materialize_once`` can dedupe it."""
+    with _SHARED_LOCK:
+        return _SHARED.get((spark.sparkContext.applicationId, sf_dir, tag))
 
 
 def warm_shared_projections(spark: SparkSession, sf_dir: str) -> list[str]:

@@ -36,13 +36,18 @@ _MICRO = 1_000_000
 # bounded build q_events_triangles pins — DISTINCT incidence,
 # capped hour blocks, pair partial-agg, top-K edges). Spliced into
 # every oracle in this module that consumes the graph.
-_EDGES_SQL = f"""hu AS (
+# AS MATERIALIZED on every multiply-referenced CTE: DuckDB INLINES
+# repeated CTE references by default (trees, not DAGs — the same
+# hazard the engine side fixes with localCheckpoint), so without it
+# the modularity/pagerank oracles recompute the 31M-row pair fan
+# once per reference and never finish at sf0.1.
+_EDGES_SQL = f"""hu AS MATERIALIZED (
         SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id FROM events
     ),
     peru AS (
         SELECT user_id, CAST(count(*) AS BIGINT) AS h FROM hu GROUP BY user_id
     ),
-    capped AS (
+    capped AS MATERIALIZED (
         SELECT hr, user_id FROM (
             SELECT hu.hr, hu.user_id,
                    row_number() OVER (PARTITION BY hu.hr
@@ -57,7 +62,7 @@ _EDGES_SQL = f"""hu AS (
         FROM capped a JOIN capped b ON b.hr = a.hr AND a.user_id < b.user_id
         GROUP BY u1, u2
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT u1, u2 FROM pairs
         ORDER BY co DESC, u1 ASC, u2 ASC LIMIT {EDGE_TOP_K}
     )"""
@@ -69,8 +74,11 @@ def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     modularity, PageRank; plus both sides of every symmetric use).
     Bounded at EDGE_TOP_K rows by TakeOrdered, so caching it costs a
     code constant at any corpus scale."""
-    from frafka_spark.llm.dedup import materialize_once
+    from frafka_spark.llm.dedup import materialize_once, shared_lookup
 
+    memo = shared_lookup(spark, sf_dir, "coactivity_edges")
+    if memo is not None:
+        return memo
     e = table(spark, sf_dir, "events")
     hu = e.select(
         F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
@@ -95,7 +103,12 @@ def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("co"), F.asc("u1"), F.asc("u2"))
         .limit(EDGE_TOP_K)
         .select("u1", "u2")
-        .cache()
+        # localCheckpoint, not cache: three downstream operators each
+        # reference this relation several times, and Catalyst expands
+        # every reference into a full copy of the build subtree —
+        # truncating the lineage here keeps their logical plans
+        # edge-list-sized (the dedup-CC pointer-jumping discipline).
+        .localCheckpoint()
     )
     return materialize_once(edges, spark, sf_dir, "coactivity_edges")
 
@@ -104,11 +117,11 @@ def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared by q_events_label_prop (emits it) and q_events_modularity
 # (scores its partition).
 _LP_CTES = f"""{_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
         SELECT u1 AS u, u2 AS v FROM edges
         UNION ALL SELECT u2, u1 FROM edges
     ),
-    seeds AS (
+    seeds AS MATERIALIZED (
         SELECT user_id, event_type AS label FROM (
             SELECT user_id, event_type,
                    row_number() OVER (PARTITION BY user_id
@@ -118,7 +131,7 @@ _LP_CTES = f"""{_EDGES_SQL},
             GROUP BY user_id, event_type
         ) WHERE rn = 1
     ),
-    r1 AS (
+    r1 AS MATERIALIZED (
         SELECT user_id, label FROM (
             SELECT s.u AS user_id, l.label,
                    row_number() OVER (PARTITION BY s.u
@@ -129,11 +142,11 @@ _LP_CTES = f"""{_EDGES_SQL},
             GROUP BY s.u, l.label
         ) WHERE rn = 1
     ),
-    known AS (
+    known AS MATERIALIZED (
         SELECT user_id, label FROM seeds
         UNION ALL SELECT user_id, label FROM r1
     ),
-    r2 AS (
+    r2 AS MATERIALIZED (
         SELECT user_id, label FROM (
             SELECT s.u AS user_id, k.label,
                    row_number() OVER (PARTITION BY s.u
@@ -144,7 +157,7 @@ _LP_CTES = f"""{_EDGES_SQL},
             GROUP BY s.u, k.label
         ) WHERE rn = 1
     ),
-    lp AS (
+    lp AS MATERIALIZED (
         SELECT u.user_id,
                coalesce(s.label, r1.label, r2.label) AS label,
                CAST(CASE WHEN s.user_id IS NOT NULL THEN 0
@@ -182,6 +195,11 @@ def q_events_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing iterated to a data-dependent depth (contrast the CC
     resolver in llm/dedup.py, which documents the log-diameter loop).
     """
+    from frafka_spark.llm.dedup import shared_lookup
+
+    memo = shared_lookup(spark, sf_dir, "lp_labels")
+    if memo is not None:
+        return memo
     e = table(spark, sf_dir, "events")
     edges = _coactivity_edges(spark, sf_dir)
     sym = edges.select(
@@ -251,7 +269,10 @@ def q_events_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("rnd"),
         )
-        .cache()
+        # localCheckpoint (see _coactivity_edges): the propagation
+        # tree is deep (r2 embeds r1 embeds the graph build) and
+        # modularity references it through several arms — truncate.
+        .localCheckpoint()
     )
     # User-sized verdict relation, two consumers in this module (the
     # emit + modularity's partition) — session-memoize like the
@@ -409,11 +430,11 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_modularity",
     oracle=f"""
     WITH {_LP_CTES},
-    lab AS (
+    lab AS MATERIALIZED (
         SELECT user_id, coalesce(label, concat('u', user_id)) AS c FROM lp
     ),
-    m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM edges),
-    el AS (
+    m AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM edges),
+    el AS MATERIALIZED (
         SELECT la.c AS c1, lb.c AS c2 FROM edges e
         JOIN lab la ON la.user_id = e.u1
         JOIN lab lb ON lb.user_id = e.u2
@@ -431,7 +452,7 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     members AS (
         SELECT c, CAST(count(*) AS BIGINT) AS n_users FROM lab GROUP BY c
     ),
-    contrib AS (
+    contrib AS MATERIALIZED (
         SELECT mb.c, mb.n_users,
                CAST(coalesce(d.d, 0) AS BIGINT) AS degree_sum,
                CAST(coalesce(i.e_intra, 0) AS BIGINT) AS e_intra,
@@ -565,13 +586,13 @@ def _pr_sql() -> str:
     engine's DataFrame loop; this text is the oracle)."""
     head = f"""
     WITH {_EDGES_SQL},
-    sym AS (
+    sym AS MATERIALIZED (
         SELECT u1 AS u, u2 AS v FROM edges
         UNION ALL SELECT u2, u1 FROM edges
     ),
-    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
-    pr0 AS (
+    deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    pr0 AS MATERIALIZED (
         SELECT deg.u,
                CAST(({_MICRO} - {_MICRO} % nn.n) / nn.n AS BIGINT) AS pr
         FROM deg CROSS JOIN nn
@@ -579,7 +600,7 @@ def _pr_sql() -> str:
     steps = []
     for k in range(1, PAGERANK_ITERS + 1):
         steps.append(f"""
-    sh{k} AS (
+    sh{k} AS MATERIALIZED (
         SELECT p.u,
                CAST((dmp.t2 - dmp.t2 % deg.d) / deg.d AS BIGINT) AS share
         FROM pr{k - 1} p
@@ -590,7 +611,7 @@ def _pr_sql() -> str:
                         AS BIGINT) AS t2
         ) dmp
     ),
-    pr{k} AS (
+    pr{k} AS MATERIALIZED (
         SELECT deg.u,
                CAST(({_PR_BASE} - {_PR_BASE} % nn.n) / nn.n
                     + coalesce(agg.s, 0) AS BIGINT) AS pr
@@ -635,6 +656,11 @@ def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and damping (no dangling redistribution), which is fine for a
     RANKING: order, not mass, is the contract.
     """
+    from frafka_spark.llm.dedup import materialize_once, shared_lookup
+
+    memo = shared_lookup(spark, sf_dir, "pagerank_top")
+    if memo is not None:
+        return memo
     edges = _coactivity_edges(spark, sf_dir)
     sym = edges.select(
         F.col("u1").alias("u"), F.col("u2").alias("v")
@@ -693,7 +719,7 @@ def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("pr"),
             )
         )
-    return (
+    out = (
         pr.join(deg, "u")
         .orderBy(F.desc("pr"), F.asc("u"))
         .limit(PAGERANK_TOP)
@@ -702,4 +728,9 @@ def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pr").alias("pagerank_micro"),
             F.col("d").alias("degree"),
         )
+        # The converged vector is session state, like the resolved
+        # near-dup clusters: checkpoint the 15-row result so repeat
+        # consumers skip the 15-job iteration chain.
+        .localCheckpoint()
     )
+    return materialize_once(out, spark, sf_dir, "pagerank_top")
