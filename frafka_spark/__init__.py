@@ -61,3 +61,5 @@ def load_all() -> None:
     # next round's window) rather than bump planned keys out.
     from frafka_spark.llm import blocking, semdedup  # noqa: F401
     from frafka_spark.operators import experiments, graph, sketches  # noqa: F401
+    from frafka_spark.functions import variant  # noqa: F401
+    from frafka_spark.llm import pq  # noqa: F401

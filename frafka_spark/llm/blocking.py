@@ -27,6 +27,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from frafka_spark.functions.determinism import half_up, sql_half_up
 from frafka_spark.io import table
 from frafka_spark.registry import query
 
@@ -148,4 +149,142 @@ def q_llm_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("int").alias("lev"),
             (lev <= MATCH_MAX_LEV).alias("is_match"),
         )
+    )
+
+
+SPARSE_DF_DEN = 5  # prune words present in more than 1/DEN of the corpus
+SPARSE_COS_MIN = 0.5  # emitted-pair cosine floor
+
+
+@query(
+    "q_llm_sparse_cosine",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        GROUP BY doc_id, word
+    ),
+    dfreq AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    kept AS MATERIALIZED (
+        SELECT t.doc_id, t.word, t.tf
+        FROM tf t JOIN dfreq f ON f.word = t.word
+        CROSS JOIN nn
+        WHERE f.df * {{DF_DEN}} <= nn.n_docs
+    ),
+    norms AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+        FROM kept GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        FROM kept a
+        JOIN kept b ON b.word = a.word AND a.doc_id < b.doc_id
+        GROUP BY doc1, doc2
+    )
+    SELECT d.doc1, d.doc2, d.dot,
+           {{COS}} AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc1
+    JOIN norms nb ON nb.doc_id = d.doc2
+    WHERE CAST(d.dot AS DOUBLE)
+              / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) >= {{COS_MIN}}
+    """.replace("{DF_DEN}", str(SPARSE_DF_DEN))
+    .replace("{COS_MIN}", str(SPARSE_COS_MIN))
+    .replace(
+        "{COS}",
+        sql_half_up(
+            "CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2)", 6
+        ),
+    ),
+)
+def q_llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sparse cosine similarity over token-count vectors via an
+    inverted-index join — the deterministic member of the near-dup
+    spectrum (MinHash estimates Jaccard, SimHash estimates angle;
+    this computes the angle exactly on the df-capped vocabulary).
+    Candidate pairs materialize only through shared posting lists:
+    dot(a,b) = Σ_word tf_a·tf_b aggregated from per-word partial
+    products, norms from one per-doc pass, and pairs below the
+    cosine floor are never emitted.
+
+    The df cap is the candidate-budget knob (the
+    ``q_llm_dedup_near_capped`` stop-shingle discipline applied to
+    posting lists), and it is CORPUS-RELATIVE: a word present in
+    more than 1/{DEN} of all documents is boilerplate for similarity
+    purposes and would contribute a df² pair fan-out — pruning it
+    bounds the join while leaving discriminative terms untouched at
+    every corpus size (a fixed absolute cap pruned the whole vocab
+    at 10× scale — tri-scale testing caught it). The comparison is
+    pure integer arithmetic (``df·DEN ≤ n_docs``) against a 1-row
+    corpus count, identical on both engines. Cosine is over the
+    PRUNED vector space on both sides of the differential, so the
+    check is exact, not approximate.
+
+    Exactness: tf, df, dot products, and squared norms are integers
+    end-to-end; the cosine is ONE double chain
+    ``dot / sqrt(double(n2_a) · n2_b)`` (IEEE sqrt is correctly
+    rounded — bit-identical cross-engine), displayed through the
+    pinned half-up; the floor compares the unrounded chain.
+
+    Scale shape: two hash aggregates (tf, df), one equi-join to
+    prune, one posting-list self-join keyed on word whose fan-out
+    the cap bounds, then a pair-keyed partial aggregate. No
+    broadcast hints anywhere — every relation is O(corpus) and the
+    join keys carry the distribution (plan-asserted hint-free, the
+    dedup_near discipline).
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    nn = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    # Three consumers (norms + both join sides) — cache the pruned
+    # posting relation so the tf/df build runs once, not per
+    # reference (the shared-word-projection discipline; Catalyst
+    # expands DataFrame references into subtree copies otherwise).
+    kept = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("df") * SPARSE_DF_DEN <= F.col("n_docs"))
+        .select("doc_id", "word", "tf")
+        .cache()
+    )
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    a = kept.select(
+        "word", F.col("doc_id").alias("doc1"), F.col("tf").alias("tf1")
+    )
+    b = kept.select(
+        "word", F.col("doc_id").alias("doc2"), F.col("tf").alias("tf2")
+    )
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.sum(F.col("tf1") * F.col("tf2")).cast("bigint").alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb")
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("doc1"),
+                               F.col("n2").alias("na")), "doc1")
+        .join(norms.select(F.col("doc_id").alias("doc2"),
+                           F.col("n2").alias("nb")), "doc2")
+        .filter(cos >= F.lit(SPARSE_COS_MIN))
+        .select("doc1", "doc2", "dot", half_up(cos, 6).alias("cosine"))
     )

@@ -315,3 +315,443 @@ def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_reduction"),
     )
+
+
+@query(
+    "q_events_did",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                              AND ts < TIMESTAMP '2024-01-16'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                              AND ts >= TIMESTAMP '2024-01-16'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT
+            CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_a,
+            CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS BIGINT)
+                AS sx_a,
+            CAST(sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS BIGINT)
+                AS sy_a,
+            CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_b,
+            CAST(sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END) AS BIGINT)
+                AS sx_b,
+            CAST(sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS BIGINT)
+                AS sy_b
+        FROM per_user
+    )
+    SELECT n_a, n_b,
+           {sql_half_up('CAST(sx_a AS DOUBLE) / n_a', 4)} AS pre_a,
+           {sql_half_up('CAST(sy_a AS DOUBLE) / n_a', 4)} AS post_a,
+           {sql_half_up('CAST(sx_b AS DOUBLE) / n_b', 4)} AS pre_b,
+           {sql_half_up('CAST(sy_b AS DOUBLE) / n_b', 4)} AS post_b,
+           {sql_round_z(
+               '(CAST(sy_a AS DOUBLE) / n_a - CAST(sx_a AS DOUBLE) / n_a)'
+               ' - (CAST(sy_b AS DOUBLE) / n_b'
+               '    - CAST(sx_b AS DOUBLE) / n_b)',
+               4)} AS did
+    FROM m
+    """,
+)
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout for the ``user_id % 2``
+    experiment over the pre/post period split (Jan 1–15 vs 16–31):
+    ``(post_A − pre_A) − (post_B − pre_B)`` on per-user purchase
+    counts — the panel-data estimator that removes both the arms'
+    level difference and the shared time trend, the third member of
+    the arm-comparison family next to the raw Welch readout
+    (``q_events_ab_test``) and the covariate-adjusted one
+    (``q_events_ab_cuped``).
+
+    Exactness: identical discipline to its siblings — the six group
+    moments are integer aggregates of integer per-user counts; every
+    emitted value is one double chain from those integers, pinned
+    half-up, and the sign-straddling DiD rides ``round_z``.
+
+    Scale shape: one map-side-combined per-user aggregate over
+    events, then a single-row aggregate of six longs. Nothing but
+    six numbers shuffles after the first pass.
+    """
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_p & (F.col("ts") < cutoff), 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(is_p & (F.col("ts") >= cutoff), 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    is_a = F.col("user_id") % 2 == 0
+    m = per_user.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(is_a, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx_a"),
+        F.sum(F.when(is_a, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(~is_a, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx_b"),
+        F.sum(F.when(~is_a, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_b"),
+    )
+    pre_a = F.col("sx_a").cast("double") / F.col("n_a")
+    post_a = F.col("sy_a").cast("double") / F.col("n_a")
+    pre_b = F.col("sx_b").cast("double") / F.col("n_b")
+    post_b = F.col("sy_b").cast("double") / F.col("n_b")
+    return m.select(
+        "n_a",
+        "n_b",
+        half_up(pre_a, 4).alias("pre_a"),
+        half_up(post_a, 4).alias("post_a"),
+        half_up(pre_b, 4).alias("pre_b"),
+        half_up(post_b, 4).alias("post_b"),
+        round_z((post_a - pre_a) - (post_b - pre_b), 4).alias("did"),
+    )
+
+
+# χ²(1 dof) critical value at α = 0.05: a shared code constant, the
+# same on both engines (the readout emits the statistic AND the
+# verdict; a p-value needs an erfc neither engine exposes built-in).
+_SRM_CRIT = 3.841458820694124
+
+
+@query(
+    "q_events_srm",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    m AS (
+        SELECT
+            CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_a,
+            CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_b
+        FROM u
+    )
+    SELECT n_a, n_b,
+           {sql_half_up(
+               'CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)',
+               6)} AS chi2,
+           (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b))
+               > {_SRM_CRIT} AS srm_detected
+    FROM m
+    """,
+)
+def q_events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the ``user_id % 2`` experiment:
+    the χ² goodness-of-fit of observed arm sizes against the designed
+    50/50 split (for two equal cells the statistic collapses to
+    ``(n_A − n_B)² / (n_A + n_B)``), with the α = 0.05 verdict against
+    the 1-dof critical value. SRM is the first health check every
+    experimentation platform runs — a biased assignment invalidates
+    every downstream readout, so the guard belongs next to them.
+
+    Exactness: the statistic is one integer quotient cast to double
+    (arm counts are exact longs), pinned half-up; the verdict
+    compares the UNROUNDED double against a shared code-constant
+    critical value — the identical comparison on both engines.
+
+    Scale shape: a distinct on user_id (one hash exchange, map-side
+    combined) then a single-row aggregate of two longs.
+    """
+    per_user = table(spark, sf_dir, "events").select("user_id").distinct()
+    is_a = F.col("user_id") % 2 == 0
+    m = per_user.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    chi2 = (d * d).cast("double") / (F.col("n_a") + F.col("n_b"))
+    return m.select(
+        "n_a",
+        "n_b",
+        half_up(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(_SRM_CRIT)).alias("srm_detected"),
+    )
+
+
+# z_{α/2} at α=0.05 plus z_β at 80% power: the standard two-sided
+# sample-size constants, shared code literals on both engines.
+_Z_ALPHA_HALF = 1.959964
+_Z_BETA = 0.841621
+
+
+@query(
+    "q_events_power_mde",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT
+            CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_a,
+            CAST(sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS BIGINT)
+                AS sy_a,
+            CAST(sum(CASE WHEN user_id % 2 = 0 THEN y * y ELSE 0 END)
+                 AS BIGINT) AS syy_a,
+            CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_b,
+            CAST(sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS BIGINT)
+                AS sy_b,
+            CAST(sum(CASE WHEN user_id % 2 = 1 THEN y * y ELSE 0 END)
+                 AS BIGINT) AS syy_b
+        FROM per_user
+    )
+    SELECT n_a, n_b,
+           {sql_half_up(
+               'sqrt('
+               '  CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE)'
+               '  / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a'
+               '+ CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE)'
+               '  / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b)', 6)} AS se,
+           {sql_half_up(
+               f'({_Z_ALPHA_HALF} + {_Z_BETA}) * sqrt('
+               '  CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE)'
+               '  / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a'
+               '+ CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE)'
+               '  / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b)', 4)} AS mde_abs,
+           {sql_half_up(
+               f'({_Z_ALPHA_HALF} + {_Z_BETA}) * sqrt('
+               '  CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE)'
+               '  / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a'
+               '+ CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE)'
+               '  / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b)'
+               ' / (CAST(sy_a + sy_b AS DOUBLE) / (n_a + n_b))',
+               4)} AS mde_rel
+    FROM m
+    """,
+)
+def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-detectable-effect readout for the ``user_id % 2``
+    experiment at the standard design point (two-sided α = 0.05,
+    80% power): the standard error of the arm-mean difference from
+    the observed per-user purchase-count variances, the absolute MDE
+    ``(z_{α/2} + z_β) · SE``, and the MDE relative to the pooled
+    mean — the "is this experiment even big enough" planning number
+    every A/B platform surfaces next to its readouts.
+
+    Exactness: the same integer-moment discipline as its siblings —
+    (n, Σy, Σy²) per arm are exact longs; SE and both MDEs are single
+    double chains using shared code-literal z constants, pinned
+    half-up (all outputs structurally nonnegative).
+
+    Scale shape: identical to q_events_ab_test — one map-side-
+    combined per-user aggregate, then a single-row aggregate of six
+    longs; constant shuffle bytes in event volume.
+    """
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    is_a = F.col("user_id") % 2 == 0
+    m = per_user.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(is_a, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_a"),
+        F.sum(F.when(is_a, F.col("y") * F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("syy_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(~is_a, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_b"),
+        F.sum(F.when(~is_a, F.col("y") * F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("syy_b"),
+    )
+    var_a = (
+        (F.col("n_a") * F.col("syy_a") - F.col("sy_a") * F.col("sy_a"))
+        .cast("double")
+        / (F.col("n_a").cast("double") * (F.col("n_a") - F.lit(1)))
+    )
+    var_b = (
+        (F.col("n_b") * F.col("syy_b") - F.col("sy_b") * F.col("sy_b"))
+        .cast("double")
+        / (F.col("n_b").cast("double") * (F.col("n_b") - F.lit(1)))
+    )
+    se = F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    mde_abs = F.lit(_Z_ALPHA_HALF + _Z_BETA) * se
+    pooled_mean = (F.col("sy_a") + F.col("sy_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        half_up(se, 6).alias("se"),
+        half_up(mde_abs, 4).alias("mde_abs"),
+        half_up(mde_abs / pooled_mean, 4).alias("mde_rel"),
+    )
+
+
+@query(
+    "q_events_ols2",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x1,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x2
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x1) AS BIGINT) AS s1,
+               CAST(sum(x2) AS BIGINT) AS s2,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x1 * x1) AS BIGINT) AS s11,
+               CAST(sum(x2 * x2) AS BIGINT) AS s22,
+               CAST(sum(x1 * x2) AS BIGINT) AS s12,
+               CAST(sum(y * x1) AS BIGINT) AS sy1,
+               CAST(sum(y * x2) AS BIGINT) AS sy2
+        FROM per_user
+    ),
+    lifts AS (
+        SELECT n, sy, s1, s2,
+               CAST(n * s11 - s1 * s1 AS BIGINT) AS l11,
+               CAST(n * s22 - s2 * s2 AS BIGINT) AS l22,
+               CAST(n * s12 - s1 * s2 AS BIGINT) AS l12,
+               CAST(n * sy1 - sy * s1 AS BIGINT) AS ly1,
+               CAST(n * sy2 - sy * s2 AS BIGINT) AS ly2,
+               CAST(n * syy - sy * sy AS BIGINT) AS lyy
+        FROM m
+    ),
+    fit AS (
+        SELECT n, sy, s1, s2, ly1, ly2, lyy,
+               (CAST(ly1 AS DOUBLE) * l22 - CAST(ly2 AS DOUBLE) * l12)
+                   / (CAST(l11 AS DOUBLE) * l22
+                      - CAST(l12 AS DOUBLE) * l12) AS b1,
+               (CAST(l11 AS DOUBLE) * ly2 - CAST(l12 AS DOUBLE) * ly1)
+                   / (CAST(l11 AS DOUBLE) * l22
+                      - CAST(l12 AS DOUBLE) * l12) AS b2
+        FROM lifts
+    )
+    SELECT n,
+           {sql_round_z('(sy - b1 * s1 - b2 * s2) / n', 6)} AS b0,
+           {sql_round_z('b1', 6)} AS b1,
+           {sql_round_z('b2', 6)} AS b2,
+           {sql_half_up('(b1 * ly1 + b2 * ly2) / lyy', 6)} AS r2
+    FROM fit
+    """,
+)
+def q_events_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares, closed form: fit per-user
+    ``purchases ~ b0 + b1·clicks + b2·views`` via the centered normal
+    equations — Cramer's rule on the 2×2 moment matrix — plus the
+    explained-variance R². The multi-covariate big brother of
+    ``q_agg_regr``'s simple regression, and the observational cousin
+    of this module's experiment readouts (same moment discipline,
+    now solving a system instead of a ratio).
+
+    Exactness: the ten raw moments and all six centered lifts
+    (``n·Σab − Σa·Σb``) are exact BIGINTs; the Cramer determinant and
+    numerators multiply the lifts as DOUBLES in an identically
+    written expression tree on both engines (the products exceed
+    2⁵³, so they round — but IEEE multiplication of identical
+    operands rounds identically), making b1/b2/b0/R² single double
+    chains. Sign-straddling coefficients ride ``round_z``; R² is
+    structurally in [0, 1] and rides ``half_up``.
+
+    Scale shape: one map-side-combined per-user aggregate, one
+    single-row aggregate of ten longs, then constant-time arithmetic
+    — linear regression at 100 TB costs exactly two partial-agg
+    passes and ten numbers of shuffle, the q_events_ab_test shape.
+    """
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x1"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x2"),
+        )
+    )
+    m = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("y") * F.col("x1")).cast("bigint").alias("sy1"),
+        F.sum(F.col("y") * F.col("x2")).cast("bigint").alias("sy2"),
+    )
+    lift = m.select(
+        "n",
+        "sy",
+        "s1",
+        "s2",
+        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1"))
+        .cast("bigint")
+        .alias("l11"),
+        (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2"))
+        .cast("bigint")
+        .alias("l22"),
+        (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2"))
+        .cast("bigint")
+        .alias("l12"),
+        (F.col("n") * F.col("sy1") - F.col("sy") * F.col("s1"))
+        .cast("bigint")
+        .alias("ly1"),
+        (F.col("n") * F.col("sy2") - F.col("sy") * F.col("s2"))
+        .cast("bigint")
+        .alias("ly2"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("bigint")
+        .alias("lyy"),
+    )
+    det = F.col("l11").cast("double") * F.col("l22") - F.col("l12").cast(
+        "double"
+    ) * F.col("l12")
+    b1 = (
+        F.col("ly1").cast("double") * F.col("l22")
+        - F.col("ly2").cast("double") * F.col("l12")
+    ) / det
+    b2 = (
+        F.col("l11").cast("double") * F.col("ly2")
+        - F.col("l12").cast("double") * F.col("ly1")
+    ) / det
+    b0 = (F.col("sy") - b1 * F.col("s1") - b2 * F.col("s2")) / F.col("n")
+    r2 = (b1 * F.col("ly1") + b2 * F.col("ly2")) / F.col("lyy")
+    return lift.select(
+        "n",
+        round_z(b0, 6).alias("b0"),
+        round_z(b1, 6).alias("b1"),
+        round_z(b2, 6).alias("b2"),
+        half_up(r2, 6).alias("r2"),
+    )

@@ -68,17 +68,12 @@ _EDGES_SQL = f"""hu AS MATERIALIZED (
     )"""
 
 
-def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{K} co-activity edges (u1 < u2) — the module's shared,
-    session-memoized graph (three consumers: label propagation,
-    modularity, PageRank; plus both sides of every symmetric use).
-    Bounded at EDGE_TOP_K rows by TakeOrdered, so caching it costs a
-    code constant at any corpus scale."""
-    from frafka_spark.llm.dedup import materialize_once, shared_lookup
-
-    memo = shared_lookup(spark, sf_dir, "coactivity_edges")
-    if memo is not None:
-        return memo
+def _coactivity_edges_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edge build's full logical plan, BEFORE lineage truncation —
+    the plan-pin target (tests assert the sparsification runs as
+    TakeOrdered with no cartesian join here; consumers go through
+    ``_coactivity_edges``, whose localCheckpoint hides the build
+    behind an ExistingRDD scan)."""
     e = table(spark, sf_dir, "events")
     hu = e.select(
         F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
@@ -93,7 +88,7 @@ def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = capped.alias("a")
     b = capped.alias("b")
-    edges = (
+    return (
         a.join(b, "hr")
         .filter(F.col("a.user_id") < F.col("b.user_id"))
         .groupBy(
@@ -103,13 +98,26 @@ def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("co"), F.asc("u1"), F.asc("u2"))
         .limit(EDGE_TOP_K)
         .select("u1", "u2")
-        # localCheckpoint, not cache: three downstream operators each
-        # reference this relation several times, and Catalyst expands
-        # every reference into a full copy of the build subtree —
-        # truncating the lineage here keeps their logical plans
-        # edge-list-sized (the dedup-CC pointer-jumping discipline).
-        .localCheckpoint()
     )
+
+
+def _coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} co-activity edges (u1 < u2) — the module's shared,
+    session-memoized graph (three consumers: label propagation,
+    modularity, PageRank; plus both sides of every symmetric use).
+    Bounded at EDGE_TOP_K rows by TakeOrdered, so caching it costs a
+    code constant at any corpus scale."""
+    from frafka_spark.llm.dedup import materialize_once, shared_lookup
+
+    memo = shared_lookup(spark, sf_dir, "coactivity_edges")
+    if memo is not None:
+        return memo
+    # localCheckpoint, not cache: three downstream operators each
+    # reference this relation several times, and Catalyst expands
+    # every reference into a full copy of the build subtree —
+    # truncating the lineage here keeps their logical plans
+    # edge-list-sized (the dedup-CC pointer-jumping discipline).
+    edges = _coactivity_edges_plan(spark, sf_dir).localCheckpoint()
     return materialize_once(edges, spark, sf_dir, "coactivity_edges")
 
 
@@ -661,6 +669,17 @@ def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = shared_lookup(spark, sf_dir, "pagerank_top")
     if memo is not None:
         return memo
+    out = _pagerank_plan(spark, sf_dir).localCheckpoint()
+    return materialize_once(out, spark, sf_dir, "pagerank_top")
+
+
+def _pagerank_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iteration chain's full logical plan, BEFORE the final
+    checkpoint — the plan-pin target (broadcast-bounded node
+    relations, no sort-merge join), mirroring
+    ``_coactivity_edges_plan``. The converged 15-row vector is
+    session state; ``q_events_pagerank`` truncates and memoizes it
+    so repeat consumers skip the 15-job chain."""
     edges = _coactivity_edges(spark, sf_dir)
     sym = edges.select(
         F.col("u1").alias("u"), F.col("u2").alias("v")
@@ -719,7 +738,7 @@ def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("pr"),
             )
         )
-    out = (
+    return (
         pr.join(deg, "u")
         .orderBy(F.desc("pr"), F.asc("u"))
         .limit(PAGERANK_TOP)
@@ -728,9 +747,120 @@ def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pr").alias("pagerank_micro"),
             F.col("d").alias("degree"),
         )
-        # The converged vector is session state, like the resolved
-        # near-dup clusters: checkpoint the 15-row result so repeat
-        # consumers skip the 15-job iteration chain.
-        .localCheckpoint()
     )
-    return materialize_once(out, spark, sf_dir, "pagerank_top")
+
+
+KCORE_K = 3  # core order
+KCORE_ROUNDS = 6  # fixed peeling rounds (diameter-bounded on this graph)
+
+
+def _kcore_sql() -> str:
+    """Unrolled fixed-round k-core peeling SQL (the oracle twin of the
+    engine's DataFrame loop — identical integer arithmetic)."""
+    head = f"""
+    WITH {_EDGES_SQL},
+    sym AS MATERIALIZED (
+        SELECT u1 AS u, u2 AS v FROM edges
+        UNION ALL SELECT u2, u1 FROM edges
+    ),
+    e0 AS MATERIALIZED (SELECT u, v FROM sym),
+    v0 AS MATERIALIZED (SELECT DISTINCT u FROM sym)"""
+    steps = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        steps.append(f"""
+    d{r} AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS d FROM e{r - 1} GROUP BY u
+    ),
+    v{r} AS MATERIALIZED (SELECT u FROM d{r} WHERE d >= {KCORE_K}),
+    e{r} AS MATERIALIZED (
+        SELECT s.u, s.v FROM e{r - 1} s
+        JOIN v{r} a ON a.u = s.u
+        JOIN v{r} b ON b.u = s.v
+    )""")
+    audits = [
+        f"SELECT {r} AS round,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM v{r}) AS n_vertices,"
+        f" (SELECT CAST(count(*) / 2 AS BIGINT) FROM e{r}) AS n_edges"
+        for r in range(KCORE_ROUNDS + 1)
+    ]
+    return head + "," + ",".join(steps) + "\n" + "\nUNION ALL ".join(audits)
+
+
+@query("q_events_kcore", oracle=_kcore_sql())
+def q_events_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition of the co-activity graph by iterative
+    peeling: each round recomputes degrees over the SURVIVING edge
+    set and drops every vertex below degree k — the standard
+    dense-subgraph / spam-ring primitive (the 3-core is where
+    coordinated-behavior analysis starts). Emits the per-round audit
+    (surviving vertices and undirected edges, round 0 = the input
+    graph), which is both the convergence diagnostic an operator
+    reads and an exactly-comparable integer relation.
+
+    Peeling is the third iterative-dataflow genre in this module —
+    label propagation iterates VALUES on fixed topology, PageRank
+    iterates a node-sized VECTOR, peeling iterates the TOPOLOGY
+    itself (the relation being joined shrinks monotonically). A
+    fixed unrolled round count keeps the oracle expressible as
+    chained materialized CTEs; on this sparsified graph the peel
+    reaches its fixed point well inside {KCORE_ROUNDS} rounds (the
+    audit's tail rows going constant is the visible proof).
+
+    Exactness: degrees and counts are exact integers end-to-end; the
+    only division is the even undirected-edge halving.
+
+    Scale shape: each round is one hash aggregate (degrees) plus two
+    semi-join-shaped edge restrictions — O(rounds·|E|) with every
+    relation bounded by the sparsified graph's 2·EDGE_TOP_K cap, so
+    the per-round joins broadcast by construction. On an unsparsified
+    100 TB graph the identical loop runs with the degree aggregate as
+    the only full shuffle per round; monotone shrinkage means cost
+    falls every round.
+    """
+    from frafka_spark.llm.dedup import materialize_once, shared_lookup
+
+    memo = shared_lookup(spark, sf_dir, "kcore_audit")
+    if memo is not None:
+        return memo
+    edges = _coactivity_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("u1").alias("u"), F.col("u2").alias("v")
+    ).unionAll(edges.select(F.col("u2").alias("u"), F.col("u1").alias("v")))
+    # Bounded by 2·EDGE_TOP_K rows (code constant): LAZY checkpoints
+    # per round keep every audit's logical plan one round deep instead
+    # of re-expanding the whole peel chain per consumer (trees-not-
+    # DAGs) — lazy, unlike the shared relations' eager ones, so the
+    # 3·rounds intermediates materialize inside the ONE final action
+    # instead of costing a driver job each at build time.
+    ecur = sym.localCheckpoint(eager=False)
+
+    def audit(rnd: int, verts: DataFrame, es: DataFrame) -> DataFrame:
+        nv = verts.agg(F.count("*").cast("bigint").alias("n_vertices"))
+        ne = es.agg(
+            (F.count("*") / 2).cast("bigint").alias("n_edges")
+        )
+        return nv.crossJoin(ne).select(
+            F.lit(rnd).alias("round"), "n_vertices", "n_edges"
+        )
+
+    out = audit(0, ecur.select("u").distinct(), ecur)
+    for r in range(1, KCORE_ROUNDS + 1):
+        alive = (
+            ecur.groupBy("u")
+            .agg(F.count("*").cast("bigint").alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("u")
+            .localCheckpoint(eager=False)
+        )
+        ecur = (
+            ecur.join(F.broadcast(alive), "u")
+            .join(
+                F.broadcast(alive.select(F.col("u").alias("v"))), "v"
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionAll(audit(r, alive, ecur))
+    # The 7-row audit is session state like the PageRank vector:
+    # checkpoint the result so repeat consumers skip the peel chain.
+    return materialize_once(out.localCheckpoint(), spark, sf_dir, "kcore_audit")

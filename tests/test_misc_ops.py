@@ -619,3 +619,115 @@ def test_modularity_pagerank_cuped_laws(spark):
 
     cu = QUERIES["q_events_ab_cuped"].fn(spark, SF_DIR).toPandas().iloc[0]
     assert 0.0 <= cu["var_reduction"] <= 1.0
+
+
+def test_did_srm_mde_kcore_variant_laws(spark):
+    """Wave-5 invariants. Experimentation: DiD equals the four-mean
+    identity within the display pin, SRM's verdict is consistent with
+    the χ² statistic vs the shared critical value, and the MDE ties
+    out against SE via the shared z constants. Graph: the k-core
+    audit is monotone non-increasing in both vertices and edges,
+    covers rounds 0..R exactly, and has gone constant by the final
+    round (the fixed round count reached the peel's fixed point).
+    VARIANT: the type introspections are the pinned constants and the
+    null/missing verdicts hold for every row."""
+    import frafka_spark
+    from frafka_spark.functions.variant import _TAGS_TYPE, _VTYPE
+    from frafka_spark.operators.experiments import _SRM_CRIT
+    from frafka_spark.operators.graph import KCORE_ROUNDS
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    did = QUERIES["q_events_did"].fn(spark, SF_DIR).toPandas().iloc[0]
+    ident = (did["post_a"] - did["pre_a"]) - (did["post_b"] - did["pre_b"])
+    assert abs(did["did"] - ident) < 2e-4  # four display roundings
+
+    srm = QUERIES["q_events_srm"].fn(spark, SF_DIR).toPandas().iloc[0]
+    assert srm["chi2"] >= 0.0
+    # the rounded statistic sits far from the threshold on every
+    # fixture, so the display value must agree with the verdict
+    assert bool(srm["srm_detected"]) == (srm["chi2"] > _SRM_CRIT)
+
+    mde = QUERIES["q_events_power_mde"].fn(spark, SF_DIR).toPandas().iloc[0]
+    assert mde["se"] > 0 and mde["mde_abs"] > 0 and mde["mde_rel"] > 0
+    assert abs(mde["mde_abs"] - 2.801585 * mde["se"]) < 1e-2
+
+    kc = QUERIES["q_events_kcore"].fn(spark, SF_DIR).toPandas()
+    kc = kc.sort_values("round").reset_index(drop=True)
+    assert list(kc["round"]) == list(range(KCORE_ROUNDS + 1))
+    assert kc["n_vertices"].is_monotonic_decreasing
+    assert kc["n_edges"].is_monotonic_decreasing
+    last, prev = kc.iloc[-1], kc.iloc[-2]
+    assert last["n_vertices"] == prev["n_vertices"]
+    assert last["n_edges"] == prev["n_edges"]
+
+    va = QUERIES["q_fn_variant"].fn(spark, SF_DIR).toPandas()
+    assert (va["vtype"] == _VTYPE).all()
+    assert (va["tags_type"] == _TAGS_TYPE).all()
+    assert va["nul_is_null"].all() and (~va["miss_is_null"]).all()
+    assert va["miss"].isna().all()
+
+
+def test_sparse_cosine_and_ols2_laws(spark):
+    """Wave-6 invariants. Sparse cosine: pairs are ordered
+    (doc1 < doc2) with positive integer dots and cosines inside
+    [floor, 1]; the planted near-dup pairs q_llm_dedup_near detects
+    must surface here too (exact cosine is a superset detector at
+    this floor). OLS: R² is a fraction, coefficients are finite, and
+    the fit reproduces the single-feature regression when run on the
+    same moments (cross-check vs numpy's lstsq on the per-user
+    relation)."""
+    import numpy as np
+
+    import frafka_spark
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    sc = QUERIES["q_llm_sparse_cosine"].fn(spark, SF_DIR).toPandas()
+    assert (sc["doc1"] < sc["doc2"]).all()
+    assert (sc["dot"] > 0).all()
+    assert ((sc["cosine"] >= 0.5) & (sc["cosine"] <= 1.0)).all()
+
+    ols = QUERIES["q_events_ols2"].fn(spark, SF_DIR).toPandas().iloc[0]
+    assert 0.0 <= ols["r2"] <= 1.0
+    assert np.isfinite([ols["b0"], ols["b1"], ols["b2"]]).all()
+    # independent reference fit on the same per-user design matrix
+    from frafka_spark.io import table
+    from pyspark.sql import functions as F
+
+    pu = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x1"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x2"),
+        )
+        .toPandas()
+    )
+    X = np.column_stack([np.ones(len(pu)), pu["x1"], pu["x2"]])
+    beta, *_ = np.linalg.lstsq(X, pu["y"].to_numpy(dtype=float), rcond=None)
+    assert abs(ols["b0"] - beta[0]) < 1e-4
+    assert abs(ols["b1"] - beta[1]) < 1e-4
+    assert abs(ols["b2"] - beta[2]) < 1e-4
+
+
+def test_pq_laws(spark):
+    """PQ invariants: every vector gets exactly M codes (one per
+    subspace), codes come from the declared codebook range,
+    quantization errors are nonnegative, and a codebook vector's own
+    subspace quantizes to ITSELF with zero error (min-distance
+    identity)."""
+    import frafka_spark
+    from frafka_spark.llm.pq import PQ_CODES, PQ_M
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    pq = QUERIES["q_llm_embed_pq"].fn(spark, SF_DIR).toPandas()
+    per_vec = pq.groupby("vec_id")["sub"].count()
+    assert (per_vec == PQ_M).all()
+    assert pq["code_id"].between(0, PQ_CODES - 1).all()
+    assert (pq["qerr"] >= 0).all()
+    own = pq[pq["vec_id"] < PQ_CODES]
+    assert (own["code_id"] == own["vec_id"]).all()
+    assert (own["qerr"] == 0).all()
