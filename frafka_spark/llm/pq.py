@@ -2,25 +2,27 @@
 stage of the IVF-PQ index every billion-vector ANN system runs —
 split each embedding into M subvectors, quantize each against a
 per-subspace codebook, and a 64-float vector becomes M small code
-ids. Completes the repo's embedding-compression family: int8
-scalar quantization (``q_llm_embed_quantize``) bounds per-DIMENSION
-error; PQ bounds per-SUBSPACE error and is what makes residual
-distance estimation cheap at query time.
+ids. ``q_llm_embed_pq`` is the ENCODE pass (codes + quantization
+error); ``q_llm_pq_adc`` is the SEARCH pass (asymmetric distance
+computation: exact query subvectors against reconstructed corpus
+codes, audited per-query against the exact brute-force neighbor).
+Together with int8 scalar quantization (``q_llm_embed_quantize``),
+IVF cells (``q_llm_sim_ann``), and the k-means trainer loop
+(``q_llm_kmeans_step``), this completes the embedding-index family.
 
 Codebook discipline: like IVF's ``vec_id % CENTROID_MOD`` centroids
 (similarity.py), the per-subspace codes are the slices of the first
 ``PQ_CODES`` vectors — deterministic by construction on both engines
-(a production system trains them with k-means; ``q_llm_kmeans_step``
-is that trainer's inner loop). Distances are the
+(a production system trains them with k-means). Distances are the
 ``‖a‖² − 2a·b + ‖b‖²`` expansion over the SAME sequential
 left-to-right dot-product fold on both engines (the
-``list_dot_product`` parity rule), so the argmin and its tiebreak
-are exact cross-engine.
+``list_dot_product`` parity rule), so argmins and tiebreaks are
+exact cross-engine.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frafka_spark.functions.determinism import half_up, sql_half_up
@@ -30,12 +32,92 @@ from frafka_spark.registry import query
 PQ_M = 4  # subspaces
 PQ_SUBDIM = 16  # dims per subspace (embeddings are 64-d)
 PQ_CODES = 16  # codebook entries per subspace (vec_id < PQ_CODES)
+PQ_QUERY_MOD = 100  # vec_id % MOD == 0 → the deterministic query set
 
 
-@query(
-    "q_llm_embed_pq",
-    oracle=f"""
-    WITH vecs AS (
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold (matches list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub, s, ss): per-subspace slices with their squared
+    norms hoisted once (the per-candidate work downstream is ONE
+    length-SUBDIM fold, not three — the values are identical to the
+    oracle's inline list_dot_product calls, so every distance chain
+    stays bit-equal while the engine does a third of the lambda
+    evaluations)."""
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return (
+        vecs.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(1), F.lit(PQ_M))).alias("sub"),
+            "emb",
+        )
+        .select(
+            "vec_id",
+            "sub",
+            F.slice(
+                "emb", (F.col("sub") - 1) * PQ_SUBDIM + 1, PQ_SUBDIM
+            ).alias("s"),
+        )
+        .withColumn("ss", _dot(F.col("s"), F.col("s")))
+    )
+
+
+def _codebook(subs: DataFrame) -> DataFrame:
+    """(sub, code_id, c, cc): the M·K per-subspace codebook — bounded
+    by construction, the legitimate broadcast side."""
+    return subs.filter(F.col("vec_id") < PQ_CODES).select(
+        "sub",
+        F.col("vec_id").alias("code_id"),
+        F.col("s").alias("c"),
+        F.col("ss").alias("cc"),
+    )
+
+
+def _assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    subs: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, sub, code_id, d2): every vector's nearest per-subspace
+    code by squared L2, code_id ascending on ties. Callers that also
+    consume the slice relation pass it in (prebuilt, cached) so the
+    corpus explode isn't re-expanded per consumer."""
+    if subs is None:
+        subs = _subs(spark, sf_dir)
+    if codes is None:
+        codes = _codebook(subs)
+    scored = subs.join(F.broadcast(codes), "sub").select(
+        "vec_id",
+        "sub",
+        "code_id",
+        (
+            F.col("ss")
+            - F.lit(2) * _dot(F.col("s"), F.col("c"))
+            + F.col("cc")
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.asc("d2"), F.asc("code_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# Shared oracle CTE chain: slices, codebook, per-subspace assignment.
+_SQL_PQ = f"""vecs AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ),
     subs AS MATERIALIZED (
@@ -61,10 +143,19 @@ PQ_CODES = 16  # codebook entries per subspace (vec_id < PQ_CODES)
                             k.code_id ASC
                ) AS rn
         FROM subs v JOIN codes k ON k.sub = v.sub
-    )
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, sub, code_id, d2 FROM scored WHERE rn = 1
+    )"""
+
+
+@query(
+    "q_llm_embed_pq",
+    oracle=f"""
+    WITH {_SQL_PQ}
     SELECT vec_id, sub, code_id,
            {sql_half_up('d2', 6)} AS qerr
-    FROM scored WHERE rn = 1
+    FROM assign
     """,
 )
 def q_llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,57 +181,194 @@ def q_llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is exactly the PQ-encode pass a production indexer runs;
     nothing O(corpus) is ever broadcast or collected.
     """
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    return _assignments(spark, sf_dir).select(
+        "vec_id", "sub", "code_id", half_up(F.col("d2"), 6).alias("qerr")
+    )
 
+
+def _adc_join_leg(k: int) -> str:
+    """One oracle LUT join leg: subspace k's precomputed part."""
+    return (
+        f"JOIN lut l{k} ON l{k}.q_id = l1.q_id AND l{k}.sub = {k}"
+        f" AND l{k}.code_id = w.k{k}"
+        if k > 1
+        else "JOIN lut l1 ON l1.sub = 1 AND l1.code_id = w.k1"
+    )
+
+
+@query(
+    "q_llm_pq_adc",
+    oracle=f"""
+    WITH {_SQL_PQ},
+    wide AS MATERIALIZED (
+        SELECT vec_id,
+               max(CASE WHEN sub = 1 THEN code_id END) AS k1,
+               max(CASE WHEN sub = 2 THEN code_id END) AS k2,
+               max(CASE WHEN sub = 3 THEN code_id END) AS k3,
+               max(CASE WHEN sub = 4 THEN code_id END) AS k4
+        FROM assign GROUP BY vec_id
+    ),
+    lut AS MATERIALIZED (
+        SELECT q.vec_id AS q_id, q.sub, k.code_id,
+               list_dot_product(q.s, q.s)
+                   - 2 * list_dot_product(q.s, k.c)
+                   + list_dot_product(k.c, k.c) AS part
+        FROM subs q JOIN codes k ON k.sub = q.sub
+        WHERE q.vec_id % {PQ_QUERY_MOD} = 0
+    ),
+    adc AS (
+        SELECT l1.q_id, w.vec_id,
+               l1.part + l2.part + l3.part + l4.part AS d_adc,
+               row_number() OVER (
+                   PARTITION BY l1.q_id
+                   ORDER BY l1.part + l2.part + l3.part + l4.part ASC,
+                            w.vec_id ASC
+               ) AS rn
+        FROM wide w
+        {_adc_join_leg(1)}
+        {_adc_join_leg(2)}
+        {_adc_join_leg(3)}
+        {_adc_join_leg(4)}
+        WHERE w.vec_id <> l1.q_id
+    ),
+    qs AS MATERIALIZED (
+        SELECT vec_id AS q_id, emb AS qemb,
+               list_dot_product(emb, emb) AS qq
+        FROM vecs WHERE vec_id % {PQ_QUERY_MOD} = 0
+    ),
+    exact AS (
+        SELECT q.q_id, v.vec_id,
+               q.qq - 2 * list_dot_product(q.qemb, v.emb)
+                   + list_dot_product(v.emb, v.emb) AS d_true,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY q.qq - 2 * list_dot_product(q.qemb, v.emb)
+                                + list_dot_product(v.emb, v.emb) ASC,
+                            v.vec_id ASC
+               ) AS rn
+        FROM qs q JOIN vecs v ON v.vec_id <> q.q_id
+    )
+    SELECT a.q_id, a.vec_id AS adc_id, e.vec_id AS exact_id,
+           (a.vec_id = e.vec_id) AS hit,
+           {sql_half_up('a.d_adc', 6)} AS adc_d,
+           {sql_half_up('e.d_true', 6)} AS exact_d
+    FROM adc a JOIN exact e ON e.q_id = a.q_id AND e.rn = 1
+    WHERE a.rn = 1
+    """,
+)
+def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation — the PQ SEARCH pass: for each
+    query vector (the deterministic ``vec_id % {PQ_QUERY_MOD}`` set),
+    rank the whole corpus by the sum of per-subspace lookup-table
+    parts ``‖q_s‖² − 2q_s·c + ‖c‖²`` evaluated at each vector's
+    stored code (query side exact, corpus side reconstructed — the
+    'asymmetric' in ADC), and audit the ADC top-1 against the exact
+    brute-force top-1 (hit flag + both distances). The per-query
+    recall readout is how a production indexer decides whether M·K
+    is big enough.
+
+    Exactness: the LUT parts and true distances are the same
+    sequential-fold norm-expansion chains as the encode pass; the
+    ADC total is a FIXED-ORDER four-term sum (p1+p2+p3+p4 written
+    identically on both engines — never an aggregate over subspaces,
+    whose accumulation order would be engine-dependent); argmins
+    sort identical doubles with vec_id tiebreaks.
+
+    Scale shape: the LUT is |Q|·M·K rows — bounded by construction,
+    broadcast. Corpus codes pivot to one row per vector (one keyed
+    aggregate), then stream through four broadcast equi-joins and a
+    per-query argmin: O(|Q|·corpus) rows of pure arithmetic with no
+    corpus-sized broadcast — exactly the ADC scan a real index runs,
+    where the win is that no corpus FLOATS are ever read. The exact
+    audit leg is the same bounded-query-set brute-force shape as
+    ``q_llm_sim_cosine``'s declared baseline.
+    """
+    # Two consumers of the slice relation (the encode pass feeding
+    # `wide`, and the query LUT) — cache it so the corpus explode and
+    # its norm folds run once (shared-projection discipline).
+    subs = _subs(spark, sf_dir).cache()
+    codes = _codebook(subs)
+    assign = _assignments(spark, sf_dir, subs=subs, codes=codes)
+    wide = assign.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("sub") == k, F.col("code_id"))).alias(f"k{k}")
+            for k in range(1, PQ_M + 1)
+        ]
+    )
+    lut = (
+        subs.filter(F.col("vec_id") % PQ_QUERY_MOD == 0)
+        .join(F.broadcast(codes), "sub")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "sub",
+            "code_id",
+            (
+                F.col("ss")
+                - F.lit(2) * _dot(F.col("s"), F.col("c"))
+                + F.col("cc")
+            ).alias("part"),
+        )
+    )
+    adc = wide
+    for k in range(1, PQ_M + 1):
+        leg = lut.filter(F.col("sub") == k).select(
+            "q_id",
+            F.col("code_id").alias(f"k{k}"),
+            F.col("part").alias(f"p{k}"),
+        )
+        # Leg 1 fans the corpus out to |Q| rows per vector; legs 2..M
+        # join on (q_id, code) and only attach their part.
+        on = [f"k{k}"] if k == 1 else ["q_id", f"k{k}"]
+        adc = adc.join(F.broadcast(leg), on)
+    adc = (
+        adc.filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.col("p1") + F.col("p2") + F.col("p3") + F.col("p4")
+            ).alias("d_adc"),
+        )
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.asc("d_adc"), F.asc("vec_id"))
+    adc_top = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("vec_id").alias("adc_id"), "d_adc")
+    )
+    # vv hoisted out of the |Q|-way pair fan (one fold per corpus
+    # vector, not per pair) — same value as the oracle's inline
+    # list_dot_product(v.emb, v.emb), so the d_true chain is bit-equal.
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("vv", _dot(F.col("emb"), F.col("emb")))
+    qs = vecs.filter(F.col("vec_id") % PQ_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("qemb"),
+        F.col("vv").alias("qq"),
     )
-    # ss/cc hoisted out of the candidate fan: the per-candidate work
-    # is ONE length-SUBDIM fold (s·c), not three — the values are
-    # identical to the oracle's inline list_dot_product calls, so the
-    # d2 chain stays bit-equal while the engine does a third of the
-    # lambda evaluations.
-    subs = (
-        vecs.select(
-            "vec_id",
-            F.explode(F.sequence(F.lit(1), F.lit(PQ_M))).alias("sub"),
-            "emb",
-        )
-        .select(
-            "vec_id",
-            "sub",
-            F.slice(
-                "emb", (F.col("sub") - 1) * PQ_SUBDIM + 1, PQ_SUBDIM
-            ).alias("s"),
-        )
-        .withColumn("ss", dot(F.col("s"), F.col("s")))
-    )
-    codes = subs.filter(F.col("vec_id") < PQ_CODES).select(
-        "sub",
-        F.col("vec_id").alias("code_id"),
-        F.col("s").alias("c"),
-        F.col("ss").alias("cc"),
-    )
-    scored = subs.join(F.broadcast(codes), "sub").select(
+    pairs = vecs.join(
+        F.broadcast(qs), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
         "vec_id",
-        "sub",
-        "code_id",
         (
-            F.col("ss")
-            - F.lit(2) * dot(F.col("s"), F.col("c"))
-            + F.col("cc")
-        ).alias("d2"),
+            F.col("qq")
+            - F.lit(2) * _dot(F.col("qemb"), F.col("emb"))
+            + F.col("vv")
+        ).alias("d_true"),
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        F.asc("d2"), F.asc("code_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
+    w_ex = Window.partitionBy("q_id").orderBy(F.asc("d_true"), F.asc("vec_id"))
+    exact_top = (
+        pairs.withColumn("rn", F.row_number().over(w_ex))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "code_id", half_up(F.col("d2"), 6).alias("qerr"))
+        .select("q_id", F.col("vec_id").alias("exact_id"), "d_true")
+    )
+    return adc_top.join(exact_top, "q_id").select(
+        "q_id",
+        "adc_id",
+        "exact_id",
+        (F.col("adc_id") == F.col("exact_id")).alias("hit"),
+        half_up(F.col("d_adc"), 6).alias("adc_d"),
+        half_up(F.col("d_true"), 6).alias("exact_d"),
     )

@@ -731,3 +731,21 @@ def test_pq_laws(spark):
     own = pq[pq["vec_id"] < PQ_CODES]
     assert (own["code_id"] == own["vec_id"]).all()
     assert (own["qerr"] == 0).all()
+
+
+def test_pq_adc_laws(spark):
+    """ADC invariants: one row per declared query vector, hit is
+    exactly the id-equality predicate, and both the exact and the
+    ADC (reconstruction-space) distances are nonnegative squared
+    L2 values."""
+    import frafka_spark
+    from frafka_spark.llm.pq import PQ_QUERY_MOD
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    adc = QUERIES["q_llm_pq_adc"].fn(spark, SF_DIR).toPandas()
+    assert (adc["q_id"] % PQ_QUERY_MOD == 0).all()
+    assert adc["q_id"].is_unique
+    assert (adc["hit"] == (adc["adc_id"] == adc["exact_id"])).all()
+    assert (adc["exact_d"] >= 0).all()
+    assert (adc["adc_d"] >= 0).all()
