@@ -919,12 +919,27 @@ def test_variant_prunes_scan_and_stays_jvm_side(spark):
 def test_sparse_cosine_hint_free_posting_join(spark):
     """q_llm_sparse_cosine: posting lists and norms are O(corpus) —
     the only broadcast allowed is the 1-row corpus-count crossJoin;
-    the inverted-index self-join must distribute on the word key."""
+    the inverted-index self-join must distribute on the word key.
+    (Counted by KIND, not node count: once the shared `kept` cache
+    has materialized, every InMemoryRelation reference re-renders the
+    cached build plan, duplicating its scalar cross-join node.)"""
     import re
 
+    # A prior differential run bakes fixture-scale size-based
+    # broadcasts into the cached posting relation's stored plan —
+    # clear the cache so the render reflects hint behavior only
+    # (consumers lazily rebuild their caches afterwards).
+    spark.catalog.clearCache()
     plan = _plan_without_auto_broadcast(spark, "q_llm_sparse_cosine")
-    bcast_joins = re.findall(r"\(\d+\) Broadcast(?:NestedLoop|Hash)Join", plan)
-    assert len(bcast_joins) <= 1, plan  # the n_docs scalar only
+    # no equi-join broadcast hint anywhere (corpus sides must shuffle)
+    assert "BroadcastHashJoin" not in plan, plan
+    # nested-loop broadcasts are ONLY the scalar n_docs CROSS join —
+    # the tree echoes the cached posting relation's build once per
+    # reference, so assert on kind, and on distinct numbered nodes
+    kinds = re.findall(r"BroadcastNestedLoopJoin (\w+) Build", plan)
+    assert kinds and all(k == "Cross" for k in kinds), (kinds, plan)
+    nodes = set(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert len(nodes) <= 1, (nodes, plan)
     assert "SortMergeJoin" in plan, plan
 
 
