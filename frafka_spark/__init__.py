@@ -63,3 +63,4 @@ def load_all() -> None:
     from frafka_spark.operators import experiments, graph, sketches  # noqa: F401
     from frafka_spark.functions import variant  # noqa: F401
     from frafka_spark.llm import pq  # noqa: F401
+    from frafka_spark.operators import alerting  # noqa: F401

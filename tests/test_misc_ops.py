@@ -749,3 +749,53 @@ def test_pq_adc_laws(spark):
     assert (adc["hit"] == (adc["adc_id"] == adc["exact_id"])).all()
     assert (adc["exact_d"] >= 0).all()
     assert (adc["adc_d"] >= 0).all()
+
+
+def test_alert_episodes_match_reference_machine(spark):
+    """The lo-row segmentation identity: the declared batch hysteresis
+    key must reproduce, episode for episode, what a sequential
+    single-pass reference state machine produces on the same
+    per-minute dec_avg series (the same machine the streaming test
+    pins alert_stream against — so stream ≡ batch transitively)."""
+    import frafka_spark
+    from pyspark.sql import functions as F
+
+    from frafka_spark.functions.determinism import dec_avg
+    from frafka_spark.io import table
+    from frafka_spark.operators.alerting import ALERT_HI, ALERT_LO
+    from frafka_spark.registry import QUERIES
+
+    frafka_spark.load_all()
+    obs = (
+        table(spark, SF_DIR, "events")
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("mi"),
+        )
+        .agg(dec_avg("value", "v"))
+        .orderBy("key", "mi")
+        .toPandas()
+    )
+    want = set()
+    for key, grp in obs.groupby("key"):
+        active, opened, peak, n = False, 0, 0.0, 0
+        for mi, v in zip(grp["mi"], grp["v"]):
+            mi, v = int(mi), float(v)
+            if not active:
+                if v > ALERT_HI:
+                    active, opened, peak, n = True, mi, v, 1
+            else:
+                n += 1
+                peak = max(peak, v)
+                if v < ALERT_LO:
+                    want.add((key, opened, mi, round(peak, 4), n))
+                    active = False
+    assert len(want) > 5  # the fixture exercises the machine
+
+    got = QUERIES["q_events_alert_episodes"].fn(spark, SF_DIR).toPandas()
+    got_set = {
+        (r.key, int(r.opened_mi), int(r.closed_mi), round(r.peak, 4),
+         int(r.n_points))
+        for r in got.itertuples(index=False)
+    }
+    assert got_set == want

@@ -963,3 +963,15 @@ def test_pq_broadcasts_only_the_codebook(spark):
     assert len(bcast_joins) == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_alert_episodes_single_key_exchange(spark):
+    """q_events_alert_episodes: the segmentation window, the bounds
+    aggregate, and the episode join all live on the key family — no
+    unbounded-FOLLOWING frame (the interpolate lesson), no cartesian,
+    and the minute rollup partial-aggregates map-side."""
+    df = _df(spark, "q_events_alert_episodes")
+    assert has_partial_aggregation(df)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "unboundedfollowing" not in plan.lower(), plan
