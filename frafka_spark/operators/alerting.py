@@ -5,7 +5,10 @@ when it falls below ``ALERT_LO`` — emitted as one row per CLOSED
 episode with its open/close minutes, peak, and point count. The
 declared batch key makes the state-machine genre differentially
 graded (the stream side is pytest-pinned against the same reference
-machine, so stream ≡ batch transitively).
+machine LOGIC — the two tests run it on their own rounding of the
+minute series, dec_avg here vs the stream test's round(avg), so the
+agreement is machine-semantics equivalence, not literal row
+equality).
 
 The sequential state machine has an exact RELATIONAL form — the
 lo-row segmentation identity: split each key's timeline at every
@@ -83,7 +86,8 @@ def q_events_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly above ALERT_HI and closes strictly below ALERT_LO — the batch
     relation the streaming alerter emits incrementally (the docstring
     of ``alert_stream`` names this pass as its backfill tool; a law
-    test pins batch ≡ the reference machine the stream test uses).
+    test replays the same reference machine logic on this key's own
+    dec_avg series and requires episode-for-episode equality).
 
     Exactness: v is the exact decimal average (bitwise cross-engine),
     threshold comparisons and the peak max operate on those identical

@@ -755,8 +755,10 @@ def test_alert_episodes_match_reference_machine(spark):
     """The lo-row segmentation identity: the declared batch hysteresis
     key must reproduce, episode for episode, what a sequential
     single-pass reference state machine produces on the same
-    per-minute dec_avg series (the same machine the streaming test
-    pins alert_stream against — so stream ≡ batch transitively)."""
+    per-minute dec_avg series (the same machine LOGIC the streaming
+    test pins alert_stream against, there on round(avg) values — the
+    state-machine semantics agree across paradigms; the literal rows
+    differ only by the value rounding each side declares)."""
     import frafka_spark
     from pyspark.sql import functions as F
 
