@@ -32,7 +32,10 @@ from frafka_spark.registry import query
 PQ_M = 4  # subspaces
 PQ_SUBDIM = 16  # dims per subspace (embeddings are 64-d)
 PQ_CODES = 16  # codebook entries per subspace (vec_id < PQ_CODES)
-PQ_QUERY_MOD = 100  # vec_id % MOD == 0 → the deterministic query set
+PQ_QUERY_N = 24  # fixed-COUNT query window: vec_id in [PQ_CODES, PQ_CODES+N)
+# (a fixed count, not a corpus fraction — the broadcastable-by-
+# construction discipline of the codebook; disjoint from the codebook
+# ids so no query is trivially its own code)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -214,7 +217,7 @@ def _adc_join_leg(k: int) -> str:
                    - 2 * list_dot_product(q.s, k.c)
                    + list_dot_product(k.c, k.c) AS part
         FROM subs q JOIN codes k ON k.sub = q.sub
-        WHERE q.vec_id % {PQ_QUERY_MOD} = 0
+        WHERE q.vec_id >= {PQ_CODES} AND q.vec_id < {PQ_CODES + PQ_QUERY_N}
     ),
     adc AS (
         SELECT l1.q_id, w.vec_id,
@@ -234,7 +237,8 @@ def _adc_join_leg(k: int) -> str:
     qs AS MATERIALIZED (
         SELECT vec_id AS q_id, emb AS qemb,
                list_dot_product(emb, emb) AS qq
-        FROM vecs WHERE vec_id % {PQ_QUERY_MOD} = 0
+        FROM vecs
+        WHERE vec_id >= {PQ_CODES} AND vec_id < {PQ_CODES + PQ_QUERY_N}
     ),
     exact AS (
         SELECT q.q_id, v.vec_id,
@@ -258,7 +262,10 @@ def _adc_join_leg(k: int) -> str:
 )
 def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric distance computation — the PQ SEARCH pass: for each
-    query vector (the deterministic ``vec_id % {PQ_QUERY_MOD}`` set),
+    query vector (the deterministic fixed-count window ``vec_id in
+    [PQ_CODES, PQ_CODES + PQ_QUERY_N)`` — a COUNT, not a corpus
+    fraction, so the query-side relations stay broadcastable at any
+    corpus size, the codebook discipline),
     rank the whole corpus by the sum of per-subspace lookup-table
     parts ``‖q_s‖² − 2q_s·c + ‖c‖²`` evaluated at each vector's
     stored code (query side exact, corpus side reconstructed — the
@@ -274,8 +281,11 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose accumulation order would be engine-dependent); argmins
     sort identical doubles with vec_id tiebreaks.
 
-    Scale shape: the LUT is |Q|·M·K rows — bounded by construction,
-    broadcast. Corpus codes pivot to one row per vector (one keyed
+    Scale shape: the LUT is |Q|·M·K rows and the exact-audit query
+    set is |Q| vectors — both bounded by construction (|Q| is a code
+    constant), so their broadcast hints are safe at any corpus size;
+    a production audit over a LARGER sample replaces the hints with
+    the sampled set and lets size-based planning decide. Corpus codes pivot to one row per vector (one keyed
     aggregate), then stream through four broadcast equi-joins and a
     per-query argmin: O(|Q|·corpus) rows of pure arithmetic with no
     corpus-sized broadcast — exactly the ADC scan a real index runs,
@@ -296,7 +306,10 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     lut = (
-        subs.filter(F.col("vec_id") % PQ_QUERY_MOD == 0)
+        subs.filter(
+            (F.col("vec_id") >= PQ_CODES)
+            & (F.col("vec_id") < PQ_CODES + PQ_QUERY_N)
+        )
         .join(F.broadcast(codes), "sub")
         .select(
             F.col("vec_id").alias("q_id"),
@@ -342,7 +355,10 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     ).withColumn("vv", _dot(F.col("emb"), F.col("emb")))
-    qs = vecs.filter(F.col("vec_id") % PQ_QUERY_MOD == 0).select(
+    qs = vecs.filter(
+        (F.col("vec_id") >= PQ_CODES)
+        & (F.col("vec_id") < PQ_CODES + PQ_QUERY_N)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("qemb"),
         F.col("vv").alias("qq"),
@@ -364,7 +380,10 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("q_id", F.col("vec_id").alias("exact_id"), "d_true")
     )
-    return adc_top.join(exact_top, "q_id").select(
+    # both sides are |Q|-row results — broadcast the audit join too,
+    # so the whole plan is assertable as SMJ-free under hint-only
+    # planning (test_pq_adc_broadcasts_only_query_bounded_sides)
+    return adc_top.join(F.broadcast(exact_top), "q_id").select(
         "q_id",
         "adc_id",
         "exact_id",

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frafka_spark.functions.determinism import (
+    dec_avg,
     half_up,
     sql_dec_avg,
     sql_half_up,
@@ -95,19 +96,18 @@ def q_events_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned half-up. ``COUNT(CASE ...) OVER (... AND 1 PRECEDING)``
     over an empty frame is 0 on both engines (first row → segment 0).
 
-    Scale shape: one map-side-combined minute rollup, ONE
-    hashpartitioning(key) exchange reused by the segmentation window
-    (running count — O(n) incremental frame), a (key, seg_id) partial
-    aggregate for the bounds, and a same-key join back for the
-    peak/count pass. No per-row recursion, no unbounded-following
+    Scale shape: every stage is KEYED — the map-side-combined minute
+    rollup exchanges on (key, mi), the segmentation window on (key)
+    (running count — O(n) incremental frame), and the bounds
+    aggregate plus the episode join stay in the key family (four
+    keyed exchanges total, plan-pinned; no all-to-one stage, no
+    corpus broadcast). No per-row recursion, no unbounded-following
     frame, nothing quadratic — the lo-row segmentation turns the
-    sequential machine into two keyed aggregates, which is why the
+    sequential machine into window + aggregates, which is why the
     batch backfill of years of history is safe where replaying the
     stream would not be.
     """
     e = table(spark, sf_dir, "events")
-    from frafka_spark.functions.determinism import dec_avg
-
     obs = e.groupBy(
         F.col("event_type").alias("key"),
         F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("mi"),

@@ -739,13 +739,16 @@ def test_pq_adc_laws(spark):
     ADC (reconstruction-space) distances are nonnegative squared
     L2 values."""
     import frafka_spark
-    from frafka_spark.llm.pq import PQ_QUERY_MOD
+    from frafka_spark.llm.pq import PQ_CODES, PQ_QUERY_N
     from frafka_spark.registry import QUERIES
 
     frafka_spark.load_all()
     adc = QUERIES["q_llm_pq_adc"].fn(spark, SF_DIR).toPandas()
-    assert (adc["q_id"] % PQ_QUERY_MOD == 0).all()
+    assert adc["q_id"].between(PQ_CODES, PQ_CODES + PQ_QUERY_N - 1).all()
     assert adc["q_id"].is_unique
+    # every declared query vector produced a row — a dropped query id
+    # (e.g. a lut-leg join regression) must fail here, not pass silently
+    assert len(adc) == PQ_QUERY_N
     assert (adc["hit"] == (adc["adc_id"] == adc["exact_id"])).all()
     assert (adc["exact_d"] >= 0).all()
     assert (adc["adc_d"] >= 0).all()

@@ -967,11 +967,41 @@ def test_pq_broadcasts_only_the_codebook(spark):
 
 def test_alert_episodes_single_key_exchange(spark):
     """q_events_alert_episodes: the segmentation window, the bounds
-    aggregate, and the episode join all live on the key family — no
-    unbounded-FOLLOWING frame (the interpolate lesson), no cartesian,
-    and the minute rollup partial-aggregates map-side."""
+    aggregate, and the episode join all live on the key family — at
+    most the four keyed exchanges the docstring declares (rollup,
+    window, bounds, join), no unbounded-FOLLOWING frame (the
+    interpolate lesson), no cartesian, and the minute rollup
+    partial-aggregates map-side."""
+    from frafka_spark.plans.inspect import shuffle_count
+
     df = _df(spark, "q_events_alert_episodes")
     assert has_partial_aggregation(df)
+    assert shuffle_count(df) <= 4, plan_str(df)
     plan = plan_str(df)
     assert "CartesianProduct" not in plan, plan
     assert "unboundedfollowing" not in plan.lower(), plan
+
+
+def test_pq_adc_broadcasts_only_query_bounded_sides(spark):
+    """q_llm_pq_adc: every broadcast build side derives from the
+    fixed-count query window or the codebook (both code constants) —
+    the four LUT equi-join legs broadcast-hash, the non-equi exact
+    leg rides a broadcast nested loop on the |Q|-row query set, and
+    the CORPUS is never a build side (no cartesian; corpus-sized
+    relations meet only as stream sides / keyed aggregates)."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan_without_auto_broadcast(spark, "q_llm_pq_adc")
+    assert "CartesianProduct" not in plan, plan
+    # every join has a query-/codebook-bounded broadcast side: with
+    # size-based broadcasting OFF, a corpus-vs-corpus join would have
+    # to plan as SortMergeJoin — none may appear (node counts are not
+    # stable pins here: the shared assign/wide subtrees re-expand per
+    # consumer, duplicating their broadcast-join nodes)
+    assert "SortMergeJoin" not in plan, plan
+    assert re.search(r"\(\d+\) BroadcastHashJoin", plan), plan
+    # non-equi joins (vec_id != q_id): broadcast nested loop, never a
+    # cartesian — build side is the bounded query relation
+    bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+) Build", plan)
+    assert all(k in ("Inner", "Cross") for k in bnlj), (bnlj, plan)
