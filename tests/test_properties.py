@@ -904,3 +904,63 @@ def test_geo_radius_grid_equals_naive(spark):
     )
     assert got.exceptAll(naive).count() == 0
     assert naive.exceptAll(got).count() == 0
+
+
+@given(
+    series=st.lists(
+        st.floats(min_value=0.0, max_value=25.0, allow_nan=False),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_lo_row_segmentation_identity(series):
+    """The mathematical core of q_events_alert_episodes, validated
+    beyond the fixtures: on ANY value series, the lo-row segmentation
+    form (segment at every below-LO row; first above-HI row per
+    segment opens; the boundary row closes) emits exactly the
+    episodes the sequential hysteresis state machine emits. Pure
+    Python on both sides — this pins the IDENTITY itself; the
+    differential and plan tests pin its Spark/DuckDB realizations.
+    """
+    HI, LO = 15.0, 5.0
+    rows = list(enumerate(series))  # (mi, v), minutes already ordered
+
+    # sequential reference machine (alert_stream's semantics)
+    want = []
+    active, opened, peak, n = False, 0, 0.0, 0
+    for mi, v in rows:
+        if not active:
+            if v > HI:
+                active, opened, peak, n = True, mi, v, 1
+        else:
+            n += 1
+            peak = max(peak, v)
+            if v < LO:
+                want.append((opened, mi, peak, n))
+                active = False
+
+    # relational lo-row segmentation form
+    got = []
+    seg_id = 0
+    segs: dict[int, list[tuple[int, float]]] = {}
+    for mi, v in rows:
+        segs.setdefault(seg_id, []).append((mi, v))
+        if v < LO:  # boundary row belongs to the segment it closes
+            seg_id += 1
+    for seg in segs.values():
+        opened_mi = next((mi for mi, v in seg if v > HI), None)
+        closed_mi = next((mi for mi, v in seg if v < LO), None)
+        if opened_mi is None or closed_mi is None:
+            continue
+        window = [(mi, v) for mi, v in seg if opened_mi <= mi <= closed_mi]
+        got.append(
+            (
+                opened_mi,
+                closed_mi,
+                max(v for _, v in window),
+                len(window),
+            )
+        )
+
+    assert got == want
