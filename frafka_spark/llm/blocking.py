@@ -156,6 +156,43 @@ SPARSE_DF_DEN = 5  # prune words present in more than 1/DEN of the corpus
 SPARSE_COS_MIN = 0.5  # emitted-pair cosine floor
 
 
+def _sparse_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word, tf) pruned posting lists — CACHED, session-shared.
+
+    Three consumers inside ``q_llm_sparse_cosine`` alone (norms + both
+    self-join sides), and repeated suite runs re-invoke the query
+    constructor — routing the cached relation through the
+    ``materialize_once`` session memo means ONE InMemoryRelation per
+    (session, sf_dir), warmed sequentially by
+    ``warm_shared_projections`` and never leaked per-invocation (a raw
+    ``.cache()`` here accumulated a fresh cache entry per construction
+    across the 300-query suite)."""
+    from frafka_spark.llm.dedup import materialize_once, shared_lookup
+
+    hit = shared_lookup(spark, sf_dir, "sparse_postings")
+    if hit is not None:
+        return hit
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    nn = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    kept = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("df") * SPARSE_DF_DEN <= F.col("n_docs"))
+        .select("doc_id", "word", "tf")
+        .cache()
+    )
+    return materialize_once(kept, spark, sf_dir, "sparse_postings")
+
+
 @query(
     "q_llm_sparse_cosine",
     oracle=f"""
@@ -240,28 +277,7 @@ def q_llm_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     join keys carry the distribution (plan-asserted hint-free, the
     dedup_near discipline).
     """
-    docs = table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    )
-    tf = words.groupBy("doc_id", "word").agg(
-        F.count("*").cast("bigint").alias("tf")
-    )
-    dfreq = tf.groupBy("word").agg(
-        F.count("*").cast("bigint").alias("df")
-    )
-    nn = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
-    # Three consumers (norms + both join sides) — cache the pruned
-    # posting relation so the tf/df build runs once, not per
-    # reference (the shared-word-projection discipline; Catalyst
-    # expands DataFrame references into subtree copies otherwise).
-    kept = (
-        tf.join(dfreq, "word")
-        .crossJoin(F.broadcast(nn))
-        .filter(F.col("df") * SPARSE_DF_DEN <= F.col("n_docs"))
-        .select("doc_id", "word", "tf")
-        .cache()
-    )
+    kept = _sparse_postings(spark, sf_dir)
     norms = kept.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
     )

@@ -74,6 +74,22 @@ def _subs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _subs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slice relation CACHED and session-memoized: the encode pass
+    and the ADC search pass (plus repeated suite invocations of each)
+    all read one InMemoryRelation per (session, sf_dir) instead of
+    leaking a fresh cache entry per query construction; warming rides
+    ``warm_shared_projections`` like every other shared projection."""
+    from frafka_spark.llm.dedup import materialize_once, shared_lookup
+
+    hit = shared_lookup(spark, sf_dir, "pq_subs")
+    if hit is not None:
+        return hit
+    return materialize_once(
+        _subs(spark, sf_dir).cache(), spark, sf_dir, "pq_subs"
+    )
+
+
 def _codebook(subs: DataFrame) -> DataFrame:
     """(sub, code_id, c, cc): the M·K per-subspace codebook — bounded
     by construction, the legitimate broadcast side."""
@@ -184,7 +200,10 @@ def q_llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is exactly the PQ-encode pass a production indexer runs;
     nothing O(corpus) is ever broadcast or collected.
     """
-    return _assignments(spark, sf_dir).select(
+    subs = _subs_shared(spark, sf_dir)
+    return _assignments(
+        spark, sf_dir, subs=subs, codes=_codebook(subs)
+    ).select(
         "vec_id", "sub", "code_id", half_up(F.col("d2"), 6).alias("qerr")
     )
 
@@ -294,9 +313,10 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_llm_sim_cosine``'s declared baseline.
     """
     # Two consumers of the slice relation (the encode pass feeding
-    # `wide`, and the query LUT) — cache it so the corpus explode and
-    # its norm folds run once (shared-projection discipline).
-    subs = _subs(spark, sf_dir).cache()
+    # `wide`, and the query LUT) — the session-memoized cache means
+    # the corpus explode and its norm folds run once per session, and
+    # repeated invocations never accumulate duplicate cache entries.
+    subs = _subs_shared(spark, sf_dir)
     codes = _codebook(subs)
     assign = _assignments(spark, sf_dir, subs=subs, codes=codes)
     wide = assign.groupBy("vec_id").agg(
