@@ -64,3 +64,8 @@ def load_all() -> None:
     from frafka_spark.functions import variant  # noqa: F401
     from frafka_spark.llm import pq  # noqa: F401
     from frafka_spark.operators import alerting  # noqa: F401
+
+    # Round-9 additions: behind the round-8 backlog (22 never-graded
+    # keys lead the r9 window; these queue immediately after and
+    # still fit inside the same 50-key window).
+    from frafka_spark.operators import dpp  # noqa: F401

@@ -93,6 +93,48 @@ def python_eval_nodes(df: DataFrame) -> list[str]:
     ]
 
 
+def scan_metrics(df: DataFrame) -> list[dict]:
+    """Per-scan SQL metrics from the EXECUTED plan (call after an
+    action has run the DataFrame), one dict per data-source scan with
+    a ``_location`` key for identifying the table.
+
+    This is how runtime scan behavior becomes assertable: dynamic
+    partition pruning reports ``numPartitions`` (directories actually
+    read) against ``staticFilesNum`` (what the static filters alone
+    would read) plus ``pruningTime`` — the metrics the Spark UI shows,
+    surfaced programmatically. Walks through AQE wrappers and query
+    stages to reach the final physical plan.
+    """
+    jplan = df._jdf.queryExecution().executedPlan()
+    if "AdaptiveSparkPlan" in jplan.getClass().getName():
+        jplan = jplan.executedPlan()
+    out: list[dict] = []
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getName()
+        if "Scan" in node.nodeName():
+            mets = node.metrics()
+            it = mets.iterator()
+            vals: dict = {}
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            # first occurrence = this scan's own location (a scan's
+            # string can embed whole subquery subtrees — e.g. a DPP
+            # SubqueryBroadcast — whose scans print their own later)
+            vals["_location"] = node.toString().split("Location:", 1)[-1][
+                :500
+            ]
+            out.append(vals)
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+        if "QueryStage" in cls:
+            stack.append(node.plan())
+    return out
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange operators (each is a full shuffle stage)."""
     return sum(

@@ -1005,3 +1005,43 @@ def test_pq_adc_broadcasts_only_query_bounded_sides(spark):
     # cartesian — build side is the bounded query relation
     bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+) Build", plan)
     assert all(k in ("Inner", "Cross") for k in bnlj), (bnlj, plan)
+
+
+def test_dpp_plan_carries_dynamic_pruning_expression(spark):
+    """q_scan_dpp: the date-partitioned fact scan must carry a
+    DynamicPruningExpression partition filter (the runtime-only dim
+    dates cannot fold into a static filter), the dim side must
+    broadcast (DPP's reuseBroadcastOnly requirement), and column
+    pruning must still reach the fact scan."""
+    df = _df(spark, "q_scan_dpp")
+    plan = plan_str(df)
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
+    # fact scan reads only the join/group/agg columns; the wide event
+    # payload (props, user_id, event_id, ts) never leaves the footer
+    fact_schemas = [
+        s for s in read_schemas(df) if "value" in s and "event_type" in s
+    ]
+    assert fact_schemas, read_schemas(df)
+    for dropped in ("props", "user_id", "event_id"):
+        assert all(dropped not in s for s in fact_schemas), fact_schemas
+
+
+def test_dpp_prunes_partitions_at_runtime(spark):
+    """q_scan_dpp: after execution, the fact scan's SQL metrics must
+    show DPP actually skipped directories — partitions read equals
+    the top-K day count, strictly fewer than the static file set
+    (30 daily partitions in the fixture layout)."""
+    from frafka_spark.operators.dpp import DPP_TOP_DAYS
+    from frafka_spark.plans.inspect import scan_metrics
+
+    df = _df(spark, "q_scan_dpp")
+    rows = df.collect()
+    assert rows and len({r.event_date for r in rows}) == DPP_TOP_DAYS
+    fact = [
+        m for m in scan_metrics(df) if "events_by_date" in m["_location"]
+    ]
+    assert fact, scan_metrics(df)
+    (m,) = fact
+    assert m["numPartitions"] == DPP_TOP_DAYS, m
+    assert m["numPartitions"] < m["staticFilesNum"], m
