@@ -483,98 +483,84 @@ def q_win_range_frame_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``PARTITION BY o_orderpriority`` has 5 values: the built-in
     window funnels 20% of a 100 TB table through each of 5 tasks.
-    This formulation decomposes the banded count as a difference of
-    two cumulative counts — ``n_within(p) = cnt_le(p) −
-    cnt_lt(p − 10000)`` — and computes BOTH in one range-partitioned
-    stream pass:
+    This formulation banks on bucket width = band width: with
+    ``bucket = floor(price / 10000)``, the band ``[p − 10000, p]``
+    touches exactly buckets ``b−1`` and ``b``, so
+
+        n_within(p) = run_b(p)                      [≤ p in bucket b]
+                    + tot(b−1) − run_{b−1}(p−10000) [≥ p−10000 in b−1]
+
+    and BOTH terms come out of ONE keyed window pass (VERDICT r8 #4:
+    the previous cnt_le/cnt_lt formulation paid a range exchange + a
+    checkpoint + a broadcast reconciliation; here the predecessor
+    lookup rides the same hash exchange as the running count):
 
     1. Collapse rows to per-(priority, value) counts (one hash
        exchange, map-side partials).
-    2. Interleave each value row (carrying its count) with a probe
-       row at ``value − 10000`` (carrying zero, sorted BEFORE any
-       equal-valued row so the band stays inclusive-left), range-
-       repartition the union on (priority, value, kind), and take a
-       partition-local running sum of counts plus a cross-partition
-       prefix reconciled through a (partition × priority) table
-       bounded by cluster width — the offsets discipline of the
-       global-rank helper, but with ONE exchange + ONE checkpoint
-       for both cumulative reads. A value row's running sum IS
-       cnt_le (its own count included = peers included); a probe
-       row's IS cnt_lt (kind order excludes equal values).
-    3. Join the two cumulative reads per value and join back to rows.
+    2. Each value row re-enters the stream twice: as itself in
+       bucket b (kind 1, carrying its count), and as a PROBE at key
+       ``p − 10000.0`` assigned to bucket b−1 (kind 0, count 0,
+       sorted before any equal-valued row so the band stays
+       inclusive-left — and if the IEEE subtraction rounds the probe
+       key up onto b−1's top edge, the probe simply sorts past all
+       of b−1, counting its full total: still exact). One window
+       partitioned by (priority, bucket) yields the running count
+       AND the bucket total in the same sort.
+    3. Every row emits its term keyed by the ORIGINAL price — a real
+       row emits ``run``, a probe emits ``tot − run`` — and one hash
+       aggregate sums the two terms into n_within; join back to rows.
 
-    Every exchange keys on (priority, price) or a range of it —
-    distributed at any scale; the only single-partition window runs
-    over the cluster-width-bounded reconciliation frame. The band
-    arithmetic uses the same ``p − 10000.0`` double the window frame
-    would compute, so results hash-match the oracle exactly.
+    Every exchange is a deterministic hash partition on (priority,
+    price) or (priority, bucket) — no range-boundary sampling, no
+    checkpoint, no broadcast, no driver work. Partition width is one
+    band per priority (salt the bucket further if one price band is
+    hot). The band arithmetic uses the same ``p − 10000.0`` double
+    the window frame would compute, so results hash-match exactly.
     """
-    from frafka_spark.io import shuffle_width
-
+    W_BAND = 10000.0
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     vals = o.groupBy("o_orderpriority", "o_totalprice").agg(
-        F.count("*").alias("c")
+        F.count("*").cast("bigint").alias("c")
+    )
+    bucket = F.floor(F.col("o_totalprice") / F.lit(W_BAND)).cast("bigint")
+    real = vals.select(
+        "o_orderpriority",
+        bucket.alias("bucket"),
+        F.col("o_totalprice").alias("k"),
+        F.lit(1).alias("kind"),
+        F.col("c"),
+        F.col("o_totalprice").alias("out_price"),
     )
     probe = vals.select(
         "o_orderpriority",
-        (F.col("o_totalprice") - F.lit(10000.0)).alias("k"),
+        (bucket - F.lit(1)).alias("bucket"),
+        (F.col("o_totalprice") - F.lit(W_BAND)).alias("k"),
         F.lit(0).alias("kind"),
-        F.col("o_totalprice").alias("probe_price"),
         F.lit(0).cast("bigint").alias("c"),
-    )
-    stream = probe.unionByName(
-        vals.select(
-            "o_orderpriority",
-            F.col("o_totalprice").alias("k"),
-            F.lit(1).alias("kind"),
-            F.lit(None).cast("double").alias("probe_price"),
-            F.col("c").cast("bigint").alias("c"),
-        )
-    )
-    ranged = (
-        stream.repartitionByRange(
-            shuffle_width(stream), "o_orderpriority", "k", "kind"
-        )
-        .withColumn("_pid", F.spark_partition_id())
-        # two readers (running-sum branch + partition-sum branch) must
-        # agree on sampled range boundaries — same discipline as
-        # range_partitioned_row_number above
-        .localCheckpoint(eager=False)
+        F.col("o_totalprice").alias("out_price"),
     )
     w_run = (
-        Window.partitionBy("_pid", "o_orderpriority")
+        Window.partitionBy("o_orderpriority", "bucket")
         .orderBy("k", "kind")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    run = ranged.withColumn("run", F.sum("c").over(w_run))
-    pm = ranged.groupBy("_pid", "o_orderpriority").agg(F.sum("c").alias("psum"))
-    w_pm = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.partitionBy("o_orderpriority", "bucket")
+    terms = (
+        real.unionByName(probe)
+        .withColumn("run", F.sum("c").over(w_run))
+        .withColumn("tot", F.sum("c").over(w_tot))
+        .select(
+            "o_orderpriority",
+            F.col("out_price").alias("o_totalprice"),
+            F.when(F.col("kind") == 1, F.col("run"))
+            .otherwise(F.col("tot") - F.col("run"))
+            .alias("term"),
+        )
     )
-    pref = pm.withColumn(
-        "prev_sum", F.coalesce(F.sum("psum").over(w_pm), F.lit(0))
-    ).drop("psum")
-    cum = run.join(F.broadcast(pref), ["_pid", "o_orderpriority"]).withColumn(
-        "cum", F.col("run") + F.col("prev_sum")
-    )
-    lut = cum.filter(F.col("kind") == 0).select(
-        "o_orderpriority",
-        F.col("probe_price").alias("o_totalprice"),
-        F.col("cum").alias("cnt_lt"),
-    )
-    les = cum.filter(F.col("kind") == 1).select(
-        "o_orderpriority",
-        F.col("k").alias("o_totalprice"),
-        F.col("cum").alias("cnt_le"),
-    )
-    counts = les.join(lut, ["o_orderpriority", "o_totalprice"]).select(
-        "o_orderpriority",
-        "o_totalprice",
-        (F.col("cnt_le") - F.col("cnt_lt")).alias("n_within_10k"),
+    counts = terms.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.sum("term").cast("bigint").alias("n_within_10k")
     )
     return o.join(counts, ["o_orderpriority", "o_totalprice"]).select(
         "o_orderkey",

@@ -350,26 +350,27 @@ def test_lsh_signature_is_shuffle_free_projection(spark):
 
 def test_range_frame_scaled_has_no_enum_partition_window(spark):
     """q_win_range_frame_scaled: the point of the twin — no window may
-    run partitioned by the 5-value priority enum ORDERED BY price
-    (that's 20% of a 100 TB table per task). The only windows allowed
-    over a priority-partitioned spec are the bounded reconciliation
-    frames ordered by _pid (≤ cluster-width rows per priority)."""
+    run partitioned by the 5-value priority enum alone (that's 20% of
+    a 100 TB table per task). Every window spec must carry the band
+    bucket in its partition keys, and the plan must stay free of the
+    old formulation's costs: no range exchange, no broadcast, no
+    checkpoint-hidden lineage (all exchanges hash, deterministic)."""
     import re
 
-    plan = (
-        QUERIES["q_win_range_frame_scaled"]
-        .fn(spark, SF_DIR)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    # (the range exchanges themselves sit above localCheckpoint lineage
-    # truncations, so they don't print here — the window specs do)
-    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan)
-    assert len(specs) >= 2, plan[:1500]  # regex must actually see the windows
-    for part, order in specs:
-        if "o_orderpriority" in part and "_pid" not in part:
-            assert "o_totalprice" not in order, (part, order)
+    plan = _plan_without_auto_broadcast(spark, "q_win_range_frame_scaled")
+    # every window spec must partition on the band bucket (the spec
+    # prints partition cols first: windowspecdefinition(part..., ord
+    # ASC ..., frame)), never on the priority enum alone
+    specs = re.findall(r"windowspecdefinition\(([^)]*?) ASC", plan)
+    assert specs, plan[:1500]
+    for spec in specs:
+        part_cols = spec.split(",")[:-1]  # last fragment is the order col
+        assert any("bucket" in c for c in part_cols), (spec, plan[:1500])
+    assert "rangepartitioning" not in plan, plan[:2000]
+    # size-based fixture broadcasts are fine; HINTED broadcasts are
+    # not (threshold is -1 here, so any Broadcast must be a hint)
+    assert "Broadcast" not in plan, plan[:2000]
+    assert "ExistingRDD" not in plan, plan[:2000]  # no checkpoint hiding
 
 
 def test_q19_derived_predicates_reach_both_scans(spark):
