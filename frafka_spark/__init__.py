@@ -69,3 +69,4 @@ def load_all() -> None:
     # keys lead the r9 window; these queue immediately after and
     # still fit inside the same 50-key window).
     from frafka_spark.operators import dpp  # noqa: F401
+    from frafka_spark.operators import lateness  # noqa: F401

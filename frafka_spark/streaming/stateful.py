@@ -109,6 +109,94 @@ def interpolate_stream(
     )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, event_id bigint, session_seq int, seq_in_session int"
+)
+SESSION_STATE_SCHEMA = "last_us bigint, session_seq int, seq int"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming per-event sessionization — the stateful twin of the
+    batch ``q_events_sessionize`` (operators/analytics.py): tag every
+    event with its session ordinal and position within the session,
+    where a session breaks after ``gap_minutes`` of inactivity (the
+    same half-open boundary: an event at exactly ``prev + gap``
+    starts a new session).
+
+    This is the third ``applyInPandasWithState`` genre, closing the
+    batch ≡ stream equivalence family: interval-close
+    (``interpolate_stream``), state machine (``alert_stream``), and
+    now running per-key counters. Unlike ``session_window`` (the
+    built-in, which can only emit per-SESSION aggregates after the
+    watermark closes a session), the per-event tag is emitted
+    immediately — each row needs only the previous event's timestamp,
+    so the state is three numbers per key and output latency is one
+    micro-batch, not one watermark delay.
+
+    ``events`` carries ``(user_id, event_id, ts_us)`` with event time
+    as epoch MICROSECONDS (integer cross-engine discipline —
+    ``unix_micros`` upstream); rows must replay in event-time order
+    per key across micro-batches (watermark + ordered source, the
+    module contract), and are sorted by ``(ts_us, event_id)`` within
+    each batch — the batch window's exact total order, so ties are
+    tagged identically.
+
+    Scale shape: the one key-hash exchange every stateful op pays,
+    O(1) state per key (three numbers — contrast ``session_window``'s
+    open-session buffers), output exactly one row per input row.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    def tag(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        if state.exists:
+            last_us, sess, seq = state.get
+        else:
+            last_us, sess, seq = None, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts_col, id_col]
+        )
+        out_id: list[int] = []
+        out_sess: list[int] = []
+        out_seq: list[int] = []
+        for ts_us, eid in zip(rows[ts_col], rows[id_col]):
+            ts_us, eid = int(ts_us), int(eid)
+            if last_us is None or ts_us >= last_us + gap_us:
+                sess, seq = sess + 1, 1
+            else:
+                seq += 1
+            last_us = ts_us
+            out_id.append(eid)
+            out_sess.append(sess)
+            out_seq.append(seq)
+        state.update((last_us if last_us is not None else 0, sess, seq))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(out_id),
+                "event_id": out_id,
+                "session_seq": out_sess,
+                "seq_in_session": out_seq,
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        tag,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 ALERT_OUTPUT_SCHEMA = (
     "key string, opened_mi bigint, closed_mi bigint, peak double, n_points bigint"
 )
