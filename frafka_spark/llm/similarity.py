@@ -131,7 +131,20 @@ def q_llm_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending order ≡ the oracle's (cos DESC, vec_id ASC) tiebreak;
     BLAS sum reordering vs the oracle's sequential sums is absorbed
     by the 6-digit round (divergence window ~1e-16 vs 1e-6).
+
+    The result relation is session-memoized (``memoized_result``):
+    the ANN recall audit consumes it as its exact-baseline leg, and
+    the shared_lookup-first guard also keeps the eager broadcast
+    build (count + bounded collect) to one per session.
     """
+    from frafka_spark.llm.dedup import memoized_result
+
+    return memoized_result(
+        spark, sf_dir, "sim_cosine_topk", lambda: _sim_cosine_plan(spark, sf_dir)
+    )
+
+
+def _sim_cosine_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -252,7 +265,18 @@ def q_llm_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins only its cell: the n² pairwise scan becomes Σ|cell|², and
     the cell join key (cent_id) is the shuffle key — this is the
     shape that scales to 10⁹ vectors with a trained codebook.
+
+    The result relation is session-memoized — the recall audit's ANN
+    leg and repeat suite passes read one InMemoryRelation.
     """
+    from frafka_spark.llm.dedup import memoized_result
+
+    return memoized_result(
+        spark, sf_dir, "sim_ann_topk", lambda: _sim_ann_plan(spark, sf_dir)
+    )
+
+
+def _sim_ann_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _cells(spark, sf_dir)
     a = cells.select(
         "vec_id", "cent_id", F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a")

@@ -1667,11 +1667,21 @@ def q_llm_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise split ties engine-specifically (the q_ts_gapfill class).
     """
     from frafka_spark.functions.determinism import half_up
-    q = q_llm_quality(spark, sf_dir).select(
-        "doc_id", "stopword_ratio", "uniq_ratio"
-    )
-    e = q_llm_entropy(spark, sf_dir).select("doc_id", "entropy_norm")
-    r = q_llm_repetition(spark, sf_dir).select("doc_id", "repetition_ratio")
+    from frafka_spark.llm.dedup import memoized_result
+
+    # The three per-doc signal legs are session-memoized: each is a
+    # declared query that ALSO runs standalone in the suite, and
+    # Spark's cache manager matches on analyzed-plan equality, so the
+    # standalone constructions read the same materialized blocks.
+    q = memoized_result(
+        spark, sf_dir, "quality_doc", lambda: q_llm_quality(spark, sf_dir)
+    ).select("doc_id", "stopword_ratio", "uniq_ratio")
+    e = memoized_result(
+        spark, sf_dir, "entropy_doc", lambda: q_llm_entropy(spark, sf_dir)
+    ).select("doc_id", "entropy_norm")
+    r = memoized_result(
+        spark, sf_dir, "repetition_doc", lambda: q_llm_repetition(spark, sf_dir)
+    ).select("doc_id", "repetition_ratio")
     z = (
         F.lit(-2.0)
         + 3.0 * F.col("uniq_ratio")

@@ -116,12 +116,21 @@ def _plan_without_auto_broadcast(spark, name: str) -> str:
     With the threshold at -1, any BroadcastExchange left in the plan
     can only come from an explicit hint — the thing that would force
     a driver OOM at corpus scale regardless of runtime statistics.
+
+    The render wraps the query in a no-op projection to force a FRESH
+    QueryExecution: session-memoized queries return one long-lived
+    Dataset whose executed plan is a frozen lazy val — whatever conf
+    and cache state the FIRST explain saw is baked in, and neither
+    clearCache nor the threshold override can change it. A new
+    Dataset over the same logical plan replans under the current
+    conf (callers that also need cache-independent plans still run
+    spark.catalog.clearCache() first).
     """
     key = "spark.sql.autoBroadcastJoinThreshold"
     prev = spark.conf.get(key)
     spark.conf.set(key, "-1")
     try:
-        return _plan(spark, name)
+        return plan_str(QUERIES[name].fn(spark, SF_DIR).select("*"))
     finally:
         spark.conf.set(key, prev)
 
@@ -131,6 +140,10 @@ def test_dedup_near_has_no_broadcast_hints(spark):
     # (unbounded on duplicate-heavy corpora) and sizes (1 row/doc) are
     # all O(corpus) — none may be hint-broadcast. Size-based AQE
     # broadcasting at fixture scale is fine; hints are not.
+    # a prior differential run bakes fixture-scale size-based
+    # broadcasts into the memoized pair relation's stored plan (the
+    # sparse-cosine lesson) — clear so the render reflects hints only
+    spark.catalog.clearCache()
     for name in ("q_llm_dedup_near", "q_llm_dedup_near_capped"):
         plan = _plan_without_auto_broadcast(spark, name)
         assert "BroadcastExchange" not in plan, (name, plan)
@@ -935,12 +948,15 @@ def test_sparse_cosine_hint_free_posting_join(spark):
     # no equi-join broadcast hint anywhere (corpus sides must shuffle)
     assert "BroadcastHashJoin" not in plan, plan
     # nested-loop broadcasts are ONLY the scalar n_docs CROSS join —
-    # the tree echoes the cached posting relation's build once per
-    # reference, so assert on kind, and on distinct numbered nodes
+    # the fresh (cache-independent) render expands the shared posting
+    # relation's build subtree once per reference, so the node COUNT
+    # tracks reference multiplicity, not hints: assert on KIND alone
+    # (every nested-loop build side must be the 1-row scalar cross),
+    # bounded by the posting relation's reference count
     kinds = re.findall(r"BroadcastNestedLoopJoin (\w+) Build", plan)
     assert kinds and all(k == "Cross" for k in kinds), (kinds, plan)
     nodes = set(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
-    assert len(nodes) <= 1, (nodes, plan)
+    assert len(nodes) <= 4, (nodes, plan)
     assert "SortMergeJoin" in plan, plan
 
 
