@@ -70,3 +70,4 @@ def load_all() -> None:
     # still fit inside the same 50-key window).
     from frafka_spark.operators import dpp  # noqa: F401
     from frafka_spark.operators import lateness  # noqa: F401
+    from frafka_spark.operators import bucketed  # noqa: F401

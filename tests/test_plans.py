@@ -1062,3 +1062,37 @@ def test_dpp_prunes_partitions_at_runtime(spark):
     (m,) = fact
     assert m["numPartitions"] == DPP_TOP_DAYS, m
     assert m["numPartitions"] < m["staticFilesNum"], m
+
+
+def test_bucketed_join_declared_zero_exchange(spark):
+    """q_join_bucketed: the orderkey join over the bucketed managed
+    tables must plan with NO Exchange below the join — both children
+    read pre-hashed bucketed scans (`Bucketed: true`); the only
+    shuffle allowed is the final rollup's. Rendered with
+    auto-broadcast off so fixture-size broadcasting can't hide a
+    would-be shuffle at scale."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan_without_auto_broadcast(spark, "q_join_bucketed")
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "Bucketed: true" in plan, plan[:2000]
+    # exactly one Exchange: the (priority, flag) rollup above the join
+    sections = re.split(r"\n\n(?=\(\d+\) )", plan)
+    exchange_nodes = [
+        int(m.group(1))
+        for s in sections
+        if (m := re.match(r"\((\d+)\) Exchange", s))
+    ]
+    join_nodes = [
+        int(m.group(1))
+        for s in sections
+        if (m := re.match(r"\((\d+)\) SortMergeJoin", s))
+    ]
+    assert len(exchange_nodes) == 1, plan
+    # children carry lower node numbers than parents in the formatted
+    # plan: the single Exchange must sit ABOVE the join (higher id)
+    assert join_nodes and exchange_nodes[0] > max(join_nodes), (
+        exchange_nodes,
+        join_nodes,
+    )
