@@ -71,3 +71,4 @@ def load_all() -> None:
     from frafka_spark.operators import dpp  # noqa: F401
     from frafka_spark.operators import lateness  # noqa: F401
     from frafka_spark.operators import bucketed  # noqa: F401
+    from frafka_spark.operators import fileskip  # noqa: F401

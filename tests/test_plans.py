@@ -1096,3 +1096,35 @@ def test_bucketed_join_declared_zero_exchange(spark):
         exchange_nodes,
         join_nodes,
     )
+
+
+def test_file_skip_reads_fewer_files_at_runtime(spark):
+    """q_scan_file_skip: the manifest-stats pruned read must hand
+    Spark strictly fewer data files than the z-ordered layout holds
+    (file-level skipping from the table log), and the kept files'
+    scan must still produce exactly the flat-fixture band rollup."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.operators.fileskip import (
+        N_ZFILES,
+        pruned_lineitem,
+        q_scan_file_skip,
+    )
+    from frafka_spark.plans.inspect import scan_metrics
+
+    df = q_scan_file_skip(spark, SF_DIR)
+    rows = {r.l_returnflag: r.n_items for r in df.collect()}
+    assert rows and sum(rows.values()) > 0
+    (m,) = scan_metrics(df)
+    assert 0 < m["numFiles"] < N_ZFILES, m
+    # the pruned relation itself agrees with the unskipped filter
+    from frafka_spark.operators.fileskip import _ensure_layout
+    from frafka_spark.sources.manifest_table import read_table
+
+    path, hi = _ensure_layout(spark, SF_DIR)
+    want = (
+        read_table(spark, path)
+        .filter(F.col("l_partkey").between(1, hi))
+        .count()
+    )
+    assert pruned_lineitem(spark, SF_DIR).count() == want
