@@ -1128,3 +1128,54 @@ def test_file_skip_reads_fewer_files_at_runtime(spark):
         .count()
     )
     assert pruned_lineitem(spark, SF_DIR).count() == want
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """AQE skew-join handling, executed (SURVEY §4 lists it as a
+    config): a join whose left side funnels 95% of rows through one
+    key must come out of AQE replanning with the skewed shuffle
+    partition SPLIT — `SortMergeJoin(skew=true)` over an
+    `AQEShuffleRead ... skewed` — instead of one straggler task.
+    Thresholds are lowered so fixture-scale bytes qualify as skew;
+    at production scale the defaults (256 MB / factor 5) fire on the
+    same plan shape. Salting (`q_agg_salted`/`q_join_salted`) remains
+    the write-side fix; this pins the engine-side runtime fix."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k").select(F.sum(F.length("pad")).alias("s"))
+        (row,) = j.collect()
+        assert row.s > 0
+        jplan = j._jdf.queryExecution().executedPlan()
+        final = (
+            jplan.executedPlan()
+            if "AdaptiveSparkPlan" in jplan.getClass().getName()
+            else jplan
+        )
+        s = final.toString()
+        assert "SortMergeJoin(skew=true)" in s, s[:2000]
+        assert "skewed" in s, s[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

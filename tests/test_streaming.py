@@ -1130,3 +1130,71 @@ def test_late_drop_matches_streaming_metric(spark, tmp_path):
         (F.col("n_late_dropped") > 0) & (F.col("n_late_kept") > 0)
     ).count()
     assert mixed == 0
+
+
+def test_stateful_agg_on_rocksdb_state_store(spark, tmp_path):
+    """The RocksDB state store provider (SURVEY §4's '100 TB notes'
+    listed it as config-only — this executes it): the same
+    watermarked hour-window aggregation runs with state backed by
+    RocksDB instead of the in-memory HDFS-backed map, produces
+    identical results, and the progress metrics prove the provider
+    actually engaged (rocksdb* custom metrics on the state operator).
+    At 100 TB this is the difference between executor-heap state and
+    spillable on-disk state with incremental checkpointing."""
+    ev = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 50)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    feed = str(tmp_path / "feed")
+    ev.coalesce(1).write.parquet(feed)
+
+    def run(provider_conf: dict, tag: str):
+        s = spark.readStream.schema(ev.schema).parquet(feed)
+        agg = (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+        )
+        writer = (
+            agg.select(F.col("w.start").alias("start"), "n")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"rdb_{tag}")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+        )
+        for k, v in provider_conf.items():
+            spark.conf.set(k, v)
+        try:
+            q = writer.start()
+            q.awaitTermination()
+            custom = [
+                op.get("customMetrics", {})
+                for p in q.recentProgress
+                for op in p["stateOperators"]
+            ]
+            return (
+                spark.sql(f"SELECT start, n FROM rdb_{tag}"),
+                custom,
+            )
+        finally:
+            for k in provider_conf:
+                spark.conf.unset(k)
+
+    rocks_conf = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    }
+    got_rocks, custom = run(rocks_conf, "rocks")
+    got_default, _ = run({}, "default")
+    # provider engaged: rocksdb metrics present on the state operator
+    assert any(
+        any(k.startswith("rocksdb") for k in c) for c in custom
+    ), custom
+    # and state backend choice never changes the answer
+    assert got_rocks.exceptAll(got_default).count() == 0
+    assert got_default.exceptAll(got_rocks).count() == 0
+    assert got_rocks.count() > 0
