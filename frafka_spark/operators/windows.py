@@ -517,54 +517,68 @@ def q_win_range_frame_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot). The band arithmetic uses the same ``p − 10000.0`` double
     the window frame would compute, so results hash-match exactly.
     """
-    W_BAND = 10000.0
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    vals = o.groupBy("o_orderpriority", "o_totalprice").agg(
-        F.count("*").cast("bigint").alias("c")
-    )
-    bucket = F.floor(F.col("o_totalprice") / F.lit(W_BAND)).cast("bigint")
-    real = vals.select(
-        "o_orderpriority",
-        bucket.alias("bucket"),
-        F.col("o_totalprice").alias("k"),
-        F.lit(1).alias("kind"),
-        F.col("c"),
-        F.col("o_totalprice").alias("out_price"),
-    )
-    probe = vals.select(
-        "o_orderpriority",
-        (bucket - F.lit(1)).alias("bucket"),
-        (F.col("o_totalprice") - F.lit(W_BAND)).alias("k"),
-        F.lit(0).alias("kind"),
-        F.lit(0).cast("bigint").alias("c"),
-        F.col("o_totalprice").alias("out_price"),
-    )
-    w_run = (
-        Window.partitionBy("o_orderpriority", "bucket")
-        .orderBy("k", "kind")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_tot = Window.partitionBy("o_orderpriority", "bucket")
-    terms = (
-        real.unionByName(probe)
-        .withColumn("run", F.sum("c").over(w_run))
-        .withColumn("tot", F.sum("c").over(w_tot))
-        .select(
-            "o_orderpriority",
-            F.col("out_price").alias("o_totalprice"),
-            F.when(F.col("kind") == 1, F.col("run"))
-            .otherwise(F.col("tot") - F.col("run"))
-            .alias("term"),
-        )
-    )
-    counts = terms.groupBy("o_orderpriority", "o_totalprice").agg(
-        F.sum("term").cast("bigint").alias("n_within_10k")
-    )
+    counts = banded_range_count(
+        o, "o_orderpriority", "o_totalprice", 10000.0
+    ).withColumnRenamed("n_in_band", "n_within_10k")
     return o.join(counts, ["o_orderpriority", "o_totalprice"]).select(
         "o_orderkey",
         "o_orderpriority",
         F.round("o_totalprice", 4).alias("price"),
         "n_within_10k",
+    )
+
+
+def banded_range_count(
+    df: DataFrame, part: str, val: str, width: float
+) -> DataFrame:
+    """Per distinct (part, val): the count of group rows with value
+    in the inclusive band ``[val − width, val]`` — the distributed
+    replacement for ``count(*) OVER (PARTITION BY part ORDER BY val
+    RANGE BETWEEN width PRECEDING AND CURRENT ROW)`` when ``part`` is
+    low-cardinality. See ``q_win_range_frame_scaled`` for the
+    bucket-band derivation and IEEE boundary analysis; the band's
+    lower bound is the same ``val − width`` double the window frame
+    computes. Property-tested against a per-row reference on
+    adversarial boundary inputs (tests/test_properties.py)."""
+    vals = df.groupBy(part, val).agg(F.count("*").cast("bigint").alias("c"))
+    bucket = F.floor(F.col(val) / F.lit(width)).cast("bigint")
+    real = vals.select(
+        part,
+        bucket.alias("bucket"),
+        F.col(val).alias("k"),
+        F.lit(1).alias("kind"),
+        F.col("c"),
+        F.col(val).alias("out_val"),
+    )
+    probe = vals.select(
+        part,
+        (bucket - F.lit(1)).alias("bucket"),
+        (F.col(val) - F.lit(width)).alias("k"),
+        F.lit(0).alias("kind"),
+        F.lit(0).cast("bigint").alias("c"),
+        F.col(val).alias("out_val"),
+    )
+    w_run = (
+        Window.partitionBy(part, "bucket")
+        .orderBy("k", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(part, "bucket")
+    terms = (
+        real.unionByName(probe)
+        .withColumn("run", F.sum("c").over(w_run))
+        .withColumn("tot", F.sum("c").over(w_tot))
+        .select(
+            part,
+            F.col("out_val").alias(val),
+            F.when(F.col("kind") == 1, F.col("run"))
+            .otherwise(F.col("tot") - F.col("run"))
+            .alias("term"),
+        )
+    )
+    return terms.groupBy(part, val).agg(
+        F.sum("term").cast("bigint").alias("n_in_band")
     )

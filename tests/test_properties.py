@@ -964,3 +964,65 @@ def test_lo_row_segmentation_identity(series):
         )
 
     assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            # adversarial: exact band multiples and their IEEE
+            # neighbors (the probe-key rounding territory), plus
+            # ordinary magnitudes
+            st.sampled_from(
+                [
+                    0.0,
+                    10.0,
+                    20.0,
+                    30.0,
+                    9.999999999999998,
+                    10.000000000000002,
+                    19.999999999999996,
+                    20.000000000000004,
+                    29.999999999999996,
+                ]
+            ),
+            st.floats(
+                min_value=0.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    groups=st.integers(min_value=1, max_value=3),
+)
+def test_banded_range_count_matches_per_row_reference(spark, vals, groups):
+    """The bucket-band decomposition (q_win_range_frame_scaled's
+    engine) must equal the per-row RANGE-frame reference — count of
+    same-group values in [v − width, v] with the lower bound computed
+    by the SAME IEEE subtraction — including when values sit exactly
+    on band multiples or one ulp on either side (the probe-key
+    rounding edge the docstring argues about)."""
+    import pandas as pd
+
+    WIDTH = 10.0
+    rows = [(i % groups, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "v"]), schema="g int, v double"
+    )
+    from frafka_spark.operators.windows import banded_range_count
+
+    got = {
+        (r["g"], r["v"]): r["n_in_band"]
+        for r in banded_range_count(df, "g", "v", WIDTH).collect()
+    }
+    for g, v in set(rows):
+        lo = v - WIDTH  # the identical IEEE double the frame computes
+        want = sum(1 for gg, x in rows if gg == g and lo <= x <= v)
+        assert got[(g, v)] == want, (g, v, got[(g, v)], want)
