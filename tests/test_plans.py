@@ -585,11 +585,21 @@ def test_scd2_and_growth_windows_stay_keyed(spark):
     window (single-task sort) may appear."""
     import re
 
+    from frafka_spark.operators.merge import _scd2_plan
+
     for name, key in (
         ("q_merge_scd2", "o_custkey"),
         ("q_events_growth_accounting", "user_id"),
     ):
-        plan = _plan(spark, name)
+        # scd2's declared query returns the session-memoized dim —
+        # render the pre-memo builder (the lp_labels/pagerank pin
+        # pattern) so the windows are visible regardless of cache state
+        df = (
+            _scd2_plan(spark, SF_DIR)
+            if name == "q_merge_scd2"
+            else _df(spark, name)
+        )
+        plan = plan_str(df)
         specs = re.findall(r"windowspecdefinition\(([A-Za-z_0-9#]+)", plan)
         assert specs, (name, plan)  # regex must actually match
         for first_part_key in specs:

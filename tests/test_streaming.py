@@ -1198,3 +1198,79 @@ def test_stateful_agg_on_rocksdb_state_store(spark, tmp_path):
     assert got_rocks.exceptAll(got_default).count() == 0
     assert got_default.exceptAll(got_rocks).count() == 0
     assert got_rocks.count() > 0
+
+
+def test_late_drop_boundary_window_end_equals_watermark(spark, tmp_path):
+    """The declared drop rule's one semantic choice — a window whose
+    end equals the watermark EXACTLY is dropped (window_end ≤ WM,
+    Spark's state-eviction boundary) — pinned against real streaming
+    on a synthetic feed engineered to land on the boundary: on-time
+    max ts = 01:10:00 → watermark 01:00:00; a late 00:30 row's window
+    ends exactly 01:00:00 (must drop), a late 01:05 row's window ends
+    02:00:00 (must aggregate)."""
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    def mk(rows, name):
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "k"]),
+            schema="ts string, k int",
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "k")
+        phase = str(tmp_path / f"phase_{name}")
+        df.coalesce(1).write.parquet(phase)
+        (part,) = glob.glob(f"{phase}/part-*.parquet")
+        os.makedirs(str(tmp_path / "src"), exist_ok=True)
+        shutil.copy(part, str(tmp_path / "src" / f"{name}.parquet"))
+
+    def run():
+        stream = (
+            spark.readStream.schema("ts timestamp, k int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "src"))
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.select(F.col("w.start").alias("start"), "n")
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(
+            op["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+
+    mk(
+        [("2024-03-01 00:45:00", 0), ("2024-03-01 01:10:00", 0)],
+        "f0_on_time",
+    )  # max ts 01:10 → committed watermark 01:00:00 exactly
+    assert run() == 0
+    mk(
+        [("2024-03-01 00:30:00", 1), ("2024-03-01 01:05:00", 1)],
+        "f1_late",
+    )
+    dropped = run()
+    # the 00:30 row's window [00:00, 01:00) has end == watermark →
+    # dropped (one partial row); the 01:05 row survives into state
+    assert dropped == 1, dropped
+    # the declared rule agrees: win_end <= WM drops, > WM keeps
+    wm_us = int(
+        pd.Timestamp("2024-03-01 01:10:00").value / 1000
+    ) - 600_000_000
+    for ts, should_drop in (
+        ("2024-03-01 00:30:00", True),
+        ("2024-03-01 01:05:00", False),
+    ):
+        us = int(pd.Timestamp(ts).value / 1000)
+        win_end = us - us % 3_600_000_000 + 3_600_000_000
+        assert (win_end <= wm_us) is should_drop, ts
