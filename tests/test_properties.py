@@ -991,11 +991,12 @@ def test_lo_row_segmentation_identity(series):
                 ]
             ),
             st.floats(
-                min_value=0.0,
+                min_value=-50.0,
                 max_value=100.0,
                 allow_nan=False,
                 allow_infinity=False,
             ),
+            st.sampled_from([-10.0, -20.0, -9.999999999999998]),
         ),
         min_size=1,
         max_size=60,
