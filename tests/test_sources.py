@@ -489,3 +489,72 @@ def test_text_source_reads_corpus_shards_with_provenance(spark, tmp_path):
     by_line = {r.value: r.shard for r in rows}
     assert by_line["alpha"].endswith("shard-000.txt")
     assert by_line["gamma"].endswith("shard-001.txt")
+
+
+def test_dpp_layout_rewrites_when_fixture_fingerprint_changes(spark):
+    """The DPP layout's freshness marker: a marker that no longer
+    matches the source parquet's (size, mtime) fingerprint must
+    trigger a rewrite on next access — a regenerated fixture can
+    never be served from a stale layout."""
+    import json
+    import time
+    from pathlib import Path
+
+    from frafka_spark.operators import dpp
+
+    path = Path(dpp._ensure_layout(spark, SF_DIR))
+    marker = path.parent / "source.json"
+    good = json.loads(marker.read_text())
+    assert good == dpp._events_fingerprint(SF_DIR)
+    before = (path / "_SUCCESS").stat().st_mtime_ns
+
+    marker.write_text(json.dumps({"size": -1, "mtime_ns": 0}))
+    time.sleep(0.01)
+    path2 = Path(dpp._ensure_layout(spark, SF_DIR))
+    assert path2 == path
+    assert (path / "_SUCCESS").stat().st_mtime_ns > before  # rewritten
+    assert json.loads(marker.read_text()) == good  # marker healed
+
+
+def test_bucketed_tables_recover_from_orphaned_location(spark):
+    """The bucketed-layout writer must survive a managed-table
+    location left on disk by a previous process with no entry in this
+    session's catalog (the LOCATION_ALREADY_EXISTS failure mode):
+    drop the catalog entry and per-session memo, leave the directory,
+    and re-create — the write must succeed and the join still
+    computes."""
+    from frafka_spark.operators import bucketed
+
+    o_name, l_name = bucketed._bucketed_tables(spark, SF_DIR)
+    # simulate "previous process": this session's catalog forgets the
+    # tables (DROP also removes the managed locations), then the
+    # orphaned directories reappear as a dead process would leave them
+    spark.sql(f"DROP TABLE IF EXISTS {o_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {l_name}")
+    with bucketed._BUCKET_LOCK:
+        bucketed._BUCKETED.clear()
+    from urllib.parse import urlparse
+    from pathlib import Path
+
+    wh = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    for name in (o_name, l_name):
+        (wh / name).mkdir(parents=True, exist_ok=True)
+        (wh / name / "stale.parquet").write_bytes(b"junk")
+    assert (wh / o_name).exists()  # the orphaned location is there
+
+    o2, l2 = bucketed._bucketed_tables(spark, SF_DIR)
+    assert (o2, l2) == (o_name, l_name)
+    assert spark.table(o2).count() > 0
+
+
+def test_file_skip_returns_empty_when_no_file_intersects(spark):
+    """read_table_pruned's all-skipped edge: a band below every
+    recorded span must return an EMPTY DataFrame with the table's
+    schema (no files opened), not an error."""
+    from frafka_spark.operators import fileskip
+    from frafka_spark.sources.manifest_table import read_table_pruned
+
+    path, _hi = fileskip._ensure_layout(spark, SF_DIR)
+    empty = read_table_pruned(spark, path, "l_partkey", -100, -1)
+    assert empty.count() == 0
+    assert "l_partkey" in empty.columns and "l_quantity" in empty.columns
