@@ -170,6 +170,13 @@ def sessionize_stream(
         out_seq: list[int] = []
         for ts_us, eid in zip(rows[ts_col], rows[id_col]):
             ts_us, eid = int(ts_us), int(eid)
+            if last_us is not None and ts_us < last_us:
+                # strictly late (behind state): watermark territory —
+                # emitting it would move last_us BACKWARD and corrupt
+                # every subsequent gap comparison; equal timestamps
+                # are legitimate ties and pass through (the batch
+                # window's (ts, event_id) order)
+                continue
             if last_us is None or ts_us >= last_us + gap_us:
                 sess, seq = sess + 1, 1
             else:

@@ -1274,3 +1274,64 @@ def test_late_drop_boundary_window_end_equals_watermark(spark, tmp_path):
         us = int(pd.Timestamp(ts).value / 1000)
         win_end = us - us % 3_600_000_000 + 3_600_000_000
         assert (win_end <= wm_us) is should_drop, ts
+
+
+def test_sessionize_stream_drops_strictly_late_rows(spark, tmp_path):
+    """A row arriving behind the key's state timestamp (strictly
+    late — watermark territory) must be DROPPED, not tagged: tagging
+    it would move the state timestamp backward and corrupt every
+    later gap comparison. Equal timestamps are ties and pass through.
+    Three triggers: [t0, t60], then a late t30 (dropped) + tie t60
+    (tagged), then t70 (still same session — state was not
+    corrupted by the late row)."""
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    from frafka_spark.streaming.stateful import sessionize_stream
+
+    MIN = 60_000_000
+    phases = [
+        [(1, 0 * MIN, 10), (1, 60 * MIN, 11)],
+        [(1, 30 * MIN, 12), (1, 60 * MIN, 13)],  # late + tie
+        [(1, 70 * MIN, 14)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(phases):
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts_us", "event_id"]),
+            schema="user_id bigint, ts_us bigint, event_id bigint",
+        )
+        phase = str(tmp_path / f"p{i}")
+        df.coalesce(1).write.parquet(phase)
+        (part,) = glob.glob(f"{phase}/part-*.parquet")
+        shutil.copy(part, f"{src}/f{i}.parquet")
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts_us bigint, event_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_id: (r.session_seq, r.seq_in_session)
+        for r in spark.sql("SELECT * FROM sess_late").collect()
+    }
+    assert 12 not in got  # the strictly-late row was dropped
+    assert got[10] == (1, 1)
+    assert got[11] == (2, 1)  # 60-min gap = new session (>= boundary)
+    assert got[13] == (2, 2)  # tie with state ts: same session
+    # 70 min is 10 min after the last tag — same session, position 3:
+    # the late row neither advanced nor rewound the state timestamp
+    assert got[14] == (2, 3)
