@@ -207,7 +207,10 @@ def sessionize_stream(
 ALERT_OUTPUT_SCHEMA = (
     "key string, opened_mi bigint, closed_mi bigint, peak double, n_points bigint"
 )
-ALERT_STATE_SCHEMA = "active boolean, opened_mi bigint, peak double, n_points bigint"
+ALERT_STATE_SCHEMA = (
+    "active boolean, opened_mi bigint, peak double, n_points bigint, "
+    "last_mi bigint"
+)
 
 
 def alert_stream(
@@ -244,13 +247,22 @@ def alert_stream(
 
     def step(key, pdfs, state: GroupState):
         if state.exists:
-            active, opened, peak, n = state.get
+            active, opened, peak, n, last_mi = state.get
         else:
-            active, opened, peak, n = False, 0, 0.0, 0
+            active, opened, peak, n, last_mi = False, 0, 0.0, 0, None
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(minute_col)
         out = {"opened_mi": [], "closed_mi": [], "peak": [], "n_points": []}
         for mi, v in zip(rows[minute_col], rows[value_col]):
             mi, v = int(mi), float(v)
+            if last_mi is not None and mi <= last_mi:
+                # late or redelivered minute: the machine already
+                # transitioned past it — processing it again would
+                # double-count n_points or transition on stale data
+                # (watermark territory, the interpolate_stream rule;
+                # the feed is one row per (key, minute), so equality
+                # is always a duplicate here)
+                continue
+            last_mi = mi
             if not active:
                 if v > hi:
                     active, opened, peak, n = True, mi, v, 1
@@ -263,7 +275,9 @@ def alert_stream(
                     out["peak"].append(peak)
                     out["n_points"].append(n)
                     active, opened, peak, n = False, 0, 0.0, 0
-        state.update((active, opened, peak, n))
+        state.update(
+            (active, opened, peak, n, last_mi if last_mi is not None else -1)
+        )
         k = str(key[0])
         yield pd.DataFrame({"key": [k] * len(out["opened_mi"]), **out})
 

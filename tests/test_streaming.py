@@ -1335,3 +1335,62 @@ def test_sessionize_stream_drops_strictly_late_rows(spark, tmp_path):
     # 70 min is 10 min after the last tag — same session, position 3:
     # the late row neither advanced nor rewound the state timestamp
     assert got[14] == (2, 3)
+
+
+def test_alert_stream_ignores_redelivered_minutes(spark, tmp_path):
+    """Redelivered or late minutes must not re-transition the alert
+    machine: replaying a batch's rows again (at-least-once territory)
+    leaves episodes identical — n_points are not double-counted and
+    a stale below-LO value cannot close an episode the machine has
+    already moved past."""
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    from frafka_spark.streaming.stateful import alert_stream
+
+    HI, LO = 10.0, 2.0
+    phases = [
+        [("k", 1, 20.0), ("k", 2, 25.0)],          # opens, runs
+        [("k", 1, 20.0), ("k", 2, 1.0), ("k", 3, 30.0)],  # redelivery + late close attempt
+        [("k", 4, 1.0)],                              # genuine close
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(phases):
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["key", "mi", "v"]),
+            schema="key string, mi bigint, v double",
+        )
+        phase = str(tmp_path / f"p{i}")
+        df.coalesce(1).write.parquet(phase)
+        (part,) = glob.glob(f"{phase}/part-*.parquet")
+        shutil.copy(part, f"{src}/f{i}.parquet")
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("key string, mi bigint, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        alert_stream(stream, hi=HI, lo=LO)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("alert_redeliver")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    eps = spark.sql(
+        "SELECT opened_mi, closed_mi, peak, n_points FROM alert_redeliver"
+    ).collect()
+    # exactly ONE episode: opened at minute 1, closed by the genuine
+    # minute-4 crossing; the redelivered minute-1/2 rows and the stale
+    # minute-2 close attempt were all ignored (phase-2's only fresh
+    # row is minute 3)
+    assert len(eps) == 1, eps
+    (ep,) = eps
+    assert (ep.opened_mi, ep.closed_mi) == (1, 4), ep
+    assert ep.peak == 30.0 and ep.n_points == 4, ep
