@@ -41,9 +41,19 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     table, after which every orderkey join is exchange-free. Only
     the joined columns are persisted (the bucketed copy is a join
     index, not a second copy of the fact)."""
+    import hashlib
     from pathlib import Path
 
-    tag = (Path(sf_dir).name or "sf").replace(".", "_").replace("-", "_")
+    # The tag must be unique per FIXTURE PATH, not per basename: the
+    # memo keys on the full sf_dir, so two fixture dirs sharing a
+    # basename in one session would otherwise have the second build
+    # DROP and rewrite the fs_bkt_* tables the first memo entry still
+    # points to (ADVICE r9). A short path hash disambiguates.
+    base = (Path(sf_dir).name or "sf").replace(".", "_").replace("-", "_")
+    phash = hashlib.sha1(
+        str(Path(sf_dir).resolve()).encode()
+    ).hexdigest()[:8]
+    tag = f"{base}_{phash}"
     key = (spark.sparkContext.applicationId, sf_dir)
     with _BUCKET_LOCK:
         hit = _BUCKETED.get(key)

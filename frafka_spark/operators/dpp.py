@@ -34,6 +34,7 @@ import json
 import os
 import shutil
 import threading
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,18 +88,34 @@ def _ensure_layout(spark: SparkSession, sf_dir: str) -> str:
         ev = table(spark, sf_dir, "events").withColumn(
             "event_date", F.to_date("ts")
         )
-        tmp = root / f"_build_{os.getpid()}"
+        tmp = root / f"_build_{os.getpid()}_{time.monotonic_ns()}"
         (
             ev.repartition("event_date")
             .write.mode("overwrite")
             .partitionBy("event_date")
             .parquet(str(tmp))
         )
-        if dest.exists():
-            shutil.rmtree(dest)
+        # Swap discipline (ADVICE r9): move the stale dest ASIDE with a
+        # rename (one syscall — readers holding open fds are unaffected
+        # on POSIX; the dest-missing window is a single rename gap, not
+        # an rmtree's duration), then rename the unique tmp into place.
+        # If another process won the race between the two renames,
+        # os.rename raises ENOTEMPTY/EEXIST — a freshly-present dest
+        # with _SUCCESS is THEIR completed swap, accept it.
         dest.parent.mkdir(parents=True, exist_ok=True)
-        os.rename(tmp, dest)
+        trash = None
+        if dest.exists():
+            trash = root / f"_trash_{os.getpid()}_{time.monotonic_ns()}"
+            os.rename(dest, trash)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            if not (dest / "_SUCCESS").exists():
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
         marker.write_text(json.dumps(fp))
+        if trash is not None:
+            shutil.rmtree(trash, ignore_errors=True)
         return str(dest)
 
 

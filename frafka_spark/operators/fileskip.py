@@ -28,6 +28,7 @@ import json
 import os
 import shutil
 import threading
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,14 +85,15 @@ def _ensure_layout(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         hi = (int(max_pk) + SKIP_DEN - 1) // SKIP_DEN
         fresh = False
         try:
+            # JSONDecodeError too: a corrupt/truncated marker must
+            # trigger a rewrite, not crash construction (ADVICE r9;
+            # same clause as dpp._ensure_layout)
             fresh = json.loads(marker.read_text()) == fp and any(
                 (dest / "_manifest").iterdir()
             )
-        except OSError:
+        except (OSError, json.JSONDecodeError):
             pass
         if not fresh:
-            shutil.rmtree(dest, ignore_errors=True)
-            dest.mkdir(parents=True, exist_ok=True)
             zcols = ["l_partkey", "l_suppkey"]
             ranked = li.select(
                 "*", *[zorder_rank(c).alias(f"__zr_{c}") for c in zcols]
@@ -103,10 +105,39 @@ def _ensure_layout(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
                 .sortWithinPartitions("__z")
                 .drop("__z", *[f"__zr_{c}" for c in zcols])
             )
-            write_table_with_stats(
-                clustered, str(dest), zcols, mode="overwrite"
-            )
+            # Temp-then-swap, mirroring dpp._ensure_layout (ADVICE r9:
+            # the write was directly destructive here). The manifest
+            # records ABSOLUTE file paths, so after writing into the
+            # process-unique temp dir the manifest is retargeted to the
+            # final location before the rename.
+            tmp = root / f"_zbuild_{os.getpid()}_{time.monotonic_ns()}"
+            write_table_with_stats(clustered, str(tmp), zcols, mode="overwrite")
+            for mf in (tmp / "_manifest").glob("v*.json"):
+                m = json.loads(mf.read_text())
+                m["files"] = [
+                    f.replace(str(tmp), str(dest), 1) for f in m["files"]
+                ]
+                m["stats"] = {
+                    k.replace(str(tmp), str(dest), 1): v
+                    for k, v in m["stats"].items()
+                }
+                mf.write_text(json.dumps(m))
+            trash = None
+            if dest.exists():
+                trash = root / f"_trash_{os.getpid()}_{time.monotonic_ns()}"
+                os.rename(dest, trash)
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                # a concurrent process completed its own swap between
+                # our two renames — accept a freshly-present dest
+                if not any((dest / "_manifest").iterdir()):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
             marker.write_text(json.dumps(fp))
+            if trash is not None:
+                shutil.rmtree(trash, ignore_errors=True)
         _SKIP_MEMO[key] = (str(dest), hi)
         return str(dest), hi
 

@@ -109,10 +109,17 @@ def interpolate_stream(
     )
 
 
+#: Default output shape (``key_col``/``id_col`` defaults); the actual
+#: schema is built from the caller's column names — see
+#: ``_session_output_schema``.
 SESSION_OUTPUT_SCHEMA = (
     "user_id bigint, event_id bigint, session_seq int, seq_in_session int"
 )
 SESSION_STATE_SCHEMA = "last_us bigint, session_seq int, seq int"
+
+
+def _session_output_schema(key_col: str, id_col: str) -> str:
+    return f"{key_col} bigint, {id_col} bigint, session_seq int, seq_in_session int"
 
 
 def sessionize_stream(
@@ -188,8 +195,8 @@ def sessionize_stream(
         state.update((last_us if last_us is not None else 0, sess, seq))
         yield pd.DataFrame(
             {
-                "user_id": [int(key[0])] * len(out_id),
-                "event_id": out_id,
+                key_col: [int(key[0])] * len(out_id),
+                id_col: out_id,
                 "session_seq": out_sess,
                 "seq_in_session": out_seq,
             }
@@ -197,7 +204,7 @@ def sessionize_stream(
 
     return events.groupBy(key_col).applyInPandasWithState(
         tag,
-        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputStructType=_session_output_schema(key_col, id_col),
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -207,6 +214,12 @@ def sessionize_stream(
 ALERT_OUTPUT_SCHEMA = (
     "key string, opened_mi bigint, closed_mi bigint, peak double, n_points bigint"
 )
+#: STATE-SCHEMA COMPATIBILITY: widened from 4 to 5 fields (``last_mi``,
+#: the redelivery guard) in the round-9 tree. A streaming query
+#: resuming from a checkpoint written by the 4-field version will fail
+#: on state deserialization — restart such queries with a FRESH
+#: checkpoint directory. (Spark's state store has no schema migration
+#: for applyInPandasWithState state structs.)
 ALERT_STATE_SCHEMA = (
     "active boolean, opened_mi bigint, peak double, n_points bigint, "
     "last_mi bigint"
@@ -241,6 +254,10 @@ def alert_stream(
     output bounded by closed episodes. The batch equivalent of the
     same rule is a gaps-and-islands pass; tests assert the stream
     reproduces it exactly across trigger boundaries.
+
+    Checkpoint compatibility: the state struct gained ``last_mi`` in
+    the round-9 tree (see ``ALERT_STATE_SCHEMA``) — checkpoints
+    written by the 4-field version cannot be resumed; restart fresh.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

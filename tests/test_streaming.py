@@ -1394,3 +1394,48 @@ def test_alert_stream_ignores_redelivered_minutes(spark, tmp_path):
     (ep,) = eps
     assert (ep.opened_mi, ep.closed_mi) == (1, 4), ep
     assert ep.peak == 30.0 and ep.n_points == 4, ep
+
+
+def test_sessionize_stream_honors_custom_column_names(spark, tmp_path):
+    """sessionize_stream's key/ts/id column parameters must flow into
+    the OUTPUT schema too (ADVICE r9: the output frame hardcoded
+    user_id/event_id, mislabeling any non-default caller's columns)."""
+    import pandas as pd
+
+    from frafka_spark.streaming.stateful import sessionize_stream
+
+    MIN = 60_000_000
+    rows = [(7, 0 * MIN, 100), (7, 10 * MIN, 101), (7, 50 * MIN, 102)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["actor", "at_us", "evt"]),
+        schema="actor bigint, at_us bigint, evt bigint",
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("actor bigint, at_us bigint, evt bigint")
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(
+            stream,
+            gap_minutes=30,
+            key_col="actor",
+            ts_col="at_us",
+            id_col="evt",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_custom")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM sess_custom")
+    assert out.columns == ["actor", "evt", "session_seq", "seq_in_session"]
+    got = {
+        r.evt: (r.actor, r.session_seq, r.seq_in_session)
+        for r in out.collect()
+    }
+    assert got == {100: (7, 1, 1), 101: (7, 1, 2), 102: (7, 2, 1)}
