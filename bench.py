@@ -14,14 +14,25 @@ the cold cost as its own field instead of hiding it):
 - ``prepare_sec`` — one sequential ``warm_shared_projections`` pass
   (the explicit eager hook; query construction itself is lazy) —
   the COLD shared-cache build cost, measured and reported;
-- ``passes`` — five full post-prepare suite executions (three when
-  the box is saturated — every pass >60 s);
+- ``passes`` — up to five full post-prepare suite executions, with a
+  STORM GUARD (VERDICT r9 #1): if three passes in every pass exceeds
+  ``SATURATION_SEC`` the box is saturated by neighbor load, so the
+  protocol sleeps 60 s and retries up to two extra 3-pass windows,
+  keeping the global min — BENCH_r09's 67.3 s headline was exactly
+  such a storm that the old guard surrendered to;
+- ``loads_1min`` — the 1-min load average sampled before each pass,
+  so the artifact self-documents its capture conditions;
 - ``value`` = min of the passes, explicitly labeled warm-cache via
   ``timing`` (kept as the headline for round-over-round
   comparability; this box is a shared VM where identical passes vary
   >2× with neighbor load, hence min — see ``passes`` for the spread);
 - ``cold_total_sec`` = prepare_sec + pass 1: what a fresh engine
-  session pays to serve the whole suite once.
+  session pays to serve the whole suite once;
+- ``oracle_suite_sec`` / ``suite_vs_oracle_ratio`` — the DuckDB
+  oracle suite timed SEQUENTIALLY on the same box and tree right
+  after the engine passes (VERDICT r9 #2: the graded ratio carries
+  its own denominator instead of quoting a stale BASELINE figure).
+  ``python bench.py --oracle`` runs just that measurement.
 
 The ~100-entry per-query timing map goes to stderr and to
 ``bench_queries.json`` beside this script (with the suite summary
@@ -47,8 +58,81 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from frafka_spark.llm.dedup import warm_shared_projections
-from frafka_spark.registry import get_queries
+from frafka_spark.registry import get_oracle_sql, get_queries
 from frafka_spark.session import get_spark
+
+#: a suite pass slower than this means the box is saturated by
+#: neighbor load (steady state is ~25-36 s; BENCH_r09's storm read 67+)
+SATURATION_SEC = 60.0
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def collect_passes(
+    pass_fn,
+    load_fn,
+    sleep_fn,
+    *,
+    first_window: int = 5,
+    retry_windows: int = 2,
+    retry_window_size: int = 3,
+    saturation_sec: float = SATURATION_SEC,
+    retry_sleep: float = 60.0,
+) -> tuple[list[float], list[float]]:
+    """Suite passes with a STORM GUARD (VERDICT r9 #1): run up to
+    ``first_window`` passes; if three passes in every pass exceeds
+    ``saturation_sec`` the box is saturated — but instead of
+    surrendering (BENCH_r09 recorded a 67.3 s storm headline that way),
+    sleep ``retry_sleep`` and try up to ``retry_windows`` extra windows
+    of ``retry_window_size`` passes, keeping the GLOBAL min. The 1-min
+    load average is sampled before every pass so the artifact
+    self-documents the conditions it was captured under.
+
+    Returns ``(passes, loads)`` — parallel lists (one load sample per
+    executed pass). Pure control flow with injected effects so the
+    retry path is unit-testable without a Spark session.
+    """
+    passes: list[float] = []
+    loads: list[float] = []
+    windows = [first_window] + [retry_window_size] * retry_windows
+    for wi, size in enumerate(windows):
+        window: list[float] = []
+        for _ in range(size):
+            loads.append(round(float(load_fn()), 2))
+            window.append(pass_fn())
+            if len(window) >= 3 and min(window) > saturation_sec:
+                break  # this window is storm-bound; stop burning passes
+        passes.extend(window)
+        if min(passes) <= saturation_sec:
+            break  # at least one credible steady-state pass captured
+        if wi < len(windows) - 1:
+            sleep_fn(retry_sleep)
+    return passes, loads
+
+
+def time_oracle_suite(sf_dir: str) -> tuple[float, int]:
+    """Time the full DuckDB oracle suite SEQUENTIALLY on this box and
+    tree (VERDICT r9 #2: BASELINE.md's standing figure predated ~70
+    oracles; the graded ratio needs a same-tree denominator). Returns
+    ``(total_sec, n_oracles)``. Mirrors the driver's setup: one
+    connection, the ten fixture tables as views, execute + fetchall.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = get_oracle_sql()
+    t0 = time.perf_counter()
+    for name in sorted(oracles):
+        con.execute(oracles[name]).fetchall()
+    return round(time.perf_counter() - t0, 3), len(oracles)
 
 
 def _bench_named(names: list[str]) -> None:
@@ -87,8 +171,31 @@ def _bench_named(names: list[str]) -> None:
     print(json.dumps(times, sort_keys=True))
 
 
+def _oracle_only() -> None:
+    """``python bench.py --oracle``: time ONLY the DuckDB oracle suite
+    at $SPARK_GRAFT_SF_DIR and print one JSON line."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sec, n = time_oracle_suite(sf_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_oracle_suite_seconds",
+                "value": sec,
+                "unit": "sec",
+                "n_oracles": n,
+                "sf_dir": sf_dir,
+                "load_1min": round(os.getloadavg()[0], 2),
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1:
+        if sys.argv[1] == "--oracle":
+            _oracle_only()
+            return
         _bench_named(sys.argv[1:])
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -145,16 +252,19 @@ def main() -> None:
     # Min-of-5 (VERDICT r5 #4: two rounds running, the single graded
     # capture was the widest variance term — r5 recorded 22.3 s where
     # steady state was ~12 s; two extra passes are cheap insurance).
-    # Overload guard: if three passes in, every pass is >60 s, the box
-    # is saturated and more passes only add minutes, not signal.
-    passes = []
-    for _ in range(5):
-        passes.append(suite_pass())
-        if len(passes) >= 3 and min(passes) > 60:
-            break
+    # Storm guard (VERDICT r9 #1): on saturation, sleep-and-retry up
+    # to two extra 3-pass windows instead of surrendering, and sample
+    # the 1-min load average per pass so the artifact self-documents
+    # the capture conditions.
+    passes, loads = collect_passes(
+        suite_pass, lambda: os.getloadavg()[0], time.sleep
+    )
     value = min(passes)
     cold_total = round(prepare_sec + passes[0], 3)
-    print(f"bench: prepare {prepare_sec} + passes {passes}", file=sys.stderr)
+    print(
+        f"bench: prepare {prepare_sec} + passes {passes} (loads {loads})",
+        file=sys.stderr,
+    )
 
     # Per-query spans measured SEQUENTIALLY in the now-warm engine
     # (shared projections cached, JIT settled), min of 2 passes for
@@ -170,14 +280,28 @@ def main() -> None:
             if name not in times or t < times[name]:
                 times[name] = t
 
+    # Same-tree denominator (VERDICT r9 #2): time the DuckDB oracle
+    # suite sequentially on this box, right after the engine passes,
+    # so the graded artifact carries its own ratio instead of quoting
+    # a stale BASELINE figure.
+    oracle_sec, oracle_n = time_oracle_suite(sf_dir)
+    print(
+        f"bench: oracle suite {oracle_sec}s over {oracle_n} oracles",
+        file=sys.stderr,
+    )
+
     suite = {
         "metric": "declared_query_suite_seconds",
         "value": value,
         "unit": "sec",
-        "timing": "warm_cache_min_of_5_passes",
+        "timing": "warm_cache_min_of_passes",
         "prepare_sec": prepare_sec,
         "passes": passes,
+        "loads_1min": loads,
         "cold_total_sec": cold_total,
+        "oracle_suite_sec": oracle_sec,
+        "oracle_n": oracle_n,
+        "suite_vs_oracle_ratio": round(value / oracle_sec, 3),
         "sf": sf,
     }
 
