@@ -169,3 +169,100 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_above"),
     )
+
+
+#: modulus for the hot-key funnel: lineitem rows whose orderkey is NOT
+#: divisible by this collapse onto orderkey 1 → ~90% of the fact on
+#: one join key, the canonical straggler-partition shape.
+SKEW_HOT_MOD = 10
+
+
+@query(
+    "q_join_skewed",
+    oracle=f"""
+    SELECT o.o_orderpriority, l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_qty,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM (SELECT CASE WHEN l_orderkey % {SKEW_HOT_MOD} <> 0
+                      THEN 1 ELSE l_orderkey END AS hot_key,
+                 l_returnflag, l_quantity, l_extendedprice
+          FROM lineitem) l
+    JOIN orders o ON o.o_orderkey = l.hot_key
+    GROUP BY o.o_orderpriority, l.l_returnflag
+    """,
+)
+def q_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately SKEWED orders⋈lineitem rollup — the engine-side
+    skew fix (AQE's OptimizeSkewedJoin) as a declared, oracle-checked
+    operator, completing the executed-layout trio (dpp / bucketed /
+    fileskip) with the fourth runtime behavior.
+
+    The fact funnels ~90% of lineitem through ONE join key (orderkeys
+    not divisible by {SKEW_HOT_MOD} collapse onto orderkey 1 — a
+    corpus-relative rule, identical arithmetic in the oracle), and the
+    join carries a ``merge`` hint so the plan is a SortMergeJoin at
+    any size — the shape where one shuffle partition would otherwise
+    hold 90% of the table and a single straggler task does all the
+    work. Under AQE with qualifying thresholds (production defaults:
+    256 MB / factor 5; the runtime pin in tests/test_plans.py lowers
+    them so fixture-scale bytes qualify) OptimizeSkewedJoin SPLITS
+    that hot partition into advisory-sized slices at runtime —
+    asserted on the executed plan's ``numSkewedSplits`` metric via
+    ``plans/inspect.py:skew_split_metrics``. Salting
+    (``q_join_salted``) remains the write-side fix for shapes AQE
+    can't reach.
+
+    Exactness: the oracle is the PLAIN join over the same funneled
+    key — skew handling changes the partitioning, never the rows;
+    counts are longs, quantity/price roll up as per-row half-up
+    integers summed as BIGINTs.
+
+    Scale shape: at 100 TB a hot key holding 90% of a fact is the
+    difference between a 1000-task stage and one task running for
+    hours; AQE's split needs no layout change and no query rewrite —
+    exactly why it's the first knob, with salting as the fallback.
+
+    The fact reads the repo's multi-file z-ordered lineitem layout
+    (the ``q_scan_file_skip`` table, {N_ZFILES} files) rather than
+    the single-row-group fixture parquet: AQE splits a skewed
+    partition on MAPPER boundaries, and a one-file/one-row-group scan
+    is a single mapper — unsplittable by construction, a fixture
+    artifact no 100 TB table exhibits. Same rows either way (the
+    oracle reads the flat fixture).
+    """
+    from frafka_spark.operators.fileskip import _ensure_layout
+    from frafka_spark.sources.manifest_table import read_table
+
+    zpath, _hi = _ensure_layout(spark, sf_dir)
+    li = read_table(spark, zpath).select(
+        F.when(
+            F.col("l_orderkey") % SKEW_HOT_MOD != 0, F.lit(1).cast("bigint")
+        )
+        .otherwise(F.col("l_orderkey"))
+        .alias("hot_key"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.hint("merge")
+        .join(o, li["hot_key"] == o["o_orderkey"])
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("total_qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )

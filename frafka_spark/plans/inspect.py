@@ -135,6 +135,38 @@ def scan_metrics(df: DataFrame) -> list[dict]:
     return out
 
 
+def skew_split_metrics(df: DataFrame) -> list[dict]:
+    """Per-AQEShuffleRead SQL metrics from the EXECUTED plan (call
+    after an action), one dict per shuffle-read node — surfacing
+    ``numSkewedPartitions`` / ``numSkewedSplits`` so OptimizeSkewedJoin
+    having actually SPLIT a hot partition at runtime is assertable
+    (the q_join_skewed runtime pin), the same way ``scan_metrics``
+    makes DPP's partitions-read count assertable."""
+    jplan = df._jdf.queryExecution().executedPlan()
+    if "AdaptiveSparkPlan" in jplan.getClass().getName():
+        jplan = jplan.executedPlan()
+    out: list[dict] = []
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getName()
+        if "AQEShuffleRead" in cls:
+            mets = node.metrics()
+            it = mets.iterator()
+            vals: dict = {}
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            vals["_desc"] = node.toString()[:200]
+            out.append(vals)
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+        if "QueryStage" in cls:
+            stack.append(node.plan())
+    return out
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange operators (each is a full shuffle stage)."""
     return sum(
