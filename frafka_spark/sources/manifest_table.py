@@ -132,12 +132,14 @@ def write_table(df: DataFrame, path: str, mode: str = "append") -> int:
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     prev = current_version(path)
-    if mode == "append" and prev is not None:
-        _check_append_schema(df, _read_manifest(path, prev)["schema"])
-    new_files = _write_data_files(df, path)
+    mapping: dict[str, str] = {}
     carried: list[str] = []
     if mode == "append" and prev is not None:
-        carried = _read_manifest(path, prev)["files"]
+        pm = _read_manifest(path, prev)
+        _check_append_schema(df, pm["schema"])
+        carried = pm["files"]
+        mapping = _mapping_of(pm)  # renames persist: write physical names
+    new_files = _write_data_files(_to_physical(df, mapping), path)
     version = 0 if prev is None else prev + 1
     manifest = {
         "version": version,
@@ -146,6 +148,8 @@ def write_table(df: DataFrame, path: str, mode: str = "append") -> int:
         "schema": df.schema.json(),
         "parent": prev,
     }
+    if mapping:
+        manifest["column_mapping"] = mapping
     _commit(path, version, manifest)
     return version
 
@@ -169,16 +173,174 @@ def read_table(
     if v is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     manifest = _read_manifest(path, v)
-    schema = _schema_from_json(manifest["schema"])
-    if not manifest["files"]:
-        return spark.createDataFrame([], schema=schema)
-    return spark.read.schema(schema).parquet(*manifest["files"])
+    return _read_snapshot_files(
+        spark,
+        manifest["files"],
+        _schema_from_json(manifest["schema"]),
+        _mapping_of(manifest),
+    )
 
 
 def _schema_from_json(schema_json: str):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(json.loads(schema_json))
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (metadata-only) — column mapping, Delta-style.
+#
+# The manifest's ``schema`` is the LOGICAL snapshot schema; data files
+# carry PHYSICAL column names, frozen at each column's creation. A
+# rename is therefore one manifest commit that changes the logical
+# name and records ``column_mapping[logical] = physical`` — zero data
+# files touched, old snapshots keep their own manifest's names, and
+# every reader resolves logical→physical per snapshot (the mechanism
+# Delta calls name-based column mapping). ADD COLUMN is likewise
+# metadata-only: old files simply project NULL for the new column
+# under the explicit-schema read. A ``compact`` rewrite materializes
+# the logical names into the new files and drops the mapping.
+# ---------------------------------------------------------------------------
+
+
+def _mapping_of(manifest: dict) -> dict[str, str]:
+    return manifest.get("column_mapping", {})
+
+
+def _physical_schema(logical, mapping: dict[str, str]):
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [
+            StructField(
+                mapping.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+            )
+            for f in logical.fields
+        ]
+    )
+
+
+def _read_snapshot_files(
+    spark: SparkSession, files: list[str], logical, mapping: dict[str, str]
+) -> DataFrame:
+    """Read data files under the snapshot's PHYSICAL schema (missing
+    columns → NULL) and surface the LOGICAL column names."""
+    if not files:
+        return spark.createDataFrame([], schema=logical)
+    df = spark.read.schema(_physical_schema(logical, mapping)).parquet(*files)
+    if not mapping:
+        return df
+    from pyspark.sql import functions as F
+
+    inverse = {phys: logi for logi, phys in mapping.items()}
+    return df.select(
+        *[F.col(c).alias(inverse.get(c, c)) for c in df.columns]
+    )
+
+
+def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename a logical frame's columns to their physical file names
+    before a data write (name-based, so column order is irrelevant)."""
+    if not mapping:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
+def _evolution_base(path: str) -> tuple[int, dict]:
+    prev = current_version(path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    return prev, _read_manifest(path, prev)
+
+
+def add_column(path: str, name: str, data_type) -> int:
+    """ADD COLUMN without rewriting a byte of data: commit a new
+    snapshot whose manifest carries the same files and an extended
+    logical schema. Files written before the column existed project
+    NULL for it on every read path (read_table / read_table_pruned /
+    read_changes) — the Delta/Iceberg additive-evolution contract.
+    ``data_type`` is a pyspark DataType or a DDL string ("bigint").
+    Returns the committed version.
+    """
+    from pyspark.sql.types import DataType, StructField, StructType
+
+    if isinstance(data_type, str):
+        data_type = DataType.fromDDL(data_type)
+    prev, m = _evolution_base(path)
+    schema = _schema_from_json(m["schema"])
+    if name in {f.name for f in schema.fields}:
+        raise SchemaConflict(f"column {name!r} already exists")
+    new_schema = StructType(
+        list(schema.fields) + [StructField(name, data_type, True)]
+    )
+    version = prev + 1
+    manifest = {
+        "version": version,
+        "mode": "evolve",
+        "evolution": {"op": "add_column", "column": name,
+                      "type": data_type.simpleString()},
+        "files": m["files"],
+        "schema": new_schema.json(),
+        "parent": prev,
+    }
+    if m.get("stats"):
+        manifest["stats"] = m["stats"]
+    if _mapping_of(m):
+        manifest["column_mapping"] = _mapping_of(m)
+    _commit(path, version, manifest)
+    return version
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """RENAME COLUMN without rewriting a byte of data: the logical
+    schema changes, and ``column_mapping`` records that the new
+    logical name still resolves to the column's ORIGINAL physical
+    name inside every existing (and future) data file — physical
+    names are frozen at creation, exactly Delta's name-based column
+    mapping. Old snapshots time-travel under their own names; file-
+    skipping stats are re-keyed so ``read_table_pruned`` keeps
+    working under the new name. Returns the committed version.
+    """
+    prev, m = _evolution_base(path)
+    schema = _schema_from_json(m["schema"])
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise KeyError(f"no column {old!r} in {names}")
+    if new in names:
+        raise SchemaConflict(f"column {new!r} already exists")
+    mapping = dict(_mapping_of(m))
+    physical = mapping.pop(old, old)
+    mapping[new] = physical
+    from pyspark.sql.types import StructField, StructType
+
+    new_schema = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType,
+                        f.nullable, f.metadata)
+            for f in schema.fields
+        ]
+    )
+    version = prev + 1
+    manifest = {
+        "version": version,
+        "mode": "evolve",
+        "evolution": {"op": "rename_column", "from": old, "to": new},
+        "files": m["files"],
+        "schema": new_schema.json(),
+        "parent": prev,
+        "column_mapping": mapping,
+    }
+    if m.get("stats"):
+        manifest["stats"] = {
+            fp: {(new if c == old else c): span for c, span in spans.items()}
+            for fp, spans in m["stats"].items()
+        }
+    _commit(path, version, manifest)
+    return version
 
 
 def merge_table(
@@ -288,24 +450,35 @@ def write_table_with_stats(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     prev = current_version(path)
-    if mode == "append" and prev is not None:
-        _check_append_schema(df, _read_manifest(path, prev)["schema"])
-    new_files = _write_data_files(df, path)
+    mapping: dict[str, str] = {}
     carried_files: list[str] = []
     carried_stats: dict = {}
     if mode == "append" and prev is not None:
         m = _read_manifest(path, prev)
+        _check_append_schema(df, m["schema"])
         carried_files = m["files"]
         carried_stats = m.get("stats", {})
+        mapping = _mapping_of(m)
+    new_files = _write_data_files(_to_physical(df, mapping), path)
+    # footers carry physical names; stats stay keyed by LOGICAL name
+    phys_cols = [mapping.get(c, c) for c in stats_cols]
+    raw_stats = _file_stats(new_files, phys_cols)
+    inverse = dict(zip(phys_cols, stats_cols))
+    new_stats = {
+        fp: {inverse.get(c, c): span for c, span in spans.items()}
+        for fp, spans in raw_stats.items()
+    }
     version = 0 if prev is None else prev + 1
     manifest = {
         "version": version,
         "mode": mode,
         "files": carried_files + new_files,
-        "stats": {**carried_stats, **_file_stats(new_files, stats_cols)},
+        "stats": {**carried_stats, **new_stats},
         "schema": df.schema.json(),
         "parent": prev,
     }
+    if mapping:
+        manifest["column_mapping"] = mapping
     _commit(path, version, manifest)
     return version
 
@@ -333,18 +506,20 @@ def read_table_pruned(
     if v is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     manifest = _read_manifest(path, v)
-    stats = manifest.get("stats", {})
+    stats = manifest.get("stats", {})  # keyed by LOGICAL column name
     keep = [
         fp
         for fp in manifest["files"]
         if col not in stats.get(fp, {})
         or not (stats[fp][col][1] < lo or stats[fp][col][0] > hi)
     ]
-    if not keep:
-        return (
-            spark.createDataFrame([], schema=_schema_from_json(manifest["schema"]))
-        )
-    return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+    df = _read_snapshot_files(
+        spark,
+        keep,
+        _schema_from_json(manifest["schema"]),
+        _mapping_of(manifest),
+    )
+    return df.filter(F.col(col).between(lo, hi)) if keep else df
 
 
 def committed_batch_ids(path: str) -> set[int]:
@@ -382,23 +557,26 @@ def write_stream_batch(df: DataFrame, batch_id: int, path: str) -> int | None:
     if batch_id in committed_batch_ids(path):
         return None
     prev = current_version(path)
+    mapping: dict[str, str] = {}
+    carried: list[str] = []
     if prev is not None:
-        _check_append_schema(df, _read_manifest(path, prev)["schema"])
-    new_files = _write_data_files(df, path)
-    carried = [] if prev is None else _read_manifest(path, prev)["files"]
+        pm = _read_manifest(path, prev)
+        _check_append_schema(df, pm["schema"])
+        carried = pm["files"]
+        mapping = _mapping_of(pm)
+    new_files = _write_data_files(_to_physical(df, mapping), path)
     version = 0 if prev is None else prev + 1
-    _commit(
-        path,
-        version,
-        {
-            "version": version,
-            "mode": "append",
-            "files": carried + new_files,
-            "schema": df.schema.json(),
-            "parent": prev,
-            "batch_id": batch_id,
-        },
-    )
+    manifest = {
+        "version": version,
+        "mode": "append",
+        "files": carried + new_files,
+        "schema": df.schema.json(),
+        "parent": prev,
+        "batch_id": batch_id,
+    }
+    if mapping:
+        manifest["column_mapping"] = mapping
+    _commit(path, version, manifest)
     return version
 
 
@@ -445,6 +623,9 @@ def compact(
     total_bytes = sum(os.path.getsize(fp) for fp in manifest["files"])
     n_files = max(1, -(-total_bytes // target_file_bytes))
     df = read_table(spark, path, version=prev).repartition(n_files)
+    # read_table surfaces LOGICAL names, so the rewrite materializes
+    # any renames into the new files and the compacted snapshot needs
+    # no column_mapping (physical == logical again)
     new_files = _write_data_files(df, path)
     stats_cols = sorted(
         {c for spans in manifest.get("stats", {}).values() for c in spans}
@@ -502,16 +683,21 @@ def read_changes(
         )
     to_manifest = _read_manifest(path, to_version)
     schema = _schema_from_json(to_manifest["schema"])
+    mapping = _mapping_of(to_manifest)
 
     def read_files(files: list[str]) -> DataFrame:
-        if not files:
-            return spark.createDataFrame([], schema=schema)
-        return spark.read.schema(schema).parquet(*files)
+        # the TO snapshot's schema AND column mapping: physical names
+        # are frozen at column creation, so files from before a rename
+        # resolve through the same mapping, and files from before an
+        # ADD COLUMN project NULL — CDF is coherent across evolution
+        return _read_snapshot_files(spark, files, schema, mapping)
 
     chain = []  # manifests in (from, to], oldest first
     for v in range(from_version + 1, to_version + 1):
         chain.append(_read_manifest(path, v))
-    if all(m["mode"] == "append" for m in chain):
+    # an "evolve" commit adds no data files — append-compatible for
+    # the fast path (it contributes zero rows, under the new schema)
+    if all(m["mode"] in ("append", "evolve") for m in chain):
         prev_files = set(_read_manifest(path, from_version)["files"])
         out = None
         for m in chain:
