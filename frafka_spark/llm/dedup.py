@@ -1809,11 +1809,17 @@ def q_llm_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the production pipeline, one shuffle on doc_id); each
     config re-bands the SAME signature columns — re-banding is a
     projection, so sweeping 4 configs costs 4 band-explodes of a
-    |docs|-row relation, never 4 signature recomputations. The
-    bucket self-joins stay hint-free shuffle joins keyed on
-    (config, band, key) (bands are O(corpus); the no-broadcast rule
-    of the dedup family). Candidate counts are exact; the doc-count
-    column is the union-endpoint count.
+    |docs|-row relation, never 4 signature recomputations. Buckets
+    form by ONE hash aggregate on (config, band, key) and each
+    bucket's sorted member list explodes to its pairs in place
+    (VERDICT r9 #3 — replacing the self-join's second full shuffle
+    of the bands relation; same Σ|bucket|² pair work, one exchange
+    fewer). Per-bucket state is the member-id list — O(|bucket|)
+    longs; a corpus with degenerate hot band keys (empty/boilerplate
+    texts) should sweep on the CAPPED signature family
+    (``q_llm_dedup_near_capped``) where stop-shingle pruning bounds
+    bucket sizes by construction. Candidate counts are exact; the
+    doc-count column is the union-endpoint count.
     """
     minhash = _minhash_base(spark, sf_dir)
     structs = []
@@ -1832,25 +1838,23 @@ def q_llm_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash.select(
         "doc_id", F.explode(F.array(*structs)).alias("bb")
     ).select("doc_id", "bb.rows_per_band", "bb.band", "bb.band_key")
-    b2 = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("rows_per_band").alias("r2"),
-        F.col("band").alias("band2"),
-        F.col("band_key").alias("key2"),
+    buckets = (
+        bands.groupBy("rows_per_band", "band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
     cand = (
-        bands.join(
-            b2,
-            (F.col("rows_per_band") == F.col("r2"))
-            & (F.col("band") == F.col("band2"))
-            & (F.col("band_key") == F.col("key2"))
-            & (F.col("doc_id") < F.col("doc_b")),
-        )
-        .select(
+        buckets.select(
             "rows_per_band",
-            F.col("doc_id").alias("doc_a"),
-            "doc_b",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p"),
         )
+        .select("rows_per_band", "p.doc_a", "p.doc_b")
         .distinct()
     )
     return cand.groupBy("rows_per_band").agg(

@@ -1017,7 +1017,10 @@ def test_banded_range_count_matches_per_row_reference(spark, vals, groups):
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["g", "v"]), schema="g int, v double"
     )
-    from frafka_spark.operators.windows import banded_range_count
+    from frafka_spark.operators.windows import (
+        banded_range_count,
+        banded_range_count_rows,
+    )
 
     got = {
         (r["g"], r["v"]): r["n_in_band"]
@@ -1027,3 +1030,21 @@ def test_banded_range_count_matches_per_row_reference(spark, vals, groups):
         lo = v - WIDTH  # the identical IEEE double the frame computes
         want = sum(1 for gg, x in rows if gg == g and lo <= x <= v)
         assert got[(g, v)] == want, (g, v, got[(g, v)], want)
+
+    # the per-row variant (q_win_range_frame_scaled's engine since
+    # r10): same band counts, one row out per row in, payload intact —
+    # duplicate values in `rows` exercise the peers-inclusive frame
+    rid = [
+        (i, g, float(v)) for i, (g, v) in enumerate(rows)
+    ]
+    df2 = spark.createDataFrame(
+        pd.DataFrame(rid, columns=["rid", "g", "v"]),
+        schema="rid int, g int, v double",
+    )
+    per_row = banded_range_count_rows(df2, "g", "v", WIDTH, "rid").collect()
+    assert len(per_row) == len(rows)
+    by_rid = {r["rid"]: (r["g"], r["v"], r["n_in_band"]) for r in per_row}
+    for i, g, v in rid:
+        lo = v - WIDTH
+        want = sum(1 for _, gg, x in rid if gg == g and lo <= x <= v)
+        assert by_rid[i] == (g, v, want), (i, by_rid[i], (g, v, want))
