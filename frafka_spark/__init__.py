@@ -72,3 +72,4 @@ def load_all() -> None:
     from frafka_spark.operators import lateness  # noqa: F401
     from frafka_spark.operators import bucketed  # noqa: F401
     from frafka_spark.operators import fileskip  # noqa: F401
+    from frafka_spark.operators import evolution  # noqa: F401
