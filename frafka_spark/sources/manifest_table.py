@@ -46,11 +46,20 @@ class SchemaConflict(Exception):
     """Append would drop or retype existing columns — rewrite instead."""
 
 
-def _check_append_schema(df: DataFrame, prev_schema_json: str) -> None:
+def _check_append_schema(df: DataFrame, prev_manifest: dict | str) -> None:
     """Additive evolution only: every existing column must survive
     with its type; new columns are allowed (old files read as NULL
-    for them via the snapshot-schema projection in read_table)."""
-    prev = _schema_from_json(prev_schema_json)
+    for them via the snapshot-schema projection in read_table) —
+    UNLESS the name matches a retired physical name (a column dropped
+    earlier whose bytes still sit in old files): an identity-mapped
+    implicit re-add would resurrect that dead data, so the append is
+    rejected with the explicit-``add_column`` remedy (which assigns a
+    fresh physical identity)."""
+    if isinstance(prev_manifest, str):  # legacy call shape: schema json
+        prev_manifest = {"schema": prev_manifest}
+    prev = _schema_from_json(prev_manifest["schema"])
+    prev_names = {f.name for f in prev.fields}
+    retired = set(prev_manifest.get("retired_physical", []))
     new_fields = {f.name: f.dataType for f in df.schema.fields}
     for f in prev.fields:
         if f.name not in new_fields:
@@ -63,6 +72,13 @@ def _check_append_schema(df: DataFrame, prev_schema_json: str) -> None:
                 f"append retypes column {f.name!r} "
                 f"({f.dataType.simpleString()} → "
                 f"{new_fields[f.name].simpleString()})"
+            )
+    for name in new_fields:
+        if name not in prev_names and name in retired:
+            raise SchemaConflict(
+                f"column {name!r} was dropped earlier and its physical "
+                "name is retired; re-add it with add_column() to get a "
+                "fresh physical identity, then append"
             )
 
 
@@ -134,11 +150,13 @@ def write_table(df: DataFrame, path: str, mode: str = "append") -> int:
     prev = current_version(path)
     mapping: dict[str, str] = {}
     carried: list[str] = []
+    retired: list[str] = []
     if mode == "append" and prev is not None:
         pm = _read_manifest(path, prev)
-        _check_append_schema(df, pm["schema"])
+        _check_append_schema(df, pm)
         carried = pm["files"]
         mapping = _mapping_of(pm)  # renames persist: write physical names
+        retired = pm.get("retired_physical", [])
     new_files = _write_data_files(_to_physical(df, mapping), path)
     version = 0 if prev is None else prev + 1
     manifest = {
@@ -150,6 +168,8 @@ def write_table(df: DataFrame, path: str, mode: str = "append") -> int:
     }
     if mapping:
         manifest["column_mapping"] = mapping
+    if retired:
+        manifest["retired_physical"] = retired
     _commit(path, version, manifest)
     return version
 
@@ -265,6 +285,14 @@ def add_column(path: str, name: str, data_type) -> int:
     read_changes) — the Delta/Iceberg additive-evolution contract.
     ``data_type`` is a pyspark DataType or a DDL string ("bigint").
     Returns the committed version.
+
+    The added column gets a version-tagged PHYSICAL name
+    (``{name}_c{version}``) via the mapping — the drop→re-add trap:
+    if a column named ``name`` was ever dropped, its bytes still sit
+    in old data files under the plain name, and an identity-mapped
+    re-add would resurrect that dead data instead of projecting NULL.
+    A fresh physical identity per ADD makes re-use always-safe, the
+    same reason Delta's column mapping assigns physical ids.
     """
     from pyspark.sql.types import DataType, StructField, StructType
 
@@ -278,6 +306,8 @@ def add_column(path: str, name: str, data_type) -> int:
         list(schema.fields) + [StructField(name, data_type, True)]
     )
     version = prev + 1
+    mapping = dict(_mapping_of(m))
+    mapping[name] = f"{name}_c{version}"
     manifest = {
         "version": version,
         "mode": "evolve",
@@ -286,11 +316,58 @@ def add_column(path: str, name: str, data_type) -> int:
         "files": m["files"],
         "schema": new_schema.json(),
         "parent": prev,
+        "column_mapping": mapping,
     }
     if m.get("stats"):
         manifest["stats"] = m["stats"]
-    if _mapping_of(m):
-        manifest["column_mapping"] = _mapping_of(m)
+    if m.get("retired_physical"):
+        manifest["retired_physical"] = m["retired_physical"]
+    _commit(path, version, manifest)
+    return version
+
+
+def drop_column(path: str, name: str) -> int:
+    """DROP COLUMN without rewriting a byte of data: the logical
+    schema loses the field, the mapping entry and any file-skipping
+    stats for it are removed, and the column's bytes simply stop
+    being projected (they stay in the files for time travel; the next
+    ``compact`` physically sheds them). Dropping the last column is
+    rejected. Returns the committed version.
+    """
+    prev, m = _evolution_base(path)
+    schema = _schema_from_json(m["schema"])
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise KeyError(f"no column {name!r} in {names}")
+    if len(names) == 1:
+        raise SchemaConflict("cannot drop the only column")
+    from pyspark.sql.types import StructType
+
+    new_schema = StructType([f for f in schema.fields if f.name != name])
+    mapping = dict(_mapping_of(m))
+    dropped_physical = mapping.pop(name, name)
+    version = prev + 1
+    manifest = {
+        "version": version,
+        "mode": "evolve",
+        "evolution": {"op": "drop_column", "column": name},
+        "files": m["files"],
+        "schema": new_schema.json(),
+        "parent": prev,
+        # the dropped column's bytes still sit in old files under
+        # this physical name — record it so an APPEND can't silently
+        # re-introduce the name identity-mapped and resurrect them
+        "retired_physical": sorted(
+            set(m.get("retired_physical", [])) | {dropped_physical}
+        ),
+    }
+    if mapping:
+        manifest["column_mapping"] = mapping
+    if m.get("stats"):
+        manifest["stats"] = {
+            fp: {c: span for c, span in spans.items() if c != name}
+            for fp, spans in m["stats"].items()
+        }
     _commit(path, version, manifest)
     return version
 
@@ -339,6 +416,8 @@ def rename_column(path: str, old: str, new: str) -> int:
             fp: {(new if c == old else c): span for c, span in spans.items()}
             for fp, spans in m["stats"].items()
         }
+    if m.get("retired_physical"):
+        manifest["retired_physical"] = m["retired_physical"]
     _commit(path, version, manifest)
     return version
 
@@ -453,12 +532,14 @@ def write_table_with_stats(
     mapping: dict[str, str] = {}
     carried_files: list[str] = []
     carried_stats: dict = {}
+    retired: list[str] = []
     if mode == "append" and prev is not None:
         m = _read_manifest(path, prev)
-        _check_append_schema(df, m["schema"])
+        _check_append_schema(df, m)
         carried_files = m["files"]
         carried_stats = m.get("stats", {})
         mapping = _mapping_of(m)
+        retired = m.get("retired_physical", [])
     new_files = _write_data_files(_to_physical(df, mapping), path)
     # footers carry physical names; stats stay keyed by LOGICAL name
     phys_cols = [mapping.get(c, c) for c in stats_cols]
@@ -479,6 +560,8 @@ def write_table_with_stats(
     }
     if mapping:
         manifest["column_mapping"] = mapping
+    if retired:
+        manifest["retired_physical"] = retired
     _commit(path, version, manifest)
     return version
 
@@ -559,11 +642,13 @@ def write_stream_batch(df: DataFrame, batch_id: int, path: str) -> int | None:
     prev = current_version(path)
     mapping: dict[str, str] = {}
     carried: list[str] = []
+    retired: list[str] = []
     if prev is not None:
         pm = _read_manifest(path, prev)
-        _check_append_schema(df, pm["schema"])
+        _check_append_schema(df, pm)
         carried = pm["files"]
         mapping = _mapping_of(pm)
+        retired = pm.get("retired_physical", [])
     new_files = _write_data_files(_to_physical(df, mapping), path)
     version = 0 if prev is None else prev + 1
     manifest = {
@@ -576,6 +661,8 @@ def write_stream_batch(df: DataFrame, batch_id: int, path: str) -> int | None:
     }
     if mapping:
         manifest["column_mapping"] = mapping
+    if retired:
+        manifest["retired_physical"] = retired
     _commit(path, version, manifest)
     return version
 

@@ -396,7 +396,12 @@ def test_manifest_metadata_only_evolution_lifecycle(spark, tmp_path):
     v2 = mt.rename_column(path, "v", "amount")
     assert mt._read_manifest(path, v1)["files"] == files_v0  # no rewrite
     assert mt._read_manifest(path, v2)["files"] == files_v0
-    assert mt._read_manifest(path, v2)["column_mapping"] == {"amount": "v"}
+    # rename maps to the frozen original; the ADD got a version-tagged
+    # fresh physical identity (the drop→re-add safety rule)
+    assert mt._read_manifest(path, v2)["column_mapping"] == {
+        "amount": "v",
+        "note": f"note_c{v1}",
+    }
 
     cur = {r.k: (r.amount, r.note) for r in mt.read_table(spark, path).collect()}
     assert cur == {0: (0, None), 1: (10, None), 2: (20, None)}
@@ -435,6 +440,74 @@ def test_manifest_metadata_only_evolution_lifecycle(spark, tmp_path):
         mt.rename_column(path, "k", "amount")  # collides
     with _pytest.raises(KeyError):
         mt.rename_column(path, "nope", "x")
+
+
+def test_manifest_drop_column_and_safe_readd(spark, tmp_path):
+    """DROP COLUMN is metadata-only and the dropped bytes can never
+    resurrect: re-adding the same name via add_column gets a fresh
+    physical identity (old files project NULL, not the dead data),
+    while an implicit re-add through a widening APPEND is rejected
+    with the add_column remedy; compact sheds the dead bytes and the
+    pre-drop snapshot still time-travels with the old column."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    v0 = mt.write_table(
+        spark.range(0, 3).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        path,
+        mode="overwrite",
+    )
+    files_v0 = mt._read_manifest(path, v0)["files"]
+    v1 = mt.drop_column(path, "v")
+    m1 = mt._read_manifest(path, v1)
+    assert m1["files"] == files_v0  # no rewrite
+    assert m1["retired_physical"] == ["v"]
+    assert mt.read_table(spark, path).columns == ["k"]
+    # time travel: the pre-drop snapshot still serves the column
+    assert {r.v for r in mt.read_table(spark, path, version=v0).collect()} \
+        == {0, 10, 20}
+
+    # implicit re-add via append: rejected, with the remedy named
+    with _pytest.raises(mt.SchemaConflict, match="add_column"):
+        mt.write_table(
+            spark.range(5, 6).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            path,
+            mode="append",
+        )
+
+    # explicit re-add: fresh physical identity, dead data stays dead
+    v2 = mt.add_column(path, "v", "bigint")
+    assert mt._read_manifest(path, v2)["column_mapping"]["v"] == f"v_c{v2}"
+    mt.write_table(
+        spark.range(5, 6).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+        ),
+        path,
+        mode="append",
+    )
+    rows = {r.k: r.v for r in mt.read_table(spark, path).collect()}
+    assert rows == {0: None, 1: None, 2: None, 5: 500}  # not 0/10/20
+
+    # compact materializes: dead bytes shed, retirement ledger cleared
+    vc = mt.compact(spark, path, target_file_bytes=1 << 30)
+    cm = mt._read_manifest(path, vc)
+    assert "retired_physical" not in cm and "column_mapping" not in cm
+    rows2 = {r.k: r.v for r in mt.read_table(spark, path).collect()}
+    assert rows2 == rows
+
+    # guards
+    with _pytest.raises(KeyError):
+        mt.drop_column(path, "nope")
+    mt.drop_column(path, "v")
+    with _pytest.raises(mt.SchemaConflict):
+        mt.drop_column(path, "k")  # can't drop the only column
 
 
 def test_manifest_pruned_read_and_compact_survive_rename(spark, tmp_path):
