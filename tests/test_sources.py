@@ -510,6 +510,67 @@ def test_manifest_drop_column_and_safe_readd(spark, tmp_path):
         mt.drop_column(path, "k")  # can't drop the only column
 
 
+def test_manifest_stream_sink_coherent_across_evolution(spark, tmp_path):
+    """The exactly-once micro-batch sink keeps its contract across
+    mid-stream evolution: batches committed before an ADD COLUMN
+    project NULL for it, a REDELIVERED pre-evolution batch id is
+    still skipped after the evolution commits, and batches written
+    after a RENAME carry the new logical name while the files keep
+    the frozen physical name."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "sink")
+    b0 = spark.range(0, 3).select(F.col("id").alias("k"))
+    assert mt.write_stream_batch(b0, 0, path) == 0
+    mt.add_column(path, "tag", "string")
+    b1 = spark.range(3, 5).select(
+        F.col("id").alias("k"), F.lit("x").alias("tag")
+    )
+    assert mt.write_stream_batch(b1, 1, path) is not None
+    # redelivered batch 0 (crash between data write and checkpoint
+    # commit): still detected across the evolution commits
+    assert mt.write_stream_batch(b0.withColumn("tag", F.lit("dup")), 0, path) is None
+    mt.rename_column(path, "tag", "label")
+    b2 = spark.range(5, 6).select(
+        F.col("id").alias("k"), F.lit("y").alias("label")
+    )
+    assert mt.write_stream_batch(b2, 2, path) is not None
+    rows = {r.k: r.label for r in mt.read_table(spark, path).collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: "x", 4: "x", 5: "y"}
+
+
+def test_manifest_vacuumed_version_fails_loudly(spark, tmp_path):
+    """Readers pinned to a vacuumed snapshot must fail loudly (the
+    manifest is gone), and CDF anchored at a vacuumed version must
+    fail the same way — never silently serve a partial delta."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    mt.write_table(
+        spark.range(0, 3).select(F.col("id").alias("k")), path,
+        mode="overwrite",
+    )
+    mt.write_table(
+        spark.range(3, 5).select(F.col("id").alias("k")), path,
+        mode="overwrite",
+    )
+    mt.write_table(
+        spark.range(5, 6).select(F.col("id").alias("k")), path,
+        mode="append",
+    )
+    mt.vacuum(path, keep_last=2)
+    assert {r.k for r in mt.read_table(spark, path).collect()} == {3, 4, 5}
+    with _pytest.raises(FileNotFoundError):
+        mt.read_table(spark, path, version=0)
+    with _pytest.raises(FileNotFoundError):
+        mt.read_changes(spark, path, 0, 2)
+
+
 def test_manifest_pruned_read_and_compact_survive_rename(spark, tmp_path):
     """File-skipping stats are re-keyed by rename_column so
     read_table_pruned keeps pruning under the NEW logical name, and a
