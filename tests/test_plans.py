@@ -1192,3 +1192,62 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_evolved_scan_prunes_columns_through_the_mapping(spark):
+    """q_scan_evolved: column pruning must survive the logical→
+    physical rename — the rollup touches priority/price/segment, so
+    the scan's ReadSchema carries their PHYSICAL names (o_totalprice
+    via the rename mapping, the version-tagged segment) and NOT
+    o_orderkey. An evolution layer that broke pruning would re-read
+    every column of a 100 TB table."""
+    schemas = " | ".join(read_schemas(_df(spark, "q_scan_evolved")))
+    assert "o_totalprice" in schemas, schemas  # frozen physical name
+    assert "segment" in schemas, schemas
+    assert "o_orderkey" not in schemas, schemas
+
+
+def test_cdf_reads_only_the_added_files_at_runtime(spark):
+    """q_scan_cdf: the append-only fast path's O(new files) claim,
+    runtime-pinned — the executed scan reads EXACTLY the files the
+    v2 append added, never the base snapshot's."""
+    import json
+
+    from frafka_spark.operators.evolution import _ensure_evolved_table
+    from frafka_spark.plans.inspect import scan_metrics
+    from frafka_spark.sources.manifest_table import _read_manifest
+
+    path = _ensure_evolved_table(spark, SF_DIR)
+    m1 = _read_manifest(path, 1)
+    m2 = _read_manifest(path, 2)
+    n_added = len(set(m2["files"]) - set(m1["files"]))
+    n_total = len(m2["files"])
+    assert 0 < n_added < n_total
+
+    df = _df(spark, "q_scan_cdf")
+    assert df.collect()  # execute THIS QueryExecution (count/write build their own)
+    # the evolve commits contribute empty LocalTableScans — the one
+    # FILE scan in the plan is the delta's
+    (m,) = [m for m in scan_metrics(df) if "numFiles" in m]
+    assert m["numFiles"] == n_added, (m, n_added, n_total)
+
+
+def test_time_travel_reads_only_the_pinned_snapshot_files(spark):
+    """q_scan_time_travel: a pinned read scans the v0 snapshot's file
+    set — not the table's current (larger) file list."""
+    from frafka_spark.operators.evolution import _ensure_evolved_table
+    from frafka_spark.plans.inspect import scan_metrics
+    from frafka_spark.sources.manifest_table import (
+        _read_manifest,
+        current_version,
+    )
+
+    path = _ensure_evolved_table(spark, SF_DIR)
+    n_v0 = len(_read_manifest(path, 0)["files"])
+    n_cur = len(_read_manifest(path, current_version(path))["files"])
+    assert n_v0 < n_cur
+
+    df = _df(spark, "q_scan_time_travel")
+    assert df.collect()  # execute THIS QueryExecution
+    (m,) = [m for m in scan_metrics(df) if "numFiles" in m]
+    assert m["numFiles"] == n_v0, (m, n_v0, n_cur)
