@@ -307,7 +307,16 @@ def add_column(path: str, name: str, data_type) -> int:
     )
     version = prev + 1
     mapping = dict(_mapping_of(m))
-    mapping[name] = f"{name}_c{version}"
+    # the generated physical name must not collide with any LIVE
+    # physical name (a user column literally named like a tag) or any
+    # RETIRED one (whose bytes still sit in old files)
+    taken = {mapping.get(f.name, f.name) for f in schema.fields} | set(
+        m.get("retired_physical", [])
+    )
+    bump = version
+    while f"{name}_c{bump}" in taken:
+        bump += 1
+    mapping[name] = f"{name}_c{bump}"
     manifest = {
         "version": version,
         "mode": "evolve",
