@@ -455,6 +455,88 @@ def merge_table(
     return write_table(merged, path, mode="overwrite")
 
 
+def delete_rows(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> dict:
+    """File-pruned copy-on-write DELETE: remove rows where
+    ``col BETWEEN lo AND hi``, rewriting ONLY the data files whose
+    manifest ``[min, max]`` span for ``col`` can contain such rows.
+    Every other file is carried into the new snapshot byte-identical
+    (same path, same stats entry) — the refinement ``merge_table``'s
+    scale note defers, and the reason Delta/Iceberg DELETEs on a
+    clustered table touch three files out of a million instead of
+    copying the table. Files without recorded stats for ``col`` are
+    conservatively rewritten.
+
+    NULL semantics follow SQL DELETE: a NULL ``col`` makes the
+    predicate unknown, so the row is KEPT.
+
+    The pre-delete snapshot stays time-travelable; ``read_changes``
+    across the delete commit surfaces exactly the removed rows as
+    ``_change_type = 'delete'`` (rewrite commits take the honest
+    diff path). Commits are optimistic — ``CommitConflict`` means a
+    concurrent writer won the version; re-read and retry.
+
+    Returns ``{"version", "files_rewritten", "files_carried"}`` so
+    callers (and tests) can pin that pruning actually happened.
+    """
+    prev = current_version(path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    manifest = _read_manifest(path, prev)
+    stats = manifest.get("stats", {})
+    mapping = _mapping_of(manifest)
+    untouched: list[str] = []
+    touched: list[str] = []
+    for fp in manifest["files"]:
+        span = stats.get(fp, {}).get(col)
+        if span is not None and (span[1] < lo or span[0] > hi):
+            untouched.append(fp)
+        else:
+            touched.append(fp)
+    new_files: list[str] = []
+    if touched:
+        from pyspark.sql import functions as F
+
+        logical = _schema_from_json(manifest["schema"])
+        survivors = _read_snapshot_files(
+            spark, touched, logical, mapping
+        ).filter(~F.col(col).between(lo, hi) | F.col(col).isNull())
+        new_files = _write_data_files(_to_physical(survivors, mapping), path)
+    version = prev + 1
+    new_manifest = {
+        "version": version,
+        "mode": "delete",
+        "files": untouched + new_files,
+        "schema": manifest["schema"],
+        "parent": prev,
+    }
+    if stats:
+        stats_cols = sorted(
+            {c for spans in stats.values() for c in spans}
+        )
+        phys_cols = [mapping.get(c, c) for c in stats_cols]
+        inverse = dict(zip(phys_cols, stats_cols))
+        new_stats = {
+            fp: {inverse.get(c, c): span for c, span in spans.items()}
+            for fp, spans in _file_stats(new_files, phys_cols).items()
+        }
+        new_manifest["stats"] = {
+            **{fp: stats[fp] for fp in untouched if fp in stats},
+            **new_stats,
+        }
+    if mapping:
+        new_manifest["column_mapping"] = mapping
+    if manifest.get("retired_physical"):
+        new_manifest["retired_physical"] = manifest["retired_physical"]
+    _commit(path, version, new_manifest)
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "files_carried": len(untouched),
+    }
+
+
 def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Delete data files unreferenced by the ``keep_last`` most recent
     snapshots (and drop the older manifests) — the retention step that

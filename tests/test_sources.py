@@ -800,3 +800,57 @@ def test_file_skip_returns_empty_when_no_file_intersects(spark):
     empty = read_table_pruned(spark, path, "l_partkey", -100, -1)
     assert empty.count() == 0
     assert "l_partkey" in empty.columns and "l_quantity" in empty.columns
+
+def test_manifest_delete_rows_prunes_files_and_keeps_history(
+    spark, tmp_path
+):
+    """File-pruned copy-on-write DELETE: only the files whose stats
+    span intersects the predicate are rewritten; every other file is
+    carried byte-identical (same path, same stats entry); NULL keys
+    survive; the pre-delete snapshot time-travels; CDF across the
+    delete commit is exactly the removed rows tagged 'delete'."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    # 4 range-clustered commits -> disjoint per-commit spans on k
+    for lo in (0, 100, 200, 300):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        mt.write_table_with_stats(df, path, ["k"], mode="append")
+    # one row with a NULL key (stats-less file -> conservatively read)
+    nulls = spark.createDataFrame([(None, 99)], "k long, v long")
+    mt.write_table_with_stats(nulls, path, ["k"], mode="append")
+    v_pre = mt.current_version(path)
+    pre = mt._read_manifest(path, v_pre)
+
+    res = mt.delete_rows(spark, path, "k", 150, 260)
+    assert res["version"] == v_pre + 1
+    # [150,260] intersects the 100- and 200-commits; the NULL file has
+    # no span for k so it is conservatively rewritten too
+    assert res["files_carried"] >= 2
+    assert res["files_rewritten"] < len(pre["files"])
+
+    post = mt._read_manifest(path, res["version"])
+    carried = set(pre["files"]) & set(post["files"])
+    assert len(carried) == res["files_carried"]
+    for fp in carried:  # stats entries carried verbatim
+        assert post["stats"][fp] == pre["stats"][fp]
+
+    t = mt.read_table(spark, path)
+    kept = t.select("k").collect()
+    assert all(r.k is None or not (150 <= r.k <= 260) for r in kept)
+    assert t.count() == 401 - (260 - 150 + 1)
+    assert t.filter(F.col("k").isNull()).count() == 1  # NULL kept
+    # pruned reads keep working over the post-delete stats
+    assert (
+        mt.read_table_pruned(spark, path, "k", 300, 310).count() == 11
+    )
+    # pre-delete snapshot is intact
+    assert mt.read_table(spark, path, version=v_pre).count() == 401
+
+    ch = mt.read_changes(spark, path, v_pre, res["version"])
+    rows = {(r.k, r._change_type) for r in ch.collect()}
+    assert rows == {(k, "delete") for k in range(150, 261)}
