@@ -73,3 +73,9 @@ def load_all() -> None:
     from frafka_spark.operators import bucketed  # noqa: F401
     from frafka_spark.operators import fileskip  # noqa: F401
     from frafka_spark.operators import evolution  # noqa: F401
+
+    # Round-10 additions: behind the round-9/10 wave (the 4 r10-wave-1
+    # keys lead the r10 window; these queue immediately after inside
+    # the same 50-key window).
+    from frafka_spark.operators import lakehouse  # noqa: F401
+    from frafka_spark.operators import dq  # noqa: F401

@@ -1251,3 +1251,85 @@ def test_time_travel_reads_only_the_pinned_snapshot_files(spark):
     assert df.collect()  # execute THIS QueryExecution
     (m,) = [m for m in scan_metrics(df) if "numFiles" in m]
     assert m["numFiles"] == n_v0, (m, n_v0, n_cur)
+
+def test_compacted_scan_reads_the_rewritten_file_set(spark):
+    """q_scan_compacted: the read after OPTIMIZE touches the
+    compacted snapshot's (fewer) files — not the micro-batch
+    accretion's — and the compact commit changed no rows (CDF across
+    it is empty)."""
+    from frafka_spark.operators.lakehouse import _ensure_table
+    from frafka_spark.plans.inspect import scan_metrics
+    from frafka_spark.sources.manifest_table import (
+        _read_manifest,
+        current_version,
+        read_changes,
+    )
+
+    path = _ensure_table(spark, SF_DIR, "orders_compacted")
+    v = current_version(path)
+    assert _read_manifest(path, v)["mode"] == "compact"
+    n_pre = len(_read_manifest(path, v - 1)["files"])
+    n_post = len(_read_manifest(path, v)["files"])
+    assert n_post < n_pre, (n_post, n_pre)
+
+    df = _df(spark, "q_scan_compacted")
+    assert df.collect()  # execute THIS QueryExecution
+    (m,) = [m for m in scan_metrics(df) if "numFiles" in m]
+    assert m["numFiles"] == n_post, (m, n_post, n_pre)
+
+    assert read_changes(spark, path, v - 1, v).count() == 0
+
+
+def test_deleted_scan_carries_untouched_files(spark):
+    """q_scan_deleted: the delete commit carried span-disjoint files
+    byte-identical (path AND stats entry), rewrote only intersecting
+    ones, left the pre-delete snapshot time-travelable, and the CDF
+    across it is exactly the deleted key range."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.io import table
+    from frafka_spark.operators.lakehouse import (
+        DEL_HI,
+        DEL_LO,
+        _ensure_table,
+    )
+    from frafka_spark.sources.manifest_table import (
+        _read_manifest,
+        current_version,
+        read_changes,
+        read_table,
+    )
+
+    path = _ensure_table(spark, SF_DIR, "orders_deleted")
+    v = current_version(path)
+    m_pre, m_post = _read_manifest(path, v - 1), _read_manifest(path, v)
+    assert m_post["mode"] == "delete"
+    carried = set(m_pre["files"]) & set(m_post["files"])
+    assert carried, "no files were pruned from the rewrite"
+    assert len(m_post["files"]) <= len(m_pre["files"])
+    for fp in carried:
+        assert m_post["stats"][fp] == m_pre["stats"][fp]
+
+    orders = table(spark, SF_DIR, "orders")
+    n_all = orders.count()
+    n_del = orders.filter(
+        F.col("o_orderkey").between(DEL_LO, DEL_HI)
+    ).count()
+    assert 0 < n_del < n_all
+    assert read_table(spark, path).count() == n_all - n_del
+    assert read_table(spark, path, version=v - 1).count() == n_all
+
+    ch = read_changes(spark, path, v - 1, v)
+    assert ch.filter(F.col("_change_type") != "delete").count() == 0
+    assert ch.count() == n_del
+
+def test_dq_rules_cost_one_scan(spark):
+    """q_agg_dq_rules: five constraints compile into ONE parquet read
+    — rule count is plan width, not pass count. The scan prunes to
+    the five rule columns (o_orderdate is not read), and the
+    aggregate partial-combines before the shuffle."""
+    df = _df(spark, "q_agg_dq_rules")
+    schemas = read_schemas(df)
+    assert len(schemas) == 1, schemas  # one scan for all five rules
+    assert "o_orderdate" not in schemas[0], schemas
+    assert has_partial_aggregation(df)
