@@ -90,9 +90,51 @@ def _build_deleted_table(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
     delete_rows(spark, str(tmp), "o_orderkey", DEL_LO, DEL_HI)
 
 
+#: merge change set: orderkeys in [UPD_LO, UPD_HI] get a fixed price
+#: bump (update branch); INS_KEYS are fresh negative keys that cannot
+#: collide with the dense 0..N-1 fixture keys at any scale (insert
+#: branch). All corpus constants so the static oracle can rebuild the
+#: merged table from the flat fixture.
+UPD_LO = 100
+UPD_HI = 199
+UPD_BUMP = 100_000.0
+INS_ROWS = [(-i, "1-URGENT", 1000.0 * i) for i in range(1, 6)]
+
+
+def _build_merged_table(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
+    """v0: range-clustered stats write; v1: file-pruned MERGE whose
+    change-set key span [-5, UPD_HI] touches only the low-key files."""
+    from frafka_spark.sources.manifest_table import (
+        merge_table_pruned,
+        write_table_with_stats,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(N_RANGE_FILES, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_table_with_stats(o, str(tmp), ["o_orderkey"], mode="overwrite")
+    upd = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").between(UPD_LO, UPD_HI))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_totalprice") + F.lit(UPD_BUMP)).alias("o_totalprice"),
+        )
+    )
+    ins = spark.createDataFrame(
+        INS_ROWS, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    merge_table_pruned(spark, str(tmp), upd.unionByName(ins), key="o_orderkey")
+
+
 _BUILDERS = {
     "orders_compacted": _build_compact_table,
     "orders_deleted": _build_deleted_table,
+    "orders_merged": _build_merged_table,
 }
 
 
@@ -116,7 +158,10 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
     fp = {
         "size": st.st_size,
         "mtime_ns": st.st_mtime_ns,
-        "params": [DEL_LO, DEL_HI, N_RANGE_FILES, N_APPENDS],
+        "params": [
+            DEL_LO, DEL_HI, N_RANGE_FILES, N_APPENDS,
+            UPD_LO, UPD_HI, UPD_BUMP, INS_ROWS,
+        ],
     }
     with _LH_LOCK:
         hit = _LH_MEMO.get(key)
@@ -250,6 +295,66 @@ def q_scan_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frafka_spark.sources.manifest_table import read_table
 
     path = _ensure_table(spark, sf_dir, "orders_deleted")
+    t = read_table(spark, path)
+    return t.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+_INS_VALUES_SQL = ", ".join(f"({p!r})" for _, _, p in INS_ROWS)
+
+
+@query(
+    "q_scan_merged",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey BETWEEN {UPD_LO} AND {UPD_HI}
+                  THEN o_totalprice + {UPD_BUMP}
+                  ELSE o_totalprice END AS p
+      FROM orders
+      UNION ALL
+      SELECT '1-URGENT' AS o_orderpriority, v AS p
+      FROM (VALUES {_INS_VALUES_SQL}) t(v)
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-pruned copy-on-write MERGE, graded end-to-end: the
+    range-clustered orders table after ``merge_table_pruned`` with a
+    change set that UPDATES the [{UPD_LO}, {UPD_HI}] key band (fixed
+    price bump) and INSERTS five fresh negative-keyed rows must answer
+    the priority rollup exactly like the fixture with the same CASE
+    bump plus a VALUES union. The lifecycle pytest pins the physical
+    contract: only files whose key span intersects the change set's
+    [-5, {UPD_HI}] range were rewritten, the rest carried
+    byte-identical with verbatim stats, and the pre-merge snapshot
+    time-travels.
+
+    Exactness: the bump is one IEEE double addition applied
+    identically by both engines before the half-up cents floor;
+    counts are longs; insert constants are corpus literals.
+
+    Scale shape: the CDC pattern at 100 TB — a day's upsert batch
+    touches O(files intersecting its key range) on a clustered table,
+    not a table copy (``merge_table``'s documented refinement,
+    implemented); within the rewrite the change set broadcasts, so
+    the target never shuffles. The read stays a multi-file scan + one
+    hash aggregate.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "orders_merged")
     t = read_table(spark, path)
     return t.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_orders"),

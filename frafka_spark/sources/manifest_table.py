@@ -455,6 +455,105 @@ def merge_table(
     return write_table(merged, path, mode="overwrite")
 
 
+def merge_table_pruned(
+    spark: SparkSession, path: str, changes: DataFrame, key: str
+) -> dict:
+    """File-pruned copy-on-write MERGE: ``merge_table`` semantics
+    (``operators/merge.py::merge_upsert`` — update matched keys,
+    insert new ones, with its documented caveats), but rewriting ONLY
+    the data files whose manifest ``[min, max]`` span for ``key`` can
+    contain a matched row. Every span-disjoint file is carried into
+    the new snapshot byte-identical with its stats entry verbatim —
+    the refinement ``merge_table``'s scale note documents, and the
+    difference between a CDC batch costing O(intersecting files) and
+    costing a table copy at 100 TB.
+
+    Correctness of the carry: a carried file's span is disjoint from
+    the change set's key range, so it can contain neither a matched
+    key (update) nor a colliding insert — the merge confined to the
+    intersecting files plus the change set is the whole merge.
+    Unmatched change rows (including NULL-keyed ones, which never
+    match by SQL equality) land in the rewritten files. The change
+    set's key span costs one O(|changes|) min/max aggregate.
+
+    Files without recorded stats for ``key`` are conservatively
+    rewritten; on a table with no stats at all this degrades to
+    ``merge_table``'s whole-table copy-on-write (same answer, no
+    pruning). An empty change set is a no-op: no commit, the current
+    version is returned unchanged.
+
+    Returns ``{"version", "files_rewritten", "files_carried"}``.
+    """
+    from pyspark.sql import functions as F
+
+    from frafka_spark.operators.merge import merge_upsert
+
+    prev = current_version(path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    manifest = _read_manifest(path, prev)
+    stats = manifest.get("stats", {})
+    mapping = _mapping_of(manifest)
+    span_row = changes.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    lo, hi = span_row["lo"], span_row["hi"]
+    if lo is None and changes.isEmpty():
+        return {
+            "version": prev,
+            "files_rewritten": 0,
+            "files_carried": len(manifest["files"]),
+        }
+    untouched: list[str] = []
+    touched: list[str] = []
+    for fp in manifest["files"]:
+        span = stats.get(fp, {}).get(key)
+        # lo is None here only for an all-NULL-keyed change set, which
+        # matches nothing — every file is carryable then
+        if span is not None and (
+            lo is None or span[1] < lo or span[0] > hi
+        ):
+            untouched.append(fp)
+        else:
+            touched.append(fp)
+    logical = _schema_from_json(manifest["schema"])
+    target = _read_snapshot_files(spark, touched, logical, mapping)
+    merged = merge_upsert(target, changes, key)
+    new_files = _write_data_files(_to_physical(merged, mapping), path)
+    version = prev + 1
+    new_manifest = {
+        "version": version,
+        "mode": "merge",
+        "files": untouched + new_files,
+        "schema": manifest["schema"],
+        "parent": prev,
+    }
+    if stats:
+        stats_cols = sorted(
+            {c for spans in stats.values() for c in spans}
+        )
+        phys_cols = [mapping.get(c, c) for c in stats_cols]
+        inverse = dict(zip(phys_cols, stats_cols))
+        new_stats = {
+            fp: {inverse.get(c, c): span for c, span in spans.items()}
+            for fp, spans in _file_stats(new_files, phys_cols).items()
+        }
+        new_manifest["stats"] = {
+            **{fp: stats[fp] for fp in untouched if fp in stats},
+            **new_stats,
+        }
+    if mapping:
+        new_manifest["column_mapping"] = mapping
+    if manifest.get("retired_physical"):
+        new_manifest["retired_physical"] = manifest["retired_physical"]
+    _commit(path, version, new_manifest)
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "files_carried": len(untouched),
+    }
+
+
 def delete_rows(
     spark: SparkSession, path: str, col: str, lo, hi
 ) -> dict:
@@ -579,6 +678,53 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         mp = _manifest_path(path, v)
         if os.path.exists(mp):
             os.remove(mp)
+    return deleted
+
+
+def gc_orphans(path: str, older_than_s: float = 7 * 24 * 3600) -> list[str]:
+    """Age-based GC for ORPHANED data files — the other half of the
+    retention split ``vacuum`` documents: files staged by a writer
+    that crashed (or is still in flight) are referenced by NO
+    manifest, so version-based vacuum must never touch them. This
+    pass deletes unreferenced data files strictly OLDER than
+    ``older_than_s`` (default one week, Delta's retention default) —
+    old enough that any legitimate in-flight writer has either
+    committed (making its files referenced) or died. Returns the
+    deleted paths; empty per-commit directories are swept with them.
+    """
+    import time
+
+    referenced: set[str] = set()
+    mdir = _manifest_dir(path)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as fh:
+                    referenced.update(json.load(fh)["files"])
+    cutoff = time.time() - older_than_s
+    deleted: list[str] = []
+    data_root = os.path.join(path, "data")
+    if not os.path.isdir(data_root):
+        return deleted
+    for commit_dir in sorted(os.listdir(data_root)):
+        cdir = os.path.join(data_root, commit_dir)
+        if not os.path.isdir(cdir):
+            continue
+        for f in sorted(os.listdir(cdir)):
+            fp = os.path.join(cdir, f)
+            if (
+                f.endswith(".parquet")
+                and fp not in referenced
+                and os.path.getmtime(fp) < cutoff
+            ):
+                os.remove(fp)
+                deleted.append(fp)
+        if not any(
+            f.endswith(".parquet") for f in os.listdir(cdir)
+        ):
+            for f in os.listdir(cdir):
+                os.remove(os.path.join(cdir, f))
+            os.rmdir(cdir)
     return deleted
 
 

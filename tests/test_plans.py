@@ -1333,3 +1333,34 @@ def test_dq_rules_cost_one_scan(spark):
     assert len(schemas) == 1, schemas  # one scan for all five rules
     assert "o_orderdate" not in schemas[0], schemas
     assert has_partial_aggregation(df)
+
+def test_merged_scan_carries_untouched_files(spark):
+    """q_scan_merged: the pruned-merge commit rewrote only the files
+    whose key span intersects the change set's range, carried the
+    rest byte-identical with verbatim stats, and left the pre-merge
+    snapshot time-travelable."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.io import table
+    from frafka_spark.operators.lakehouse import _ensure_table
+    from frafka_spark.sources.manifest_table import (
+        _read_manifest,
+        current_version,
+        read_table,
+    )
+
+    path = _ensure_table(spark, SF_DIR, "orders_merged")
+    v = current_version(path)
+    m_pre, m_post = _read_manifest(path, v - 1), _read_manifest(path, v)
+    assert m_post["mode"] == "merge"
+    carried = set(m_pre["files"]) & set(m_post["files"])
+    assert carried, "no files were pruned from the merge rewrite"
+    assert len(carried) < len(m_pre["files"])
+    for fp in carried:
+        assert m_post["stats"][fp] == m_pre["stats"][fp]
+
+    n_all = table(spark, SF_DIR, "orders").count()
+    t = read_table(spark, path)
+    assert t.count() == n_all + 5                     # 5 inserts
+    assert t.filter(F.col("o_orderkey") < 0).count() == 5
+    assert read_table(spark, path, version=v - 1).count() == n_all

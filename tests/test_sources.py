@@ -854,3 +854,89 @@ def test_manifest_delete_rows_prunes_files_and_keeps_history(
     ch = mt.read_changes(spark, path, v_pre, res["version"])
     rows = {(r.k, r._change_type) for r in ch.collect()}
     assert rows == {(k, "delete") for k in range(150, 261)}
+
+def test_manifest_merge_pruned_rewrites_only_intersecting_files(
+    spark, tmp_path
+):
+    """merge_table_pruned: a narrow-key-band CDC batch rewrites only
+    the span-intersecting files (untouched files carried with stats
+    verbatim), applies update+insert semantics exactly, and an empty
+    change set is a commit-free no-op."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    for lo in (0, 100, 200, 300):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        mt.write_table_with_stats(df, path, ["k"], mode="append")
+    v_pre = mt.current_version(path)
+    pre = mt._read_manifest(path, v_pre)
+
+    # update k=150 (matched, in the 100-file), insert k=1000 (new)
+    changes = spark.createDataFrame([(150, 999), (1000, 42)], ["k", "v"])
+    res = mt.merge_table_pruned(spark, path, changes, key="k")
+    assert res["version"] == v_pre + 1
+    # span [150,1000] intersects the 100/200/300 commits, not the 0-one
+    assert res["files_carried"] >= 1
+    assert res["files_rewritten"] < len(pre["files"])
+    post = mt._read_manifest(path, res["version"])
+    carried = set(pre["files"]) & set(post["files"])
+    assert len(carried) == res["files_carried"]
+    for fp in carried:
+        assert post["stats"][fp] == pre["stats"][fp]
+
+    t = mt.read_table(spark, path)
+    assert t.count() == 401
+    got = {r.k: r.v for r in t.filter(F.col("k").isin(150, 1000, 5)).collect()}
+    assert got == {150: 999, 1000: 42, 5: 5 % 7}
+    # pre-merge snapshot intact; CDF shows the update pair + insert
+    assert mt.read_table(spark, path, version=v_pre).count() == 400
+    ch = mt.read_changes(spark, path, v_pre, res["version"])
+    rows = {(r.k, r.v, r._change_type) for r in ch.collect()}
+    assert rows == {
+        (150, 999, "insert"), (150, 150 % 7, "delete"), (1000, 42, "insert")
+    }
+
+    # empty change set: no commit at all
+    empty = changes.filter(F.lit(False))
+    res2 = mt.merge_table_pruned(spark, path, empty, key="k")
+    assert res2 == {
+        "version": res["version"],
+        "files_rewritten": 0,
+        "files_carried": len(post["files"]),
+    }
+    assert mt.current_version(path) == res["version"]
+
+
+def test_manifest_gc_orphans_spares_young_and_referenced_files(
+    spark, tmp_path
+):
+    """gc_orphans: deletes only data files referenced by NO manifest
+    and older than the retention window — committed files and young
+    in-flight stages survive."""
+    import os
+    import time
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 5).withColumnRenamed("id", "k")
+    mt.write_table(df, path, mode="overwrite")           # v0 (referenced)
+    old_orphans = mt._write_data_files(df, path)         # crashed writer
+    young_orphans = mt._write_data_files(df, path)       # in-flight writer
+    stale = time.time() - 8 * 24 * 3600
+    for fp in old_orphans:
+        os.utime(fp, (stale, stale))
+
+    deleted = mt.gc_orphans(path, older_than_s=7 * 24 * 3600)
+    assert sorted(deleted) == old_orphans
+    assert all(not os.path.exists(fp) for fp in old_orphans)
+    assert all(os.path.exists(fp) for fp in young_orphans)
+    assert mt.read_table(spark, path).count() == 5       # table untouched
+    # the emptied commit dir was swept
+    assert all(
+        not os.path.isdir(os.path.dirname(fp)) for fp in old_orphans
+    )
