@@ -131,10 +131,32 @@ def _build_merged_table(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
     merge_table_pruned(spark, str(tmp), upd.unionByName(ins), key="o_orderkey")
 
 
+#: bloom point-probe constants: PROBE_CUST exists at every fixture
+#: scale (custkeys are dense 0..N-1); MISS_CUST is absent everywhere
+PROBE_CUST = 77
+MISS_CUST = -7
+
+
+def _build_bloom_table(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
+    """v0: orders clustered on o_orderkey (NOT the probe column) with
+    a per-file Bloom index on o_custkey — the unclustered
+    high-cardinality equality case min/max stats cannot prune."""
+    from frafka_spark.sources.manifest_table import write_table_with_bloom
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(N_RANGE_FILES, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_table_with_bloom(o, str(tmp), ["o_custkey"], mode="overwrite")
+
+
 _BUILDERS = {
     "orders_compacted": _build_compact_table,
     "orders_deleted": _build_deleted_table,
     "orders_merged": _build_merged_table,
+    "orders_bloom": _build_bloom_table,
 }
 
 
@@ -160,7 +182,7 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
         "mtime_ns": st.st_mtime_ns,
         "params": [
             DEL_LO, DEL_HI, N_RANGE_FILES, N_APPENDS,
-            UPD_LO, UPD_HI, UPD_BUMP, INS_ROWS,
+            UPD_LO, UPD_HI, UPD_BUMP, INS_ROWS, PROBE_CUST,
         ],
     }
     with _LH_LOCK:
@@ -187,11 +209,12 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
                 m["files"] = [
                     f.replace(str(tmp), str(dest), 1) for f in m["files"]
                 ]
-                if "stats" in m:
-                    m["stats"] = {
-                        k.replace(str(tmp), str(dest), 1): v
-                        for k, v in m["stats"].items()
-                    }
+                for keyed in ("stats", "bloom"):
+                    if keyed in m:
+                        m[keyed] = {
+                            k.replace(str(tmp), str(dest), 1): v
+                            for k, v in m[keyed].items()
+                        }
                 mf.write_text(json.dumps(m))
             trash = None
             if dest.exists():
@@ -357,6 +380,53 @@ def q_scan_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_table(spark, sf_dir, "orders_merged")
     t = read_table(spark, path)
     return t.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+@query(
+    "q_scan_bloom_skip",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_custkey = {PROBE_CUST}
+    """,
+)
+def q_scan_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point lookup, graded end-to-end: one customer's
+    order count and spend read through ``read_table_bloom`` on a
+    table CLUSTERED ON A DIFFERENT COLUMN — every file's min/max span
+    covers the probe, so stats-based pruning is useless and only the
+    per-file Bloom filter can skip. Correctness never depends on the
+    skipping (the residual equality still applies; false positives
+    only waste a read), which is exactly why the index is safe to
+    trust at scale; the pytest pins prove the skipping itself —
+    deterministic absence proofs on a controlled table and zero files
+    read for an absent probe on this one.
+
+    Exactness: counts are longs; spend is per-row half-up cents
+    summed as BIGINTs; the probe key is a corpus constant present at
+    every fixture scale.
+
+    Scale shape: THE needle-in-haystack primitive — an equality probe
+    on an unclustered high-cardinality column of a 100 TB table reads
+    O(files actually containing the value) instead of every file
+    whose span covers it (all of them), and proves absence while
+    reading nothing. Index build cost is one column-pruned pass per
+    new file at write time, the same place Delta pays it.
+    """
+    from frafka_spark.sources.manifest_table import read_table_bloom
+
+    path = _ensure_table(spark, sf_dir, "orders_bloom")
+    t = read_table_bloom(spark, path, "o_custkey", PROBE_CUST)
+    return t.agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")

@@ -542,6 +542,14 @@ def merge_table_pruned(
             **{fp: stats[fp] for fp in untouched if fp in stats},
             **new_stats,
         }
+    if manifest.get("bloom"):
+        # carried files keep their Bloom entries; rewritten files are
+        # conservatively unindexed until the next bloom write
+        new_manifest["bloom"] = {
+            fp: manifest["bloom"][fp]
+            for fp in untouched
+            if fp in manifest["bloom"]
+        }
     if mapping:
         new_manifest["column_mapping"] = mapping
     if manifest.get("retired_physical"):
@@ -624,6 +632,14 @@ def delete_rows(
             **{fp: stats[fp] for fp in untouched if fp in stats},
             **new_stats,
         }
+    if manifest.get("bloom"):
+        # carried files keep their Bloom entries; rewritten files are
+        # conservatively unindexed until the next bloom write
+        new_manifest["bloom"] = {
+            fp: manifest["bloom"][fp]
+            for fp in untouched
+            if fp in manifest["bloom"]
+        }
     if mapping:
         new_manifest["column_mapping"] = mapping
     if manifest.get("retired_physical"):
@@ -679,6 +695,180 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         if os.path.exists(mp):
             os.remove(mp)
     return deleted
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file index — point-lookup skipping where min/max can't.
+#
+# Min/max spans prune RANGE predicates on the clustering column; an
+# equality probe on any OTHER (high-cardinality, unclustered) column
+# sees every file's span cover the value. Delta's answer is a per-file
+# Bloom filter index; same here: at write time each file records a
+# small bitset over the indexed column's distinct values, and a point
+# read skips files whose filter proves the value absent. False
+# positives only cost a wasted file read (the residual predicate
+# still applies); absence proofs are exact, so a miss — THE common
+# case for needle-in-haystack lookups at 100 TB — touches zero data.
+# ---------------------------------------------------------------------------
+
+_BLOOM_FPP = 0.01
+
+
+def _bloom_bytes(value) -> bytes:
+    """Canonical byte encoding so the same logical value hashes the
+    same regardless of arrow/python integer width or float identity."""
+    if isinstance(value, bool):
+        return b"b1" if value else b"b0"
+    if isinstance(value, int):
+        return b"i" + str(value).encode()
+    if isinstance(value, float):
+        return b"f" + repr(value).encode()
+    if isinstance(value, bytes):
+        return b"y" + value
+    return b"s" + str(value).encode("utf-8")
+
+
+def _bloom_hashes(value) -> tuple[int, int]:
+    import hashlib
+
+    d = hashlib.sha256(_bloom_bytes(value)).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:16], "little") | 1,  # odd → full cycle
+    )
+
+
+def _bloom_build(values, fpp: float = _BLOOM_FPP) -> dict:
+    """Classic double-hashing Bloom filter over the distinct non-NULL
+    values; sized m = -n·ln(fpp)/ln²2, k = (m/n)·ln2."""
+    import math
+
+    distinct = {v for v in values if v is not None}
+    n = max(1, len(distinct))
+    m = max(8, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray((m + 7) // 8)
+    for v in distinct:
+        h1, h2 = _bloom_hashes(v)
+        for i in range(k):
+            pos = (h1 + i * h2) % m
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": k, "bits": bytes(bits).hex()}
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    bits = bytes.fromhex(bloom["bits"])
+    m, k = bloom["m"], bloom["k"]
+    h1, h2 = _bloom_hashes(value)
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not bits[pos >> 3] & (1 << (pos & 7)):
+            return False
+    return True
+
+
+def _file_blooms(
+    files: list[str], cols: list[str], fpp: float = _BLOOM_FPP
+) -> dict:
+    """Per-file Bloom filters for ``cols``, built from a column-pruned
+    arrow read of each new file (one narrow pass per file at write
+    time — the index-build cost Delta pays in the same place)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for fp in files:
+        tbl = pq.read_table(fp, columns=cols)
+        out[fp] = {
+            c: _bloom_build(tbl.column(c).to_pylist(), fpp) for c in cols
+        }
+    return out
+
+
+def write_table_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    mode: str = "append",
+    fpp: float = _BLOOM_FPP,
+) -> int:
+    """``write_table`` + per-file Bloom filters over ``bloom_cols`` in
+    the manifest, enabling ``read_table_bloom`` to skip files on
+    equality probes. Composes with stats: pass data pre-clustered and
+    use ``write_table_with_stats`` for the range column; bloom columns
+    need no clustering at all — that is the point."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    prev = current_version(path)
+    mapping: dict[str, str] = {}
+    carried_files: list[str] = []
+    carried_bloom: dict = {}
+    retired: list[str] = []
+    if mode == "append" and prev is not None:
+        m = _read_manifest(path, prev)
+        _check_append_schema(df, m)
+        carried_files = m["files"]
+        carried_bloom = m.get("bloom", {})
+        mapping = _mapping_of(m)
+        retired = m.get("retired_physical", [])
+    new_files = _write_data_files(_to_physical(df, mapping), path)
+    phys_cols = [mapping.get(c, c) for c in bloom_cols]
+    inverse = dict(zip(phys_cols, bloom_cols))
+    new_bloom = {
+        fp: {inverse.get(c, c): b for c, b in blooms.items()}
+        for fp, blooms in _file_blooms(new_files, phys_cols, fpp).items()
+    }
+    version = 0 if prev is None else prev + 1
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "files": carried_files + new_files,
+        "bloom": {**carried_bloom, **new_bloom},
+        "schema": df.schema.json(),
+        "parent": prev,
+    }
+    if mapping:
+        manifest["column_mapping"] = mapping
+    if retired:
+        manifest["retired_physical"] = retired
+    _commit(path, version, manifest)
+    return version
+
+
+def read_table_bloom(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot point read that SKIPS data files whose Bloom filter
+    proves ``col = value`` absent — the equality twin of
+    ``read_table_pruned``. Files without a filter for ``col`` are
+    conservatively read; the residual predicate still applies, so the
+    result equals ``read_table(...).filter(col == value)`` exactly.
+    A probe for an absent value reads ZERO files — the contract that
+    makes existence checks affordable on a 100 TB unclustered column.
+    """
+    from pyspark.sql import functions as F
+
+    v = current_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    manifest = _read_manifest(path, v)
+    blooms = manifest.get("bloom", {})
+    keep = [
+        fp
+        for fp in manifest["files"]
+        if col not in blooms.get(fp, {})
+        or _bloom_maybe_contains(blooms[fp][col], value)
+    ]
+    df = _read_snapshot_files(
+        spark,
+        keep,
+        _schema_from_json(manifest["schema"]),
+        _mapping_of(manifest),
+    )
+    return df.filter(F.col(col) == F.lit(value))
 
 
 def gc_orphans(path: str, older_than_s: float = 7 * 24 * 3600) -> list[str]:

