@@ -461,3 +461,45 @@ def test_resample_mix_rates_and_counts(spark):
     assert again.sort_values("source").reset_index(drop=True).equals(
         pdf.sort_values("source").reset_index(drop=True)
     )
+
+
+def test_bloom_prefilter_prunes_without_false_negatives(spark):
+    """q_llm_dedup_bloom_incr's prefilter contract: every TRUE dup is
+    bloom-positive (a Bloom filter has no false negatives — a miss is
+    a proof of absence), and on the fixture the filter actually
+    prunes (a meaningful share of batch rows is verdicted novel
+    map-side, never entering the join)."""
+    from frafka_spark.llm.dedup import _bloom_positions, _corpus_bloom
+
+    d = table(spark, SF_DIR, "documents")
+    keyed = d.select("doc_id", F.md5("text").alias("h"))
+    idx = keyed.filter(F.col("doc_id") % 7 != 0).select("h")
+    batch = keyed.filter(F.col("doc_id") % 7 == 0)
+    m, k, bit_bytes = _corpus_bloom(spark, SF_DIR, idx)
+    buf = np.frombuffer(bit_bytes, dtype=np.uint8)
+
+    probed = batch.join(idx, "h", "left_semi").select(
+        _bloom_positions("h", m, k).alias("pos")
+    )
+    mats = np.array([r.pos for r in probed.collect()], dtype=np.int64)
+    if len(mats):  # every true dup passes the filter
+        assert (
+            (buf[mats >> 3] & (1 << (mats & 7)).astype(np.uint8)) != 0
+        ).all()
+
+    all_pos = np.array(
+        [r.pos for r in batch.select(
+            _bloom_positions("h", m, k).alias("pos")
+        ).collect()],
+        dtype=np.int64,
+    )
+    maybe = (
+        (buf[all_pos >> 3] & (1 << (all_pos & 7)).astype(np.uint8)) != 0
+    ).all(axis=1)
+    n_pruned = int((~maybe).sum())
+    n_dups = probed.count()
+    n_batch = len(maybe)
+    # novel rows exist in the fixture and ~99% of them must be pruned
+    assert n_pruned > 0.9 * (n_batch - n_dups), (
+        n_pruned, n_batch, n_dups
+    )

@@ -101,6 +101,11 @@ def test_python_boundary_inventory(spark):
         # zlib has no relational form — the compression-ratio signal
         # is a declared Arrow-batched Python op (udfs.py).
         "q_llm_compression",
+        # membership probe against broadcast Bloom bits has no
+        # relational form in stock Spark (bloom_filter_agg is not
+        # registered); hashing stays JVM-side, the probe is one
+        # vectorized numpy gather per Arrow batch (llm/dedup.py).
+        "q_llm_dedup_bloom_incr",
     }
     for name in sorted(QUERIES):
         nodes = python_eval_nodes(_df(spark, name))
