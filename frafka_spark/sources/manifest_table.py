@@ -1098,6 +1098,7 @@ def compact(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite the current snapshot's data files into the fewest
     ~``target_file_bytes`` files and commit the rewrite as a new
@@ -1123,9 +1124,13 @@ def compact(
     File count is sized by on-disk bytes (``ceil(bytes/target)``), not
     a row count — no extra pass over the data. ``repartition(n)``
     round-robins rows, which balances file sizes but interleaves any
-    clustered layout; re-run ``layout.write_zordered`` afterwards if
-    the table was z-ordered (same discipline as Delta, where OPTIMIZE
-    and ZORDER are one command precisely because of this).
+    clustered layout — which is why ``zorder_by`` exists: passing
+    cluster columns makes the rewrite range-partition and sort on
+    their interleaved z-key instead (``layout.py`` machinery), so one
+    command compacts AND (re)clusters, exactly Delta's
+    ``OPTIMIZE ... ZORDER BY``. The z-columns join the re-extracted
+    file stats, so ``read_table_pruned`` can skip on every clustered
+    dimension immediately after.
     Returns the committed version.
     """
     prev = current_version(path)
@@ -1136,13 +1141,32 @@ def compact(
         raise ValueError(f"snapshot v{prev} at {path} has no data files")
     total_bytes = sum(os.path.getsize(fp) for fp in manifest["files"])
     n_files = max(1, -(-total_bytes // target_file_bytes))
-    df = read_table(spark, path, version=prev).repartition(n_files)
+    df = read_table(spark, path, version=prev)
+    if zorder_by:
+        from pyspark.sql import functions as F
+
+        from frafka_spark.sources.layout import zorder_key, zorder_rank
+
+        ranked = df.select(
+            "*",
+            *[zorder_rank(c).alias(f"__zr_{c}") for c in zorder_by],
+        )
+        z = zorder_key(*[f"__zr_{c}" for c in zorder_by]).alias("__z")
+        df = (
+            ranked.select("*", z)
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z", *[f"__zr_{c}" for c in zorder_by])
+        )
+    else:
+        df = df.repartition(n_files)
     # read_table surfaces LOGICAL names, so the rewrite materializes
     # any renames into the new files and the compacted snapshot needs
     # no column_mapping (physical == logical again)
     new_files = _write_data_files(df, path)
     stats_cols = sorted(
         {c for spans in manifest.get("stats", {}).values() for c in spans}
+        | set(zorder_by or [])
     )
     version = prev + 1
     new_manifest = {

@@ -1015,3 +1015,47 @@ def test_bloom_entries_survive_pruned_dml(spark, tmp_path):
     )
     assert res2["files_rewritten"] == 0
     assert mt._read_manifest(path, res2["version"]) == pre  # no-op, no commit
+
+def test_compact_zorder_reclusters_and_restores_pruning(spark, tmp_path):
+    """compact(zorder_by=...): one command compacts the accreted
+    small files AND (re)clusters on the z-key, re-extracting stats
+    for the cluster columns — pruned reads on BOTH dimensions skip
+    files immediately after, and the rewrite stays a logical no-op."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    # 6 interleaved appends: every file spans the whole key domain,
+    # so pre-compaction stats can prune nothing
+    for i in range(6):
+        df = (
+            spark.range(0, 600)
+            .filter(F.col("id") % 6 == i)
+            .select(
+                F.col("id").alias("a"),
+                (F.lit(599) - F.col("id")).alias("b"),
+            )
+            .coalesce(1)
+        )
+        mt.write_table_with_stats(df, path, ["a"], mode="append")
+    v_pre = mt.current_version(path)
+    pre = mt._read_manifest(path, v_pre)
+    pruned_before = mt.read_table_pruned(spark, path, "a", 0, 74)
+    n_before = pruned_before.select(F.input_file_name()).distinct().count()
+    assert n_before == len(pre["files"])  # interleave defeats stats
+
+    v = mt.compact(spark, path, target_file_bytes=6_000, zorder_by=["a", "b"])
+    post = mt._read_manifest(path, v)
+    assert post["mode"] == "compact" and len(post["files"]) > 1
+    # logical no-op
+    assert mt.read_changes(spark, path, v_pre, v).count() == 0
+    rows = mt.read_table(spark, path)
+    assert rows.count() == 600
+    assert "__z" not in rows.columns and "__zr_a" not in rows.columns
+    # clustered stats now prune on BOTH dimensions
+    for col, lo, hi in (("a", 0, 74), ("b", 0, 74)):
+        got = mt.read_table_pruned(spark, path, col, lo, hi)
+        n_read = got.select(F.input_file_name()).distinct().count()
+        assert n_read < len(post["files"]), (col, n_read)
+        assert got.count() == 75
