@@ -1049,7 +1049,12 @@ def committed_batch_ids(path: str) -> set[int]:
     return ids
 
 
-def write_stream_batch(df: DataFrame, batch_id: int, path: str) -> int | None:
+def write_stream_batch(
+    df: DataFrame,
+    batch_id: int,
+    path: str,
+    stats_cols: list[str] | None = None,
+) -> int | None:
     """Exactly-once micro-batch sink into the manifest table — the
     ``foreachBatch`` body that unifies the streaming layer (A12's
     idempotent-sink contract) with the table format: each micro-batch
@@ -1058,6 +1063,13 @@ def write_stream_batch(df: DataFrame, batch_id: int, path: str) -> int | None:
     checkpoint commit) is detected and skipped, so replays cannot
     duplicate rows. Returns the committed version, or None for a
     skipped redelivery.
+
+    ``stats_cols`` extends the exactly-once contract with per-file
+    min/max stats for each new batch's files (carried stats stay),
+    so a STREAMED table serves ``read_table_pruned`` like a batch
+    one — event-time micro-batches are naturally time-clustered,
+    which makes a time-range read of a streaming table skip most of
+    its history for free.
 
     Use: ``stream.writeStream.foreachBatch(
     lambda df, bid: write_stream_batch(df, bid, path)).start()``.
@@ -1069,11 +1081,13 @@ def write_stream_batch(df: DataFrame, batch_id: int, path: str) -> int | None:
     prev = current_version(path)
     mapping: dict[str, str] = {}
     carried: list[str] = []
+    carried_stats: dict = {}
     retired: list[str] = []
     if prev is not None:
         pm = _read_manifest(path, prev)
         _check_append_schema(df, pm)
         carried = pm["files"]
+        carried_stats = pm.get("stats", {})
         mapping = _mapping_of(pm)
         retired = pm.get("retired_physical", [])
     new_files = _write_data_files(_to_physical(df, mapping), path)
@@ -1086,6 +1100,16 @@ def write_stream_batch(df: DataFrame, batch_id: int, path: str) -> int | None:
         "parent": prev,
         "batch_id": batch_id,
     }
+    if stats_cols:
+        phys_cols = [mapping.get(c, c) for c in stats_cols]
+        inverse = dict(zip(phys_cols, stats_cols))
+        new_stats = {
+            fp: {inverse.get(c, c): span for c, span in spans.items()}
+            for fp, spans in _file_stats(new_files, phys_cols).items()
+        }
+        manifest["stats"] = {**carried_stats, **new_stats}
+    elif carried_stats:
+        manifest["stats"] = carried_stats
     if mapping:
         manifest["column_mapping"] = mapping
     if retired:

@@ -1059,3 +1059,30 @@ def test_compact_zorder_reclusters_and_restores_pruning(spark, tmp_path):
         n_read = got.select(F.input_file_name()).distinct().count()
         assert n_read < len(post["files"]), (col, n_read)
         assert got.count() == 75
+
+def test_stream_sink_stats_enable_pruned_reads(spark, tmp_path):
+    """write_stream_batch(stats_cols=...): a streamed table whose
+    micro-batches are time-clustered serves pruned range reads —
+    a batch's files are skipped when its span can't intersect — and
+    redelivered batches stay no-ops."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    for bid, lo in enumerate((0, 100, 200, 300)):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("ts_min"), (F.col("id") % 5).alias("v")
+        ).coalesce(1)
+        assert mt.write_stream_batch(df, bid, path, ["ts_min"]) == bid
+    # redelivery of batch 2 is skipped and changes nothing
+    dup = spark.range(200, 300).select(
+        F.col("id").alias("ts_min"), F.lit(0).alias("v")
+    )
+    assert mt.write_stream_batch(dup, 2, path, ["ts_min"]) is None
+
+    m = mt._read_manifest(path, mt.current_version(path))
+    assert len(m["files"]) == 4 and len(m["stats"]) == 4
+    got = mt.read_table_pruned(spark, path, "ts_min", 150, 160)
+    n_read = got.select(F.input_file_name()).distinct().count()
+    assert n_read == 1 and got.count() == 11
