@@ -160,6 +160,14 @@ _BUILDERS = {
 }
 
 
+def _register_builder(name):
+    """Builders defined after the dict literal self-register here."""
+    def deco(fn):
+        _BUILDERS[name] = fn
+        return fn
+    return deco
+
+
 def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
     """Build (once per fixture generation) the ``which`` lifecycle
     table. Freshness-markered like the dpp/fileskip/evolution layouts;
@@ -175,11 +183,13 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
     dest = root / which
     marker = root / f"{which}.source.json"
     st = os.stat(Path(sf_dir) / "orders.parquet")
+    st_e = os.stat(Path(sf_dir) / "events.parquet")
     # constants participate in the fingerprint so changing the graded
     # predicate/layout invalidates a stale on-disk lifecycle table
     fp = {
         "size": st.st_size,
         "mtime_ns": st.st_mtime_ns,
+        "events": [st_e.st_size, st_e.st_mtime_ns],
         "params": [
             DEL_LO, DEL_HI, N_RANGE_FILES, N_APPENDS,
             UPD_LO, UPD_HI, UPD_BUMP, INS_ROWS, PROBE_CUST,
@@ -433,4 +443,81 @@ def q_scan_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("price_cents"),
+    )
+
+
+#: micro-batch count for the streamed-sink lifecycle table
+N_STREAM_BATCHES = 4
+
+
+@_register_builder("events_streamed")
+def _build_stream_sink_table(
+    spark: SparkSession, sf_dir: str, tmp: Path
+) -> None:
+    """Replay events into the manifest table through the exactly-once
+    ``foreachBatch`` body: four deterministic micro-batches
+    (event_id mod 4 — the batch split a resumed stream would
+    reproduce), then a REDELIVERY of batch 1 (the crash-between-
+    data-write-and-checkpoint case) which must be detected and
+    skipped, plus per-batch file stats riding the sink."""
+    from frafka_spark.sources.manifest_table import write_stream_batch
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for bid in range(N_STREAM_BATCHES):
+        part = e.filter(F.col("event_id") % N_STREAM_BATCHES == bid)
+        assert (
+            write_stream_batch(part, bid, str(tmp), ["event_id"]) == bid
+        )
+    # redelivered batch: same id, must be a no-op
+    redelivered = write_stream_batch(
+        e.filter(F.col("event_id") % N_STREAM_BATCHES == 1), 1, str(tmp)
+    )
+    assert redelivered is None
+
+
+@query(
+    "q_stream_sink_table",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once STREAMING SINK graded end-to-end (Tier A12 on the
+    driver's differential): the events corpus replayed into the
+    manifest table as four deterministic ``foreachBatch``
+    micro-batch commits PLUS one redelivered batch — the
+    crash-between-data-write-and-checkpoint replay every at-least-
+    once engine produces — and the table must aggregate exactly like
+    the flat fixture. A sink that double-applied the redelivery
+    inflates every count and fails the hash; the no-op is asserted
+    at build time too.
+
+    Exactness: counts are longs; value totals ride the shared
+    decimal-sum (order-independent, the ``dec_sum`` discipline).
+
+    Scale shape: the sink's transaction boundary is one atomic
+    manifest create per micro-batch — O(files) metadata, no
+    table-wide coordination — and redelivery detection is a
+    batch-id lookup in the manifest chain, not a data comparison.
+    Stats ride each batch's files (the r10 ``stats_cols`` sink
+    extension), so the streamed table serves pruned reads without a
+    maintenance pass. This is how a 100 TB ingest keeps exactly-once
+    semantics at micro-batch granularity with no Kafka-side
+    transactions.
+    """
+    from frafka_spark.functions.determinism import dec_sum
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "events_streamed")
+    t = read_table(spark, path)
+    return t.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        dec_sum("value", "total_value"),
     )
