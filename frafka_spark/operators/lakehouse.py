@@ -31,7 +31,7 @@ import os
 import threading
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frafka_spark.io import table
@@ -201,8 +201,10 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
             return hit
         fresh = False
         try:
+            # nested lifecycles keep several tables under one dest —
+            # any committed manifest below it marks a usable build
             fresh = json.loads(marker.read_text()) == fp and any(
-                (dest / "_manifest").iterdir()
+                dest.glob("**/_manifest/v*.json")
             )
         except (OSError, json.JSONDecodeError):
             pass
@@ -213,8 +215,9 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
             tmp = root / f"_lhbuild_{os.getpid()}_{time.monotonic_ns()}"
             _BUILDERS[which](spark, sf_dir, tmp)
             # manifests record absolute paths — retarget before the
-            # rename-aside swap (the fileskip._ensure_layout pattern)
-            for mf in (tmp / "_manifest").glob("v*.json"):
+            # rename-aside swap (the fileskip._ensure_layout pattern);
+            # the recursive glob also covers nested multi-table builds
+            for mf in tmp.glob("**/_manifest/v*.json"):
                 m = json.loads(mf.read_text())
                 m["files"] = [
                     f.replace(str(tmp), str(dest), 1) for f in m["files"]
@@ -234,7 +237,7 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
             try:
                 os.rename(tmp, dest)
             except OSError:
-                if not any((dest / "_manifest").iterdir()):
+                if not any(dest.glob("**/_manifest/v*.json")):
                     raise
                 shutil.rmtree(tmp, ignore_errors=True)
             marker.write_text(json.dumps(fp))
@@ -520,4 +523,115 @@ def q_stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_events"),
         dec_sum("value", "total_value"),
+    )
+
+
+#: prefix-fingerprint width for the curation pipeline (the
+#: q_llm_dedup_prefix / q_llm_dedup_incremental near-tier constant)
+PFX_WORDS = 10
+
+
+def _pfx_col():
+    return F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, PFX_WORDS))
+    )
+
+
+@_register_builder("documents_curated")
+def _build_curated_tables(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
+    """The incremental-curation pipeline, run once per fixture:
+
+    staging  v0 = corpus append (doc_id % 7 != 0)
+             v1 = today's crawl append (doc_id % 7 == 0)
+    curated  v0 = corpus
+             v1 = append ONLY the crawl docs that are novel — CDF
+                  (v0→v1, append fast path) feeds the dedup: prefix
+                  fingerprint not already in the corpus, min-doc_id
+                  keeper within the crawl's own collisions.
+    """
+    from frafka_spark.sources.manifest_table import (
+        read_changes,
+        write_table,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    crawl = d.filter(F.col("doc_id") % 7 == 0)
+    staging, curated = tmp / "staging", tmp / "curated"
+    write_table(corpus, str(staging), mode="overwrite")
+    write_table(crawl, str(staging), mode="append")
+    write_table(corpus, str(curated), mode="overwrite")
+
+    delta = read_changes(spark, str(staging), 0, 1)
+    keyed = delta.select("doc_id", "source", "text", _pfx_col().alias("pfx"))
+    corpus_pfx = corpus.select(_pfx_col().alias("pfx")).distinct()
+    w = Window.partitionBy("pfx").orderBy("doc_id")
+    novel = (
+        keyed.join(corpus_pfx, "pfx", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    write_table(novel, str(curated), mode="append")
+
+
+@query(
+    "q_llm_curate_cdf",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, text,
+             md5(array_to_string(string_split(text, ' ')[1:{PFX_WORDS}], ' '))
+                 AS pfx
+      FROM documents
+    ),
+    corpus AS (SELECT * FROM d WHERE doc_id % 7 <> 0),
+    crawl AS (SELECT * FROM d WHERE doc_id % 7 = 0),
+    novel AS (
+      SELECT * FROM crawl c
+      WHERE NOT EXISTS (SELECT 1 FROM corpus k WHERE k.pfx = c.pfx)
+        AND doc_id = (SELECT min(doc_id) FROM crawl c2
+                      WHERE c2.pfx = c.pfx)
+    ),
+    curated AS (
+      SELECT source, text FROM corpus
+      UNION ALL SELECT source, text FROM novel
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM curated GROUP BY source
+    """,
+)
+def q_llm_curate_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL CURATION pipeline graded end-to-end — the
+    composition the lakehouse + dedup surfaces exist for: a staging
+    table takes the corpus and then today's crawl as append commits;
+    the consumer reads the crawl as a CHANGE-DATA-FEED delta (append
+    fast path — O(new files), the base snapshot never read), dedups
+    it against the corpus (prefix-fingerprint anti-join, min-doc_id
+    keeper within the crawl's own collisions), and appends ONLY the
+    novel docs to the curated table. The graded read is the curated
+    table's per-source doc/char census, which must match the oracle's
+    from-scratch reconstruction of the same policy.
+
+    Exactness: fingerprints are md5 over the identical
+    split/slice/concat both engines already share
+    (``q_llm_dedup_incremental``); counts/chars are longs; the
+    within-crawl keeper is min-doc_id, a total order.
+
+    Scale shape: the only work proportional to the CORPUS is one
+    fingerprint projection for the anti-join build side (a real
+    pipeline materializes that index once — ``memoized_result``
+    pattern); everything else is O(crawl): the CDF delta is the new
+    files, the dedup joins key on fingerprints, the curated append
+    is one commit. Running this daily on a 100 TB corpus costs a
+    crawl-sized job, not a corpus-sized one — the entire point of
+    incremental curation.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "documents_curated")
+    t = read_table(spark, str(Path(path) / "curated"))
+    return t.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("chars"),
     )

@@ -1400,3 +1400,50 @@ def test_bloom_probe_reads_fewer_files_and_proves_absence(spark):
     miss = read_table_bloom(spark, path, "o_custkey", MISS_CUST)
     assert miss.count() == 0
     assert "parquet" not in plan_str(miss).lower()
+
+def test_curation_delta_reads_only_the_crawl_files(spark):
+    """q_llm_curate_cdf: the O(crawl) claim, runtime-pinned — the CDF
+    delta the consumer dedups scans EXACTLY the files the crawl
+    append added to staging, never the corpus snapshot's; and the
+    curated table holds corpus + novel rows only."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from frafka_spark.io import table
+    from frafka_spark.operators.lakehouse import _ensure_table, _pfx_col
+    from frafka_spark.plans.inspect import scan_metrics
+    from frafka_spark.sources.manifest_table import (
+        _read_manifest,
+        read_changes,
+        read_table,
+    )
+
+    root = Path(_ensure_table(spark, SF_DIR, "documents_curated"))
+    staging, curated = str(root / "staging"), str(root / "curated")
+    m0, m1 = _read_manifest(staging, 0), _read_manifest(staging, 1)
+    n_added = len(set(m1["files"]) - set(m0["files"]))
+    assert 0 < n_added < len(m1["files"])
+
+    delta = read_changes(spark, staging, 0, 1)
+    assert delta.collect()
+    (m,) = [m for m in scan_metrics(delta) if "numFiles" in m]
+    assert m["numFiles"] == n_added, (m, n_added)
+
+    d = table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    crawl = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", _pfx_col().alias("pfx")
+    )
+    corpus_pfx = corpus.select(_pfx_col().alias("pfx")).distinct()
+    n_novel = (
+        crawl.join(corpus_pfx, "pfx", "left_anti")
+        .groupBy("pfx")
+        .count()
+        .count()
+    )
+    n_corpus = corpus.count()
+    assert read_table(spark, curated).count() == n_corpus + n_novel
+    assert read_table(spark, curated, version=0).count() == n_corpus
