@@ -1,27 +1,32 @@
-"""Lakehouse MAINTENANCE DML on the graded surface — declared queries
-over manifest tables that have lived through the two rewrite commits a
-100 TB table cannot avoid (``sources/manifest_table.py``):
+"""Lakehouse lifecycles on the graded surface — declared queries over
+manifest tables that have LIVED through the operations a 100 TB table
+runs outside its queries (``sources/manifest_table.py``):
 
-- **compaction** (``q_scan_compacted``): a table accreted as many
-  small append commits — the shape every streaming sink and frequent
-  micro-batch loader produces — compacted into few right-sized files
-  by one ``compact`` commit. The read answer must be bit-identical to
-  the pre-compaction table (compaction is a logical no-op), which the
-  DuckDB oracle proves from the flat fixture.
-- **file-pruned DELETE** (``q_scan_deleted``): a range-clustered
-  table with manifest min/max stats, hit by a copy-on-write
-  ``delete_rows`` that rewrites ONLY the files whose span intersects
-  the predicate and carries every other file byte-identical. The
-  latest snapshot must answer exactly like the fixture filtered with
-  ``NOT BETWEEN`` — and the lifecycle pytest pins that pruning
-  actually happened (carried files, verbatim stats entries, intact
-  pre-delete time travel, delete-tagged CDF).
+- **compaction** (``q_scan_compacted``): many small append commits —
+  the micro-batch accretion shape — rewritten by one ``compact``
+  commit; the answer must be bit-identical (a logical no-op).
+- **file-pruned DELETE** (``q_scan_deleted``): copy-on-write
+  ``delete_rows`` on a range-clustered stats table rewrites only
+  span-intersecting files; pins prove the carry (byte-identical
+  files, verbatim stats, intact time travel, delete-tagged CDF).
+- **file-pruned MERGE** (``q_scan_merged``): a CDC change set
+  (update band + fresh inserts) through ``merge_table_pruned``,
+  answered like the oracle's CASE-bump + VALUES union.
+- **Bloom point lookup** (``q_scan_bloom_skip``): equality probe on
+  an UNclustered column through the per-file Bloom index, where
+  min/max spans cover everything and only the filter can skip.
+- **exactly-once streaming sink** (``q_stream_sink_table``): events
+  replayed as ``foreachBatch`` micro-batch commits plus a
+  redelivered batch that must be a no-op.
+- **incremental curation** (``q_llm_curate_cdf``): the composition —
+  crawl appended to staging, consumed as a CDF delta (O(new files)),
+  dedup'd against the corpus, only novel docs appended to the
+  curated table.
 
-Why these are graded and not just unit-tested: at 100 TB, OPTIMIZE
-and DELETE are the two operations that rewrite data outside a query,
-and the failure mode of a broken rewrite is a silently wrong ANSWER
-on every subsequent read — exactly what the driver's differential is
-built to catch.
+Why these are graded and not just unit-tested: rewrites, sinks, and
+incremental consumers run OUTSIDE queries, and the failure mode of a
+broken one is a silently wrong ANSWER on every subsequent read —
+exactly what the driver's differential is built to catch.
 """
 
 from __future__ import annotations
