@@ -503,3 +503,40 @@ def test_bloom_prefilter_prunes_without_false_negatives(spark):
     assert n_pruned > 0.9 * (n_batch - n_dups), (
         n_pruned, n_batch, n_dups
     )
+
+
+def test_ppjoin_prefix_filter_is_lossless_and_smaller(spark):
+    """q_llm_dedup_ppjoin: (a) its result set EQUALS the full-index
+    q_llm_dedup_ngram's (the prefix filter is lossless — they share
+    one oracle by construction), and (b) the prefix candidate set is
+    strictly smaller than the full inverted index's — the whole point
+    of filtering on each doc's rarest tokens."""
+    from frafka_spark.llm.dedup import _prefix_shingles, _shingles
+
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in QUERIES["q_llm_dedup_ngram"].fn(spark, SF_DIR).collect()
+    }
+    pp = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in QUERIES["q_llm_dedup_ppjoin"].fn(spark, SF_DIR).collect()
+    }
+    assert pp == full and full  # lossless, and non-trivial
+
+    def n_candidates(sh):
+        a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        return (
+            a.join(
+                b,
+                (F.col("sh") == F.col("sh_b"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+            .count()
+        )
+
+    n_full = n_candidates(_shingles(spark, SF_DIR))
+    n_pre = n_candidates(_prefix_shingles(spark, SF_DIR))
+    assert len(full) <= n_pre < n_full, (len(full), n_pre, n_full)
