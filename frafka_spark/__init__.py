@@ -79,3 +79,4 @@ def load_all() -> None:
     # the same 50-key window).
     from frafka_spark.operators import lakehouse  # noqa: F401
     from frafka_spark.operators import dq  # noqa: F401
+    from frafka_spark.operators import evalmetrics  # noqa: F401

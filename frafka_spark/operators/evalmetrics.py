@@ -1,0 +1,310 @@
+"""Model-eval / monitoring metrics over the events stream — the
+operators a training-data platform runs AROUND the models it feeds:
+distribution drift between two populations (PSI — the industry
+companion to the KS test `q_events_ks_drift` already declares),
+probability calibration (ECE), and inter-rater agreement (Cohen's
+kappa). All three reduce to exact conditional counts + a handful of
+deterministic double ops, so each carries a full DuckDB oracle.
+
+Synthetic labelings are fixed corpus rules (documented per query) —
+the POINT is the metric arithmetic and its scale shape, not the
+labels: swap the rule columns for real model outputs and the plans
+are unchanged.
+
+Exactness discipline: every ratio is exact-long / exact-long (one
+IEEE division), float sums ride the shared decimal-sum, `ln` results
+are displayed through ``half_up`` — the same rules that keep
+`q_llm_entropy` / `q_llm_source_kl` tie-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frafka_spark.functions.determinism import dec_sum, half_up
+from frafka_spark.io import table
+from frafka_spark.registry import query
+
+#: PSI value-histogram: 10 fixed-width bins over the corpus value
+#: range, clamped so outliers land in the edge bins
+PSI_BIN_W = 50.0
+PSI_BINS = 10
+#: Laplace-style smoothing so empty bins never hit ln(0) — the
+#: standard production guard, identical constant on both engines
+PSI_SMOOTH = 0.5
+
+
+@query(
+    "q_events_psi",
+    oracle=f"""
+    WITH binned AS (
+      SELECT least(CAST(floor(value / {PSI_BIN_W}) AS BIGINT),
+                   {PSI_BINS - 1}) AS bin,
+             (event_id % 2 = 0) AS is_base
+      FROM events
+    ),
+    bins AS (SELECT CAST(range AS BIGINT) AS bin
+             FROM range({PSI_BINS})),
+    counted AS (
+      SELECT b.bin,
+             CAST(coalesce(sum(CASE WHEN is_base THEN 1 END), 0)
+                  AS BIGINT) AS n_base,
+             CAST(coalesce(sum(CASE WHEN NOT is_base THEN 1 END), 0)
+                  AS BIGINT) AS n_cur
+      FROM bins b LEFT JOIN binned x ON x.bin = b.bin
+      GROUP BY b.bin
+    ),
+    tot AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM counted)
+    SELECT bin, n_base, n_cur,
+           floor(((n_cur + {PSI_SMOOTH}) / (tc + {PSI_SMOOTH * PSI_BINS})
+                  - (n_base + {PSI_SMOOTH}) / (tb + {PSI_SMOOTH * PSI_BINS}))
+                 * ln(((n_cur + {PSI_SMOOTH}) / (tc + {PSI_SMOOTH * PSI_BINS}))
+                      / ((n_base + {PSI_SMOOTH}) / (tb + {PSI_SMOOTH * PSI_BINS})))
+                 * 1000000.0 + 0.5) / 1000000.0 AS psi_contrib
+    FROM counted, tot
+    """,
+)
+def q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two event populations
+    (baseline = even event_id, current = odd — a fixed corpus split
+    standing in for last-week vs this-week): the per-bin
+    ``(p_cur − p_base) · ln(p_cur / p_base)`` contributions over a
+    10-bin fixed-width value histogram, Laplace-smoothed so empty
+    bins are defined. PSI is the symmetrized-KL drift score ops
+    teams threshold (>0.2 = shifted); emitting per-bin contributions
+    rather than one scalar is what makes the alarm actionable (WHICH
+    bins moved).
+
+    Exactness: bin counts are exact longs (a dense bin spine from
+    ``sequence`` guarantees all 10 rows even for empty bins);
+    p's are one IEEE division each with the identical smoothing
+    constant; the ln product is displayed half-up at 6 digits — the
+    `q_llm_source_kl` discipline.
+
+    Scale shape: one scan, one map-side-combined (bin, population)
+    aggregate, a 10-row spine join — drift monitoring at 100 TB costs
+    one pass regardless of bin count, and in production rides the
+    SAME pass as `q_agg_dq_rules`' constraints.
+    """
+    e = table(spark, sf_dir, "events")
+    smooth_tot = PSI_SMOOTH * PSI_BINS
+    binned = e.select(
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_W).cast("bigint"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+        (F.col("event_id") % 2 == 0).alias("is_base"),
+    )
+    spine = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    counted = (
+        spine.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_base"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_base"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_base"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+    )
+    w = Window.partitionBy()
+    pb = (F.col("n_base") + F.lit(PSI_SMOOTH)) / (
+        F.sum("n_base").over(w) + F.lit(smooth_tot)
+    )
+    pc = (F.col("n_cur") + F.lit(PSI_SMOOTH)) / (
+        F.sum("n_cur").over(w) + F.lit(smooth_tot)
+    )
+    return counted.select(
+        "bin",
+        "n_base",
+        "n_cur",
+        half_up((pc - pb) * F.log(pc / pb), 6).alias("psi_contrib"),
+    )
+
+
+#: ECE synthetic labeling: confidence = value scaled into [0, 1];
+#: "correct" = the conversion event types (the positives a
+#: value-magnitude model would be predicting)
+ECE_SCALE = 500.0
+ECE_BINS = 10
+ECE_POSITIVE = ("purchase", "signup")
+
+
+@query(
+    "q_events_ece",
+    oracle=f"""
+    WITH scored AS (
+      SELECT least(value / {ECE_SCALE}, 1.0) AS conf,
+             CAST(value AS DECIMAL(38,6)) AS dconf_src,
+             (event_type IN {ECE_POSITIVE!r}) AS correct
+      FROM events
+    ),
+    binned AS (
+      SELECT least(CAST(floor(conf * {ECE_BINS}) AS BIGINT),
+                   {ECE_BINS - 1}) AS bin,
+             dconf_src, correct
+      FROM scored
+    ),
+    agg AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct,
+             CAST(sum(dconf_src) AS DOUBLE) AS conf_src_sum
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_events) AS n FROM agg)
+    SELECT bin, n_events,
+           floor(least(conf_src_sum / ({ECE_SCALE} * n_events), 1.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS conf_avg,
+           floor(CAST(n_correct AS DOUBLE) / n_events
+                 * 1000000.0 + 0.5) / 1000000.0 AS acc,
+           floor(CAST(n_events AS DOUBLE) / n
+                 * abs(CAST(n_correct AS DOUBLE) / n_events
+                       - least(conf_src_sum / ({ECE_SCALE} * n_events), 1.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ece_contrib
+    FROM agg, tot
+    """,
+)
+def q_events_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error, per-bin: confidence = value scaled
+    into [0, 1] (a fixed corpus rule standing in for a model's
+    probability), correctness = the conversion event types; 10 equal
+    confidence bins; each bin reports its size, mean confidence,
+    accuracy, and weighted |acc − conf| contribution — ECE is their
+    sum, and the per-bin layout is the reliability diagram the
+    scalar hides.
+
+    Exactness: bin membership and correctness are exact integer
+    rules; mean confidence rides the decimal sum of the RAW value
+    (one double division at display — order-independent, the
+    ``dec_sum`` discipline; the min-capped tail bin folds the cap
+    into the displayed mean identically on both engines only when
+    no raw value exceeds the cap… so the cap is applied to the
+    DISPLAYED mean, identically); ratios are exact-long divisions;
+    all displays half-up at 6.
+
+    Scale shape: one scan + one 10-group aggregate + a window total
+    over 10 rows. Calibration monitoring is O(pass), never O(model).
+    """
+    e = table(spark, sf_dir, "events")
+    conf = F.least(F.col("value") / F.lit(ECE_SCALE), F.lit(1.0))
+    binned = e.select(
+        F.least(
+            F.floor(conf * ECE_BINS).cast("bigint"), F.lit(ECE_BINS - 1)
+        ).alias("bin"),
+        F.col("value"),
+        F.col("event_type").isin(*ECE_POSITIVE).alias("correct"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        dec_sum("value", "conf_src_sum"),
+    )
+    w = Window.partitionBy()
+    conf_avg = F.least(
+        F.col("conf_src_sum") / (F.lit(ECE_SCALE) * F.col("n_events")),
+        F.lit(1.0),
+    )
+    acc = F.col("n_correct").cast("double") / F.col("n_events")
+    weight = F.col("n_events").cast("double") / F.sum("n_events").over(w)
+    return agg.select(
+        "bin",
+        "n_events",
+        half_up(conf_avg, 6).alias("conf_avg"),
+        half_up(acc, 6).alias("acc"),
+        half_up(weight * F.abs(acc - conf_avg), 6).alias("ece_contrib"),
+    )
+
+
+#: kappa synthetic raters: A = value magnitude, B = event class
+KAPPA_A_CUT = 100.0
+KAPPA_B_TYPES = ("purchase", "signup", "click")
+
+
+@query(
+    "q_events_kappa",
+    oracle=f"""
+    WITH rated AS (
+      SELECT (value >= {KAPPA_A_CUT}) AS a,
+             (event_type IN {KAPPA_B_TYPES!r}) AS b
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM rated
+    )
+    SELECT n,
+           floor(CAST(n11 + n00 AS DOUBLE) / n * 1000000.0 + 0.5)
+               / 1000000.0 AS po,
+           floor((CAST(na AS DOUBLE) / n * (CAST(nb AS DOUBLE) / n)
+                  + (1.0 - CAST(na AS DOUBLE) / n)
+                    * (1.0 - CAST(nb AS DOUBLE) / n))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pe,
+           floor((CAST(n11 + n00 AS DOUBLE) / n
+                  - (CAST(na AS DOUBLE) / n * (CAST(nb AS DOUBLE) / n)
+                     + (1.0 - CAST(na AS DOUBLE) / n)
+                       * (1.0 - CAST(nb AS DOUBLE) / n)))
+                 / (1.0 - (CAST(na AS DOUBLE) / n * (CAST(nb AS DOUBLE) / n)
+                           + (1.0 - CAST(na AS DOUBLE) / n)
+                             * (1.0 - CAST(nb AS DOUBLE) / n)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS kappa
+    FROM c
+    """,
+)
+def q_events_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary raters (A = value magnitude,
+    B = event class — fixed corpus rules standing in for annotator
+    columns): observed agreement ``po``, chance agreement ``pe`` from
+    the marginals, ``kappa = (po − pe) / (1 − pe)``. THE
+    inter-annotator agreement gate a labeling pipeline applies before
+    trusting a batch of human (or LLM-judge) labels.
+
+    Exactness: all four cells are exact conditional counts from one
+    aggregate; every ratio is an exact-long IEEE division and the
+    chance/kappa arithmetic is spelled IDENTICALLY (same operation
+    order) in both engines; displays half-up at 6.
+
+    Scale shape: one scan, one map-side-combined aggregate to a
+    single row — agreement over any corpus size is one pass, and the
+    same shape extends to K×K multi-class kappa by widening the cell
+    counts, not the pass count.
+    """
+    e = table(spark, sf_dir, "events")
+    rated = e.select(
+        (F.col("value") >= KAPPA_A_CUT).alias("a"),
+        F.col("event_type").isin(*KAPPA_B_TYPES).alias("b"),
+    )
+    c = rated.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(F.col("b"), 1).otherwise(0)).cast("bigint").alias("nb"),
+    )
+    pa = F.col("na").cast("double") / F.col("n")
+    pb = F.col("nb").cast("double") / F.col("n")
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    return c.select(
+        "n",
+        half_up(po, 6).alias("po"),
+        half_up(pe, 6).alias("pe"),
+        half_up((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
