@@ -308,3 +308,180 @@ def q_events_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_up(pe, 6).alias("pe"),
         half_up((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+#: NDCG relevance grade: term frequency capped (graded pseudo-
+#: relevance — more occurrences of the query term = more relevant)
+NDCG_REL_CAP = 3
+
+
+@query("q_llm_ndcg")  # oracle late-bound below (composition)
+def q_llm_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the declared BM25 ranking — ranking QUALITY as a
+    graded query, composed from the registered ``q_llm_bm25``
+    relation (its oracle is spliced in as a CTE, the keep_best
+    zero-drift rule): relevance = term frequency capped at
+    {NDCG_REL_CAP}, gain = 2^rel − 1, DCG discounts by log2(rank+1),
+    and the IDEAL ordering re-ranks the SAME retrieved candidates by
+    relevance — so the metric scores the ORDERING the scorer chose
+    against the best ordering of what it retrieved (listwise rank
+    quality; recall is a different metric by design).
+
+    Exactness: gains are exact small integers (bit shift); ranks are
+    the BM25 relation's deterministic row_numbers (ideal ties broken
+    by doc_id); the only float work is the log2 discount and two
+    10-term sums, displayed half-up at 6 — the entropy/KL precedent.
+
+    Scale shape: inherits BM25's cost (the composition adds one
+    10-row-per-term window + aggregate). At 100 TB evaluation rides
+    the retrieval relation a search stack already materializes —
+    NDCG is never the expensive part, which is the point of keeping
+    it relational instead of a driver-side loop.
+    """
+    from frafka_spark.registry import QUERIES
+
+    bm = QUERIES["q_llm_bm25"].fn(spark, sf_dir)
+    rel = F.least(F.col("tf"), F.lit(NDCG_REL_CAP)).cast("int")
+    g = bm.select(
+        "word",
+        "doc_id",
+        "rk",
+        rel.alias("rel"),
+        # 2^rel − 1 with rel ≤ NDCG_REL_CAP: exact in doubles
+        (F.pow(F.lit(2.0), rel) - F.lit(1.0)).alias("gain"),
+    )
+    wi = Window.partitionBy("word").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    agg = (
+        g.withColumn("irk", F.row_number().over(wi))
+        .groupBy("word")
+        .agg(
+            F.sum(F.col("gain") / F.log2(F.col("rk") + 1)).alias("dcg_raw"),
+            F.sum(F.col("gain") / F.log2(F.col("irk") + 1)).alias(
+                "idcg_raw"
+            ),
+        )
+    )
+    return agg.select(
+        "word",
+        half_up(F.col("dcg_raw"), 6).alias("dcg"),
+        half_up(F.col("idcg_raw"), 6).alias("idcg"),
+        half_up(F.col("dcg_raw") / F.col("idcg_raw"), 6).alias("ndcg"),
+    )
+
+
+#: PRF1 synthetic classifier/label pair (same corpus rules family as
+#: ECE/kappa: magnitude predicts conversion)
+PRF1_CUT = 100.0
+PRF1_POSITIVE = ("purchase", "signup")
+
+
+@query(
+    "q_events_prf1",
+    oracle=f"""
+    WITH rated AS (
+      SELECT (value >= {PRF1_CUT}) AS pred,
+             (event_type IN {PRF1_POSITIVE!r}) AS label
+      FROM events
+    ),
+    c AS (
+      SELECT
+        CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM rated
+    )
+    SELECT tp, fp, fn, tn,
+           floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000.0 + 0.5)
+               / 1000000.0 AS precision_,
+           floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000.0 + 0.5)
+               / 1000000.0 AS recall_,
+           floor(2.0 * tp / (2.0 * tp + fp + fn) * 1000000.0 + 0.5)
+               / 1000000.0 AS f1
+    FROM c
+    """,
+)
+def q_events_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 at a threshold — the confusion-matrix
+    gate every classifier-assisted curation filter reports before its
+    verdicts are trusted (predictions = value magnitude, labels = the
+    conversion event types; fixed corpus rules standing in for model
+    and annotation columns).
+
+    Exactness: the four cells are exact conditional counts from one
+    aggregate; the three ratios are single IEEE divisions of exact
+    longs (F1 via the division-stable ``2tp / (2tp + fp + fn)``
+    form), displayed half-up at 6.
+
+    Scale shape: one scan, one map-side-combined aggregate to one
+    row; extending to per-segment PRF1 adds grouping keys, not
+    passes.
+    """
+    e = table(spark, sf_dir, "events")
+    rated = e.select(
+        (F.col("value") >= PRF1_CUT).alias("pred"),
+        F.col("event_type").isin(*PRF1_POSITIVE).alias("label"),
+    )
+    c = rated.agg(
+        F.sum(F.when(F.col("pred") & F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        half_up(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6)
+        .alias("precision_"),
+        half_up(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6)
+        .alias("recall_"),
+        half_up(
+            F.lit(2.0)
+            * F.col("tp")
+            / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+    )
+
+
+# late-bound NDCG oracle: splice the REGISTERED BM25 oracle in as a
+# CTE so the composition can never drift from its part
+from frafka_spark.registry import QUERIES as _QE  # noqa: E402
+
+_QE["q_llm_ndcg"].oracle = f"""
+    WITH bm AS ({_QE["q_llm_bm25"].oracle}),
+    g AS (
+      SELECT word, doc_id, rk,
+             least(tf, {NDCG_REL_CAP}) AS rel,
+             CAST((1 << least(tf, {NDCG_REL_CAP})) - 1 AS DOUBLE) AS gain,
+             row_number() OVER (
+                 PARTITION BY word
+                 ORDER BY least(tf, {NDCG_REL_CAP}) DESC, doc_id ASC
+             ) AS irk
+      FROM bm
+    ),
+    agg AS (
+      SELECT word,
+             sum(gain / log2(rk + 1)) AS dcg_raw,
+             sum(gain / log2(irk + 1)) AS idcg_raw
+      FROM g GROUP BY word
+    )
+    SELECT word,
+           floor(dcg_raw * 1000000.0 + 0.5) / 1000000.0 AS dcg,
+           floor(idcg_raw * 1000000.0 + 0.5) / 1000000.0 AS idcg,
+           floor(dcg_raw / idcg_raw * 1000000.0 + 0.5) / 1000000.0 AS ndcg
+    FROM agg
+    """
+del _QE
