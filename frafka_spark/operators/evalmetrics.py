@@ -183,12 +183,11 @@ def q_events_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: bin membership and correctness are exact integer
     rules; mean confidence rides the decimal sum of the RAW value
-    (one double division at display — order-independent, the
-    ``dec_sum`` discipline; the min-capped tail bin folds the cap
-    into the displayed mean identically on both engines only when
-    no raw value exceeds the cap… so the cap is applied to the
-    DISPLAYED mean, identically); ratios are exact-long divisions;
-    all displays half-up at 6.
+    with one double division at display (order-independent, the
+    ``dec_sum`` discipline), and the confidence cap is applied to
+    the displayed mean by the identical ``least`` expression on both
+    engines; ratios are exact-long divisions; all displays half-up
+    at 6.
 
     Scale shape: one scan + one 10-group aggregate + a window total
     over 10 rows. Calibration monitoring is O(pass), never O(model).
@@ -485,3 +484,95 @@ _QE["q_llm_ndcg"].oracle = f"""
     FROM agg
     """
 del _QE
+
+
+@query(
+    "q_events_auc",
+    oracle=f"""
+    WITH rated AS (
+      SELECT value AS score,
+             (event_type IN {PRF1_POSITIVE!r}) AS label
+      FROM events
+    ),
+    ranked AS (
+      SELECT label,
+             avg(rk) OVER (PARTITION BY score) AS tie_rank
+      FROM (SELECT score, label,
+                   row_number() OVER (ORDER BY score ASC) AS rk
+            FROM rated)
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos,
+             CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_neg,
+             sum(CASE WHEN label THEN tie_rank ELSE 0 END) AS rank_sum
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           floor((rank_sum - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * n_neg)
+                 * 1000000.0 + 0.5) / 1000000.0 AS auc
+    FROM c
+    """,
+)
+def q_events_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney rank-sum identity — the
+    threshold-FREE companion to ``q_events_prf1`` (same
+    score/label corpus rules): rank every score ascending, average
+    ranks within score ties (the exact tie correction), and
+    ``AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻)``. No curve sweep, no
+    trapezoids, no approximation.
+
+    Exactness: row_number ties are resolved INSIDE the per-score
+    tie-average (any enumeration of a tie group sums to the same
+    total, so the avg is enumeration-independent — the one place a
+    nondeterministic window is provably safe); tie_rank sums are
+    sums of exact small rationals represented identically; the final
+    expression is spelled identically on both engines and displayed
+    half-up at 6.
+
+    Scale shape: one global sort (the unavoidable cost of exact
+    ranking — the same exchange `q_win_rank_global_scaled` pins as
+    range-partitioned and single-funnel-free), one per-score window,
+    one aggregate. At 100 TB the approximate alternative is a
+    fixed-grid ROC from the `q_agg_histogram` family; THIS key is
+    the exact auditor run on samples or segments.
+    """
+    e = table(spark, sf_dir, "events")
+    rated = e.select(
+        F.col("value").alias("score"),
+        F.col("event_type").isin(*PRF1_POSITIVE).alias("label"),
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("score").asc()))
+    ranked = rated.select(
+        "label", rk.alias("rk"), "score"
+    ).select(
+        "label",
+        F.avg("rk").over(Window.partitionBy("score")).alias("tie_rank"),
+    )
+    c = ranked.agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(~F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.sum(
+            F.when(F.col("label"), F.col("tie_rank")).otherwise(F.lit(0.0))
+        ).alias("rank_sum"),
+    )
+    return c.select(
+        "n_pos",
+        "n_neg",
+        half_up(
+            (
+                F.col("rank_sum")
+                - F.col("n_pos").cast("double")
+                * (F.col("n_pos") + 1)
+                / F.lit(2.0)
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
