@@ -53,7 +53,16 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     phash = hashlib.sha1(
         str(Path(sf_dir).resolve()).encode()
     ).hexdigest()[:8]
-    tag = f"{base}_{phash}"
+    # Bucketing metadata lives in the session catalog (in-memory for
+    # this repo), so tables can never be REUSED across processes —
+    # every process builds its own. Folding the applicationId into
+    # the name makes concurrent processes (pytest beside a driver
+    # sim, two CI jobs) build DISJOINT locations instead of racing
+    # one shared name with drop-and-rewrite.
+    apphash = hashlib.sha1(
+        spark.sparkContext.applicationId.encode()
+    ).hexdigest()[:8]
+    tag = f"{base}_{phash}_{apphash}"
     key = (spark.sparkContext.applicationId, sf_dir)
     with _BUCKET_LOCK:
         hit = _BUCKETED.get(key)
@@ -69,17 +78,29 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         )
         from frafka_spark.sources.batch import write_bucketed_table
 
-        # A previous PROCESS may have left the managed locations on
-        # disk while this session's in-memory catalog has no entry
-        # for them — saveAsTable then fails LOCATION_ALREADY_EXISTS.
-        # Drop any catalog entry and clear the orphaned directories.
+        # A previous run of THIS application id (session restart) may
+        # have left the managed locations on disk while the in-memory
+        # catalog has no entry — saveAsTable then fails
+        # LOCATION_ALREADY_EXISTS. Drop/clear only OWN-tag locations;
+        # other live processes' tables are untouched by construction.
+        # Crashed runs' leftovers (other apphashes) are swept once
+        # they are a day old — old enough that no live process owns
+        # them, the gc_orphans retention argument.
         import shutil
+        import time
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         for name in (o_name, l_name):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             shutil.rmtree(Path(wh) / name, ignore_errors=True)
+        cutoff = time.time() - 24 * 3600
+        for leftover in Path(wh).glob(f"fs_bkt_*_{base}_{phash}_*"):
+            try:
+                if leftover.stat().st_mtime < cutoff:
+                    shutil.rmtree(leftover, ignore_errors=True)
+            except OSError:
+                pass
 
         write_bucketed_table(
             o, o_name, "o_orderkey", n_buckets=N_BUCKETS, sort_by="o_orderkey"
