@@ -198,6 +198,7 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
         "params": [
             DEL_LO, DEL_HI, N_RANGE_FILES, N_APPENDS,
             UPD_LO, UPD_HI, UPD_BUMP, INS_ROWS, PROBE_CUST,
+            N_STREAM_BATCHES, PFX_WORDS,
         ],
     }
     with _LH_LOCK:
