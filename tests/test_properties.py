@@ -1048,3 +1048,134 @@ def test_banded_range_count_matches_per_row_reference(spark, vals, groups):
         lo = v - WIDTH
         want = sum(1 for _, gg, x in rid if gg == g and lo <= x <= v)
         assert by_rid[i] == (g, v, want), (i, by_rid[i], (g, v, want))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter primitives (sources/manifest_table.py) — pure-Python
+# properties, no Spark session needed, so examples are cheap.
+# ---------------------------------------------------------------------------
+
+_bloom_values = st.lists(
+    st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.text(max_size=40),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.booleans(),
+        st.binary(max_size=24),
+    ),
+    max_size=120,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(members=_bloom_values, probes=_bloom_values)
+def test_bloom_never_false_negative_and_bounded_fpp(members, probes):
+    """A Bloom filter's ONE hard guarantee: every inserted value
+    passes its own filter (no false negatives — absence proofs are
+    exact). Also sanity-bound the false-positive side: with the 1 %
+    sizing, absent probes can false-positive but not wholesale."""
+    from frafka_spark.sources.manifest_table import (
+        _bloom_build,
+        _bloom_maybe_contains,
+    )
+
+    bloom = _bloom_build(members)
+    live = {v for v in members if v is not None}
+    for v in live:
+        assert _bloom_maybe_contains(bloom, v)
+    absent = {p for p in probes if p is not None and p not in live}
+    false_pos = sum(1 for p in absent if _bloom_maybe_contains(bloom, p))
+    # fpp is 1% by sizing; allow generous slack for tiny filters
+    assert false_pos <= max(2, len(absent) // 5), (false_pos, len(absent))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    members=st.lists(st.integers(0, 10**6), max_size=80),
+)
+def test_bloom_canonical_encoding_is_width_independent(members):
+    """The canonical byte encoding hashes the same logical value the
+    same regardless of Python/arrow integer width or bool identity —
+    int 1, numpy-style bool True, and float 1.0 stay DISTINCT types
+    on purpose (the typed prefixes), while equal ints always agree."""
+    from frafka_spark.sources.manifest_table import (
+        _bloom_bytes,
+        _bloom_hashes,
+    )
+
+    for v in members:
+        assert _bloom_bytes(v) == _bloom_bytes(int(str(v)))
+        assert _bloom_hashes(v) == _bloom_hashes(v)
+    # typed prefixes keep cross-type collisions structural, not lucky
+    assert _bloom_bytes(1) != _bloom_bytes(True)
+    assert _bloom_bytes(1) != _bloom_bytes(1.0)
+    assert _bloom_bytes(1) != _bloom_bytes("1")
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 9)),
+        min_size=1,
+        max_size=60,
+    ),
+    dlo=st.integers(0, 500),
+    dwidth=st.integers(0, 120),
+    upd=st.lists(
+        st.tuples(st.integers(0, 600), st.integers(100, 109)), max_size=10
+    ),
+)
+def test_manifest_dml_sequence_matches_python_model(
+    spark, rows, dlo, dwidth, upd
+):
+    """delete_rows → merge_table_pruned → compact on ARBITRARY small
+    tables vs a per-row Python model: the final snapshot's multiset
+    equals the model after SQL-DELETE + upsert semantics, compaction
+    changes nothing, and v0 still time-travels to the original rows —
+    the end-to-end invariant the per-operator lifecycle tests can't
+    sweep across input shapes."""
+    import shutil
+    import tempfile
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = tempfile.mkdtemp(prefix="dmlprop_")
+    try:
+        df = spark.createDataFrame(rows, "k long, v long").repartition(3)
+        mt.write_table_with_stats(df, path, ["k"], mode="overwrite")
+
+        dhi = dlo + dwidth
+        mt.delete_rows(spark, path, "k", dlo, dhi)
+        model = [(k, v) for k, v in rows if not (dlo <= k <= dhi)]
+
+        changes = {}
+        for k, v in upd:  # keyed change set: last write per key wins
+            changes[k] = v
+        if changes:
+            ch = spark.createDataFrame(
+                sorted(changes.items()), "k long, v long"
+            )
+            mt.merge_table_pruned(spark, path, ch, key="k")
+            updated = [
+                (k, changes[k]) if k in changes else (k, v)
+                for k, v in model
+            ]
+            matched = {k for k, _ in model}
+            inserts = [
+                (k, v) for k, v in changes.items() if k not in matched
+            ]
+            model = updated + inserts
+
+        mt.compact(spark, path, target_file_bytes=10_000)
+
+        got = sorted((r.k, r.v) for r in mt.read_table(spark, path).collect())
+        assert got == sorted(model)
+        v0 = sorted(
+            (r.k, r.v)
+            for r in mt.read_table(spark, path, version=0).collect()
+        )
+        assert v0 == sorted(rows)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
