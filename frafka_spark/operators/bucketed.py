@@ -84,8 +84,11 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # LOCATION_ALREADY_EXISTS. Drop/clear only OWN-tag locations;
         # other live processes' tables are untouched by construction.
         # Crashed runs' leftovers (other apphashes) are swept once
-        # they are a day old — old enough that no live process owns
-        # them, the gc_orphans retention argument.
+        # they are a WEEK old — the gc_orphans retention window. A
+        # day proved too short: a long-running driver session (>24h)
+        # would have its live tables rmtree'd by a newer process
+        # while its in-memory catalog still pointed at them
+        # (ADVICE r10).
         import shutil
         import time
         from urllib.parse import urlparse
@@ -94,7 +97,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         for name in (o_name, l_name):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             shutil.rmtree(Path(wh) / name, ignore_errors=True)
-        cutoff = time.time() - 24 * 3600
+        cutoff = time.time() - 7 * 24 * 3600
         for leftover in Path(wh).glob(f"fs_bkt_*_{base}_{phash}_*"):
             try:
                 if leftover.stat().st_mtime < cutoff:

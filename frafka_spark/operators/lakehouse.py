@@ -192,6 +192,11 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
     # constants participate in the fingerprint so changing the graded
     # predicate/layout invalidates a stale on-disk lifecycle table
     fp = {
+        # bump on any change to the persisted index encodings
+        # (e.g. the r11 integral-float bloom canonicalization) so
+        # tables built by older code rebuild once instead of probing
+        # old-encoding bitsets with new-encoding hashes
+        "enc": 2,
         "size": st.st_size,
         "mtime_ns": st.st_mtime_ns,
         "events": [st_e.st_size, st_e.st_mtime_ns],
@@ -201,6 +206,12 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
             N_STREAM_BATCHES, PFX_WORDS,
         ],
     }
+    # compare in canonical JSON form: INS_ROWS holds tuples, which a
+    # JSON round-trip turns into lists — comparing the raw dict against
+    # the re-read marker would be always-False, so every new process
+    # would rebuild and rename-aside-swap tables a concurrent reader
+    # may be scanning (ADVICE r10)
+    fp = json.loads(json.dumps(fp))
     with _LH_LOCK:
         hit = _LH_MEMO.get(key)
         if hit is not None:

@@ -722,6 +722,11 @@ def _bloom_bytes(value) -> bytes:
     if isinstance(value, int):
         return b"i" + str(value).encode()
     if isinstance(value, float):
+        # integral floats share the int encoding: SQL equality coerces
+        # numerics (100 == 100.0), so a probe typed differently from
+        # the stored column must NOT prove false absence (ADVICE r10)
+        if value.is_integer():
+            return b"i" + str(int(value)).encode()
         return b"f" + repr(value).encode()
     if isinstance(value, bytes):
         return b"y" + value
@@ -902,19 +907,39 @@ def gc_orphans(path: str, older_than_s: float = 7 * 24 * 3600) -> list[str]:
             continue
         for f in sorted(os.listdir(cdir)):
             fp = os.path.join(cdir, f)
+            if os.path.isdir(fp):
+                continue  # in-flight staging dir (e.g. _temporary)
             if (
                 f.endswith(".parquet")
                 and fp not in referenced
                 and os.path.getmtime(fp) < cutoff
             ):
-                os.remove(fp)
+                try:
+                    os.remove(fp)
+                except OSError:
+                    continue
                 deleted.append(fp)
+        # empty-commit-dir sweep: same retention applies to NON-parquet
+        # leftovers (marker/staging files) — a writer mid-flight has no
+        # .parquet yet, and its young staging files must survive; any
+        # subdirectory (Spark _temporary) is skipped outright and keeps
+        # the rmdir failing harmlessly until the writer resolves it
+        # (ADVICE r10)
         if not any(
             f.endswith(".parquet") for f in os.listdir(cdir)
         ):
             for f in os.listdir(cdir):
-                os.remove(os.path.join(cdir, f))
-            os.rmdir(cdir)
+                fp = os.path.join(cdir, f)
+                if os.path.isdir(fp) or os.path.getmtime(fp) >= cutoff:
+                    continue
+                try:
+                    os.remove(fp)
+                except OSError:
+                    pass
+            try:
+                os.rmdir(cdir)
+            except OSError:
+                pass
     return deleted
 
 

@@ -469,14 +469,34 @@ def test_bloom_prefilter_prunes_without_false_negatives(spark):
     a proof of absence), and on the fixture the filter actually
     prunes (a meaningful share of batch rows is verdicted novel
     map-side, never entering the join)."""
-    from frafka_spark.llm.dedup import _bloom_positions, _corpus_bloom
+    from frafka_spark.llm.dedup import (
+        _bloom_positions,
+        _corpus_bloom,
+        _packed_partition_bitsets,
+    )
 
     d = table(spark, SF_DIR, "documents")
     keyed = d.select("doc_id", F.md5("text").alias("h"))
     idx = keyed.filter(F.col("doc_id") % 7 != 0).select("h")
     batch = keyed.filter(F.col("doc_id") % 7 == 0)
-    m, k, bit_bytes = _corpus_bloom(spark, SF_DIR, idx)
+    m, k, bit_bytes, bcast = _corpus_bloom(spark, SF_DIR, idx)
     buf = np.frombuffer(bit_bytes, dtype=np.uint8)
+
+    # build-payload pin (VERDICT r10 #4): the driver collects packed
+    # BITSETS — one m/8-byte row per non-empty partition — never
+    # positions, and OR-folding them reproduces the cached bits
+    pos_df = idx.select(F.explode(_bloom_positions("h", m, k)).alias("p"))
+    chunks = _packed_partition_bitsets(pos_df, m)
+    assert 0 < len(chunks) <= pos_df.rdd.getNumPartitions()
+    assert all(len(c) == (m + 7) // 8 for c in chunks)
+    refold = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for c in chunks:
+        np.bitwise_or(refold, np.frombuffer(c, dtype=np.uint8), out=refold)
+    assert refold.tobytes() == bit_bytes
+
+    # broadcast-reuse pin (ADVICE r10): the executor broadcast is
+    # cached with the bits — a second build returns the SAME handle
+    assert _corpus_bloom(spark, SF_DIR, idx)[3] is bcast
 
     probed = batch.join(idx, "h", "left_semi").select(
         _bloom_positions("h", m, k).alias("pos")

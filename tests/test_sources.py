@@ -929,7 +929,13 @@ def test_manifest_gc_orphans_spares_young_and_referenced_files(
     young_orphans = mt._write_data_files(df, path)       # in-flight writer
     stale = time.time() - 8 * 24 * 3600
     for fp in old_orphans:
-        os.utime(fp, (stale, stale))
+        # a crashed writer's WHOLE commit dir is old — age the
+        # sibling markers (_SUCCESS/.crc) with the data files, or the
+        # retention window (which now covers non-parquet files too,
+        # ADVICE r10) rightly keeps the dir
+        cdir = os.path.dirname(fp)
+        for name in os.listdir(cdir):
+            os.utime(os.path.join(cdir, name), (stale, stale))
 
     deleted = mt.gc_orphans(path, older_than_s=7 * 24 * 3600)
     assert sorted(deleted) == old_orphans
@@ -1086,3 +1092,76 @@ def test_stream_sink_stats_enable_pruned_reads(spark, tmp_path):
     got = mt.read_table_pruned(spark, path, "ts_min", 150, 160)
     n_read = got.select(F.input_file_name()).distinct().count()
     assert n_read == 1 and got.count() == 11
+
+
+def test_bloom_probe_coerces_numeric_types(spark, tmp_path):
+    """ADVICE r10: SQL equality coerces numerics (100 == 100.0), so a
+    probe typed differently from the stored column must NOT prove
+    false absence. Integral doubles and ints share one encoding; the
+    result equals read_table().filter(col == value) for either probe
+    type."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 200).select(
+        F.col("id").cast("double").alias("cust"),  # double column
+        (F.col("id") % 9).alias("v"),
+    ).coalesce(1)
+    mt.write_table_with_bloom(df, path, ["cust"], mode="overwrite")
+
+    # int probe against the double column: must match, not skip
+    got = mt.read_table_bloom(spark, path, "cust", 100)
+    assert [r.v for r in got.collect()] == [100 % 9]
+    # float probe spelled 100.0: same file set, same row
+    got_f = mt.read_table_bloom(spark, path, "cust", 100.0)
+    assert [r.v for r in got_f.collect()] == [100 % 9]
+    # encoding is canonical at build time too: int column probed float
+    path2 = str(tmp_path / "tbl2")
+    df2 = spark.range(0, 200).select(
+        F.col("id").alias("cust"), (F.col("id") % 9).alias("v")
+    ).coalesce(1)
+    mt.write_table_with_bloom(df2, path2, ["cust"], mode="overwrite")
+    assert [
+        r.v for r in mt.read_table_bloom(spark, path2, "cust", 100.0).collect()
+    ] == [100 % 9]
+    # non-integral probes keep their own encoding (no collision by fiat)
+    assert mt._bloom_bytes(100.5) != mt._bloom_bytes(100)
+
+
+def test_gc_orphans_skips_staging_dirs_and_young_markers(spark, tmp_path):
+    """ADVICE r10: a commit dir holding an in-flight Spark _temporary
+    staging DIRECTORY (writer mid-flight, no .parquet yet) must not
+    crash GC or be deleted, and young non-parquet staging files get
+    the same retention window as data files."""
+    import os
+    import time
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 5).withColumnRenamed("id", "k")
+    mt.write_table(df, path, mode="overwrite")
+
+    # fabricate an in-flight commit dir: staging subdir + young marker
+    inflight = os.path.join(path, "data", "c_inflight")
+    os.makedirs(os.path.join(inflight, "_temporary"))
+    young_marker = os.path.join(inflight, "_started")
+    open(young_marker, "w").write("x")
+
+    # and a crashed commit dir: only an OLD non-parquet leftover
+    crashed = os.path.join(path, "data", "c_crashed")
+    os.makedirs(crashed)
+    old_marker = os.path.join(crashed, "_started")
+    open(old_marker, "w").write("x")
+    stale = time.time() - 8 * 24 * 3600
+    os.utime(old_marker, (stale, stale))
+
+    deleted = mt.gc_orphans(path, older_than_s=7 * 24 * 3600)
+    assert deleted == []  # markers are swept, not reported as data
+    assert os.path.isdir(os.path.join(inflight, "_temporary"))
+    assert os.path.exists(young_marker)          # young → retained
+    assert not os.path.exists(old_marker)        # old → swept
+    assert not os.path.isdir(crashed)            # emptied dir removed
+    assert mt.read_table(spark, path).count() == 5
