@@ -536,7 +536,7 @@ def merge_table_pruned(
         inverse = dict(zip(phys_cols, stats_cols))
         new_stats = {
             fp: {inverse.get(c, c): span for c, span in spans.items()}
-            for fp, spans in _file_stats(new_files, phys_cols).items()
+            for fp, spans in _file_stats(new_files, phys_cols, spark=spark).items()
         }
         new_manifest["stats"] = {
             **{fp: stats[fp] for fp in untouched if fp in stats},
@@ -626,7 +626,7 @@ def delete_rows(
         inverse = dict(zip(phys_cols, stats_cols))
         new_stats = {
             fp: {inverse.get(c, c): span for c, span in spans.items()}
-            for fp, spans in _file_stats(new_files, phys_cols).items()
+            for fp, spans in _file_stats(new_files, phys_cols, spark=spark).items()
         }
         new_manifest["stats"] = {
             **{fp: stats[fp] for fp in untouched if fp in stats},
@@ -772,21 +772,58 @@ def _bloom_maybe_contains(bloom: dict, value) -> bool:
     return True
 
 
-def _file_blooms(
-    files: list[str], cols: list[str], fpp: float = _BLOOM_FPP
-) -> dict:
-    """Per-file Bloom filters for ``cols``, built from a column-pruned
-    arrow read of each new file (one narrow pass per file at write
-    time — the index-build cost Delta pays in the same place)."""
+def _one_file_bloom(fp: str, cols: list[str], fpp: float) -> dict:
+    """Bloom filters for one data file from a column-pruned arrow
+    read — the per-file unit of work, runnable on any executor."""
     import pyarrow.parquet as pq
 
-    out: dict[str, dict] = {}
-    for fp in files:
-        tbl = pq.read_table(fp, columns=cols)
-        out[fp] = {
-            c: _bloom_build(tbl.column(c).to_pylist(), fpp) for c in cols
-        }
-    return out
+    tbl = pq.read_table(fp, columns=cols)
+    return {c: _bloom_build(tbl.column(c).to_pylist(), fpp) for c in cols}
+
+
+def _distribute_file_index(
+    spark, files: list[str], build_one, _probe: dict | None = None
+) -> dict:
+    """Fan the per-file index build out to the EXECUTORS — one task
+    per new file — and merge the small per-file dicts on the driver.
+    At fixture scale the difference is noise; at 100 TB a commit
+    appending thousands of files must not serialize its index build
+    through one driver process (VERDICT r10 #3). Falls back to a
+    driver loop when no session is supplied (unit tests of the pure
+    builders) or for a single file, where a task round-trip costs
+    more than it saves."""
+    import os
+
+    if spark is None or len(files) <= 1:
+        if _probe is not None:
+            _probe["pids"] = [os.getpid()] * len(files)
+        return {fp: build_one(fp) for fp in files}
+    rows = (
+        spark.sparkContext.parallelize(files, len(files))
+        .map(lambda fp: (fp, build_one(fp), os.getpid()))
+        .collect()
+    )
+    if _probe is not None:
+        _probe["pids"] = [pid for _, _, pid in rows]
+    return {fp: built for fp, built, _ in rows}
+
+
+def _file_blooms(
+    files: list[str],
+    cols: list[str],
+    fpp: float = _BLOOM_FPP,
+    spark=None,
+    _probe: dict | None = None,
+) -> dict:
+    """Per-file Bloom filters for ``cols`` — one narrow pass per new
+    file at write time (the index-build cost Delta pays in the same
+    place), executed on the executors when a session is supplied."""
+    return _distribute_file_index(
+        spark,
+        files,
+        lambda fp: _one_file_bloom(fp, cols, fpp),
+        _probe,
+    )
 
 
 def write_table_with_bloom(
@@ -820,7 +857,9 @@ def write_table_with_bloom(
     inverse = dict(zip(phys_cols, bloom_cols))
     new_bloom = {
         fp: {inverse.get(c, c): b for c, b in blooms.items()}
-        for fp, blooms in _file_blooms(new_files, phys_cols, fpp).items()
+        for fp, blooms in _file_blooms(
+            new_files, phys_cols, fpp, spark=df.sparkSession
+        ).items()
     }
     version = 0 if prev is None else prev + 1
     manifest = {
@@ -943,31 +982,45 @@ def gc_orphans(path: str, older_than_s: float = 7 * 24 * 3600) -> list[str]:
     return deleted
 
 
-def _file_stats(files: list[str], stats_cols: list[str]) -> dict:
-    """Per-file min/max for ``stats_cols`` from parquet footers (no
-    data read) — the statistics Delta keeps in its log for file
-    skipping. Values must be JSON-representable (numbers/strings)."""
+def _one_file_stats(fp: str, stats_cols: list[str]) -> dict:
+    """Min/max spans for one data file from its parquet footer (no
+    data read) — the per-file unit of work, runnable on any executor."""
     import pyarrow.parquet as pq
 
-    out: dict[str, dict] = {}
-    for fp in files:
-        meta = pq.ParquetFile(fp).metadata
-        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
-        spans: dict[str, list] = {}
-        for col in stats_cols:
-            ci = names[col]
-            lo = hi = None
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    lo = hi = None
-                    break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            if lo is not None:
-                spans[col] = [lo, hi]
-        out[fp] = spans
-    return out
+    meta = pq.ParquetFile(fp).metadata
+    names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+    spans: dict[str, list] = {}
+    for col in stats_cols:
+        ci = names[col]
+        lo = hi = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            spans[col] = [lo, hi]
+    return spans
+
+
+def _file_stats(
+    files: list[str],
+    stats_cols: list[str],
+    spark=None,
+    _probe: dict | None = None,
+) -> dict:
+    """Per-file min/max for ``stats_cols`` from parquet footers — the
+    statistics Delta keeps in its log for file skipping, executed on
+    the executors when a session is supplied. Values must be
+    JSON-representable (numbers/strings)."""
+    return _distribute_file_index(
+        spark,
+        files,
+        lambda fp: _one_file_stats(fp, stats_cols),
+        _probe,
+    )
 
 
 def write_table_with_stats(
@@ -995,7 +1048,7 @@ def write_table_with_stats(
     new_files = _write_data_files(_to_physical(df, mapping), path)
     # footers carry physical names; stats stay keyed by LOGICAL name
     phys_cols = [mapping.get(c, c) for c in stats_cols]
-    raw_stats = _file_stats(new_files, phys_cols)
+    raw_stats = _file_stats(new_files, phys_cols, spark=df.sparkSession)
     inverse = dict(zip(phys_cols, stats_cols))
     new_stats = {
         fp: {inverse.get(c, c): span for c, span in spans.items()}
@@ -1130,7 +1183,7 @@ def write_stream_batch(
         inverse = dict(zip(phys_cols, stats_cols))
         new_stats = {
             fp: {inverse.get(c, c): span for c, span in spans.items()}
-            for fp, spans in _file_stats(new_files, phys_cols).items()
+            for fp, spans in _file_stats(new_files, phys_cols, spark=df.sparkSession).items()
         }
         manifest["stats"] = {**carried_stats, **new_stats}
     elif carried_stats:
@@ -1226,7 +1279,7 @@ def compact(
         "parent": prev,
     }
     if stats_cols:
-        new_manifest["stats"] = _file_stats(new_files, stats_cols)
+        new_manifest["stats"] = _file_stats(new_files, stats_cols, spark=spark)
     _commit(path, version, new_manifest)
     return version
 

@@ -1165,3 +1165,48 @@ def test_gc_orphans_skips_staging_dirs_and_young_markers(spark, tmp_path):
     assert not os.path.exists(old_marker)        # old → swept
     assert not os.path.isdir(crashed)            # emptied dir removed
     assert mt.read_table(spark, path).count() == 5
+
+
+def test_file_index_build_runs_on_executors(spark, tmp_path):
+    """VERDICT r10 #3: the per-file bloom/stats index build fans out
+    to the executors (a commit appending thousands of files must not
+    serialize its index build through the driver). Pins: (a) worker
+    pids differ from the driver's on a multi-file build, (b) the
+    distributed result is byte-identical to the serial fallback."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    files = mt._write_data_files(
+        spark.range(0, 400)
+        .select(F.col("id").alias("cust"), (F.col("id") % 7).alias("v"))
+        .repartition(4),
+        str(tmp_path / "tbl"),
+    )
+    assert len(files) == 4
+
+    probe: dict = {}
+    dist = mt._file_blooms(files, ["cust"], spark=spark, _probe=probe)
+    assert len(probe["pids"]) == 4
+    assert all(pid != os.getpid() for pid in probe["pids"])
+    assert dist == mt._file_blooms(files, ["cust"])  # serial identity
+
+    probe = {}
+    dist_stats = mt._file_stats(files, ["cust"], spark=spark, _probe=probe)
+    assert all(pid != os.getpid() for pid in probe["pids"])
+    assert dist_stats == mt._file_stats(files, ["cust"])
+
+    # the write paths hand their session through (multi-file commit)
+    path = str(tmp_path / "tbl2")
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id").alias("cust"), (F.col("id") % 7).alias("v"))
+        .repartition(4)
+    )
+    mt.write_table_with_bloom(df, path, ["cust"], mode="overwrite")
+    m = mt._read_manifest(path, mt.current_version(path))
+    assert len(m["files"]) == 4 and len(m["bloom"]) == 4
+    got = mt.read_table_bloom(spark, path, "cust", 123)
+    assert [r.v for r in got.collect()] == [123 % 7]
