@@ -204,6 +204,7 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
             DEL_LO, DEL_HI, N_RANGE_FILES, N_APPENDS,
             UPD_LO, UPD_HI, UPD_BUMP, INS_ROWS, PROBE_CUST,
             N_STREAM_BATCHES, PFX_WORDS,
+            UPD2_LO, UPD2_HI, UPD2_BUMP, UPD2_PRIORITY,
         ],
     }
     # compare in canonical JSON form: INS_ROWS holds tuples, which a
@@ -457,6 +458,168 @@ def q_scan_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_table(spark, sf_dir, "orders_bloom")
     t = read_table_bloom(spark, path, "o_custkey", PROBE_CUST)
     return t.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+#: UPDATE band + assignments for the first-class-UPDATE lifecycle:
+#: keys in [UPD2_LO, UPD2_HI] get a fixed price bump and a forced
+#: priority — two-column assignment, distinct from the merge band so
+#: the two lifecycles can't mask each other. Fits sf0.001's dense
+#: 0..1499 keys.
+UPD2_LO = 300
+UPD2_HI = 449
+UPD2_BUMP = 50_000.0
+UPD2_PRIORITY = "5-LOW"
+
+
+@_register_builder("orders_updated")
+def _build_updated_table(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
+    """v0: range-clustered stats write; v1: file-pruned UPDATE of the
+    [UPD2_LO, UPD2_HI] key band (price bump + priority overwrite)."""
+    from frafka_spark.sources.manifest_table import (
+        update_rows,
+        write_table_with_stats,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(N_RANGE_FILES, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_table_with_stats(o, str(tmp), ["o_orderkey"], mode="overwrite")
+    update_rows(
+        spark,
+        str(tmp),
+        "o_orderkey",
+        UPD2_LO,
+        UPD2_HI,
+        {
+            "o_totalprice": F.col("o_totalprice") + F.lit(UPD2_BUMP),
+            "o_orderpriority": F.lit(UPD2_PRIORITY),
+        },
+    )
+
+
+@_register_builder("orders_restored")
+def _build_restored_table(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
+    """v0: range-clustered stats write; v1: the MISTAKE (file-pruned
+    DELETE of [DEL_LO, DEL_HI]); v2: RESTORE to v0 as a new commit."""
+    from frafka_spark.sources.manifest_table import (
+        delete_rows,
+        restore_table,
+        write_table_with_stats,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(N_RANGE_FILES, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_table_with_stats(o, str(tmp), ["o_orderkey"], mode="overwrite")
+    delete_rows(spark, str(tmp), "o_orderkey", DEL_LO, DEL_HI)
+    restore_table(str(tmp), 0)
+
+
+@query(
+    "q_scan_updated",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM (
+      SELECT CASE WHEN o_orderkey BETWEEN {UPD2_LO} AND {UPD2_HI}
+                  THEN '{UPD2_PRIORITY}' ELSE o_orderpriority
+             END AS o_orderpriority,
+             CASE WHEN o_orderkey BETWEEN {UPD2_LO} AND {UPD2_HI}
+                  THEN o_totalprice + {UPD2_BUMP}
+                  ELSE o_totalprice END AS p
+      FROM orders
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class file-pruned UPDATE, graded end-to-end: the
+    range-clustered orders table after ``update_rows`` assigning a
+    price bump AND a forced priority to the [{UPD2_LO}, {UPD2_HI}]
+    key band must answer the priority rollup exactly like the fixture
+    under the same two CASE expressions — completing the
+    DELETE/MERGE/UPDATE DML surface (VERDICT r10 #5). The lifecycle
+    pytest pins the physical contract: only span-intersecting files
+    were rewritten, untouched files carried byte-identical with
+    verbatim stats, the pre-update snapshot time-travels, and CDF
+    across the commit is the updated rows' delete/insert pairs.
+
+    Exactness: the bump is one IEEE double addition applied
+    identically by both engines before the half-up cents floor;
+    counts are longs; band and assignments are corpus constants.
+
+    Scale shape: the day-two operation of every mutable 100 TB table —
+    an UPDATE on a clustered key band touches O(intersecting files),
+    the rewrite is a pure projection (no shuffle, no join), and the
+    read stays a multi-file scan + one hash aggregate.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "orders_updated")
+    t = read_table(spark, path)
+    return t.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+@query(
+    "q_scan_restored",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_restored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE-to-version, graded end-to-end: after a mistaken DELETE
+    the table is restored to v0 AS A NEW COMMIT (``restore_table``,
+    VERDICT r10 #5), so the latest snapshot must answer the priority
+    rollup exactly like the untouched fixture — while the mistake
+    stays in history. The lifecycle pytest pins what the differential
+    can't see: the restore wrote ZERO data files (v2's file list is
+    v0's verbatim, stats carried), v1 still time-travels to the
+    deleted state, CDF across the restore is exactly the resurrected
+    rows tagged insert, and timestamp travel resolves each commit
+    epoch to its snapshot.
+
+    Exactness: counts are longs; the price rollup is per-row half-up
+    cents summed as BIGINTs; restoring v0 makes the oracle the plain
+    fixture rollup by construction.
+
+    Scale shape: the incident-response primitive — undoing a bad
+    commit on a 100 TB table is one manifest write referencing the
+    old file list (O(files) metadata, zero data movement), not a
+    restore-from-backup copy; vacuum retention bounds how far back
+    the trick works, same trade Delta makes.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "orders_restored")
+    t = read_table(spark, path)
+    return t.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")

@@ -1476,3 +1476,128 @@ def test_lifecycle_freshness_marker_prevents_rebuild(spark):
         for p in sorted(Path(path).glob("**/_manifest/v*.json"))
     }
     assert after == before
+
+
+def test_updated_scan_carries_untouched_files(spark):
+    """q_scan_updated: the UPDATE commit rewrote only files whose key
+    span intersects the band, carried the rest byte-identical with
+    verbatim stats, updated exactly the band (both assignments), left
+    the pre-update snapshot time-travelable, and the CDF across it is
+    the band's delete/insert pairs."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.io import table
+    from frafka_spark.operators.lakehouse import (
+        UPD2_BUMP,
+        UPD2_HI,
+        UPD2_LO,
+        UPD2_PRIORITY,
+        _ensure_table,
+    )
+    from frafka_spark.sources.manifest_table import (
+        _read_manifest,
+        current_version,
+        read_changes,
+        read_table,
+    )
+
+    path = _ensure_table(spark, SF_DIR, "orders_updated")
+    v = current_version(path)
+    m_pre, m_post = _read_manifest(path, v - 1), _read_manifest(path, v)
+    assert m_post["mode"] == "update"
+    carried = set(m_pre["files"]) & set(m_post["files"])
+    assert carried, "no files were pruned from the rewrite"
+    for fp in carried:
+        assert m_post["stats"][fp] == m_pre["stats"][fp]
+
+    orders = table(spark, SF_DIR, "orders")
+    n_all = orders.count()
+    n_band = orders.filter(
+        F.col("o_orderkey").between(UPD2_LO, UPD2_HI)
+    ).count()
+    assert 0 < n_band < n_all
+    t = read_table(spark, path)
+    assert t.count() == n_all  # UPDATE changes no cardinality
+    got_band = t.filter(F.col("o_orderkey").between(UPD2_LO, UPD2_HI))
+    assert got_band.count() == n_band
+    assert (
+        got_band.filter(F.col("o_orderpriority") == UPD2_PRIORITY).count()
+        == n_band
+    )
+    # both assignments applied: price bumped exactly UPD2_BUMP
+    joined = got_band.alias("t").join(
+        orders.select("o_orderkey", "o_totalprice").alias("o"), "o_orderkey"
+    )
+    assert (
+        joined.filter(
+            F.abs(
+                F.col("t.o_totalprice")
+                - F.col("o.o_totalprice")
+                - F.lit(UPD2_BUMP)
+            )
+            > 1e-6
+        ).count()
+        == 0
+    )
+    # pre-update snapshot intact
+    pre = read_table(spark, path, version=v - 1)
+    assert (
+        pre.filter(
+            F.col("o_orderkey").between(UPD2_LO, UPD2_HI)
+            & (F.col("o_orderpriority") == UPD2_PRIORITY)
+        ).count()
+        < n_band
+    )
+    # CDF: each updated row surfaces as its delete/insert pair
+    ch = read_changes(spark, path, v - 1, v)
+    assert ch.filter(F.col("_change_type") == "insert").count() == n_band
+    assert ch.filter(F.col("_change_type") == "delete").count() == n_band
+
+
+def test_restored_scan_is_metadata_only(spark):
+    """q_scan_restored: the restore commit references v0's file list
+    VERBATIM (zero data files written), keeps the mistake
+    time-travelable, reports the resurrected rows as CDF inserts, and
+    timestamp travel resolves each commit's epoch to its snapshot."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.io import table
+    from frafka_spark.operators.lakehouse import DEL_HI, DEL_LO, _ensure_table
+    from frafka_spark.sources.manifest_table import (
+        _read_manifest,
+        current_version,
+        read_changes,
+        read_table,
+        read_table_asof,
+        version_as_of,
+    )
+
+    path = _ensure_table(spark, SF_DIR, "orders_restored")
+    assert current_version(path) == 2
+    m0, m1, m2 = (_read_manifest(path, v) for v in (0, 1, 2))
+    assert m2["mode"] == "restore" and m2["restored_from"] == 0
+    assert m2["files"] == m0["files"]          # metadata-only undo
+    assert m2["schema"] == m0["schema"]
+    assert m2.get("stats") == m0.get("stats")
+
+    orders = table(spark, SF_DIR, "orders")
+    n_all = orders.count()
+    n_del = orders.filter(F.col("o_orderkey").between(DEL_LO, DEL_HI)).count()
+    assert read_table(spark, path).count() == n_all
+    assert read_table(spark, path, version=1).count() == n_all - n_del
+
+    ch = read_changes(spark, path, 1, 2)
+    assert ch.filter(F.col("_change_type") != "insert").count() == 0
+    assert ch.count() == n_del
+
+    # timestamp travel: each commit's recorded epoch resolves to it
+    for v, m in enumerate((m0, m1, m2)):
+        assert version_as_of(path, m["committed_at"]) == v
+    assert (
+        read_table_asof(spark, path, m1["committed_at"]).count()
+        == n_all - n_del
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at or before"):
+        version_as_of(path, m0["committed_at"] - 1.0)

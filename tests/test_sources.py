@@ -1210,3 +1210,71 @@ def test_file_index_build_runs_on_executors(spark, tmp_path):
     assert len(m["files"]) == 4 and len(m["bloom"]) == 4
     got = mt.read_table_bloom(spark, path, "cust", 123)
     assert [r.v for r in got.collect()] == [123 % 7]
+
+
+def test_update_rows_null_semantics_and_guards(spark, tmp_path):
+    """update_rows: SQL UPDATE semantics — a NULL predicate column
+    leaves the row unchanged; retyping assignments and unknown
+    columns are rejected BEFORE anything is written; pruning rewrites
+    only span-intersecting files."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 400).select(
+        F.when(F.col("id") == 150, None).otherwise(F.col("id")).alias("k"),
+        F.lit(10.0).alias("price"),
+    ).repartitionByRange(4, "k").sortWithinPartitions("k")
+    mt.write_table_with_stats(base, path, ["k"], mode="overwrite")
+
+    res = mt.update_rows(
+        spark, path, "k", 100, 199, {"price": F.col("price") + 5.0}
+    )
+    assert res["version"] == 1
+    assert res["files_carried"] >= 2          # pruning happened
+    assert res["files_rewritten"] < 4
+    t = mt.read_table(spark, path)
+    assert t.filter(F.col("k").isNull()).collect()[0].price == 10.0  # kept
+    assert t.filter(F.col("k") == 150).count() == 0
+    assert t.filter(F.col("price") == 15.0).count() == 99  # 100..199 minus NULLed 150
+    assert t.count() == 400
+
+    import pytest as _pytest
+
+    with _pytest.raises(mt.SchemaConflict, match="retype"):
+        # k is bigint; the when/otherwise coercion would widen the
+        # column to double — a silent retype the guard must reject
+        mt.update_rows(spark, path, "k", 0, 10, {"k": F.lit(1.5)})
+    with _pytest.raises(mt.SchemaConflict, match="unknown column"):
+        mt.update_rows(spark, path, "k", 0, 10, {"nope": F.lit(1.0)})
+    assert mt.current_version(path) == 1      # guards wrote nothing
+
+
+def test_restore_table_bounds_and_history(spark, tmp_path):
+    """restore_table: restores are new commits with verbatim old file
+    lists; out-of-range targets are rejected; restoring a restore
+    works (history stays linear)."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    mt.write_table(
+        spark.range(0, 10).withColumnRenamed("id", "k"), path,
+        mode="overwrite",
+    )
+    mt.write_table(
+        spark.range(100, 105).withColumnRenamed("id", "k"), path,
+        mode="overwrite",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot restore"):
+        mt.restore_table(path, 5)
+    assert mt.restore_table(path, 0) == 2
+    assert mt.read_table(spark, path).count() == 10
+    # restore the overwrite back: restoring v1 from on top of v2
+    assert mt.restore_table(path, 1) == 3
+    got = mt.read_table(spark, path)
+    assert sorted(r.k for r in got.collect()) == list(range(100, 105))
