@@ -140,41 +140,71 @@ def _commit(path: str, version: int, manifest: dict) -> None:
         json.dump(manifest, fh, indent=1, sort_keys=True)
 
 
-def write_table(df: DataFrame, path: str, mode: str = "append") -> int:
+def write_table(
+    df: DataFrame, path: str, mode: str = "append", retries: int = 3
+) -> int:
     """Commit ``df`` as a new snapshot; returns the committed version.
 
     ``mode="append"`` — the new snapshot is the previous snapshot's
     files plus the new files; ``mode="overwrite"`` — the new snapshot
     is only the new files (old files stay on disk for time travel
     until a retention vacuum, exactly like Delta).
+
+    Concurrency: optimistic, Delta-style. Data files are written once
+    (they are invisible until referenced); the manifest compose +
+    O_EXCL create is the commit point, and losing the version race
+    re-reads the new head and retries the COMPOSE ONLY — the loser's
+    data files stay valid, appends re-resolve carried files (and
+    re-check schema compatibility) against the winner's snapshot, so
+    no commit is lost and no rows duplicate. After ``retries``
+    consecutive losses the ``CommitConflict`` propagates.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    prev = current_version(path)
-    mapping: dict[str, str] = {}
-    carried: list[str] = []
-    retired: list[str] = []
-    if mode == "append" and prev is not None:
-        pm = _read_manifest(path, prev)
-        _check_append_schema(df, pm)
-        carried = pm["files"]
-        mapping = _mapping_of(pm)  # renames persist: write physical names
-        retired = pm.get("retired_physical", [])
-    new_files = _write_data_files(_to_physical(df, mapping), path)
-    version = 0 if prev is None else prev + 1
-    manifest = {
-        "version": version,
-        "mode": mode,
-        "files": carried + new_files,
-        "schema": df.schema.json(),
-        "parent": prev,
-    }
-    if mapping:
-        manifest["column_mapping"] = mapping
-    if retired:
-        manifest["retired_physical"] = retired
-    _commit(path, version, manifest)
-    return version
+    new_files: list[str] | None = None
+    for attempt in range(retries + 1):
+        prev = current_version(path)
+        mapping: dict[str, str] = {}
+        carried: list[str] = []
+        retired: list[str] = []
+        if mode == "append" and prev is not None:
+            pm = _read_manifest(path, prev)
+            _check_append_schema(df, pm)
+            carried = pm["files"]
+            mapping = _mapping_of(pm)  # renames persist: physical names
+            retired = pm.get("retired_physical", [])
+        if new_files is None:
+            # written exactly once; a retry recomposes metadata only.
+            # (If the winner RENAMED a column, its new mapping applies
+            # to files written after its commit — ours were written
+            # under the pre-race mapping, so a changed mapping forces
+            # a loud conflict instead of silently mis-mapped bytes.)
+            files_mapping = mapping
+            new_files = _write_data_files(_to_physical(df, mapping), path)
+        elif mapping != files_mapping:
+            raise CommitConflict(
+                f"concurrent writer changed the column mapping of {path}; "
+                "re-run the write against the new snapshot"
+            )
+        version = 0 if prev is None else prev + 1
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": carried + new_files,
+            "schema": df.schema.json(),
+            "parent": prev,
+        }
+        if mapping:
+            manifest["column_mapping"] = mapping
+        if retired:
+            manifest["retired_physical"] = retired
+        try:
+            _commit(path, version, manifest)
+            return version
+        except CommitConflict:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 def read_table(

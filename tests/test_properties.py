@@ -1123,9 +1123,10 @@ def test_bloom_fpp_near_sizing_on_a_large_filter():
 )
 def test_bloom_canonical_encoding_is_width_independent(members):
     """The canonical byte encoding hashes the same logical value the
-    same regardless of Python/arrow integer width or bool identity —
-    int 1, numpy-style bool True, and float 1.0 stay DISTINCT types
-    on purpose (the typed prefixes), while equal ints always agree."""
+    same regardless of Python/arrow numeric width or float identity:
+    SQL equality coerces numerics, so int 1 and float 1.0 MUST agree
+    (ADVICE r10 — a cross-typed probe must not prove false absence),
+    while bools, strings, and non-integral floats stay distinct."""
     from frafka_spark.sources.manifest_table import (
         _bloom_bytes,
         _bloom_hashes,
@@ -1133,10 +1134,12 @@ def test_bloom_canonical_encoding_is_width_independent(members):
 
     for v in members:
         assert _bloom_bytes(v) == _bloom_bytes(int(str(v)))
+        assert _bloom_bytes(v) == _bloom_bytes(float(v))  # SQL coercion
         assert _bloom_hashes(v) == _bloom_hashes(v)
-    # typed prefixes keep cross-type collisions structural, not lucky
+    # typed prefixes keep remaining cross-type collisions structural
     assert _bloom_bytes(1) != _bloom_bytes(True)
-    assert _bloom_bytes(1) != _bloom_bytes(1.0)
+    assert _bloom_bytes(1) == _bloom_bytes(1.0)   # 1 = 1.0 in SQL
+    assert _bloom_bytes(1) != _bloom_bytes(1.5)
     assert _bloom_bytes(1) != _bloom_bytes("1")
 
 

@@ -1278,3 +1278,118 @@ def test_restore_table_bounds_and_history(spark, tmp_path):
     assert mt.restore_table(path, 1) == 3
     got = mt.read_table(spark, path)
     assert sorted(r.k for r in got.collect()) == list(range(100, 105))
+
+
+def test_concurrent_writers_conflict_across_processes(spark, tmp_path):
+    """VERDICT r10 #6: two writers racing one manifest table, as two
+    real PROCESSES. Deterministic interleaving: the parent stages its
+    append's data files, a subprocess (no Spark — pyarrow + the
+    manifest protocol) then wins the version, the parent's commit of
+    that version raises CommitConflict, and the parent's retry on top
+    of the winner succeeds with NO lost commit — all three writers'
+    rows are present exactly once."""
+    import os
+    import subprocess
+    import sys
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 5).withColumnRenamed("id", "k")
+    assert mt.write_table(base, path, mode="overwrite") == 0
+
+    # parent stages its append (data files written, commit pending)
+    mine = mt._write_data_files(
+        spark.range(100, 104).withColumnRenamed("id", "k"), path
+    )
+
+    # interloper process wins version 1
+    script = """
+import json, os, sys, uuid
+sys.path.insert(0, %r)
+import pyarrow as pa, pyarrow.parquet as pq
+from frafka_spark.sources import manifest_table as mt
+path = sys.argv[1]
+prev = mt.current_version(path)
+m = mt._read_manifest(path, prev)
+cdir = os.path.join(path, "data", uuid.uuid4().hex)
+os.makedirs(cdir)
+fp = os.path.join(cdir, "part-00000.parquet")
+pq.write_table(pa.table({"k": pa.array([1000, 1001, 1002], pa.int64())}), fp)
+mt._commit(path, prev + 1, {
+    "version": prev + 1, "mode": "append",
+    "files": m["files"] + [fp], "schema": m["schema"], "parent": prev,
+})
+print(prev + 1)
+""" % (os.path.dirname(os.path.dirname(os.path.abspath(mt.__file__))) + "/..",)
+    out = subprocess.run(
+        [sys.executable, "-c", script, path],
+        capture_output=True, text=True, check=True,
+    )
+    assert out.stdout.strip() == "1"
+
+    # parent's commit of the SAME version loses deterministically
+    m0 = mt._read_manifest(path, 0)
+    import pytest as _pytest
+
+    with _pytest.raises(mt.CommitConflict, match="already committed"):
+        mt._commit(path, 1, {
+            "version": 1, "mode": "append",
+            "files": m0["files"] + mine, "schema": m0["schema"], "parent": 0,
+        })
+
+    # retry on top of the winner's head: carried files re-resolved
+    m1 = mt._read_manifest(path, 1)
+    mt._commit(path, 2, {
+        "version": 2, "mode": "append",
+        "files": m1["files"] + mine, "schema": m1["schema"], "parent": 1,
+    })
+    got = sorted(r.k for r in mt.read_table(spark, path).collect())
+    assert got == list(range(0, 5)) + list(range(100, 104)) + [1000, 1001, 1002]
+
+
+def test_write_table_retries_lost_race(spark, tmp_path, monkeypatch):
+    """write_table's optimistic retry: when another writer wins the
+    composed version between read-head and commit, the loser
+    recomposes against the new head (data files written ONCE) and
+    lands on the next version — no lost commit, no duplicate rows."""
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    mt.write_table(
+        spark.range(0, 5).withColumnRenamed("id", "k"), path,
+        mode="overwrite",
+    )
+
+    real_commit = mt._commit
+    state = {"interloped": False, "commits": 0}
+
+    def racing_commit(p, version, manifest):
+        state["commits"] += 1
+        if not state["interloped"]:
+            state["interloped"] = True
+            prev = mt._read_manifest(p, version - 1)
+            real_commit(p, version, {
+                "version": version, "mode": "append",
+                "files": prev["files"],  # winner: a no-op append
+                "schema": prev["schema"], "parent": version - 1,
+            })
+        return real_commit(p, version, manifest)
+
+    monkeypatch.setattr(mt, "_commit", racing_commit)
+    v = mt.write_table(
+        spark.range(100, 103).withColumnRenamed("id", "k"), path,
+        mode="append",
+    )
+    assert v == 2                    # lost v1, landed on v2
+    assert state["commits"] == 2     # exactly one retry
+    monkeypatch.undo()
+    got = sorted(r.k for r in mt.read_table(spark, path).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102]   # once each
+    # and the loser's data files were written exactly once
+    assert len(mt._read_manifest(path, 2)["files"]) == len(
+        mt._read_manifest(path, 0)["files"]
+    ) + len(
+        set(mt._read_manifest(path, 2)["files"])
+        - set(mt._read_manifest(path, 0)["files"])
+    )
