@@ -80,3 +80,8 @@ def load_all() -> None:
     from frafka_spark.operators import lakehouse  # noqa: F401
     from frafka_spark.operators import dq  # noqa: F401
     from frafka_spark.operators import evalmetrics  # noqa: F401
+
+    # Round-11 additions: behind the r10 register (rotation order is
+    # derived from CORRECTNESS artifacts, so placement only breaks
+    # ties among never-graded keys).
+    from frafka_spark.llm import index_store  # noqa: F401

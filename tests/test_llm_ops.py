@@ -560,3 +560,99 @@ def test_ppjoin_prefix_filter_is_lossless_and_smaller(spark):
     n_full = n_candidates(_shingles(spark, SF_DIR))
     n_pre = n_candidates(_prefix_shingles(spark, SF_DIR))
     assert len(full) <= n_pre < n_full, (len(full), n_pre, n_full)
+
+
+def _multiset_equal(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_persisted_index_cdf_delta_equals_rebuild(spark, tmp_path):
+    """VERDICT r10 #1, the maintenance contract: for every per-doc
+    index family, the at-rest table built as base + CDF-delta appends
+    is MULTISET-EQUAL to a from-scratch rebuild over the full corpus.
+    Digest/minhash/shingle over documents; IVF cells under a frozen
+    codebook over embeddings."""
+    from frafka_spark.io import table
+    from frafka_spark.llm.index_store import (
+        CRAWL_MOD,
+        digest_rows,
+        ivf_assign,
+        minhash_rows,
+        shingle_rows,
+    )
+    from frafka_spark.llm.similarity import CENTROID_MOD, _vectors
+    from frafka_spark.sources import manifest_table as mt
+
+    d = table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    corpus = str(tmp_path / "corpus")
+    mt.write_table(
+        d.filter(F.col("doc_id") % CRAWL_MOD != 0), corpus, mode="overwrite"
+    )
+    mt.write_table(
+        d.filter(F.col("doc_id") % CRAWL_MOD == 0), corpus, mode="append"
+    )
+    delta = mt.read_changes(spark, corpus, 0, 1).filter(
+        F.col("_change_type") == "insert"
+    ).select("doc_id", "source", "text")
+    base = mt.read_table(spark, corpus, version=0)
+    full = mt.read_table(spark, corpus)
+
+    for name, rows_fn in (
+        ("digest", digest_rows),
+        ("shingle", shingle_rows),
+        ("minhash", minhash_rows),
+    ):
+        at_rest = str(tmp_path / name)
+        mt.write_table(rows_fn(base), at_rest, mode="overwrite")
+        mt.write_table(rows_fn(delta), at_rest, mode="append")
+        assert _multiset_equal(
+            mt.read_table(spark, at_rest), rows_fn(full)
+        ), name
+
+    # IVF cells: codebook FROZEN from the base vectors, then the
+    # delta's assignments appended — equals assigning everything
+    v = _vectors(spark, SF_DIR).select("vec_id", "emb", "norm")
+    v_base = v.filter(F.col("vec_id") % CRAWL_MOD != 0)
+    v_delta = v.filter(F.col("vec_id") % CRAWL_MOD == 0)
+    cents = v_base.filter((F.col("vec_id") % CENTROID_MOD) == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("norm").alias("cnorm"),
+    )
+    cells = str(tmp_path / "ivf")
+    mt.write_table(ivf_assign(v_base, cents), cells, mode="overwrite")
+    mt.write_table(ivf_assign(v_delta, cents), cells, mode="append")
+    assert _multiset_equal(
+        mt.read_table(spark, cells), ivf_assign(v, cents)
+    )
+
+
+def test_persisted_digest_index_lifecycle_shape(spark):
+    """q_llm_index_persisted's lifecycle: the index table has exactly
+    the one full build (v0 overwrite) plus the CDF append (v1), the
+    appended rows are crawl digests only, and the graded read touches
+    the index table — never the documents fixture."""
+    from pathlib import Path
+
+    from frafka_spark.llm.index_store import CRAWL_MOD
+    from frafka_spark.operators.lakehouse import _ensure_table
+    from frafka_spark.plans.inspect import plan_str
+    from frafka_spark.registry import QUERIES
+    from frafka_spark.sources import manifest_table as mt
+
+    path = _ensure_table(spark, SF_DIR, "documents_digest_indexed")
+    index = str(Path(path) / "digest_index")
+    assert mt.current_version(index) == 1
+    m0, m1 = mt._read_manifest(index, 0), mt._read_manifest(index, 1)
+    assert m0["mode"] == "overwrite" and m1["mode"] == "append"
+    delta_files = [fp for fp in m1["files"] if fp not in m0["files"]]
+    assert delta_files
+    crawl_rows = mt._read_snapshot_files(
+        spark, delta_files, mt._schema_from_json(m1["schema"]), {}
+    )
+    assert crawl_rows.filter(F.col("doc_id") % CRAWL_MOD != 0).count() == 0
+    assert crawl_rows.count() > 0
+
+    df = QUERIES["q_llm_index_persisted"].fn(spark, SF_DIR)
+    assert "documents.parquet" not in plan_str(df)  # reads the index only
+    assert "digest_index" in plan_str(df)
