@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -110,7 +112,7 @@ def ivf_assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-@_register_builder("documents_digest_indexed")
+@_register_builder("documents_digest_indexed", fp_params=[CRAWL_MOD])
 def _build_digest_index_tables(
     spark: SparkSession, sf_dir: str, tmp: Path
 ) -> None:
@@ -208,4 +210,206 @@ def q_llm_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_dup_members"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# The composed end-to-end pipeline (VERDICT r10 #7): crawl-append →
+# CDF-incremental dedup (bloom-prefiltered exact tier → prefix near
+# tier) → quality curation → split assignment, one graded query whose
+# oracle is the from-scratch batch recomputation — the hash matches
+# if and only if the incremental path equals rebuilding everything.
+# ---------------------------------------------------------------------------
+
+#: corpus/crawl split for the pipeline lifecycle (distinct from the
+#: digest-index %5 and curation %7 moduli)
+PIPE_MOD = 4
+#: quality gate: crawl docs under this many words are dropped
+PIPE_MIN_WORDS = 8
+#: split assignment: doc_id % 10 == PIPE_VALID_RESIDUE → 'valid'
+PIPE_VALID_RESIDUE = 7
+
+
+@_register_builder(
+    "documents_pipeline",
+    fp_params=[PIPE_MOD, PIPE_MIN_WORDS, PIPE_VALID_RESIDUE],
+)
+def _build_pipeline_tables(
+    spark: SparkSession, sf_dir: str, tmp: Path
+) -> None:
+    """The incremental training-data pipeline, run once per fixture:
+
+    staging  v0 = corpus (doc_id % PIPE_MOD != 0)
+             v1 = today's crawl append
+    curated  v0 = corpus
+             v1 = append ONLY crawl docs that clear, in order:
+                  quality (≥ PIPE_MIN_WORDS words) → within-crawl
+                  keeper election (min doc_id per digest AND per
+                  prefix fingerprint over the quality-passing crawl)
+                  → bloom-prefiltered EXACT tier (digest not in
+                  corpus; the broadcast bitset verdicts the novel
+                  majority map-side, positives fall through to the
+                  exact anti-join — correctness never depends on the
+                  filter) → prefix NEAR tier (fingerprint not in
+                  corpus).
+
+    The crawl is consumed as a CHANGE-DATA-FEED delta (append fast
+    path — O(new files), the corpus snapshot never re-read for the
+    delta itself); the corpus digest/prefix sides are the build side
+    a resident pipeline holds at rest (wave 4's index tables).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    from frafka_spark.llm.dedup import (
+        _bloom_positions,
+        _packed_partition_bitsets,
+    )
+    from frafka_spark.operators.lakehouse import _pfx_col
+    from frafka_spark.sources.manifest_table import (
+        read_changes,
+        write_table,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = d.filter(F.col("doc_id") % PIPE_MOD != 0)
+    staging, curated = tmp / "staging", tmp / "curated"
+    write_table(corpus, str(staging), mode="overwrite")
+    write_table(
+        d.filter(F.col("doc_id") % PIPE_MOD == 0), str(staging),
+        mode="append",
+    )
+    write_table(corpus, str(curated), mode="overwrite")
+
+    delta = read_changes(spark, str(staging), 0, 1).filter(
+        F.col("_change_type") == "insert"
+    )
+    q = (
+        delta.filter(F.size(F.split("text", " ")) >= PIPE_MIN_WORDS)
+        .select(
+            "doc_id", "source", "text",
+            F.md5("text").alias("h"), _pfx_col().alias("pfx"),
+        )
+    )
+    # within-crawl keeper election over the QUALITY-PASSING crawl
+    w_h = Window.partitionBy("h").orderBy("doc_id")
+    w_p = Window.partitionBy("pfx").orderBy("doc_id")
+    q = (
+        q.withColumn("rn_h", F.row_number().over(w_h))
+        .withColumn("rn_p", F.row_number().over(w_p))
+        .filter((F.col("rn_h") == 1) & (F.col("rn_p") == 1))
+        .drop("rn_h", "rn_p")
+    )
+
+    # bloom-prefiltered exact tier against the corpus digest side
+    import math
+
+    corpus_h = corpus.select(F.md5("text").alias("h"))
+    n = max(1, corpus_h.count())
+    m = max(64, int(-n * math.log(0.01) / math.log(2) ** 2))
+    k = max(1, round(m / n * math.log(2)))
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for chunk in _packed_partition_bitsets(
+        corpus_h.select(F.explode(_bloom_positions("h", m, k)).alias("p")), m
+    ):
+        np.bitwise_or(bits, np.frombuffer(chunk, dtype=np.uint8), out=bits)
+    bcast = spark.sparkContext.broadcast(bits.tobytes())
+
+    @pandas_udf("boolean")
+    def bloom_maybe(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        buf = np.frombuffer(bcast.value, dtype=np.uint8)
+        mat = np.vstack(pos.to_numpy())
+        hit = (buf[mat >> 3] & (1 << (mat & 7)).astype(np.uint8)).astype(bool)
+        return pd.Series(hit.all(axis=1))
+
+    probed = q.withColumn("maybe", bloom_maybe(_bloom_positions("h", m, k)))
+    exact_novel = probed.filter(~F.col("maybe")).unionByName(
+        probed.filter(F.col("maybe")).join(corpus_h, "h", "left_anti")
+    )
+    # prefix near tier against the corpus fingerprint side
+    corpus_pfx = corpus.select(_pfx_col().alias("pfx")).distinct()
+    novel = exact_novel.join(corpus_pfx, "pfx", "left_anti").select(
+        "doc_id", "source", "text"
+    )
+    write_table(novel, str(curated), mode="append")
+
+
+@query(
+    "q_llm_pipeline_e2e",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, text, md5(text) AS h,
+             md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS pfx
+      FROM documents
+    ),
+    corpus AS (SELECT * FROM d WHERE doc_id % {PIPE_MOD} <> 0),
+    crawl AS (
+      SELECT * FROM d
+      WHERE doc_id % {PIPE_MOD} = 0
+        AND len(string_split(text, ' ')) >= {PIPE_MIN_WORDS}
+    ),
+    novel AS (
+      SELECT * FROM crawl c
+      WHERE doc_id = (SELECT min(doc_id) FROM crawl c2 WHERE c2.h = c.h)
+        AND doc_id = (SELECT min(doc_id) FROM crawl c3 WHERE c3.pfx = c.pfx)
+        AND NOT EXISTS (SELECT 1 FROM corpus k WHERE k.h = c.h)
+        AND NOT EXISTS (SELECT 1 FROM corpus k WHERE k.pfx = c.pfx)
+    ),
+    final AS (
+      SELECT doc_id, source, text FROM corpus
+      UNION ALL SELECT doc_id, source, text FROM novel
+    )
+    SELECT source,
+           CASE WHEN doc_id % 10 = {PIPE_VALID_RESIDUE}
+                THEN 'valid' ELSE 'train' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM final GROUP BY 1, 2
+    """,
+)
+def q_llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED incremental pipeline graded end-to-end (VERDICT
+    r10 #7): crawl appended to staging → consumed as a CDF delta →
+    quality gate → within-crawl keeper election → bloom-prefiltered
+    exact dedup tier → prefix near tier → novel docs appended to the
+    curated table → train/valid split rollup read from the CURATED
+    TABLE's latest snapshot. The oracle recomputes the whole thing
+    from scratch over the flat fixture, so the hash matches if and
+    only if the incremental path — CDF read, broadcast bloom verdict,
+    anti-joins, table appends — equals the batch recomputation.
+
+    (The near tier here is the prefix-fingerprint stage; the banded
+    ppjoin tier composes identically — its verified-pair relation
+    replaces the fingerprint anti-join — but its oracle is the
+    r10-graded `q_llm_dedup_ppjoin` and folding that SQL in here
+    would re-grade it, not the composition.)
+
+    Exactness: md5/fingerprints are bit-identical across engines;
+    quality and split gates are integer comparisons; outputs are
+    exact longs — tie-free.
+
+    Scale shape: the daily loop of a 100 TB training-data pipeline —
+    cost is O(crawl delta), not O(corpus): the CDF append fast path
+    reads only new files, the corpus digest side is a broadcast
+    bitset (~1.2 bytes/doc) plus an anti-join whose build side is
+    digest-width, and the curated table grows by one append commit
+    whose files carry stats for downstream pruning. Every stage is
+    restart-safe: appends are idempotent snapshots, the bloom is
+    rebuilt from the index at rest, and a failed day re-runs from
+    the same CDF window.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "documents_pipeline")
+    t = read_table(spark, str(Path(path) / "curated"))
+    return t.groupBy(
+        "source",
+        F.when(F.col("doc_id") % 10 == PIPE_VALID_RESIDUE, "valid")
+        .otherwise("train")
+        .alias("split"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("chars"),
     )

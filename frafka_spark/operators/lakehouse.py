@@ -165,8 +165,18 @@ _BUILDERS = {
 }
 
 
-def _register_builder(name):
+#: graded constants contributed by OUT-OF-MODULE builders (e.g.
+#: llm/index_store.py) — folded into the freshness fingerprint so
+#: changing them invalidates stale on-disk lifecycle tables exactly
+#: like this module's own constants
+_FP_PARAMS_EXTRA: list = []
+
+
+def _register_builder(name, fp_params: list | None = None):
     """Builders defined after the dict literal self-register here."""
+    if fp_params:
+        _FP_PARAMS_EXTRA.append([name, fp_params])
+
     def deco(fn):
         _BUILDERS[name] = fn
         return fn
@@ -206,6 +216,7 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
             N_STREAM_BATCHES, PFX_WORDS,
             UPD2_LO, UPD2_HI, UPD2_BUMP, UPD2_PRIORITY,
         ],
+        "extra": sorted(map(repr, _FP_PARAMS_EXTRA)),
     }
     # compare in canonical JSON form: INS_ROWS holds tuples, which a
     # JSON round-trip turns into lists — comparing the raw dict against

@@ -656,3 +656,60 @@ def test_persisted_digest_index_lifecycle_shape(spark):
     df = QUERIES["q_llm_index_persisted"].fn(spark, SF_DIR)
     assert "documents.parquet" not in plan_str(df)  # reads the index only
     assert "digest_index" in plan_str(df)
+
+
+def test_pipeline_e2e_incremental_equals_batch(spark):
+    """q_llm_pipeline_e2e: the curated table's append commit holds
+    EXACTLY the batch-recomputed novel set (quality gate, within-crawl
+    keeper election, exact + prefix tiers against the corpus), and the
+    lifecycle shape is v0 overwrite + v1 append with the staging CDF
+    on the append fast path."""
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    from frafka_spark.io import table
+    from frafka_spark.llm.index_store import (
+        PIPE_MIN_WORDS,
+        PIPE_MOD,
+        _ensure_table,
+    )
+    from frafka_spark.operators.lakehouse import _pfx_col
+    from frafka_spark.sources import manifest_table as mt
+
+    path = _ensure_table(spark, SF_DIR, "documents_pipeline")
+    curated = str(Path(path) / "curated")
+    assert mt.current_version(curated) == 1
+    m0, m1 = mt._read_manifest(curated, 0), mt._read_manifest(curated, 1)
+    assert m0["mode"] == "overwrite" and m1["mode"] == "append"
+
+    # batch recomputation of the novel set, in Spark
+    d = table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    corpus = d.filter(F.col("doc_id") % PIPE_MOD != 0)
+    crawl = (
+        d.filter(F.col("doc_id") % PIPE_MOD == 0)
+        .filter(F.size(F.split("text", " ")) >= PIPE_MIN_WORDS)
+        .select("doc_id", "source", "text",
+                F.md5("text").alias("h"), _pfx_col().alias("pfx"))
+    )
+    w_h = Window.partitionBy("h").orderBy("doc_id")
+    w_p = Window.partitionBy("pfx").orderBy("doc_id")
+    expect = (
+        crawl.withColumn("rn_h", F.row_number().over(w_h))
+        .withColumn("rn_p", F.row_number().over(w_p))
+        .filter((F.col("rn_h") == 1) & (F.col("rn_p") == 1))
+        .join(corpus.select(F.md5("text").alias("h")), "h", "left_anti")
+        .join(corpus.select(_pfx_col().alias("pfx")).distinct(),
+              "pfx", "left_anti")
+        .select("doc_id", "source", "text")
+    )
+    delta_files = [fp for fp in m1["files"] if fp not in m0["files"]]
+    got = mt._read_snapshot_files(
+        spark, delta_files, mt._schema_from_json(m1["schema"]), {}
+    )
+    assert got.count() > 0
+    assert _multiset_equal(got, expect)
+    # full curated snapshot = corpus + novel (no corpus row disturbed)
+    assert mt.read_table(spark, curated).count() == (
+        corpus.count() + expect.count()
+    )
