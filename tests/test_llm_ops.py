@@ -713,3 +713,19 @@ def test_pipeline_e2e_incremental_equals_batch(spark):
     assert mt.read_table(spark, curated).count() == (
         corpus.count() + expect.count()
     )
+
+
+def test_near_dup_at_rest_equals_from_scratch(spark):
+    """q_llm_dedup_near_at_rest: identical pair set (doc_a, doc_b,
+    jaccard) to the from-scratch q_llm_dedup_near, and the plan reads
+    the persisted index tables — never documents.parquet."""
+    from frafka_spark.plans.inspect import plan_str
+
+    at_rest = QUERIES["q_llm_dedup_near_at_rest"].fn(spark, SF_DIR)
+    scratch = QUERIES["q_llm_dedup_near"].fn(spark, SF_DIR)
+    assert {tuple(r) for r in at_rest.collect()} == {
+        tuple(r) for r in scratch.collect()
+    }
+    plan = plan_str(at_rest)
+    if "InMemory" not in plan:  # un-memoized plan visible only cold
+        assert "documents.parquet" not in plan
