@@ -508,3 +508,157 @@ def q_llm_dedup_near_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "near_pairs_at_rest",
         lambda: _minhash_lsh_pairs(sh, minhash=mh),
     )
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance beyond appends: a corpus DELETE (or an update's
+# delete/insert pair) flows through the CDF into the index tables —
+# deletes first (file-pruned key-set delete), then the insert rows.
+# ---------------------------------------------------------------------------
+
+
+def apply_cdf_to_index(
+    spark: SparkSession,
+    index_path: str,
+    delta: DataFrame,
+    rows_fn,
+    key: str = "doc_id",
+) -> None:
+    """Maintain an at-rest index table from ONE change-data-feed
+    window: delete-tagged docs' index rows are removed with the
+    file-pruned key-set DELETE (``delete_keys``), then insert-tagged
+    docs' rows append (deletes first, so an UPDATE's delete/insert
+    pair nets to the fresh rows). The deleted key set is delta-sized
+    (a day's deletes) — collecting it to drive file pruning is the
+    same O(delta) metadata cost the commit itself paid."""
+    from frafka_spark.sources.manifest_table import (
+        delete_keys,
+        write_table_with_stats,
+    )
+
+    deleted = [
+        r[0]
+        for r in delta.filter(F.col("_change_type") == "delete")
+        .select(key)
+        .distinct()
+        .collect()
+    ]
+    if deleted:
+        delete_keys(spark, index_path, key, deleted)
+    inserted = delta.filter(F.col("_change_type") == "insert")
+    ins_rows = rows_fn(inserted)
+    if ins_rows.limit(1).count():
+        write_table_with_stats(ins_rows, index_path, [key], mode="append")
+
+
+#: corpus DELETE band for the index-maintenance lifecycle (fits the
+#: dense 0..1499 sf0.001 keys; overlaps base AND crawl doc_ids so the
+#: delete exercises rows from both commits)
+DML_DEL_LO = 50
+DML_DEL_HI = 199
+
+
+@_register_builder(
+    "documents_digest_dml", fp_params=[CRAWL_MOD, DML_DEL_LO, DML_DEL_HI]
+)
+def _build_digest_dml_tables(
+    spark: SparkSession, sf_dir: str, tmp: Path
+) -> None:
+    """corpus  v0 = base docs (range-clustered, stats on doc_id)
+               v1 = crawl append
+               v2 = file-pruned DELETE of [DML_DEL_LO, DML_DEL_HI]
+    index     i0 = full build from corpus v0
+              i1 = CDF(0→1) applied (appends)
+              i2 = CDF(1→2) applied (key-set delete)"""
+    from frafka_spark.sources.manifest_table import (
+        delete_rows,
+        read_changes,
+        read_table,
+        write_table_with_stats,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus, index = tmp / "corpus", tmp / "digest_index"
+
+    def clustered(df):
+        return df.repartitionByRange(4, "doc_id").sortWithinPartitions(
+            "doc_id"
+        )
+
+    write_table_with_stats(
+        clustered(d.filter(F.col("doc_id") % CRAWL_MOD != 0)),
+        str(corpus), ["doc_id"], mode="overwrite",
+    )
+    write_table_with_stats(
+        clustered(d.filter(F.col("doc_id") % CRAWL_MOD == 0)),
+        str(corpus), ["doc_id"], mode="append",
+    )
+    delete_rows(spark, str(corpus), "doc_id", DML_DEL_LO, DML_DEL_HI)
+
+    write_table_with_stats(
+        clustered(digest_rows(read_table(spark, str(corpus), version=0))),
+        str(index), ["doc_id"], mode="overwrite",
+    )
+    for frm, to in ((0, 1), (1, 2)):
+        apply_cdf_to_index(
+            spark,
+            str(index),
+            read_changes(spark, str(corpus), frm, to),
+            digest_rows,
+        )
+
+
+@query(
+    "q_llm_index_maintained",
+    oracle=f"""
+    WITH idx AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+      WHERE NOT (doc_id BETWEEN {DML_DEL_LO} AND {DML_DEL_HI})
+    ),
+    per AS (SELECT h, source, count(*) AS c FROM idx GROUP BY h, source),
+    g AS (SELECT h, CAST(sum(c) AS BIGINT) AS n FROM per GROUP BY h)
+    SELECT per.source,
+           CAST(sum(per.c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_digests,
+           CAST(sum(CASE WHEN g.n > 1 THEN per.c ELSE 0 END) AS BIGINT)
+               AS n_dup_members
+    FROM per JOIN g USING (h)
+    GROUP BY per.source
+    """,
+)
+def q_llm_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance under DML, graded end-to-end: the corpus
+    lives append AND delete commits, the digest index consumes each
+    CDF window (key-set delete for delete-tagged rows — the
+    file-pruned ``delete_keys`` — then the insert appends), and the
+    dup-group rollup answered from the index must equal the oracle's
+    recomputation over the fixture minus the deleted band. This
+    closes the maintenance loop the append-only wave left open: an
+    index that can't follow deletes serves GDPR'd or retracted
+    documents forever.
+
+    Exactness: md5 bit-identical; integer band predicate; exact longs.
+
+    Scale shape: deletes prune — the key set is delta-sized and
+    broadcast, files rewrite only where their doc_id span intersects
+    (both corpus and index are range-clustered on doc_id, the layout
+    an index table earns by construction since its rows arrive in
+    ingest order); everything else is the append fast path.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "documents_digest_dml")
+    idx = read_table(spark, str(Path(path) / "digest_index"))
+    per = idx.groupBy("h", "source").agg(F.count("*").alias("c"))
+    g = per.groupBy("h").agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        per.join(g, "h")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_digests"),
+            F.sum(F.when(F.col("n") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_members"),
+        )
+    )

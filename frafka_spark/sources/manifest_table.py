@@ -797,6 +797,99 @@ def update_rows(
     }
 
 
+def delete_keys(spark: SparkSession, path: str, col: str, keys) -> dict:
+    """File-pruned copy-on-write DELETE of an EXPLICIT key set — the
+    row-level twin of ``delete_rows``'s range form, and the shape an
+    incremental index-maintenance consumer needs (a CDF delta names
+    the deleted doc_ids; they are rarely a contiguous band). A file is
+    rewritten only if some key falls inside its manifest ``[min,
+    max]`` span for ``col`` (binary search per file over the sorted
+    key set — O(files · log keys) driver metadata work); files
+    without recorded stats are conservatively rewritten.
+
+    NULL semantics follow SQL ``DELETE WHERE col IN (...)``: NULL
+    never matches, so NULL-keyed rows are KEPT (the broadcast
+    anti-join provides this for free).
+
+    Scale shape: ``keys`` is a delta-sized set (a day's deletes), so
+    it broadcasts; beyond broadcast range, shuffle both sides on the
+    key — same trade as any DML change set. Returns ``{"version",
+    "files_rewritten", "files_carried"}``.
+    """
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    ks = sorted({k for k in keys if k is not None})
+    prev = current_version(path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    manifest = _read_manifest(path, prev)
+    stats = manifest.get("stats", {})
+    mapping = _mapping_of(manifest)
+    untouched: list[str] = []
+    touched: list[str] = []
+    for fp in manifest["files"]:
+        span = stats.get(fp, {}).get(col)
+        if span is not None:
+            i = bisect.bisect_left(ks, span[0])
+            if i >= len(ks) or ks[i] > span[1]:
+                untouched.append(fp)
+                continue
+        touched.append(fp)
+    new_files: list[str] = []
+    if touched and ks:
+        logical = _schema_from_json(manifest["schema"])
+        keys_df = spark.createDataFrame(
+            [(k,) for k in ks], f"`{col}` {logical[col].dataType.simpleString()}"
+        )
+        survivors = _read_snapshot_files(
+            spark, touched, logical, mapping
+        ).join(F.broadcast(keys_df), col, "left_anti")
+        new_files = _write_data_files(_to_physical(survivors, mapping), path)
+    elif touched:
+        new_files = touched  # empty key set: nothing to rewrite
+        touched = []
+    version = prev + 1
+    new_manifest = {
+        "version": version,
+        "mode": "delete",
+        "files": untouched + new_files,
+        "schema": manifest["schema"],
+        "parent": prev,
+    }
+    if stats:
+        stats_cols = sorted({c for spans in stats.values() for c in spans})
+        phys_cols = [mapping.get(c, c) for c in stats_cols]
+        inverse = dict(zip(phys_cols, stats_cols))
+        rebuilt = _file_stats(
+            [fp for fp in new_files if fp not in stats], phys_cols, spark=spark
+        )
+        new_manifest["stats"] = {
+            **{fp: stats[fp] for fp in untouched + new_files if fp in stats},
+            **{
+                fp: {inverse.get(c, c): span for c, span in spans.items()}
+                for fp, spans in rebuilt.items()
+            },
+        }
+    if manifest.get("bloom"):
+        new_manifest["bloom"] = {
+            fp: manifest["bloom"][fp]
+            for fp in untouched
+            if fp in manifest["bloom"]
+        }
+    if mapping:
+        new_manifest["column_mapping"] = mapping
+    if manifest.get("retired_physical"):
+        new_manifest["retired_physical"] = manifest["retired_physical"]
+    _commit(path, version, new_manifest)
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "files_carried": len(untouched),
+    }
+
+
 def restore_table(path: str, version: int) -> int:
     """RESTORE the table to an earlier snapshot AS A NEW COMMIT —
     Delta's ``RESTORE TABLE ... TO VERSION AS OF``: the new manifest

@@ -729,3 +729,57 @@ def test_near_dup_at_rest_equals_from_scratch(spark):
     plan = plan_str(at_rest)
     if "InMemory" not in plan:  # un-memoized plan visible only cold
         assert "documents.parquet" not in plan
+
+
+def test_index_maintenance_follows_deletes_and_updates(spark, tmp_path):
+    """apply_cdf_to_index: after append AND delete corpus commits the
+    at-rest index multiset-equals a full rebuild from the corpus's
+    latest snapshot; an UPDATE-shaped delta (delete/insert pair for
+    one doc) nets to the fresh rows; the index delete commit carried
+    span-disjoint files."""
+    from pathlib import Path
+
+    from frafka_spark.io import table
+    from frafka_spark.llm.index_store import (
+        DML_DEL_HI,
+        DML_DEL_LO,
+        _ensure_table,
+        apply_cdf_to_index,
+        digest_rows,
+    )
+    from frafka_spark.sources import manifest_table as mt
+
+    path = _ensure_table(spark, SF_DIR, "documents_digest_dml")
+    corpus = str(Path(path) / "corpus")
+    index = str(Path(path) / "digest_index")
+    assert mt.current_version(index) == 2
+    assert _multiset_equal(
+        mt.read_table(spark, index),
+        digest_rows(mt.read_table(spark, corpus)),
+    )
+    # the graded band really is gone from the index
+    got = mt.read_table(spark, index).filter(
+        F.col("doc_id").between(DML_DEL_LO, DML_DEL_HI)
+    )
+    assert got.count() == 0
+    # the index delete commit carried files (pruning happened)
+    m1, m2 = mt._read_manifest(index, 1), mt._read_manifest(index, 2)
+    assert m2["mode"] == "delete"
+    assert set(m1["files"]) & set(m2["files"])
+
+    # UPDATE-shaped delta: delete + insert of the same doc nets fresh
+    d = table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    one = d.orderBy("doc_id").limit(1)
+    idx2 = str(tmp_path / "idx2")
+    mt.write_table_with_stats(
+        digest_rows(d), idx2, ["doc_id"], mode="overwrite"
+    )
+    fresh = one.withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    delta = one.withColumn("_change_type", F.lit("delete")).unionByName(
+        fresh.withColumn("_change_type", F.lit("insert"))
+    )
+    apply_cdf_to_index(spark, idx2, delta, digest_rows)
+    assert _multiset_equal(
+        mt.read_table(spark, idx2),
+        digest_rows(d.exceptAll(one).unionByName(fresh)),
+    )

@@ -1393,3 +1393,35 @@ def test_write_table_retries_lost_race(spark, tmp_path, monkeypatch):
         set(mt._read_manifest(path, 2)["files"])
         - set(mt._read_manifest(path, 0)["files"])
     )
+
+
+def test_delete_keys_prunes_and_keeps_nulls(spark, tmp_path):
+    """delete_keys: scattered key-set DELETE rewrites only files whose
+    span contains some key, keeps NULL-keyed rows (SQL IN semantics),
+    and an empty key set commits a no-op snapshot."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 400).select(
+        F.when(F.col("id") == 350, None).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 9).alias("v"),
+    ).repartitionByRange(4, "k").sortWithinPartitions("k")
+    mt.write_table_with_stats(base, path, ["k"], mode="overwrite")
+
+    res = mt.delete_keys(spark, path, "k", [5, 17, 42, 99])  # low keys only
+    # range split boundaries are approximate — the low keys land in at
+    # most 2 of the 4 files; the high files must be carried
+    assert res["files_rewritten"] <= 2 and res["files_carried"] >= 2
+    t = mt.read_table(spark, path)
+    assert t.count() == 396
+    assert t.filter(F.col("k").isin([5, 17, 42, 99])).count() == 0
+    assert t.filter(F.col("k").isNull()).count() == 1     # NULL kept
+
+    res2 = mt.delete_keys(spark, path, "k", [])
+    assert res2["files_rewritten"] == 0
+    assert mt.read_table(spark, path).count() == 396
+    # carried stats entries survive both commits
+    m = mt._read_manifest(path, mt.current_version(path))
+    assert all("k" in m["stats"].get(fp, {}) for fp in m["files"])
