@@ -783,3 +783,37 @@ def test_index_maintenance_follows_deletes_and_updates(spark, tmp_path):
         mt.read_table(spark, idx2),
         digest_rows(d.exceptAll(one).unionByName(fresh)),
     )
+
+
+def test_streamed_index_exactly_once_shape(spark):
+    """q_llm_index_streamed lifecycle pins: both tables hold exactly
+    the N batch ids (no dup from the redeliveries, no loss from the
+    crash-shaped batch), version counts match one commit per batch,
+    and index rows equal digest_rows(corpus)."""
+    from pathlib import Path
+
+    from frafka_spark.io import table
+    from frafka_spark.llm.index_store import (
+        N_INDEX_BATCHES,
+        _ensure_table,
+        digest_rows,
+    )
+    from frafka_spark.sources import manifest_table as mt
+
+    path = _ensure_table(spark, SF_DIR, "documents_index_streamed")
+    corpus = str(Path(path) / "corpus")
+    index = str(Path(path) / "digest_index")
+    want = set(range(N_INDEX_BATCHES))
+    assert mt.committed_batch_ids(corpus) == want
+    assert mt.committed_batch_ids(index) == want
+    # one commit per batch — redeliveries added no versions
+    assert mt.current_version(corpus) == N_INDEX_BATCHES - 1
+    assert mt.current_version(index) == N_INDEX_BATCHES - 1
+
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert mt.read_table(spark, corpus).count() == n_docs
+    assert mt.read_table(spark, index).count() == n_docs
+    assert _multiset_equal(
+        mt.read_table(spark, index),
+        digest_rows(mt.read_table(spark, corpus)),
+    )
