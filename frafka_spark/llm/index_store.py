@@ -771,3 +771,167 @@ def q_llm_index_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# More consumption: exact dedup and IVF ANN answered from at-rest
+# tables, each sharing its from-scratch twin's oracle verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _registered_oracle(name: str) -> str:
+    """Reuse a from-scratch key's oracle verbatim — the at-rest twin
+    must produce the identical relation, and sharing the SQL string
+    makes that contract structural instead of copy-paste."""
+    from frafka_spark.registry import QUERIES
+
+    return QUERIES[name].oracle
+
+
+@query(
+    "q_llm_dedup_exact_at_rest",
+    oracle=_registered_oracle("q_llm_dedup_exact"),
+)
+def q_llm_dedup_exact_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup answered from the AT-REST digest index (wave 4's
+    `documents_digest_indexed` lifecycle): one hash-aggregate over
+    16-byte digest rows — corpus text is never read. Shares
+    ``q_llm_dedup_exact``'s oracle verbatim, so the hash gates
+    at-rest == from-scratch on the consumption side.
+
+    Scale shape: THE everyday dedup query at 100 TB — digest-width
+    input (≈3% of text width on this fixture), one shuffle, and the
+    index table is already maintained by the ingest CDF path, so this
+    query's cost is independent of how the corpus text is stored."""
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "documents_digest_indexed")
+    idx = read_table(spark, str(Path(path) / "digest_index"))
+    return idx.groupBy(F.col("h").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+        (F.count("*") > 1).alias("is_duplicated"),
+    )
+
+
+@_register_builder("embeddings_cells_indexed", fp_params=[CRAWL_MOD])
+def _build_cells_index_tables(
+    spark: SparkSession, sf_dir: str, tmp: Path
+) -> None:
+    """vectors v0 = base (every centroid vec_id % CENTROID_MOD == 0 is
+    FORCED into the base so the frozen codebook equals the oracle's
+    centroid set); v1 = crawl append. cells c0 = assignments of base,
+    c1 = append assignments of the CDF delta under the SAME codebook."""
+    from frafka_spark.llm.similarity import CENTROID_MOD, _vectors
+    from frafka_spark.sources.manifest_table import (
+        read_changes,
+        read_table,
+        write_table,
+    )
+
+    v = _vectors(spark, sf_dir)  # vec_id, label, emb, norm
+    is_base = (F.col("vec_id") % CRAWL_MOD != 0) | (
+        F.col("vec_id") % CENTROID_MOD == 0
+    )
+    vectors, cells = tmp / "vectors", tmp / "cells"
+    write_table(v.filter(is_base), str(vectors), mode="overwrite")
+    write_table(v.filter(~is_base), str(vectors), mode="append")
+
+    base = read_table(spark, str(vectors), version=0)
+    cents = base.filter((F.col("vec_id") % CENTROID_MOD) == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("norm").alias("cnorm"),
+    )
+
+    def assign(rows: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from frafka_spark.llm.similarity import _dot
+
+        ccos = _dot(F.col("emb"), F.col("cemb")) / (
+            F.col("norm") * F.col("cnorm")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("cent_id").asc()
+        )
+        return (
+            rows.crossJoin(F.broadcast(cents))
+            .withColumn("ccos", ccos)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "label", "emb", "norm", "cent_id")
+        )
+
+    write_table(assign(base), str(cells), mode="overwrite")
+    delta = read_changes(spark, str(vectors), 0, 1).filter(
+        F.col("_change_type") == "insert"
+    ).select("vec_id", "label", "emb", "norm")
+    write_table(assign(delta), str(cells), mode="append")
+
+
+@query(
+    "q_llm_sim_ann_at_rest", oracle=_registered_oracle("q_llm_sim_ann")
+)
+def q_llm_sim_ann_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-1 answered from the AT-REST cells table: the cell
+    self-join and cosine top-1 read persisted (vec_id, emb, norm,
+    cent_id) rows — embeddings are never re-normalized and centroids
+    never re-scanned. The codebook was frozen when the cells table
+    was created and the crawl's assignments appended under it via the
+    CDF delta, so sharing ``q_llm_sim_ann``'s oracle verbatim gates
+    BOTH halves: maintenance (frozen-codebook appends == full
+    assignment) and consumption (at-rest search == from-scratch).
+    Result memoized per (session, fixture) like its twin.
+
+    Scale shape: the vector-search serving path at 10⁹ vectors — the
+    cells table IS the deployed index (partitioned by cent_id it
+    serves cell-local joins with no re-assignment pass), ingest
+    appends assignments per crawl under the pinned codebook version,
+    and a codebook retrain is an overwrite commit readers pin across.
+    Doubles stored in parquet round-trip exactly, so at-rest cosines
+    are bit-identical to freshly-computed ones.
+    """
+    from pyspark.sql import Window
+
+    from frafka_spark.functions.determinism import half_up
+    from frafka_spark.llm.dedup import memoized_result
+    from frafka_spark.llm.similarity import _dot
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "embeddings_cells_indexed")
+
+    def build() -> DataFrame:
+        cells = read_table(spark, str(Path(path) / "cells"))
+        a = cells.select(
+            "vec_id", "cent_id",
+            F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a"),
+        )
+        b = cells.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cent_id").alias("cent_b"),
+            F.col("emb").alias("emb_b"),
+            F.col("norm").alias("norm_b"),
+        )
+        cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+            F.col("norm_a") * F.col("norm_b")
+        )
+        w_top = Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            a.join(
+                b,
+                (F.col("cent_id") == F.col("cent_b"))
+                & (F.col("vec_id") != F.col("neighbor_id")),
+            )
+            .withColumn("cos", cos)
+            .withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id", "cent_id", "neighbor_id",
+                half_up(F.col("cos"), 6).alias("cosine"),
+            )
+        )
+
+    return memoized_result(spark, sf_dir, "sim_ann_topk_at_rest", build)

@@ -817,3 +817,19 @@ def test_streamed_index_exactly_once_shape(spark):
         mt.read_table(spark, index),
         digest_rows(mt.read_table(spark, corpus)),
     )
+
+
+def test_at_rest_twins_equal_from_scratch(spark):
+    """The at-rest exact-dedup and ANN twins produce exactly their
+    from-scratch keys' relations (they share oracles structurally via
+    _registered_oracle — this pins the Spark sides agree too)."""
+    for at_rest, scratch in (
+        ("q_llm_dedup_exact_at_rest", "q_llm_dedup_exact"),
+        ("q_llm_sim_ann_at_rest", "q_llm_sim_ann"),
+    ):
+        a = QUERIES[at_rest].fn(spark, SF_DIR)
+        s = QUERIES[scratch].fn(spark, SF_DIR)
+        assert {tuple(r) for r in a.collect()} == {
+            tuple(r) for r in s.collect()
+        }, at_rest
+        assert QUERIES[at_rest].oracle == QUERIES[scratch].oracle
