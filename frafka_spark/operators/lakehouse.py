@@ -539,6 +539,115 @@ def _build_restored_table(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
     restore_table(str(tmp), 0)
 
 
+#: three-branch CDC merge: delete band (distinct from every other
+#: lifecycle band), plus the UPD_*/INS_ROWS upsert half reused from
+#: the two-branch merge so the two oracles stay derivable from each
+#: other. Fits sf0.001's dense 0..1499 keys.
+CDC_DEL_LO = 600
+CDC_DEL_HI = 699
+
+
+@_register_builder("orders_cdc", fp_params=[CDC_DEL_LO, CDC_DEL_HI])
+def _build_cdc_table(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
+    """v0: range-clustered stats write; v1: one three-branch CDC merge
+    (updates [UPD_LO, UPD_HI], inserts INS_ROWS, deletes
+    [CDC_DEL_LO, CDC_DEL_HI])."""
+    from frafka_spark.sources.manifest_table import (
+        merge_table_cdc,
+        write_table_with_stats,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(N_RANGE_FILES, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_table_with_stats(o, str(tmp), ["o_orderkey"], mode="overwrite")
+    upd = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").between(UPD_LO, UPD_HI))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_totalprice") + F.lit(UPD_BUMP)).alias("o_totalprice"),
+            F.lit("upsert").alias("_op"),
+        )
+    )
+    ins = spark.createDataFrame(
+        INS_ROWS, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).withColumn("_op", F.lit("upsert"))
+    dels = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").between(CDC_DEL_LO, CDC_DEL_HI))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.lit("delete").alias("_op"),
+        )
+    )
+    merge_table_cdc(
+        spark, str(tmp), upd.unionByName(ins).unionByName(dels),
+        key="o_orderkey",
+    )
+
+
+@query(
+    "q_scan_merge_cdc",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey BETWEEN {UPD_LO} AND {UPD_HI}
+                  THEN o_totalprice + {UPD_BUMP}
+                  ELSE o_totalprice END AS p
+      FROM orders
+      WHERE NOT (o_orderkey BETWEEN {CDC_DEL_LO} AND {CDC_DEL_HI})
+      UNION ALL
+      SELECT '1-URGENT' AS o_orderpriority, v AS p
+      FROM (VALUES {_INS_VALUES_SQL}) t(v)
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-BRANCH file-pruned MERGE graded end-to-end — the full
+    Delta ``WHEN MATCHED UPDATE / NOT MATCHED INSERT / MATCHED
+    DELETE`` surface in ONE commit (``merge_table_cdc``): after a CDC
+    batch that updates the [{UPD_LO}, {UPD_HI}] band, inserts five
+    negative-keyed rows, and deletes the [{CDC_DEL_LO}, {CDC_DEL_HI}]
+    band, the priority rollup must equal the fixture under the same
+    CASE bump, VALUES union, and NOT BETWEEN. The lifecycle pytest
+    pins carry/prune, branch counts, and the keyed-change-set guard.
+
+    Exactness: one IEEE double addition before the half-up cents
+    floor; exact longs; all bands/rows corpus constants.
+
+    Scale shape: a real CDC batch mixes all three ops; handling them
+    in one commit means one span computation, one file-pruned
+    rewrite, one snapshot — instead of delete+merge as two commits
+    doubling the rewrite of files both touch. The deletes apply as a
+    broadcast anti-join and the upserts broadcast too, so the target
+    never shuffles.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "orders_cdc")
+    t = read_table(spark, path)
+    return t.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
 @query(
     "q_scan_updated",
     oracle=f"""

@@ -595,6 +595,123 @@ def merge_table_pruned(
     }
 
 
+def merge_table_cdc(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "_op",
+) -> dict:
+    """Three-branch file-pruned MERGE — the full Delta ``WHEN MATCHED
+    UPDATE / WHEN NOT MATCHED INSERT / WHEN MATCHED DELETE`` surface a
+    CDC consumer needs: ``changes`` carries ``op_col`` with values
+    ``'upsert'`` | ``'delete'``; delete rows remove matching target
+    keys (absent keys are a no-op), upsert rows update matched keys
+    and insert the rest. Only files whose manifest span for ``key``
+    intersects the change set's key span are rewritten; span-disjoint
+    files carry byte-identical with verbatim stats (the same carry
+    proof as ``merge_table_pruned`` — a disjoint file can hold no
+    matched, deleted, or colliding-insert key).
+
+    Keys must be unique ACROSS the whole change set (a key may not
+    appear in both branches; Delta raises on multi-source matches for
+    the same reason — last-wins ordering is not a relation). Delete
+    semantics follow SQL: NULL-keyed target rows never match and are
+    kept; NULL-keyed delete rows match nothing.
+
+    Returns ``{"version", "files_rewritten", "files_carried",
+    "n_deletes", "n_upserts"}``.
+    """
+    from pyspark.sql import functions as F
+
+    from frafka_spark.operators.merge import merge_upsert
+
+    ops = [
+        r[0] for r in changes.select(op_col).distinct().collect()
+    ]
+    bad = [o for o in ops if o not in ("upsert", "delete")]
+    if bad:
+        raise ValueError(f"unknown {op_col!r} values: {bad}")
+    dup = (
+        changes.groupBy(key).count().filter(F.col("count") > 1).limit(1)
+    ).count()
+    if dup:
+        raise ValueError(
+            "change set must be keyed: a key may appear at most once "
+            "across the upsert and delete branches"
+        )
+    prev = current_version(path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    manifest = _read_manifest(path, prev)
+    stats = manifest.get("stats", {})
+    mapping = _mapping_of(manifest)
+    span_row = changes.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    lo, hi = span_row["lo"], span_row["hi"]
+    untouched: list[str] = []
+    touched: list[str] = []
+    for fp in manifest["files"]:
+        span = stats.get(fp, {}).get(key)
+        if span is not None and (
+            lo is None or span[1] < lo or span[0] > hi
+        ):
+            untouched.append(fp)
+        else:
+            touched.append(fp)
+    dels = changes.filter(F.col(op_col) == "delete").select(key).distinct()
+    ups = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    n_del, n_ups = dels.count(), ups.count()
+    logical = _schema_from_json(manifest["schema"])
+    target = _read_snapshot_files(spark, touched, logical, mapping)
+    # deletes first (broadcast anti-join keeps NULL-keyed target rows),
+    # then the classic upsert over the survivors
+    survivors = target.join(F.broadcast(dels), key, "left_anti")
+    merged = merge_upsert(survivors, ups, key)
+    new_files = _write_data_files(_to_physical(merged, mapping), path)
+    version = prev + 1
+    new_manifest = {
+        "version": version,
+        "mode": "merge",
+        "files": untouched + new_files,
+        "schema": manifest["schema"],
+        "parent": prev,
+    }
+    if stats:
+        stats_cols = sorted({c for spans in stats.values() for c in spans})
+        phys_cols = [mapping.get(c, c) for c in stats_cols]
+        inverse = dict(zip(phys_cols, stats_cols))
+        new_stats = {
+            fp: {inverse.get(c, c): span for c, span in spans.items()}
+            for fp, spans in _file_stats(
+                new_files, phys_cols, spark=spark
+            ).items()
+        }
+        new_manifest["stats"] = {
+            **{fp: stats[fp] for fp in untouched if fp in stats},
+            **new_stats,
+        }
+    if manifest.get("bloom"):
+        new_manifest["bloom"] = {
+            fp: manifest["bloom"][fp]
+            for fp in untouched
+            if fp in manifest["bloom"]
+        }
+    if mapping:
+        new_manifest["column_mapping"] = mapping
+    if manifest.get("retired_physical"):
+        new_manifest["retired_physical"] = manifest["retired_physical"]
+    _commit(path, version, new_manifest)
+    return {
+        "version": version,
+        "files_rewritten": len(touched),
+        "files_carried": len(untouched),
+        "n_deletes": n_del,
+        "n_upserts": n_ups,
+    }
+
+
 def delete_rows(
     spark: SparkSession, path: str, col: str, lo, hi
 ) -> dict:

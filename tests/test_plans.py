@@ -1601,3 +1601,67 @@ def test_restored_scan_is_metadata_only(spark):
 
     with _pytest.raises(ValueError, match="at or before"):
         version_as_of(path, m0["committed_at"] - 1.0)
+
+
+def test_cdc_merge_prunes_and_applies_all_branches(spark):
+    """q_scan_merge_cdc: one commit applies update/insert/delete; the
+    carry is span-disjoint files byte-identical with verbatim stats;
+    branch counts match the bands; keyed-change-set and op-value
+    guards raise before writing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from frafka_spark.io import table
+    from frafka_spark.operators.lakehouse import (
+        CDC_DEL_HI,
+        CDC_DEL_LO,
+        INS_ROWS,
+        UPD_BUMP,
+        UPD_HI,
+        UPD_LO,
+        _ensure_table,
+    )
+    from frafka_spark.sources import manifest_table as mt
+
+    path = _ensure_table(spark, SF_DIR, "orders_cdc")
+    v = mt.current_version(path)
+    m_pre, m_post = mt._read_manifest(path, v - 1), mt._read_manifest(path, v)
+    assert m_post["mode"] == "merge"
+    carried = set(m_pre["files"]) & set(m_post["files"])
+    assert carried, "no files were pruned from the CDC rewrite"
+    for fp in carried:
+        assert m_post["stats"][fp] == m_pre["stats"][fp]
+
+    orders = table(spark, SF_DIR, "orders")
+    n_all = orders.count()
+    n_del = orders.filter(
+        F.col("o_orderkey").between(CDC_DEL_LO, CDC_DEL_HI)
+    ).count()
+    n_upd = orders.filter(F.col("o_orderkey").between(UPD_LO, UPD_HI)).count()
+    assert n_del > 0 and n_upd > 0
+    t = mt.read_table(spark, path)
+    assert t.count() == n_all - n_del + len(INS_ROWS)
+    assert t.filter(
+        F.col("o_orderkey").between(CDC_DEL_LO, CDC_DEL_HI)
+    ).count() == 0
+    assert t.filter(F.col("o_orderkey") < 0).count() == len(INS_ROWS)
+    # one spot-check of the update branch
+    k = UPD_LO
+    before = orders.filter(F.col("o_orderkey") == k).first()["o_totalprice"]
+    after = t.filter(F.col("o_orderkey") == k).first()["o_totalprice"]
+    assert abs(after - before - UPD_BUMP) < 1e-6
+
+    # guards: duplicate key across branches, unknown op
+    ch = spark.createDataFrame(
+        [(1, "x", 1.0, "upsert"), (1, "x", 1.0, "delete")],
+        "o_orderkey long, o_orderpriority string, o_totalprice double, _op string",
+    )
+    with _pytest.raises(ValueError, match="at most once"):
+        mt.merge_table_cdc(spark, path, ch, key="o_orderkey")
+    bad = spark.createDataFrame(
+        [(1, "x", 1.0, "nuke")],
+        "o_orderkey long, o_orderpriority string, o_totalprice double, _op string",
+    )
+    with _pytest.raises(ValueError, match="unknown"):
+        mt.merge_table_cdc(spark, path, bad, key="o_orderkey")
+    assert mt.current_version(path) == v  # guards committed nothing
