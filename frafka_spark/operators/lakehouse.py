@@ -749,6 +749,74 @@ def q_scan_restored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register_builder("orders_cloned")
+def _build_cloned_tables(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
+    """source v0 = orders; clone = SHALLOW CLONE (zero data files);
+    clone v1 = INS_ROWS appended to the CLONE ONLY — the source must
+    stay bit-identical."""
+    from frafka_spark.sources.manifest_table import clone_table, write_table
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    src, dst = tmp / "source", tmp / "clone"
+    write_table(o, str(src), mode="overwrite")
+    clone_table(str(src), str(dst))
+    ins = spark.createDataFrame(
+        INS_ROWS, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    write_table(ins, str(dst), mode="append")
+
+
+@query(
+    "q_scan_cloned",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM (
+      SELECT o_orderpriority, o_totalprice AS p FROM orders
+      UNION ALL
+      SELECT '1-URGENT' AS o_orderpriority, v AS p
+      FROM (VALUES {_INS_VALUES_SQL}) t(v)
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_cloned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE graded end-to-end: the clone's v0 references the
+    source's data files with ZERO bytes copied, then diverges with an
+    append the source never sees — the priority rollup over the clone
+    must equal the fixture plus the VALUES union, while the lifecycle
+    pytest pins the physical contract (clone v0's file list is the
+    source's verbatim, the append added files only under the clone's
+    own path, and the source's manifest chain is untouched).
+
+    Exactness: counts are longs; per-row half-up cents; insert rows
+    are corpus literals.
+
+    Scale shape: the dev/test/experiment primitive at 100 TB —
+    branching a table for a backfill rehearsal or an A/B pipeline is
+    one manifest write, not a copy; divergent writes stay under the
+    clone, and the single hazard (source VACUUM dropping files a
+    clone still references) is the retention contract the docstring
+    carries from Delta.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "orders_cloned")
+    t = read_table(spark, str(Path(path) / "clone"))
+    return t.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
 #: micro-batch count for the streamed-sink lifecycle table
 N_STREAM_BATCHES = 4
 

@@ -167,12 +167,17 @@ def write_table(
         mapping: dict[str, str] = {}
         carried: list[str] = []
         retired: list[str] = []
-        if mode == "append" and prev is not None:
+        constraints: dict[str, str] = {}
+        if prev is not None:
             pm = _read_manifest(path, prev)
-            _check_append_schema(df, pm)
-            carried = pm["files"]
-            mapping = _mapping_of(pm)  # renames persist: physical names
-            retired = pm.get("retired_physical", [])
+            constraints = pm.get("constraints", {})
+            if constraints:
+                _enforce_constraints(df, pm)  # before any data write
+            if mode == "append":
+                _check_append_schema(df, pm)
+                carried = pm["files"]
+                mapping = _mapping_of(pm)  # renames persist: physical
+                retired = pm.get("retired_physical", [])
         if new_files is None:
             # written exactly once; a retry recomposes metadata only.
             # (If the winner RENAMED a column, its new mapping applies
@@ -198,6 +203,8 @@ def write_table(
             manifest["column_mapping"] = mapping
         if retired:
             manifest["retired_physical"] = retired
+        if constraints:
+            manifest["constraints"] = constraints
         try:
             _commit(path, version, manifest)
             return version
@@ -364,6 +371,8 @@ def add_column(path: str, name: str, data_type) -> int:
         manifest["stats"] = m["stats"]
     if m.get("retired_physical"):
         manifest["retired_physical"] = m["retired_physical"]
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
     _commit(path, version, manifest)
     return version
 
@@ -460,6 +469,8 @@ def rename_column(path: str, old: str, new: str) -> int:
         }
     if m.get("retired_physical"):
         manifest["retired_physical"] = m["retired_physical"]
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
     _commit(path, version, manifest)
     return version
 
@@ -587,6 +598,8 @@ def merge_table_pruned(
         new_manifest["column_mapping"] = mapping
     if manifest.get("retired_physical"):
         new_manifest["retired_physical"] = manifest["retired_physical"]
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
     _commit(path, version, new_manifest)
     return {
         "version": version,
@@ -702,6 +715,8 @@ def merge_table_cdc(
         new_manifest["column_mapping"] = mapping
     if manifest.get("retired_physical"):
         new_manifest["retired_physical"] = manifest["retired_physical"]
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
     _commit(path, version, new_manifest)
     return {
         "version": version,
@@ -794,6 +809,8 @@ def delete_rows(
         new_manifest["column_mapping"] = mapping
     if manifest.get("retired_physical"):
         new_manifest["retired_physical"] = manifest["retired_physical"]
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
     _commit(path, version, new_manifest)
     return {
         "version": version,
@@ -906,6 +923,8 @@ def update_rows(
         new_manifest["column_mapping"] = mapping
     if manifest.get("retired_physical"):
         new_manifest["retired_physical"] = manifest["retired_physical"]
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
     _commit(path, version, new_manifest)
     return {
         "version": version,
@@ -999,6 +1018,8 @@ def delete_keys(spark: SparkSession, path: str, col: str, keys) -> dict:
         new_manifest["column_mapping"] = mapping
     if manifest.get("retired_physical"):
         new_manifest["retired_physical"] = manifest["retired_physical"]
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
     _commit(path, version, new_manifest)
     return {
         "version": version,
@@ -1036,11 +1057,108 @@ def restore_table(path: str, version: int) -> int:
         "schema": src["schema"],
         "parent": prev,
     }
-    for carried in ("stats", "bloom", "column_mapping", "retired_physical"):
+    for carried in (
+        "stats", "bloom", "column_mapping", "retired_physical",
+        "constraints",
+    ):
         if src.get(carried):
             new_manifest[carried] = src[carried]
     _commit(path, new_version, new_manifest)
     return new_version
+
+
+def clone_table(src_path: str, dst_path: str) -> int:
+    """SHALLOW CLONE: create a NEW table whose v0 manifest references
+    the source's current data files — zero bytes copied (Delta's
+    ``CREATE TABLE ... SHALLOW CLONE``). The clone is immediately a
+    full independent table: appends/DML on it commit new manifests
+    referencing its own new files and never touch the source; the
+    source keeps committing without affecting the clone (its v0
+    pinned the file list).
+
+    The documented hazard is Delta's too: the clone references files
+    it does not own, so a VACUUM on the SOURCE that drops files still
+    referenced by a clone breaks the clone — production setups track
+    cross-table references before vacuuming, or deep-copy (read +
+    write) when the source's retention cannot be extended.
+
+    Returns the clone's committed version (always 0).
+    """
+    src_v = current_version(src_path)
+    if src_v is None:
+        raise FileNotFoundError(f"no committed snapshot at {src_path}")
+    if current_version(dst_path) is not None:
+        raise FileExistsError(f"table already exists at {dst_path}")
+    src = _read_manifest(src_path, src_v)
+    manifest = {
+        "version": 0,
+        "mode": "clone",
+        "cloned_from": {"path": src_path, "version": src_v},
+        "files": src["files"],
+        "schema": src["schema"],
+        "parent": None,
+    }
+    for carried in (
+        "stats", "bloom", "column_mapping", "retired_physical",
+        "constraints",
+    ):
+        if src.get(carried):
+            manifest[carried] = src[carried]
+    _commit(dst_path, 0, manifest)
+    return 0
+
+
+class ConstraintViolation(Exception):
+    """An appended row fails a table CHECK constraint — nothing committed."""
+
+
+def add_constraint(path: str, name: str, expr_sql: str) -> int:
+    """Register a CHECK constraint on the table (Delta's ``ALTER TABLE
+    ADD CONSTRAINT``): a SQL boolean expression over the table's
+    columns that every FUTURE append must satisfy (``write_table``
+    verifies before committing; NULL evaluations fail the check, the
+    conservative reading). Constraints live in the manifest and carry
+    through subsequent commits. The metadata-only commit does not
+    validate existing rows — run the expression as a query first if
+    the table's history must also conform (Delta validates eagerly;
+    at 100 TB that's a full scan you schedule, not a side effect)."""
+    prev = current_version(path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    manifest = _read_manifest(path, prev)
+    version = prev + 1
+    constraints = dict(manifest.get("constraints", {}))
+    constraints[name] = expr_sql
+    new_manifest = {
+        **manifest,
+        "version": version,
+        "mode": "evolve",
+        "parent": prev,
+        "constraints": constraints,
+    }
+    new_manifest.pop("committed_at", None)
+    _commit(path, version, new_manifest)
+    return version
+
+
+def _enforce_constraints(df: DataFrame, manifest: dict) -> None:
+    """Raise ``ConstraintViolation`` if any ``df`` row fails a CHECK
+    constraint recorded in ``manifest`` — called by ``write_table``
+    BEFORE data files are written, so a violating append leaves no
+    trace. One filter+limit job per constraint over the append only
+    (the same price Delta pays on its write path)."""
+    from pyspark.sql import functions as F
+
+    for name, expr_sql in manifest.get("constraints", {}).items():
+        bad = df.filter(
+            ~F.coalesce(F.expr(expr_sql), F.lit(False))
+        ).limit(1)
+        row = bad.collect()
+        if row:
+            raise ConstraintViolation(
+                f"append violates CHECK constraint {name!r} "
+                f"({expr_sql}); e.g. {row[0].asDict()}"
+            )
 
 
 def version_as_of(path: str, timestamp: float) -> int:
@@ -1272,6 +1390,7 @@ def write_table_with_bloom(
     carried_files: list[str] = []
     carried_bloom: dict = {}
     retired: list[str] = []
+    constraints: dict = {}
     if mode == "append" and prev is not None:
         m = _read_manifest(path, prev)
         _check_append_schema(df, m)
@@ -1279,6 +1398,8 @@ def write_table_with_bloom(
         carried_bloom = m.get("bloom", {})
         mapping = _mapping_of(m)
         retired = m.get("retired_physical", [])
+        constraints = m.get("constraints", {})
+        _enforce_constraints(df, m)
     new_files = _write_data_files(_to_physical(df, mapping), path)
     phys_cols = [mapping.get(c, c) for c in bloom_cols]
     inverse = dict(zip(phys_cols, bloom_cols))
@@ -1301,6 +1422,8 @@ def write_table_with_bloom(
         manifest["column_mapping"] = mapping
     if retired:
         manifest["retired_physical"] = retired
+    if constraints:
+        manifest["constraints"] = constraints
     _commit(path, version, manifest)
     return version
 
@@ -1465,6 +1588,7 @@ def write_table_with_stats(
     carried_files: list[str] = []
     carried_stats: dict = {}
     retired: list[str] = []
+    constraints: dict = {}
     if mode == "append" and prev is not None:
         m = _read_manifest(path, prev)
         _check_append_schema(df, m)
@@ -1472,6 +1596,8 @@ def write_table_with_stats(
         carried_stats = m.get("stats", {})
         mapping = _mapping_of(m)
         retired = m.get("retired_physical", [])
+        constraints = m.get("constraints", {})
+        _enforce_constraints(df, m)
     new_files = _write_data_files(_to_physical(df, mapping), path)
     # footers carry physical names; stats stay keyed by LOGICAL name
     phys_cols = [mapping.get(c, c) for c in stats_cols]
@@ -1494,6 +1620,8 @@ def write_table_with_stats(
         manifest["column_mapping"] = mapping
     if retired:
         manifest["retired_physical"] = retired
+    if constraints:
+        manifest["constraints"] = constraints
     _commit(path, version, manifest)
     return version
 
@@ -1588,6 +1716,7 @@ def write_stream_batch(
     carried: list[str] = []
     carried_stats: dict = {}
     retired: list[str] = []
+    constraints: dict = {}
     if prev is not None:
         pm = _read_manifest(path, prev)
         _check_append_schema(df, pm)
@@ -1595,6 +1724,8 @@ def write_stream_batch(
         carried_stats = pm.get("stats", {})
         mapping = _mapping_of(pm)
         retired = pm.get("retired_physical", [])
+        constraints = pm.get("constraints", {})
+        _enforce_constraints(df, pm)
     new_files = _write_data_files(_to_physical(df, mapping), path)
     version = 0 if prev is None else prev + 1
     manifest = {
@@ -1619,6 +1750,8 @@ def write_stream_batch(
         manifest["column_mapping"] = mapping
     if retired:
         manifest["retired_physical"] = retired
+    if constraints:
+        manifest["constraints"] = constraints
     _commit(path, version, manifest)
     return version
 
@@ -1707,6 +1840,11 @@ def compact(
     }
     if stats_cols:
         new_manifest["stats"] = _file_stats(new_files, stats_cols, spark=spark)
+    # column_mapping / retired_physical are deliberately NOT carried:
+    # the rewrite materialized logical names into the new files.
+    # CHECK constraints are table semantics, not file layout — carry.
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
     _commit(path, version, new_manifest)
     return version
 

@@ -1425,3 +1425,94 @@ def test_delete_keys_prunes_and_keeps_nulls(spark, tmp_path):
     # carried stats entries survive both commits
     m = mt._read_manifest(path, mt.current_version(path))
     assert all("k" in m["stats"].get(fp, {}) for fp in m["files"])
+
+
+def test_clone_is_zero_copy_and_diverges(spark, tmp_path):
+    """clone_table: the clone's v0 references the source's files
+    verbatim (zero data files written), divergent appends stay under
+    the clone, the source chain is untouched, and cloning onto an
+    existing table fails."""
+    import os
+
+    from frafka_spark.sources import manifest_table as mt
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    mt.write_table(
+        spark.range(0, 10).withColumnRenamed("id", "k"), src,
+        mode="overwrite",
+    )
+    assert mt.clone_table(src, dst) == 0
+    m_src = mt._read_manifest(src, 0)
+    m_dst = mt._read_manifest(dst, 0)
+    assert m_dst["mode"] == "clone"
+    assert m_dst["files"] == m_src["files"]          # shared, not copied
+    assert not os.path.isdir(os.path.join(dst, "data"))  # zero bytes
+
+    mt.write_table(
+        spark.range(100, 103).withColumnRenamed("id", "k"), dst,
+        mode="append",
+    )
+    assert mt.read_table(spark, dst).count() == 13
+    assert mt.read_table(spark, src).count() == 10   # source untouched
+    assert mt.current_version(src) == 0
+    # clone's new files live under the clone's own path
+    added = set(mt._read_manifest(dst, 1)["files"]) - set(m_src["files"])
+    assert added and all(fp.startswith(dst) for fp in added)
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        mt.clone_table(src, dst)
+
+
+def test_check_constraints_gate_appends(spark, tmp_path):
+    """add_constraint + write_table: a violating append raises BEFORE
+    any data file is written (no orphans, no commit), NULL evaluations
+    fail conservatively, passing appends carry the constraint forward,
+    and the clone inherits it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    mt.write_table(
+        spark.range(1, 6).withColumnRenamed("id", "k"), path,
+        mode="overwrite",
+    )
+    assert mt.add_constraint(path, "k_positive", "k > 0") == 1
+
+    import pytest as _pytest
+
+    n_data_dirs = len(os.listdir(os.path.join(path, "data")))
+    with _pytest.raises(mt.ConstraintViolation, match="k_positive"):
+        mt.write_table(
+            spark.range(-3, 0).withColumnRenamed("id", "k"), path,
+            mode="append",
+        )
+    # nothing written, nothing committed
+    assert len(os.listdir(os.path.join(path, "data"))) == n_data_dirs
+    assert mt.current_version(path) == 1
+
+    # NULL fails conservatively
+    nulls = spark.range(0, 1).select(F.lit(None).cast("long").alias("k"))
+    with _pytest.raises(mt.ConstraintViolation):
+        mt.write_table(nulls, path, mode="append")
+
+    # a passing append carries the constraint into its manifest
+    v = mt.write_table(
+        spark.range(10, 12).withColumnRenamed("id", "k"), path,
+        mode="append",
+    )
+    assert mt._read_manifest(path, v)["constraints"] == {
+        "k_positive": "k > 0"
+    }
+    # and a clone inherits it
+    dst = str(tmp_path / "cl")
+    mt.clone_table(path, dst)
+    with _pytest.raises(mt.ConstraintViolation):
+        mt.write_table(
+            spark.range(-1, 0).withColumnRenamed("id", "k"), dst,
+            mode="append",
+        )
