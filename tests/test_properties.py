@@ -1210,3 +1210,88 @@ def test_manifest_dml_sequence_matches_python_model(
         assert v0 == sorted(rows)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 9)),
+        min_size=1,
+        max_size=60,
+    ),
+    ulo=st.integers(0, 500),
+    uwidth=st.integers(0, 120),
+    bump=st.integers(1, 50),
+    dkeys=st.lists(st.integers(0, 600), max_size=10),
+    cdc=st.dictionaries(
+        st.integers(0, 600),
+        st.one_of(st.tuples(st.just("upsert"), st.integers(200, 209)),
+                  st.tuples(st.just("delete"), st.none())),
+        max_size=10,
+    ),
+)
+def test_r11_dml_sequence_matches_python_model(
+    spark, rows, ulo, uwidth, bump, dkeys, cdc
+):
+    """The round-11 DML surface swept end-to-end vs a per-row Python
+    model: update_rows → delete_keys → three-branch merge_table_cdc
+    on ARBITRARY small tables, then RESTORE to v0 — the final
+    snapshot equals the model at every step, the restore returns the
+    original rows as a NEW commit, and the pre-restore snapshot still
+    time-travels."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = tempfile.mkdtemp(prefix="dmlprop11_")
+    try:
+        df = spark.createDataFrame(rows, "k long, v long").repartition(3)
+        mt.write_table_with_stats(df, path, ["k"], mode="overwrite")
+
+        uhi = ulo + uwidth
+        mt.update_rows(
+            spark, path, "k", ulo, uhi, {"v": F.col("v") + bump}
+        )
+        model = [
+            (k, v + bump if ulo <= k <= uhi else v) for k, v in rows
+        ]
+
+        mt.delete_keys(spark, path, "k", dkeys)
+        dset = set(dkeys)
+        model = [(k, v) for k, v in model if k not in dset]
+
+        if cdc:
+            ch = spark.createDataFrame(
+                [(k, v if v is not None else 0, op)
+                 for k, (op, v) in sorted(cdc.items())],
+                "k long, v long, _op string",
+            )
+            mt.merge_table_cdc(spark, path, ch, key="k")
+            dels = {k for k, (op, _) in cdc.items() if op == "delete"}
+            ups = {k: v for k, (op, v) in cdc.items() if op == "upsert"}
+            matched = {k for k, _ in model}
+            model = [
+                (k, ups.get(k, v)) for k, v in model if k not in dels
+            ] + [(k, v) for k, v in ups.items() if k not in matched]
+
+        pre_restore = mt.current_version(path)
+        got = sorted((r.k, r.v) for r in mt.read_table(spark, path).collect())
+        assert got == sorted(model)
+
+        mt.restore_table(path, 0)
+        back = sorted(
+            (r.k, r.v) for r in mt.read_table(spark, path).collect()
+        )
+        assert back == sorted(rows)
+        mid = sorted(
+            (r.k, r.v)
+            for r in mt.read_table(spark, path, version=pre_restore).collect()
+        )
+        assert mid == sorted(model)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
