@@ -251,7 +251,7 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
                 m["files"] = [
                     f.replace(str(tmp), str(dest), 1) for f in m["files"]
                 ]
-                for keyed in ("stats", "bloom"):
+                for keyed in ("stats", "bloom", "dv"):
                     if keyed in m:
                         m[keyed] = {
                             k.replace(str(tmp), str(dest), 1): v
@@ -360,6 +360,87 @@ def q_scan_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frafka_spark.sources.manifest_table import read_table
 
     path = _ensure_table(spark, sf_dir, "orders_deleted")
+    t = read_table(spark, path)
+    return t.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+def _build_deleted_dv_table(
+    spark: SparkSession, sf_dir: str, tmp: Path
+) -> None:
+    """v0: range-clustered stats write (same layout as the COW twin);
+    v1: merge-on-read DELETE of the same key band — zero files
+    rewritten, the deleted identities live in the manifest's
+    deletion-vector map."""
+    from frafka_spark.sources.manifest_table import (
+        delete_rows_dv,
+        write_table_with_stats,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(N_RANGE_FILES, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_table_with_stats(o, str(tmp), ["o_orderkey"], mode="overwrite")
+    delete_rows_dv(spark, str(tmp), "o_orderkey", DEL_LO, DEL_HI)
+
+
+_BUILDERS["orders_deleted_dv"] = _build_deleted_dv_table
+
+
+@query(
+    "q_scan_deleted_dv",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders
+    WHERE NOT (o_orderkey BETWEEN {DEL_LO} AND {DEL_HI})
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_deleted_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR (merge-on-read) DELETE, graded end-to-end: the
+    same range-clustered orders table and the same key band as
+    ``q_scan_deleted``, but removed via ``delete_rows_dv`` — the
+    commit rewrites ZERO data files and records the deleted (file,
+    row_index) identities in the manifest instead; the scan applies
+    them with a broadcast anti-join on the parquet ``_metadata``
+    identity. Sharing the COW twin's oracle verbatim makes the grade
+    the statement that merge-on-read and copy-on-write are the same
+    DELETE: one answer, two write costs.
+
+    The lifecycle pytest pins what the differential can't see: the
+    post-delete manifest's file list is VERBATIM the parent's (zero
+    bytes written), repeated DV deletes merge positions, an append
+    carries the vectors (no resurrection), ``compact`` materializes
+    them away, CDF across the commit is exactly the deleted rows via
+    the O(delta) DV fast path, and time travel still serves v0.
+
+    Exactness: identical to ``q_scan_deleted`` — counts are longs,
+    half-up cents summed as BIGINTs, integer key comparisons.
+
+    Scale shape: THE write-amplification fix for row-level deletes —
+    a DELETE matching 0.001% of a 100 TB table costs O(matched rows)
+    of manifest metadata instead of rewriting every span-intersecting
+    file (GDPR erasure on an unclustered key touches MOST files under
+    COW). Reads pay one broadcast anti-join against delta-sized state
+    until ``compact`` folds the vectors back into data bytes — the
+    same two-regime trade Delta ships as deletion vectors and Iceberg
+    v2 as positional deletes.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "orders_deleted_dv")
     t = read_table(spark, path)
     return t.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_orders"),
@@ -506,6 +587,38 @@ def _build_updated_table(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
     )
     write_table_with_stats(o, str(tmp), ["o_orderkey"], mode="overwrite")
     update_rows(
+        spark,
+        str(tmp),
+        "o_orderkey",
+        UPD2_LO,
+        UPD2_HI,
+        {
+            "o_totalprice": F.col("o_totalprice") + F.lit(UPD2_BUMP),
+            "o_orderpriority": F.lit(UPD2_PRIORITY),
+        },
+    )
+
+
+@_register_builder("orders_updated_dv")
+def _build_updated_dv_table(
+    spark: SparkSession, sf_dir: str, tmp: Path
+) -> None:
+    """v0: range-clustered stats write; v1: MERGE-ON-READ UPDATE of
+    the same [UPD2_LO, UPD2_HI] band as the COW twin — matched rows
+    vectored out, updated images appended, unmatched rows untouched."""
+    from frafka_spark.sources.manifest_table import (
+        update_rows_dv,
+        write_table_with_stats,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(N_RANGE_FILES, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_table_with_stats(o, str(tmp), ["o_orderkey"], mode="overwrite")
+    update_rows_dv(
         spark,
         str(tmp),
         "o_orderkey",
@@ -691,6 +804,55 @@ def q_scan_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frafka_spark.sources.manifest_table import read_table
 
     path = _ensure_table(spark, sf_dir, "orders_updated")
+    t = read_table(spark, path)
+    return t.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+def _updated_oracle() -> str:
+    """q_scan_updated's oracle, shared structurally via the registry —
+    the MOR twin must produce the identical relation."""
+    from frafka_spark.registry import QUERIES
+
+    return QUERIES["q_scan_updated"].oracle
+
+
+@query("q_scan_updated_dv", oracle=_updated_oracle())
+def q_scan_updated_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPDATE via deletion vectors, graded end-to-end:
+    the same table, band, and assignments as ``q_scan_updated``, but
+    executed by ``update_rows_dv`` — matched rows are VECTORED out of
+    their files and their updated images appended in one commit;
+    unmatched rows are never rewritten. Sharing the COW twin's oracle
+    verbatim makes the grade the statement that MOR and COW are the
+    same UPDATE: one answer, two write costs.
+
+    The lifecycle pytest pins the physical contract: the commit's
+    file list is the parent's PLUS only the appended image files
+    (zero rewrites), the vector names exactly the matched rows, CDF
+    across the commit is the delete/insert pair via the incremental
+    fast path, and ``compact`` folds vectors and images back into
+    plain files with the same answer.
+
+    Exactness: identical to the COW twin — one IEEE double addition
+    before the half-up cents floor, long counts, corpus-constant band.
+
+    Scale shape: UPDATE's write cost drops from O(bytes of every
+    span-intersecting file) to O(matched rows) — on a 100 TB table
+    where a band UPDATE touches wide files, the COW rewrite copies
+    every innocent row in them; MOR writes the band's images plus
+    kilobytes of vector. Reads pay the broadcast anti-join until
+    compaction — the same two-regime trade as the DELETE twin.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "orders_updated_dv")
     t = read_table(spark, path)
     return t.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_orders"),

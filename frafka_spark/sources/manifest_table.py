@@ -168,6 +168,7 @@ def write_table(
         carried: list[str] = []
         retired: list[str] = []
         constraints: dict[str, str] = {}
+        dv_prev: dict = {}
         if prev is not None:
             pm = _read_manifest(path, prev)
             constraints = pm.get("constraints", {})
@@ -176,6 +177,9 @@ def write_table(
             if mode == "append":
                 _check_append_schema(df, pm)
                 carried = pm["files"]
+                # deletion vectors MUST survive an append — dropping
+                # them would resurrect merge-on-read-deleted rows
+                dv_prev = _dv_of(pm)
                 mapping = _mapping_of(pm)  # renames persist: physical
                 retired = pm.get("retired_physical", [])
         if new_files is None:
@@ -205,6 +209,8 @@ def write_table(
             manifest["retired_physical"] = retired
         if constraints:
             manifest["constraints"] = constraints
+        if dv_prev:
+            manifest["dv"] = dv_prev
         try:
             _commit(path, version, manifest)
             return version
@@ -238,6 +244,7 @@ def read_table(
         manifest["files"],
         _schema_from_json(manifest["schema"]),
         _mapping_of(manifest),
+        dv=_dv_of(manifest),
     )
 
 
@@ -267,6 +274,22 @@ def _mapping_of(manifest: dict) -> dict[str, str]:
     return manifest.get("column_mapping", {})
 
 
+def _dv_of(manifest: dict) -> dict:
+    return manifest.get("dv", {})
+
+
+def _carry_dv(new_manifest: dict, prev_manifest: dict) -> None:
+    """Carry deletion-vector entries for every file the new snapshot
+    kept (rewritten files have fresh paths, so they drop out — their
+    rows were read DV-applied before the rewrite)."""
+    dv = _dv_of(prev_manifest)
+    if not dv:
+        return
+    kept = {fp: dv[fp] for fp in new_manifest["files"] if fp in dv}
+    if kept:
+        new_manifest["dv"] = kept
+
+
 def _physical_schema(logical, mapping: dict[str, str]):
     from pyspark.sql.types import StructField, StructType
 
@@ -281,17 +304,56 @@ def _physical_schema(logical, mapping: dict[str, str]):
 
 
 def _read_snapshot_files(
-    spark: SparkSession, files: list[str], logical, mapping: dict[str, str]
+    spark: SparkSession,
+    files: list[str],
+    logical,
+    mapping: dict[str, str],
+    dv: dict | None = None,
 ) -> DataFrame:
     """Read data files under the snapshot's PHYSICAL schema (missing
-    columns → NULL) and surface the LOGICAL column names."""
+    columns → NULL) and surface the LOGICAL column names.
+
+    ``dv`` is the snapshot's deletion-vector map (file path → sorted
+    within-file row positions, see ``delete_rows_dv``): rows named by
+    a DV are filtered out with a broadcast anti-join on the scan's
+    ``_metadata`` (file, row_index) identity — the merge-on-read half
+    of the format. Files with no DV entry pay nothing (the common
+    path is a plain multi-file scan, metadata columns never
+    materialize)."""
     if not files:
         return spark.createDataFrame([], schema=logical)
     df = spark.read.schema(_physical_schema(logical, mapping)).parquet(*files)
-    if not mapping:
-        return df
     from pyspark.sql import functions as F
 
+    dv_entries = {
+        fp: e for fp, e in (dv or {}).items()
+        if fp in set(files) and e.get("pos")
+    }
+    if dv_entries:
+        # _metadata.file_path is a Hadoop URI (file:/… or file:///…);
+        # normalize to the manifest's plain absolute path before the
+        # anti-join. DVs are delta-sized by construction (a DV bigger
+        # than its file is what compaction materializes away), so the
+        # deleted-identity relation broadcasts; a real engine applies
+        # the bitmap inside the scan — same O(deleted) state, one
+        # fewer join, a storage-layer detail not a protocol one.
+        pairs = spark.createDataFrame(
+            [(fp, int(p)) for fp, e in dv_entries.items() for p in e["pos"]],
+            "__dv_fp string, __dv_ri bigint",
+        )
+        df = (
+            df.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__dv_fp"),
+                F.col("_metadata.row_index").alias("__dv_ri"),
+            )
+            .join(F.broadcast(pairs), ["__dv_fp", "__dv_ri"], "left_anti")
+            .drop("__dv_fp", "__dv_ri")
+        )
+    if not mapping:
+        return df
     inverse = {phys: logi for logi, phys in mapping.items()}
     return df.select(
         *[F.col(c).alias(inverse.get(c, c)) for c in df.columns]
@@ -373,6 +435,8 @@ def add_column(path: str, name: str, data_type) -> int:
         manifest["retired_physical"] = m["retired_physical"]
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("dv"):
+        manifest["dv"] = m["dv"]
     _commit(path, version, manifest)
     return version
 
@@ -392,6 +456,20 @@ def drop_column(path: str, name: str) -> int:
         raise KeyError(f"no column {name!r} in {names}")
     if len(names) == 1:
         raise SchemaConflict("cannot drop the only column")
+    # CHECK constraints are carried through evolution; one that
+    # references the dropped column would make every later append
+    # fail analysis — reject the drop instead (Delta does the same).
+    # Word-boundary match on the SQL text: conservative (a string
+    # literal containing the name also blocks), never silent.
+    import re as _re
+
+    for cname, expr_sql in m.get("constraints", {}).items():
+        if _re.search(rf"\b{_re.escape(name)}\b", expr_sql, _re.IGNORECASE):
+            raise SchemaConflict(
+                f"cannot drop column {name!r}: CHECK constraint "
+                f"{cname!r} ({expr_sql}) references it; drop the "
+                "constraint first"
+            )
     from pyspark.sql.types import StructType
 
     new_schema = StructType([f for f in schema.fields if f.name != name])
@@ -419,6 +497,10 @@ def drop_column(path: str, name: str) -> int:
             fp: {c: span for c, span in spans.items() if c != name}
             for fp, spans in m["stats"].items()
         }
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
+    if m.get("dv"):
+        manifest["dv"] = m["dv"]
     _commit(path, version, manifest)
     return version
 
@@ -471,6 +553,8 @@ def rename_column(path: str, old: str, new: str) -> int:
         manifest["retired_physical"] = m["retired_physical"]
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("dv"):
+        manifest["dv"] = m["dv"]
     _commit(path, version, manifest)
     return version
 
@@ -561,7 +645,9 @@ def merge_table_pruned(
         else:
             touched.append(fp)
     logical = _schema_from_json(manifest["schema"])
-    target = _read_snapshot_files(spark, touched, logical, mapping)
+    target = _read_snapshot_files(
+        spark, touched, logical, mapping, dv=_dv_of(manifest)
+    )
     merged = merge_upsert(target, changes, key)
     new_files = _write_data_files(_to_physical(merged, mapping), path)
     version = prev + 1
@@ -600,6 +686,7 @@ def merge_table_pruned(
         new_manifest["retired_physical"] = manifest["retired_physical"]
     if manifest.get("constraints"):
         new_manifest["constraints"] = manifest["constraints"]
+    _carry_dv(new_manifest, manifest)
     _commit(path, version, new_manifest)
     return {
         "version": version,
@@ -677,7 +764,9 @@ def merge_table_cdc(
     ups = changes.filter(F.col(op_col) == "upsert").drop(op_col)
     n_del, n_ups = dels.count(), ups.count()
     logical = _schema_from_json(manifest["schema"])
-    target = _read_snapshot_files(spark, touched, logical, mapping)
+    target = _read_snapshot_files(
+        spark, touched, logical, mapping, dv=_dv_of(manifest)
+    )
     # deletes first (broadcast anti-join keeps NULL-keyed target rows),
     # then the classic upsert over the survivors
     survivors = target.join(F.broadcast(dels), key, "left_anti")
@@ -717,6 +806,7 @@ def merge_table_cdc(
         new_manifest["retired_physical"] = manifest["retired_physical"]
     if manifest.get("constraints"):
         new_manifest["constraints"] = manifest["constraints"]
+    _carry_dv(new_manifest, manifest)
     _commit(path, version, new_manifest)
     return {
         "version": version,
@@ -772,7 +862,7 @@ def delete_rows(
 
         logical = _schema_from_json(manifest["schema"])
         survivors = _read_snapshot_files(
-            spark, touched, logical, mapping
+            spark, touched, logical, mapping, dv=_dv_of(manifest)
         ).filter(~F.col(col).between(lo, hi) | F.col(col).isNull())
         new_files = _write_data_files(_to_physical(survivors, mapping), path)
     version = prev + 1
@@ -811,6 +901,7 @@ def delete_rows(
         new_manifest["retired_physical"] = manifest["retired_physical"]
     if manifest.get("constraints"):
         new_manifest["constraints"] = manifest["constraints"]
+    _carry_dv(new_manifest, manifest)
     _commit(path, version, new_manifest)
     return {
         "version": version,
@@ -869,7 +960,9 @@ def update_rows(
             touched.append(fp)
     new_files: list[str] = []
     if touched:
-        rows = _read_snapshot_files(spark, touched, logical, mapping)
+        rows = _read_snapshot_files(
+            spark, touched, logical, mapping, dv=_dv_of(manifest)
+        )
         cond = F.col(col).between(lo, hi)
         updated = rows.select(
             *[
@@ -925,6 +1018,7 @@ def update_rows(
         new_manifest["retired_physical"] = manifest["retired_physical"]
     if manifest.get("constraints"):
         new_manifest["constraints"] = manifest["constraints"]
+    _carry_dv(new_manifest, manifest)
     _commit(path, version, new_manifest)
     return {
         "version": version,
@@ -980,7 +1074,7 @@ def delete_keys(spark: SparkSession, path: str, col: str, keys) -> dict:
             [(k,) for k in ks], f"`{col}` {logical[col].dataType.simpleString()}"
         )
         survivors = _read_snapshot_files(
-            spark, touched, logical, mapping
+            spark, touched, logical, mapping, dv=_dv_of(manifest)
         ).join(F.broadcast(keys_df), col, "left_anti")
         new_files = _write_data_files(_to_physical(survivors, mapping), path)
     elif touched:
@@ -1020,11 +1114,298 @@ def delete_keys(spark: SparkSession, path: str, col: str, keys) -> dict:
         new_manifest["retired_physical"] = manifest["retired_physical"]
     if manifest.get("constraints"):
         new_manifest["constraints"] = manifest["constraints"]
+    _carry_dv(new_manifest, manifest)
     _commit(path, version, new_manifest)
     return {
         "version": version,
         "files_rewritten": len(touched),
         "files_carried": len(untouched),
+    }
+
+
+def delete_rows_dv(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> dict:
+    """Merge-on-read DELETE via DELETION VECTORS: remove rows where
+    ``col BETWEEN lo AND hi`` by recording their (file, row position)
+    identities in the manifest — ZERO data files written or rewritten.
+    The copy-on-write twin is ``delete_rows``; this is Delta's
+    deletion-vector path (and Iceberg v2's positional delete files):
+    the write cost of a DELETE becomes O(matched rows) metadata
+    instead of O(bytes of every span-intersecting file), which is the
+    difference between deleting one user's rows out of a 100 TB table
+    in milliseconds and rewriting terabytes.
+
+    Semantics are identical to ``delete_rows`` (SQL NULL keeps the
+    row; the pre-delete snapshot time-travels; ``read_changes``
+    across the commit surfaces exactly the deleted rows as
+    ``'delete'`` — via the O(delta) DV fast path, not a diff). Every
+    read path (``read_table`` / ``_pruned`` / ``_bloom`` / DML
+    rewrites / ``compact``) applies the vectors with a broadcast
+    anti-join on the scan's ``_metadata`` (file, row_index) identity;
+    ``compact`` MATERIALIZES them (its rewrite reads DV-applied and
+    commits DV-free files), which is the maintenance valve that keeps
+    vectors delta-sized. Repeated DV deletes on one file merge their
+    position sets. Min/max and Bloom file indexes stay sound: a DV
+    only removes rows, so the recorded spans/bitsets are conservative
+    supersets — pruning never skips a live match.
+
+    Storage note: positions are kept INLINE in the manifest (sorted
+    row indexes), the shape Delta uses for small DVs; spilling large
+    vectors to roaring-bitmap sidecar files is a storage-layer
+    refinement of the same protocol — at that size compaction is the
+    better answer anyway.
+
+    Returns ``{"version", "rows_deleted", "files_touched",
+    "files_rewritten": 0, "files_carried"}``.
+    """
+    from pyspark.sql import functions as F
+
+    prev = current_version(path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    manifest = _read_manifest(path, prev)
+    stats = manifest.get("stats", {})
+    mapping = _mapping_of(manifest)
+    logical = _schema_from_json(manifest["schema"])
+    dv = _dv_of(manifest)
+    # file-pruned like the COW path: only span-intersecting files can
+    # hold matches; files without stats are conservatively scanned
+    touched = [
+        fp
+        for fp in manifest["files"]
+        if (span := stats.get(fp, {}).get(col)) is None
+        or not (span[1] < lo or span[0] > hi)
+    ]
+    new_dv = {fp: dict(e) for fp, e in dv.items()}
+    rows_deleted = 0
+    files_touched = 0
+    if touched:
+        pcol = mapping.get(col, col)
+        hits = (
+            spark.read.schema(_physical_schema(logical, mapping))
+            .parquet(*touched)
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+                F.col(pcol).alias("__v"),
+            )
+            .filter(F.col("__v").between(lo, hi))
+            .groupBy("__fp")
+            .agg(F.sort_array(F.collect_list("__ri")).alias("pos"))
+            .collect()
+        )  # O(files with matches) rows back, each O(its matches) — the delta
+        for r in hits:
+            already = set(new_dv.get(r["__fp"], {}).get("pos", []))
+            fresh = [int(p) for p in r["pos"] if int(p) not in already]
+            if not fresh:
+                continue  # re-deleting already-vectored rows: no-op
+            files_touched += 1
+            rows_deleted += len(fresh)
+            merged = sorted(already.union(fresh))
+            new_dv[r["__fp"]] = {"card": len(merged), "pos": merged}
+    if files_touched == 0:
+        # nothing newly deleted — no commit, like merge_table_pruned's
+        # empty change set (commit churn is not a delete)
+        return {
+            "version": prev,
+            "rows_deleted": 0,
+            "files_touched": 0,
+            "files_rewritten": 0,
+            "files_carried": len(manifest["files"]),
+        }
+    version = prev + 1
+    new_manifest = {
+        "version": version,
+        "mode": "delete_dv",
+        "files": manifest["files"],  # verbatim — merge-on-read
+        "schema": manifest["schema"],
+        "parent": prev,
+    }
+    for carried in (
+        "stats", "bloom", "column_mapping", "retired_physical",
+        "constraints",
+    ):
+        if manifest.get(carried):
+            new_manifest[carried] = manifest[carried]
+    live = {fp: e for fp, e in new_dv.items() if e.get("pos")}
+    if live:
+        new_manifest["dv"] = live
+    _commit(path, version, new_manifest)
+    return {
+        "version": version,
+        "rows_deleted": rows_deleted,
+        "files_touched": files_touched,
+        "files_rewritten": 0,
+        "files_carried": len(manifest["files"]),
+    }
+
+
+def update_rows_dv(
+    spark: SparkSession, path: str, col: str, lo, hi, assignments: dict
+) -> dict:
+    """Merge-on-read UPDATE via deletion vectors: rows where ``col
+    BETWEEN lo AND hi`` are VECTORED OUT of their files and their
+    updated images appended as new files — ONE atomic commit, with
+    unmatched rows never rewritten. The copy-on-write twin is
+    ``update_rows`` (which rewrites every span-intersecting file
+    whole); this is how Delta executes UPDATE when deletion vectors
+    are enabled: write cost O(matched rows) instead of O(bytes of
+    touched files), the difference between bumping one key band in a
+    100 TB table and copying terabytes of innocent neighbors.
+
+    Semantics are identical to ``update_rows`` (SQL NULL predicate
+    leaves the row unchanged; unknown/retyping assignments raise
+    ``SchemaConflict`` BEFORE anything is written; the pre-update
+    snapshot time-travels). ``read_changes`` across the commit
+    surfaces the pair Delta-CDF style via the incremental fast path:
+    pre-update images as ``'delete'`` (the new vector positions),
+    post-update images as ``'insert'`` (the appended files) — still
+    O(delta). Carried files keep their stats/bloom entries verbatim
+    (the vector only removes rows — spans stay conservative
+    supersets); appended files get fresh stats when the table carries
+    them. A no-match update commits nothing.
+
+    Returns ``{"version", "rows_updated", "files_touched",
+    "files_added", "files_rewritten": 0, "files_carried"}``.
+    """
+    from pyspark.sql import functions as F
+
+    prev = current_version(path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    manifest = _read_manifest(path, prev)
+    stats = manifest.get("stats", {})
+    mapping = _mapping_of(manifest)
+    logical = _schema_from_json(manifest["schema"])
+    dv = _dv_of(manifest)
+    known = {f.name for f in logical.fields}
+    for c in assignments:
+        if c not in known:
+            raise SchemaConflict(f"UPDATE assigns unknown column {c!r}")
+    touched = [
+        fp
+        for fp in manifest["files"]
+        if (span := stats.get(fp, {}).get(col)) is None
+        or not (span[1] < lo or span[0] > hi)
+    ]
+    new_dv = {fp: dict(e) for fp, e in dv.items()}
+    new_files: list[str] = []
+    rows_updated = 0
+    files_touched = 0
+    if touched:
+        scan = (
+            spark.read.schema(_physical_schema(logical, mapping))
+            .parquet(*touched)
+            .select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__dv_fp"),
+                F.col("_metadata.row_index").alias("__dv_ri"),
+            )
+        )
+        if mapping:
+            inverse = {phys: logi for logi, phys in mapping.items()}
+            scan = scan.select(
+                *[F.col(c).alias(inverse.get(c, c)) for c in scan.columns]
+            )
+        dv_entries = {
+            fp: e
+            for fp, e in dv.items()
+            if fp in set(touched) and e.get("pos")
+        }
+        if dv_entries:
+            pairs = spark.createDataFrame(
+                [
+                    (fp, int(p))
+                    for fp, e in dv_entries.items()
+                    for p in e["pos"]
+                ],
+                "__dv_fp string, __dv_ri bigint",
+            )
+            scan = scan.join(
+                F.broadcast(pairs), ["__dv_fp", "__dv_ri"], "left_anti"
+            )
+        matched = scan.filter(F.col(col).between(lo, hi))
+        # the updated images, with the schema pinned BEFORE any job
+        upd_img = matched.select(
+            *[
+                (assignments[f.name] if f.name in assignments
+                 else F.col(f.name)).alias(f.name)
+                for f in logical.fields
+            ]
+        )
+        if [(f.name, f.dataType) for f in upd_img.schema.fields] != [
+            (f.name, f.dataType) for f in logical.fields
+        ]:
+            raise SchemaConflict(
+                "UPDATE assignments would retype the table: "
+                f"{logical.simpleString()} → {upd_img.schema.simpleString()}"
+            )
+        hits = (
+            matched.groupBy("__dv_fp")
+            .agg(F.sort_array(F.collect_list("__dv_ri")).alias("pos"))
+            .collect()
+        )
+        for r in hits:
+            already = set(new_dv.get(r["__dv_fp"], {}).get("pos", []))
+            fresh = [int(p) for p in r["pos"]]
+            files_touched += 1
+            rows_updated += len(fresh)
+            merged = sorted(already.union(fresh))
+            new_dv[r["__dv_fp"]] = {"card": len(merged), "pos": merged}
+        if rows_updated:
+            # second pass over the touched files (immutable bytes,
+            # deterministic filter — same rows both jobs); a resident
+            # engine fuses this into the vector-building scan
+            new_files = _write_data_files(_to_physical(upd_img, mapping), path)
+    if rows_updated == 0:
+        return {
+            "version": prev,
+            "rows_updated": 0,
+            "files_touched": 0,
+            "files_added": 0,
+            "files_rewritten": 0,
+            "files_carried": len(manifest["files"]),
+        }
+    version = prev + 1
+    new_manifest = {
+        "version": version,
+        "mode": "update_dv",
+        "files": manifest["files"] + new_files,
+        "schema": manifest["schema"],
+        "parent": prev,
+    }
+    if stats:
+        stats_cols = sorted({c for spans in stats.values() for c in spans})
+        phys_cols = [mapping.get(c, c) for c in stats_cols]
+        inverse = dict(zip(phys_cols, stats_cols))
+        new_stats = {
+            fp: {inverse.get(c, c): span for c, span in spans.items()}
+            for fp, spans in _file_stats(
+                new_files, phys_cols, spark=spark
+            ).items()
+        }
+        new_manifest["stats"] = {**stats, **new_stats}
+    for carried in (
+        "bloom", "column_mapping", "retired_physical", "constraints",
+    ):
+        if manifest.get(carried):
+            new_manifest[carried] = manifest[carried]
+    live = {fp: e for fp, e in new_dv.items() if e.get("pos")}
+    if live:
+        new_manifest["dv"] = live
+    _commit(path, version, new_manifest)
+    return {
+        "version": version,
+        "rows_updated": rows_updated,
+        "files_touched": files_touched,
+        "files_added": len(new_files),
+        "files_rewritten": 0,
+        "files_carried": len(manifest["files"]),
     }
 
 
@@ -1059,7 +1440,7 @@ def restore_table(path: str, version: int) -> int:
     }
     for carried in (
         "stats", "bloom", "column_mapping", "retired_physical",
-        "constraints",
+        "constraints", "dv",
     ):
         if src.get(carried):
             new_manifest[carried] = src[carried]
@@ -1100,7 +1481,7 @@ def clone_table(src_path: str, dst_path: str) -> int:
     }
     for carried in (
         "stats", "bloom", "column_mapping", "retired_physical",
-        "constraints",
+        "constraints", "dv",
     ):
         if src.get(carried):
             manifest[carried] = src[carried]
@@ -1136,7 +1517,41 @@ def add_constraint(path: str, name: str, expr_sql: str) -> int:
         "parent": prev,
         "constraints": constraints,
     }
-    new_manifest.pop("committed_at", None)
+    for stale in ("committed_at", "batch_id", "evolution",
+                  "restored_from", "cloned_from"):
+        new_manifest.pop(stale, None)
+    _commit(path, version, new_manifest)
+    return version
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """Remove a CHECK constraint (Delta's ``ALTER TABLE DROP
+    CONSTRAINT``) — the release valve ``drop_column`` points at when
+    a constraint references the column being dropped. Metadata-only
+    commit; raises ``KeyError`` for an unknown constraint name."""
+    prev = current_version(path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    manifest = _read_manifest(path, prev)
+    constraints = dict(manifest.get("constraints", {}))
+    if name not in constraints:
+        raise KeyError(
+            f"no CHECK constraint {name!r}; have {sorted(constraints)}"
+        )
+    del constraints[name]
+    version = prev + 1
+    new_manifest = {
+        **manifest,
+        "version": version,
+        "mode": "evolve",
+        "parent": prev,
+    }
+    for stale in ("committed_at", "batch_id", "evolution",
+                  "restored_from", "cloned_from"):
+        new_manifest.pop(stale, None)
+    new_manifest.pop("constraints", None)
+    if constraints:
+        new_manifest["constraints"] = constraints
     _commit(path, version, new_manifest)
     return version
 
@@ -1391,6 +1806,7 @@ def write_table_with_bloom(
     carried_bloom: dict = {}
     retired: list[str] = []
     constraints: dict = {}
+    carried_dv: dict = {}
     if mode == "append" and prev is not None:
         m = _read_manifest(path, prev)
         _check_append_schema(df, m)
@@ -1399,6 +1815,7 @@ def write_table_with_bloom(
         mapping = _mapping_of(m)
         retired = m.get("retired_physical", [])
         constraints = m.get("constraints", {})
+        carried_dv = _dv_of(m)
         _enforce_constraints(df, m)
     new_files = _write_data_files(_to_physical(df, mapping), path)
     phys_cols = [mapping.get(c, c) for c in bloom_cols]
@@ -1424,6 +1841,8 @@ def write_table_with_bloom(
         manifest["retired_physical"] = retired
     if constraints:
         manifest["constraints"] = constraints
+    if carried_dv:
+        manifest["dv"] = carried_dv
     _commit(path, version, manifest)
     return version
 
@@ -1461,6 +1880,7 @@ def read_table_bloom(
         keep,
         _schema_from_json(manifest["schema"]),
         _mapping_of(manifest),
+        dv=_dv_of(manifest),
     )
     return df.filter(F.col(col) == F.lit(value))
 
@@ -1589,6 +2009,7 @@ def write_table_with_stats(
     carried_stats: dict = {}
     retired: list[str] = []
     constraints: dict = {}
+    carried_dv: dict = {}
     if mode == "append" and prev is not None:
         m = _read_manifest(path, prev)
         _check_append_schema(df, m)
@@ -1597,6 +2018,7 @@ def write_table_with_stats(
         mapping = _mapping_of(m)
         retired = m.get("retired_physical", [])
         constraints = m.get("constraints", {})
+        carried_dv = _dv_of(m)
         _enforce_constraints(df, m)
     new_files = _write_data_files(_to_physical(df, mapping), path)
     # footers carry physical names; stats stay keyed by LOGICAL name
@@ -1622,6 +2044,8 @@ def write_table_with_stats(
         manifest["retired_physical"] = retired
     if constraints:
         manifest["constraints"] = constraints
+    if carried_dv:
+        manifest["dv"] = carried_dv
     _commit(path, version, manifest)
     return version
 
@@ -1661,6 +2085,7 @@ def read_table_pruned(
         keep,
         _schema_from_json(manifest["schema"]),
         _mapping_of(manifest),
+        dv=_dv_of(manifest),
     )
     return df.filter(F.col(col).between(lo, hi)) if keep else df
 
@@ -1717,6 +2142,7 @@ def write_stream_batch(
     carried_stats: dict = {}
     retired: list[str] = []
     constraints: dict = {}
+    carried_dv: dict = {}
     if prev is not None:
         pm = _read_manifest(path, prev)
         _check_append_schema(df, pm)
@@ -1725,6 +2151,7 @@ def write_stream_batch(
         mapping = _mapping_of(pm)
         retired = pm.get("retired_physical", [])
         constraints = pm.get("constraints", {})
+        carried_dv = _dv_of(pm)
         _enforce_constraints(df, pm)
     new_files = _write_data_files(_to_physical(df, mapping), path)
     version = 0 if prev is None else prev + 1
@@ -1752,6 +2179,8 @@ def write_stream_batch(
         manifest["retired_physical"] = retired
     if constraints:
         manifest["constraints"] = constraints
+    if carried_dv:
+        manifest["dv"] = carried_dv
     _commit(path, version, manifest)
     return version
 
@@ -1860,20 +2289,27 @@ def read_changes(
 
     Two physical strategies, picked from the manifest chain alone:
 
-    - **append fast path** — every commit in ``(from, to]`` is an
-      append (including stream batches): the delta is exactly the
-      files those commits added, each tagged with its committing
-      version. Cost O(new files); the base snapshot is never read.
-      This is the path a 100 TB incremental consumer lives on —
-      reading a day of appends must not cost a table scan.
+    - **incremental fast path** — every commit in ``(from, to]`` is an
+      append, an evolve, or a DELETION-VECTOR commit (``delete_dv`` /
+      ``update_dv``): appends contribute exactly the files they added
+      (tagged ``'insert'``), and a DV commit contributes exactly its
+      NEWLY vectored rows (tagged ``'delete'``, read back by (file,
+      row_index) semi-join — O(that commit's delta), never a scan);
+      an ``update_dv`` commit therefore surfaces as its pre-image
+      deletes plus its appended post-image inserts.
+      Cost O(new files + new DV positions); the base snapshot is
+      never read. This is the path a 100 TB incremental consumer
+      lives on — a day of appends and deletes must not cost a table
+      scan.
     - **diff fallback** — the chain contains an overwrite / merge /
       compact: without per-file row lineage a rewrite loses
       provenance, so the delta is computed honestly as a multiset
       diff (``exceptAll`` both ways — two shuffles on the full row,
       the same cost class as the copy-on-write merge that created the
-      commit). All rows tag ``_commit_version = to_version``. A
-      compaction commits identical rows, so this path returns empty
-      across it — asserted in tests.
+      commit), each snapshot read under its OWN deletion vectors. All
+      rows tag ``_commit_version = to_version``. A compaction commits
+      identical rows, so this path returns empty across it — asserted
+      in tests.
 
     Both snapshots' files are read under the ``to`` snapshot's schema
     (additive evolution means old files project with NULL-filled new
@@ -1890,30 +2326,91 @@ def read_changes(
     schema = _schema_from_json(to_manifest["schema"])
     mapping = _mapping_of(to_manifest)
 
-    def read_files(files: list[str]) -> DataFrame:
+    def read_files(files: list[str], dv: dict | None = None) -> DataFrame:
         # the TO snapshot's schema AND column mapping: physical names
         # are frozen at column creation, so files from before a rename
         # resolve through the same mapping, and files from before an
         # ADD COLUMN project NULL — CDF is coherent across evolution
-        return _read_snapshot_files(spark, files, schema, mapping)
+        return _read_snapshot_files(spark, files, schema, mapping, dv=dv)
+
+    def read_dv_rows(pairs: list[tuple[str, int]]) -> DataFrame:
+        # the rows a delete_dv commit removed, fetched by identity:
+        # scan only the files holding new positions, keep the
+        # semi-joined (file, row_index) matches
+        files = sorted({fp for fp, _ in pairs})
+        df = spark.read.schema(
+            _physical_schema(schema, mapping)
+        ).parquet(*files)
+        pair_df = spark.createDataFrame(
+            pairs, "__dv_fp string, __dv_ri bigint"
+        )
+        df = (
+            df.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__dv_fp"),
+                F.col("_metadata.row_index").alias("__dv_ri"),
+            )
+            .join(F.broadcast(pair_df), ["__dv_fp", "__dv_ri"], "left_semi")
+            .drop("__dv_fp", "__dv_ri")
+        )
+        inverse = {phys: logi for logi, phys in mapping.items()}
+        return df.select(
+            *[F.col(c).alias(inverse.get(c, c)) for c in df.columns]
+        )
 
     chain = []  # manifests in (from, to], oldest first
     for v in range(from_version + 1, to_version + 1):
         chain.append(_read_manifest(path, v))
-    # an "evolve" commit adds no data files — append-compatible for
-    # the fast path (it contributes zero rows, under the new schema)
-    if all(m["mode"] in ("append", "evolve") for m in chain):
-        prev_files = set(_read_manifest(path, from_version)["files"])
+    # an "evolve" commit adds no data files and a "delete_dv" commit
+    # names its deletions — both incremental-compatible
+    if all(
+        m["mode"] in ("append", "evolve", "delete_dv", "update_dv")
+        for m in chain
+    ):
+        from_manifest = _read_manifest(path, from_version)
+        prev_files = set(from_manifest["files"])
+        prev_dv = _dv_of(from_manifest)
         out = None
+
+        def emit(part: DataFrame) -> None:
+            nonlocal out
+            out = part if out is None else out.unionAll(part)
+
         for m in chain:
             added = [fp for fp in m["files"] if fp not in prev_files]
             prev_files.update(added)
-            part = read_files(added).select(
-                "*",
-                F.lit("insert").alias("_change_type"),
-                F.lit(m["version"]).cast("int").alias("_commit_version"),
-            )
-            out = part if out is None else out.unionAll(part)
+            if added:
+                # inserted rows are read WITHOUT the later vectors: at
+                # insert time they were live; later delete_dv commits
+                # in the chain emit their own 'delete' rows
+                emit(
+                    read_files(added).select(
+                        "*",
+                        F.lit("insert").alias("_change_type"),
+                        F.lit(m["version"]).cast("int")
+                        .alias("_commit_version"),
+                    )
+                )
+            if m["mode"] in ("delete_dv", "update_dv"):
+                cur_dv = _dv_of(m)
+                pairs = [
+                    (fp, int(p))
+                    for fp, e in cur_dv.items()
+                    for p in set(e.get("pos", []))
+                    - set(prev_dv.get(fp, {}).get("pos", []))
+                ]
+                if pairs:
+                    emit(
+                        read_dv_rows(pairs).select(
+                            "*",
+                            F.lit("delete").alias("_change_type"),
+                            F.lit(m["version"]).cast("int")
+                            .alias("_commit_version"),
+                        )
+                    )
+                prev_dv = cur_dv
         return (
             out
             if out is not None
@@ -1923,8 +2420,9 @@ def read_changes(
                 F.lit(to_version).cast("int").alias("_commit_version"),
             )
         )
-    base = read_files(_read_manifest(path, from_version)["files"])
-    target = read_files(to_manifest["files"])
+    from_manifest = _read_manifest(path, from_version)
+    base = read_files(from_manifest["files"], dv=_dv_of(from_manifest))
+    target = read_files(to_manifest["files"], dv=_dv_of(to_manifest))
     tag = lambda df, kind: df.select(  # noqa: E731
         "*",
         F.lit(kind).alias("_change_type"),

@@ -1516,3 +1516,243 @@ def test_check_constraints_gate_appends(spark, tmp_path):
             spark.range(-1, 0).withColumnRenamed("id", "k"), dst,
             mode="append",
         )
+
+
+def test_dv_delete_writes_zero_files_and_merges(spark, tmp_path):
+    """delete_rows_dv: the commit's file list is VERBATIM the parent's
+    (zero data files written), deleted rows vanish from every read
+    path, repeated deletes merge their position sets, a no-op delete
+    does not commit, NULL predicate columns keep their rows, and the
+    pre-delete snapshot still time-travels."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 400).select(
+        F.when(F.col("id") == 350, None).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 9).alias("v"),
+    ).repartitionByRange(4, "k").sortWithinPartitions("k")
+    mt.write_table_with_stats(base, path, ["k"], mode="overwrite")
+    n_data_dirs = len(os.listdir(os.path.join(path, "data")))
+
+    res = mt.delete_rows_dv(spark, path, "k", 100, 199)
+    assert res == {
+        "version": 1, "rows_deleted": 100, "files_touched": res["files_touched"],
+        "files_rewritten": 0, "files_carried": 4,
+    }
+    # zero bytes written: no new data dir, file list verbatim
+    assert len(os.listdir(os.path.join(path, "data"))) == n_data_dirs
+    assert mt._read_manifest(path, 1)["files"] == mt._read_manifest(path, 0)["files"]
+    t = mt.read_table(spark, path)
+    assert t.count() == 300
+    assert t.filter(F.col("k").between(100, 199)).count() == 0
+    assert t.filter(F.col("k").isNull()).count() == 1       # NULL kept
+    assert mt.read_table(spark, path, version=0).count() == 400
+
+    # overlapping second delete merges positions (50 genuinely new)
+    res2 = mt.delete_rows_dv(spark, path, "k", 150, 249)
+    assert res2["rows_deleted"] == 50 and res2["version"] == 2
+    assert mt.read_table(spark, path).count() == 250
+    # fully-covered re-delete: no commit at all
+    res3 = mt.delete_rows_dv(spark, path, "k", 100, 249)
+    assert res3["rows_deleted"] == 0 and res3["version"] == 2
+    assert mt.current_version(path) == 2
+
+    # pruned + bloom-free read paths agree with the plain read
+    assert mt.read_table_pruned(spark, path, "k", 0, 299).count() == 150
+
+
+def test_dv_carries_through_append_evolve_restore_clone(spark, tmp_path):
+    """A deletion vector must survive every metadata-carrying commit:
+    append (plain and stats), ADD/RENAME COLUMN, RESTORE, CLONE —
+    dropping it anywhere would silently resurrect deleted rows."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(2, "k").sortWithinPartitions("k")
+    mt.write_table_with_stats(base, path, ["k"], mode="overwrite")
+    mt.delete_rows_dv(spark, path, "k", 10, 19)
+
+    extra = spark.range(200, 210).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    mt.write_table(extra, path, mode="append")
+    assert mt.read_table(spark, path).count() == 100
+    mt.write_table_with_stats(extra.select(
+        (F.col("k") + 100).alias("k"), "v"), path, ["k"])
+    assert mt.read_table(spark, path).count() == 110
+
+    mt.add_column(path, "w", "double")
+    mt.rename_column(path, "v", "val")
+    t = mt.read_table(spark, path)
+    assert t.count() == 110
+    assert t.filter(F.col("k").between(10, 19)).count() == 0
+
+    v = mt.restore_table(path, 1)   # the dv snapshot itself
+    assert mt._read_manifest(path, v).get("dv")
+    assert mt.read_table(spark, path).count() == 90
+
+    dst = str(tmp_path / "cl")
+    mt.clone_table(path, dst)
+    tc = mt.read_table(spark, dst)
+    assert tc.count() == 90
+    assert tc.filter(F.col("k").between(10, 19)).count() == 0
+
+
+def test_dv_cdf_fast_path_and_dml_no_resurrection(spark, tmp_path):
+    """read_changes across a delete_dv commit returns EXACTLY the
+    newly deleted rows tagged 'delete' (the O(delta) fast path — no
+    diff), a mixed append+dv chain interleaves correctly, COW DML on
+    a DV'd file applies the vectors before rewriting, and compact
+    materializes them away (manifest dv-free, diff CDF across the
+    compact empty)."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(3, "k").sortWithinPartitions("k")
+    mt.write_table_with_stats(base, path, ["k"], mode="overwrite")
+    mt.delete_rows_dv(spark, path, "k", 50, 69)            # v1
+    mt.write_table(
+        spark.range(500, 510).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+        ),
+        path, mode="append",
+    )                                                       # v2
+    mt.delete_rows_dv(spark, path, "k", 60, 79)            # v3 (+10 new)
+
+    ch = mt.read_changes(spark, path, 0, 3)
+    got = sorted(
+        (r["_change_type"], r["_commit_version"], r["k"])
+        for r in ch.collect()
+    )
+    want = sorted(
+        [("delete", 1, k) for k in range(50, 70)]
+        + [("insert", 2, k) for k in range(500, 510)]
+        + [("delete", 3, k) for k in range(70, 80)]
+    )
+    assert got == want
+
+    # COW UPDATE on a table with vectors: deleted rows stay deleted
+    mt.update_rows(spark, path, "k", 0, 299, {"v": F.lit(-1)})  # v4
+    t = mt.read_table(spark, path)
+    assert t.count() == 280
+    assert t.filter(F.col("k").between(50, 79)).count() == 0
+    # the rewrite consumed the vectors for rewritten files
+    m4 = mt._read_manifest(path, 4)
+    assert all(fp in m4["files"] for fp in m4.get("dv", {}))
+
+    v5 = mt.compact(spark, path)
+    assert "dv" not in mt._read_manifest(path, v5)
+    assert mt.read_table(spark, path).count() == 280
+    # compaction is a logical no-op even from a DV'd parent (diff
+    # fallback reads both sides under their own vectors)
+    assert mt.read_changes(spark, path, 4, 5).count() == 0
+
+
+def test_drop_constraint_and_drop_column_guard(spark, tmp_path):
+    """drop_column refuses while a CHECK constraint references the
+    column; drop_constraint releases it; constraints survive
+    drop_column of an unreferenced column."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    mt.write_table(
+        spark.range(1, 5).select(
+            F.col("id").alias("k"), F.lit(1).alias("v"), F.lit(2).alias("w")
+        ),
+        path, mode="overwrite",
+    )
+    mt.add_constraint(path, "k_pos", "k > 0")
+    with _pytest.raises(mt.SchemaConflict, match="k_pos"):
+        mt.drop_column(path, "k")
+    # dropping an UNreferenced column carries the constraint forward
+    v = mt.drop_column(path, "w")
+    assert mt._read_manifest(path, v)["constraints"] == {"k_pos": "k > 0"}
+    with _pytest.raises(mt.ConstraintViolation):
+        mt.write_table(
+            spark.range(-1, 0).select(
+                F.col("id").alias("k"), F.lit(1).alias("v")
+            ),
+            path, mode="append",
+        )
+    mt.drop_constraint(path, "k_pos")
+    mt.write_table(
+        spark.range(-1, 0).select(
+            F.col("id").alias("k"), F.lit(1).alias("v")
+        ),
+        path, mode="append",
+    )
+    assert mt.read_table(spark, path).count() == 5
+    with _pytest.raises(KeyError):
+        mt.drop_constraint(path, "nope")
+
+
+def test_update_rows_dv_mor_contract(spark, tmp_path):
+    """update_rows_dv: parent files carried verbatim plus ONLY the
+    appended image files (zero rewrites), the vector names exactly the
+    matched rows, CDF across the commit is the delete/insert pair via
+    the incremental fast path, already-deleted rows never update, and
+    compact folds vectors+images into plain files with the same
+    answer."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    ).repartitionByRange(4, "k").sortWithinPartitions("k")
+    mt.write_table_with_stats(base, path, ["k"], mode="overwrite")
+
+    res = mt.update_rows_dv(
+        spark, path, "k", 100, 149, {"v": F.col("v") + F.lit(1000.0)}
+    )
+    assert res["rows_updated"] == 50 and res["files_rewritten"] == 0
+    m0, m1 = mt._read_manifest(path, 0), mt._read_manifest(path, 1)
+    assert m1["files"][: len(m0["files"])] == m0["files"]
+    assert len(m1["files"]) == len(m0["files"]) + res["files_added"]
+    assert sum(e["card"] for e in m1["dv"].values()) == 50
+    # appended image files got stats entries (the table carries stats)
+    for fp in m1["files"][len(m0["files"]):]:
+        assert "k" in m1["stats"][fp]
+
+    t = mt.read_table(spark, path)
+    assert t.count() == 500
+    assert t.filter("k = 120").first()["v"] == 120 * 2 + 1000.0
+
+    ch = mt.read_changes(spark, path, 0, 1)
+    pre = ch.filter("_change_type='delete'")
+    post = ch.filter("_change_type='insert'")
+    assert pre.count() == 50 and post.count() == 50
+    assert pre.filter(F.col("v") >= 1000).count() == 0
+    assert post.filter(F.col("v") < 1000).count() == 0
+
+    # deleted rows never update; a no-match update commits nothing
+    mt.delete_rows_dv(spark, path, "k", 200, 249)
+    r2 = mt.update_rows_dv(spark, path, "k", 200, 259, {"v": F.lit(-5.0)})
+    assert r2["rows_updated"] == 10
+    r3 = mt.update_rows_dv(spark, path, "k", 5000, 5999, {"v": F.lit(-5.0)})
+    assert r3["rows_updated"] == 0
+    assert mt.current_version(path) == 3
+
+    v = mt.compact(spark, path)
+    assert "dv" not in mt._read_manifest(path, v)
+    t2 = mt.read_table(spark, path)
+    assert t2.count() == 450
+    assert t2.filter("k = 120").first()["v"] == 120 * 2 + 1000.0
+    assert t2.filter("v = -5.0").count() == 10
