@@ -2287,25 +2287,37 @@ def _prefix_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortizes it over every similarity query, which is exactly what
     the shared cache reproduces suite-wide."""
 
-    def build() -> DataFrame:
-        sh = _shingles(spark, sf_dir)
-        df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
-        sized = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        w = Window.partitionBy("doc_id").orderBy("df", "sh")
-        return (
-            sh.join(df_counts, "sh")
-            .withColumn("rn", F.row_number().over(w))
-            .join(sized, "doc_id")
-            .filter(
-                F.col("rn")
-                <= F.col("n_sh")
-                - F.ceil(F.lit(NGRAM_THRESHOLD) * F.col("n_sh"))
-                + 1
-            )
-            .select("doc_id", "sh", "rn", "n_sh")
-        )
+    return memoized_result(
+        spark,
+        sf_dir,
+        "ppjoin_prefix_index",
+        lambda: ppjoin_prefix_of(_shingles(spark, sf_dir)),
+    )
 
-    return memoized_result(spark, sf_dir, "ppjoin_prefix_index", build)
+
+def ppjoin_prefix_of(sh: DataFrame) -> DataFrame:
+    """The prefix-index BUILD over ANY (doc_id, sh) relation — the
+    relation-generic half of ``_prefix_shingles``, shared by the
+    from-scratch key and the at-rest twin (``q_llm_dedup_ppjoin_at_
+    rest`` derives rarity from the persisted shingle table). The
+    df-rarity ranking is GLOBAL state, which is exactly why the
+    at-rest artifact is the per-doc shingle table and the ranking is
+    recomputed on refresh (index_store module docstring)."""
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    sized = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    return (
+        sh.join(df_counts, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sized, "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.col("n_sh")
+            - F.ceil(F.lit(NGRAM_THRESHOLD) * F.col("n_sh"))
+            + 1
+        )
+        .select("doc_id", "sh", "rn", "n_sh")
+    )
 
 
 @query("q_llm_dedup_ppjoin", oracle=_EXACT_JACCARD_SQL)
@@ -2358,6 +2370,22 @@ def _ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs and SCD2 dim) — while tests measure THIS builder
     directly."""
     pre = _prefix_shingles(spark, sf_dir)
+    docsets = memoized_result(
+        spark,
+        sf_dir,
+        "ppjoin_docsets",
+        lambda: _shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("sh")).alias("shs")),
+    )
+    return ppjoin_pairs_over(pre, docsets)
+
+
+def ppjoin_pairs_over(pre: DataFrame, docsets: DataFrame) -> DataFrame:
+    """PPJoin candidate generation + exact verification over ANY
+    prefix index (``ppjoin_prefix_of``) and per-doc sorted shingle
+    sets — the relation-generic core shared by ``q_llm_dedup_ppjoin``
+    and its at-rest twin."""
     t = NGRAM_THRESHOLD
     # overlap needed for J >= t; and the positional upper bound on the
     # overlap still reachable from the shared token's prefix positions
@@ -2386,14 +2414,6 @@ def _ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
-    )
-    docsets = memoized_result(
-        spark,
-        sf_dir,
-        "ppjoin_docsets",
-        lambda: _shingles(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("sh")).alias("shs")),
     )
     jac = (
         cand.join(

@@ -935,3 +935,239 @@ def q_llm_sim_ann_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return memoized_result(spark, sf_dir, "sim_ann_topk_at_rest", build)
+
+
+# ---------------------------------------------------------------------------
+# At-rest RETRIEVAL index (round 11, wave 13): BM25's postings live as
+# a manifest table beside the corpus, maintained through BOTH an
+# append and a DELETION-VECTOR corpus delete consumed via the CDF
+# fast path — the wave-12 DV machinery driving index maintenance.
+# ---------------------------------------------------------------------------
+
+#: corpus/crawl split for the postings lifecycle (distinct from the
+#: digest %5, pipeline %4, curation %7 moduli)
+BM25_MOD = 6
+#: DV-deleted corpus band — overlaps base AND crawl residues, fits
+#: the dense 0..499 documents keys at every fixture scale, and is
+#: distinct from the digest-DML [50, 199] band so the lifecycles
+#: can't mask each other
+BM25_DEL_LO = 120
+BM25_DEL_HI = 219
+
+
+def posting_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, word, tf) inverted-index postings for ANY docs
+    relation — the same whitespace tokenization as ``_words``. Term
+    frequency is a pure per-doc function, so the postings table is
+    incrementally maintainable; every GLOBAL retrieval statistic
+    (df, N, ΣdL, avgdl) is an aggregate OVER the postings, recomputed
+    at query time — which is why maintaining tf rows alone keeps BM25
+    exact under any append/delete history."""
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+@_register_builder(
+    "documents_postings_indexed",
+    fp_params=[BM25_MOD, BM25_DEL_LO, BM25_DEL_HI],
+)
+def _build_postings_index_tables(
+    spark: SparkSession, sf_dir: str, tmp: Path
+) -> None:
+    """corpus   v0 = base docs (doc_id % BM25_MOD != 0, range-
+                     clustered, stats on doc_id)
+                v1 = crawl append
+                v2 = DELETION-VECTOR delete of [BM25_DEL_LO,
+                     BM25_DEL_HI] — zero data files rewritten
+    postings  p0 = full build from corpus v0
+              p1 = CDF(0→1) applied (insert appends)
+              p2 = CDF(1→2) applied — the DV fast path emits the
+                   banded docs as 'delete' rows, which become a
+                   file-pruned key-set DELETE on the postings"""
+    from frafka_spark.sources.manifest_table import (
+        delete_rows_dv,
+        read_changes,
+        read_table,
+        write_table_with_stats,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus, postings = tmp / "corpus", tmp / "postings"
+
+    def clustered(df):
+        return df.repartitionByRange(4, "doc_id").sortWithinPartitions(
+            "doc_id"
+        )
+
+    write_table_with_stats(
+        clustered(d.filter(F.col("doc_id") % BM25_MOD != 0)),
+        str(corpus), ["doc_id"], mode="overwrite",
+    )
+    write_table_with_stats(
+        clustered(d.filter(F.col("doc_id") % BM25_MOD == 0)),
+        str(corpus), ["doc_id"], mode="append",
+    )
+    delete_rows_dv(spark, str(corpus), "doc_id", BM25_DEL_LO, BM25_DEL_HI)
+
+    write_table_with_stats(
+        clustered(posting_rows(read_table(spark, str(corpus), version=0))),
+        str(postings), ["doc_id"], mode="overwrite",
+    )
+    for frm, to in ((0, 1), (1, 2)):
+        apply_cdf_to_index(
+            spark,
+            str(postings),
+            read_changes(spark, str(corpus), frm, to),
+            posting_rows,
+        )
+
+
+def _bm25_survivor_oracle() -> str:
+    """``q_llm_bm25``'s oracle, derived structurally (not copied) by
+    swapping its corpus CTE source for the DV-surviving slice — the
+    from-scratch recomputation the maintained postings must equal."""
+    from frafka_spark.llm import text  # noqa: F401 — registers q_llm_bm25
+
+    base = _registered_oracle("q_llm_bm25")
+    assert base.count("FROM documents") == 1
+    return base.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE NOT "
+        f"(doc_id BETWEEN {BM25_DEL_LO} AND {BM25_DEL_HI}))",
+        1,
+    )
+
+
+@query("q_llm_bm25_at_rest", oracle=_bm25_survivor_oracle())
+def q_llm_bm25_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval answered from the AT-REST postings index — the
+    full maintenance story in one grade: the corpus lived an append
+    AND a deletion-vector delete (wave 12), the postings table
+    consumed both through the CDF fast path (the DV commit's deleted
+    rows arrive as O(delta) 'delete' tags, becoming a file-pruned
+    key-set DELETE on the index), and this query derives EVERY global
+    BM25 statistic (df, N, ΣdL, term selection ``20·df ≥ N``) from
+    the maintained postings alone — corpus text is never read. The
+    oracle recomputes Okapi BM25 from scratch over the surviving
+    fixture slice, so the hash matches iff maintained == rebuilt,
+    including the globals a stale index would get wrong.
+
+    Exactness: identical pinning to ``q_llm_bm25`` (whose oracle this
+    derives structurally) — exact integer tf/df/dl/N from hash
+    aggregates, one double division for avgdl, half-up 4-digit score,
+    rank on the rounded score with doc_id tiebreak.
+
+    Scale shape: the retrieval-serving layout at 100 TB — per-doc
+    postings appended at ingest cost O(crawl tokens), deletes pruned
+    to span-intersecting index files, and query cost is independent
+    of corpus text storage: three hash-aggregates over tf rows (all
+    map-side partial), a broadcast 5-term list, a keyed top-10
+    window. Recomputing df/N per query is one aggregate over the
+    index — the price of never serving stale idf.
+    """
+    from frafka_spark.functions.determinism import half_up
+
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "documents_postings_indexed")
+    tf = read_table(spark, str(Path(path) / "postings"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("n_words")
+    )
+    terms = (
+        df.crossJoin(F.broadcast(corpus))
+        .filter(20 * F.col("df") >= F.col("n_docs"))
+        .orderBy(F.col("df").asc(), F.col("word").asc())
+        .limit(5)
+        .select("word", "df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = half_up(
+        idf
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2
+            * (
+                0.25
+                + 0.75
+                * F.col("dl")
+                / (F.col("n_words").cast("double") / F.col("n_docs"))
+            )
+        ),
+        4,
+    )
+    scored = (
+        tf.join(F.broadcast(terms), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("word", "df", "doc_id", "tf", "dl", score.alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("word").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@query(
+    "q_llm_dedup_ppjoin_at_rest",
+    oracle=_registered_oracle("q_llm_dedup_ppjoin"),
+)
+def q_llm_dedup_ppjoin_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin exact-Jaccard threshold join ANSWERED FROM THE AT-REST
+    SHINGLE TABLE — closing the one index VERDICT r10 named as still
+    session-only. The module docstring's design holds: what goes to
+    rest is the PER-DOC shingle table (CDF-maintained in the
+    ``documents_near_indexed`` lifecycle, shared with the near-dup
+    twin); the GLOBAL df-rarity prefix ranking is derived from those
+    at-rest rows at refresh time (``ppjoin_prefix_of``), because
+    rarity is corpus-wide state no per-doc append can maintain.
+    Candidates, positional/length filters, and exact verification all
+    run over at-rest rows — corpus text is never re-read or
+    re-shingled. Shares ``q_llm_dedup_ppjoin``'s oracle verbatim, so
+    the hash gates at-rest == from-scratch.
+
+    Result memoized per (session, fixture) like every composed pair
+    relation: a resident pipeline materializes prefix index and
+    verified pairs once per index version.
+
+    Scale shape: the refresh recomputes df with ONE aggregate over
+    digest-width at-rest rows (cheap next to re-shingling text), and
+    everything downstream is the same Σ|posting|²-bounded prefix
+    join as the from-scratch key — the ingest-time shingle cost is
+    amortized into the table, which is the entire point of keeping
+    it at rest.
+    """
+    from frafka_spark.llm.dedup import (
+        memoized_result,
+        ppjoin_pairs_over,
+        ppjoin_prefix_of,
+    )
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "documents_near_indexed")
+    sh = read_table(spark, str(Path(path) / "shingles"))
+
+    def build() -> DataFrame:
+        pre = ppjoin_prefix_of(sh)
+        docsets = sh.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("sh")).alias("shs")
+        )
+        return ppjoin_pairs_over(pre, docsets)
+
+    return memoized_result(spark, sf_dir, "ppjoin_pairs_at_rest", build)

@@ -833,3 +833,67 @@ def test_at_rest_twins_equal_from_scratch(spark):
             tuple(r) for r in s.collect()
         }, at_rest
         assert QUERIES[at_rest].oracle == QUERIES[scratch].oracle
+
+
+def test_postings_index_maintained_through_dv_delete(spark):
+    """q_llm_bm25_at_rest's lifecycle: the corpus's DV delete commit
+    rewrote ZERO data files; the maintained postings table multiset-
+    equals posting_rows over the corpus's LATEST snapshot (append +
+    DV delete both followed); and the graded plan reads the postings
+    table, never the documents fixture."""
+    from pathlib import Path
+
+    from frafka_spark.llm.index_store import (
+        BM25_DEL_HI,
+        BM25_DEL_LO,
+        posting_rows,
+    )
+    from frafka_spark.operators.lakehouse import _ensure_table
+    from frafka_spark.plans.inspect import plan_str
+    from frafka_spark.registry import QUERIES
+    from frafka_spark.sources import manifest_table as mt
+
+    path = _ensure_table(spark, SF_DIR, "documents_postings_indexed")
+    corpus = str(Path(path) / "corpus")
+    postings = str(Path(path) / "postings")
+
+    # corpus v2 is the DV commit: file list verbatim, vectors present
+    m1, m2 = mt._read_manifest(corpus, 1), mt._read_manifest(corpus, 2)
+    assert m2["mode"] == "delete_dv"
+    assert m2["files"] == m1["files"]
+    assert m2.get("dv")
+    # the banded docs are gone from the corpus read
+    c = mt.read_table(spark, corpus)
+    assert c.filter(
+        F.col("doc_id").between(BM25_DEL_LO, BM25_DEL_HI)
+    ).count() == 0
+
+    # maintained == rebuilt-from-latest
+    maintained = mt.read_table(spark, postings)
+    rebuilt = posting_rows(c)
+    assert maintained.count() == rebuilt.count()
+    assert maintained.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(maintained).count() == 0
+    assert maintained.filter(
+        F.col("doc_id").between(BM25_DEL_LO, BM25_DEL_HI)
+    ).count() == 0
+
+    df = QUERIES["q_llm_bm25_at_rest"].fn(spark, SF_DIR)
+    p = plan_str(df)
+    assert "documents.parquet" not in p   # index-only read
+    assert "postings" in p
+
+
+def test_ppjoin_at_rest_equals_from_scratch(spark):
+    """q_llm_dedup_ppjoin_at_rest: the pair relation derived from the
+    at-rest shingle table (prefix ranking recomputed over at-rest
+    rows) equals the from-scratch key's, and the graded plan never
+    touches the documents fixture."""
+    from frafka_spark.plans.inspect import plan_str
+    from frafka_spark.registry import QUERIES
+
+    at_rest = QUERIES["q_llm_dedup_ppjoin_at_rest"].fn(spark, SF_DIR)
+    scratch = QUERIES["q_llm_dedup_ppjoin"].fn(spark, SF_DIR)
+    assert at_rest.exceptAll(scratch).count() == 0
+    assert scratch.exceptAll(at_rest).count() == 0
+    assert "documents.parquet" not in plan_str(at_rest)
