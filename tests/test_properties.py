@@ -1295,3 +1295,102 @@ def test_r11_dml_sequence_matches_python_model(
         assert mid == sorted(model)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 9)),
+        min_size=1,
+        max_size=60,
+    ),
+    d1lo=st.integers(0, 500),
+    d1w=st.integers(0, 120),
+    u2lo=st.integers(0, 500),
+    u2w=st.integers(0, 120),
+    bump=st.integers(1, 50),
+    extra=st.lists(
+        st.tuples(st.integers(600, 700), st.integers(0, 9)), max_size=15
+    ),
+    d3lo=st.integers(0, 700),
+    d3w=st.integers(0, 150),
+)
+def test_dv_sequence_matches_python_model(
+    spark, rows, d1lo, d1w, u2lo, u2w, bump, extra, d3lo, d3w
+):
+    """The merge-on-read surface swept vs a per-row Python model:
+    delete_rows_dv → update_rows_dv → append → delete_rows_dv →
+    compact on ARBITRARY small tables. Invariants: the visible
+    snapshot equals the model after every step, vectors never touch
+    time travel (v0 intact), the second DV delete merges with vectors
+    left on update-image files, and the incremental CDF over the
+    whole chain FOLDS v0 into the final snapshot (inserts minus
+    deletes, multiset-exact) — the consumer-facing contract of the
+    O(delta) fast path."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = tempfile.mkdtemp(prefix="dvprop_")
+    try:
+        df = spark.createDataFrame(rows, "k long, v long").repartition(3)
+        mt.write_table_with_stats(df, path, ["k"], mode="overwrite")
+        model = list(rows)
+
+        d1hi = d1lo + d1w
+        mt.delete_rows_dv(spark, path, "k", d1lo, d1hi)
+        model = [(k, v) for k, v in model if not (d1lo <= k <= d1hi)]
+
+        u2hi = u2lo + u2w
+        mt.update_rows_dv(
+            spark, path, "k", u2lo, u2hi, {"v": F.col("v") + bump}
+        )
+        model = [
+            (k, v + bump if u2lo <= k <= u2hi else v) for k, v in model
+        ]
+
+        if extra:
+            mt.write_table(
+                spark.createDataFrame(extra, "k long, v long"), path,
+                mode="append",
+            )
+            model = model + list(extra)
+
+        d3hi = d3lo + d3w
+        mt.delete_rows_dv(spark, path, "k", d3lo, d3hi)
+        model = [(k, v) for k, v in model if not (d3lo <= k <= d3hi)]
+
+        pre_compact = mt.current_version(path)
+        got = sorted((r.k, r.v) for r in mt.read_table(spark, path).collect())
+        assert got == sorted(model)
+
+        # incremental CDF folds v0 into the pre-compact snapshot
+        ch = mt.read_changes(spark, path, 0, pre_compact).collect()
+        folded = Counter(rows)
+        folded.update(
+            (r.k, r.v) for r in ch if r._change_type == "insert"
+        )
+        folded.subtract(
+            (r.k, r.v) for r in ch if r._change_type == "delete"
+        )
+        assert +folded == Counter(model)
+
+        mt.compact(spark, path, target_file_bytes=10_000)
+        assert "dv" not in mt._read_manifest(path, mt.current_version(path))
+        got2 = sorted(
+            (r.k, r.v) for r in mt.read_table(spark, path).collect()
+        )
+        assert got2 == sorted(model)
+        v0 = sorted(
+            (r.k, r.v)
+            for r in mt.read_table(spark, path, version=0).collect()
+        )
+        assert v0 == sorted(rows)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
