@@ -1665,3 +1665,36 @@ def test_cdc_merge_prunes_and_applies_all_branches(spark):
     with _pytest.raises(ValueError, match="unknown"):
         mt.merge_table_cdc(spark, path, bad, key="o_orderkey")
     assert mt.current_version(path) == v  # guards committed nothing
+
+
+def test_dv_read_path_plan_contract(spark, tmp_path):
+    """The deletion-vector read contract at the plan level: a
+    snapshot WITHOUT vectors scans with NO join anywhere (the common
+    path pays nothing for the feature existing), and a snapshot WITH
+    vectors applies them as one BROADCAST anti-join on the metadata
+    identity — never a shuffle join, never a second scan of the data
+    files."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    ).repartitionByRange(3, "k").sortWithinPartitions("k")
+    mt.write_table_with_stats(base, path, ["k"], mode="overwrite")
+
+    clean = plan_str(mt.read_table(spark, path))
+    assert "Join" not in clean          # feature is free when unused
+    assert "_metadata" not in clean
+
+    mt.delete_rows_dv(spark, path, "k", 10, 39)
+    dv = plan_str(mt.read_table(spark, path))
+    assert "BroadcastHashJoin" in dv and "LeftAnti" in dv
+    assert "SortMergeJoin" not in dv    # vectors broadcast, never shuffle
+    assert dv.count("Scan parquet") <= 2  # data scan + tiny pair relation
+
+    # the q_scan_deleted_dv graded plan keeps the same shape
+    g = plan_str(QUERIES["q_scan_deleted_dv"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in g and "LeftAnti" in g
+    assert "SortMergeJoin" not in g
