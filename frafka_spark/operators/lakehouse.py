@@ -452,6 +452,152 @@ def q_scan_deleted_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: corpus/crawl split for the IVM rollup lifecycle (distinct from the
+#: index lifecycles' moduli; the union of both residue classes is the
+#: full fixture, so the maintained rollup's oracle is the same
+#: survivors rollup the delete twins grade)
+IVM_MOD = 9
+
+
+def apply_cdf_to_rollup(
+    spark: SparkSession, rollup_path: str, delta: DataFrame
+) -> None:
+    """INCREMENTAL VIEW MAINTENANCE for the priority rollup: fold one
+    CDF window into the materialized aggregate — inserts add, deletes
+    subtract (counts as +/-1, price cents as +/- the row's half-up
+    cents), groups falling to zero rows disappear. Sum/count are
+    self-maintainable aggregates, so the fold needs ONLY the delta:
+    cost O(delta) + O(groups), never a base-table scan — the
+    materialized-view half of the CDF contract (min/max are NOT
+    self-maintainable under deletes; a real engine recomputes those
+    groups or keeps sketches). The rollup is O(groups) tiny, so each
+    fold rewrites it as one overwrite commit — the right cost class,
+    and every fold is itself an atomic snapshot."""
+    from frafka_spark.sources.manifest_table import read_table, write_table
+
+    sgn = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    d = (
+        delta.select(
+            "o_orderpriority",
+            sgn.alias("sgn"),
+            (sgn * cents).alias("d_cents"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("sgn").cast("bigint").alias("d_n"),
+            F.sum("d_cents").cast("bigint").alias("d_c"),
+        )
+    )
+    old = read_table(spark, rollup_path)
+    merged = (
+        old.join(d, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            (F.coalesce("price_cents", F.lit(0)) + F.coalesce("d_c", F.lit(0)))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    write_table(merged, rollup_path, mode="overwrite")
+
+
+@_register_builder("orders_rollup_ivm", fp_params=[IVM_MOD])
+def _build_ivm_tables(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
+    """corpus v0 = base orders (o_orderkey % IVM_MOD != 0, range-
+    clustered stats); v1 = crawl append; v2 = DELETION-VECTOR delete
+    of [DEL_LO, DEL_HI]. rollup r0 = one full aggregate over corpus
+    v0; r1/r2 = CDF(0→1) and CDF(1→2) folded in — the DV window's
+    deletes arrive via the O(delta) fast path and SUBTRACT."""
+    from frafka_spark.sources.manifest_table import (
+        delete_rows_dv,
+        read_changes,
+        read_table,
+        write_table,
+        write_table_with_stats,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(N_RANGE_FILES, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    corpus, rollup = tmp / "corpus", tmp / "rollup"
+    write_table_with_stats(
+        o.filter(F.col("o_orderkey") % IVM_MOD != 0),
+        str(corpus), ["o_orderkey"], mode="overwrite",
+    )
+    write_table_with_stats(
+        o.filter(F.col("o_orderkey") % IVM_MOD == 0),
+        str(corpus), ["o_orderkey"], mode="append",
+    )
+    delete_rows_dv(spark, str(corpus), "o_orderkey", DEL_LO, DEL_HI)
+
+    base = read_table(spark, str(corpus), version=0)
+    write_table(
+        base.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("price_cents"),
+        ),
+        str(rollup),
+        mode="overwrite",
+    )
+    for frm, to in ((0, 1), (1, 2)):
+        apply_cdf_to_rollup(
+            spark, str(rollup), read_changes(spark, str(corpus), frm, to)
+        )
+
+
+def _deleted_oracle() -> str:
+    """q_scan_deleted's oracle via the registry — COW delete scan, MOR
+    delete scan, and the IVM-maintained rollup must all produce this
+    one relation."""
+    from frafka_spark.registry import QUERIES
+
+    return QUERIES["q_scan_deleted"].oracle
+
+
+@query("q_agg_rollup_ivm", oracle=_deleted_oracle())
+def q_agg_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE graded end-to-end: the priority
+    rollup is materialized ONCE from the corpus base and then
+    maintained purely from change feeds — an append window folds in
+    positively, a DELETION-VECTOR delete window folds in negatively
+    (the wave-12 fast path delivering the banded rows as O(delta)
+    'delete' tags) — and the declared query reads ONLY the maintained
+    rollup table. It shares ``q_scan_deleted``'s oracle verbatim, so
+    the grade is a three-way identity: copy-on-write scan,
+    merge-on-read scan, and delta-maintained aggregate are the same
+    answer. The base corpus is NEVER re-aggregated after r0 — an IVM
+    fold that silently drifted (missed window, double-applied batch,
+    subtraction bug) hash-fails here.
+
+    Exactness: counts and per-row half-up cents are BIGINTs, so adds
+    and subtracts are exact — sum/count are self-maintainable; the
+    docstring of ``apply_cdf_to_rollup`` records why min/max are not.
+
+    Scale shape: THE reporting pattern at 100 TB — the dashboards'
+    aggregate costs O(day's delta) + O(groups) per refresh instead of
+    a corpus scan, riding the same CDF windows the index-maintenance
+    consumers use; each fold is one atomic overwrite of an O(groups)
+    relation, and the graded read is a scan of that tiny table.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "orders_rollup_ivm")
+    return read_table(spark, str(Path(path) / "rollup"))
+
+
 _INS_VALUES_SQL = ", ".join(f"({p!r})" for _, _, p in INS_ROWS)
 
 

@@ -1698,3 +1698,39 @@ def test_dv_read_path_plan_contract(spark, tmp_path):
     g = plan_str(QUERIES["q_scan_deleted_dv"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in g and "LeftAnti" in g
     assert "SortMergeJoin" not in g
+
+
+def test_ivm_rollup_folds_equal_recompute(spark):
+    """q_agg_rollup_ivm's lifecycle: the rollup table's chain is
+    exactly r0 (full build) + one overwrite fold per CDF window; the
+    maintained relation multiset-equals a from-scratch aggregate over
+    the corpus's LATEST snapshot; and intermediate fold r1 equals the
+    aggregate over corpus v1 (each fold lands the right prefix, not
+    just the final state)."""
+    from pathlib import Path as _P
+
+    from pyspark.sql import functions as F
+
+    from frafka_spark.operators.lakehouse import _ensure_table
+    from frafka_spark.sources import manifest_table as mt
+
+    path = _ensure_table(spark, SF_DIR, "orders_rollup_ivm")
+    corpus = str(_P(path) / "corpus")
+    rollup = str(_P(path) / "rollup")
+    assert mt.current_version(rollup) == 2    # r0 + 2 folds
+    assert mt.current_version(corpus) == 2    # v0 + append + dv delete
+
+    def agg_of(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("price_cents"),
+        )
+
+    for rv, cv in ((1, 1), (2, 2)):
+        got = mt.read_table(spark, rollup, version=rv)
+        want = agg_of(mt.read_table(spark, corpus, version=cv))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
