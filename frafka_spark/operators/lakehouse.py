@@ -224,54 +224,80 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
     # would rebuild and rename-aside-swap tables a concurrent reader
     # may be scanning (ADVICE r10)
     fp = json.loads(json.dumps(fp))
+    def is_fresh() -> bool:
+        try:
+            # nested lifecycles keep several tables under one dest —
+            # any committed manifest below it marks a usable build
+            return json.loads(marker.read_text()) == fp and any(
+                dest.glob("**/_manifest/v*.json")
+            )
+        except (OSError, json.JSONDecodeError):
+            return False
+
     with _LH_LOCK:
         hit = _LH_MEMO.get(key)
         if hit is not None:
             return hit
-        fresh = False
-        try:
-            # nested lifecycles keep several tables under one dest —
-            # any committed manifest below it marks a usable build
-            fresh = json.loads(marker.read_text()) == fp and any(
-                dest.glob("**/_manifest/v*.json")
-            )
-        except (OSError, json.JSONDecodeError):
-            pass
-        if not fresh:
-            import shutil
-            import time
+        # Cross-process exclusive lock with a double-checked freshness
+        # re-read: when a fingerprint change makes every process see a
+        # stale table at once (each new session's first contact after
+        # a constants bump), exactly ONE process rebuilds — the others
+        # block on the flock, re-read the marker the winner wrote, and
+        # skip. Without this, two concurrent graders both rebuild and
+        # the second's rename-aside swap rmtree's files the first's
+        # in-flight scan still references (the r11 concurrent
+        # double-run caught exactly this).
+        import fcntl
 
-            tmp = root / f"_lhbuild_{os.getpid()}_{time.monotonic_ns()}"
-            _BUILDERS[which](spark, sf_dir, tmp)
-            # manifests record absolute paths — retarget before the
-            # rename-aside swap (the fileskip._ensure_layout pattern);
-            # the recursive glob also covers nested multi-table builds
-            for mf in tmp.glob("**/_manifest/v*.json"):
-                m = json.loads(mf.read_text())
-                m["files"] = [
-                    f.replace(str(tmp), str(dest), 1) for f in m["files"]
-                ]
-                for keyed in ("stats", "bloom", "dv"):
-                    if keyed in m:
-                        m[keyed] = {
-                            k.replace(str(tmp), str(dest), 1): v
-                            for k, v in m[keyed].items()
-                        }
-                mf.write_text(json.dumps(m))
-            trash = None
-            if dest.exists():
-                trash = root / f"_trash_{os.getpid()}_{time.monotonic_ns()}"
-                os.rename(dest, trash)
-            dest.parent.mkdir(parents=True, exist_ok=True)
-            try:
-                os.rename(tmp, dest)
-            except OSError:
-                if not any(dest.glob("**/_manifest/v*.json")):
-                    raise
-                shutil.rmtree(tmp, ignore_errors=True)
-            marker.write_text(json.dumps(fp))
-            if trash is not None:
-                shutil.rmtree(trash, ignore_errors=True)
+        root.mkdir(parents=True, exist_ok=True)
+        lockf = open(root / f"{which}.lock", "w")
+        try:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            fresh = is_fresh()
+            if not fresh:
+                import shutil
+                import time
+
+                tmp = root / f"_lhbuild_{os.getpid()}_{time.monotonic_ns()}"
+                _BUILDERS[which](spark, sf_dir, tmp)
+                # manifests record absolute paths — retarget before
+                # the rename-aside swap (the fileskip._ensure_layout
+                # pattern); the recursive glob also covers nested
+                # multi-table builds
+                for mf in tmp.glob("**/_manifest/v*.json"):
+                    m = json.loads(mf.read_text())
+                    m["files"] = [
+                        f.replace(str(tmp), str(dest), 1)
+                        for f in m["files"]
+                    ]
+                    for keyed in ("stats", "bloom", "dv"):
+                        if keyed in m:
+                            m[keyed] = {
+                                k.replace(str(tmp), str(dest), 1): v
+                                for k, v in m[keyed].items()
+                            }
+                    mf.write_text(json.dumps(m))
+                trash = None
+                if dest.exists():
+                    trash = root / (
+                        f"_trash_{os.getpid()}_{time.monotonic_ns()}"
+                    )
+                    os.rename(dest, trash)
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                try:
+                    os.rename(tmp, dest)
+                except OSError:
+                    if not any(dest.glob("**/_manifest/v*.json")):
+                        raise
+                    shutil.rmtree(tmp, ignore_errors=True)
+                marker.write_text(json.dumps(fp))
+                if trash is not None:
+                    shutil.rmtree(trash, ignore_errors=True)
+        finally:
+            import fcntl as _fcntl
+
+            _fcntl.flock(lockf, _fcntl.LOCK_UN)
+            lockf.close()
         _LH_MEMO[key] = str(dest)
         return str(dest)
 

@@ -1756,3 +1756,52 @@ def test_update_rows_dv_mor_contract(spark, tmp_path):
     assert t2.count() == 450
     assert t2.filter("k = 120").first()["v"] == 120 * 2 + 1000.0
     assert t2.filter("v = -5.0").count() == 10
+
+
+def test_dv_delete_conflict_and_retry(spark, tmp_path, monkeypatch):
+    """A deletion-vector DELETE racing a concurrent append: the DV
+    commit loses the version to an interloper whose append lands
+    IN-BAND rows, CommitConflict propagates (DML ops are optimistic —
+    the caller retries), and the retry vectors BOTH the original and
+    the interloper's in-band rows — no lost delete, no survivor."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    ).repartitionByRange(3, "k").sortWithinPartitions("k")
+    mt.write_table_with_stats(base, path, ["k"], mode="overwrite")
+
+    real_commit = mt._commit
+    state = {"interloped": False}
+
+    def racing_commit(p, version, manifest):
+        if manifest.get("mode") == "delete_dv" and not state["interloped"]:
+            state["interloped"] = True
+            prevm = mt._read_manifest(p, version - 1)
+            extra = mt._write_data_files(
+                spark.createDataFrame([(150, -1.0)], "k long, v double"), p
+            )
+            real_commit(p, version, {
+                "version": version, "mode": "append",
+                "files": prevm["files"] + extra,
+                "schema": prevm["schema"], "parent": version - 1,
+            })
+        return real_commit(p, version, manifest)
+
+    monkeypatch.setattr(mt, "_commit", racing_commit)
+    with _pytest.raises(mt.CommitConflict):
+        mt.delete_rows_dv(spark, path, "k", 100, 199)
+    monkeypatch.undo()
+
+    # the caller's retry sees the winner's head — including the
+    # interloper's in-band row — and deletes everything in the band
+    res = mt.delete_rows_dv(spark, path, "k", 100, 199)
+    assert res["rows_deleted"] == 101 and res["files_rewritten"] == 0
+    t = mt.read_table(spark, path)
+    assert t.count() == 200
+    assert t.filter(F.col("k").between(100, 199)).count() == 0
