@@ -948,9 +948,11 @@ def q_llm_sim_ann_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: digest %5, pipeline %4, curation %7 moduli)
 BM25_MOD = 6
 #: DV-deleted corpus band — overlaps base AND crawl residues, fits
-#: the dense 0..499 documents keys at every fixture scale, and is
-#: distinct from the digest-DML [50, 199] band so the lifecycles
-#: can't mask each other
+#: the dense 0..499 documents keys at every fixture scale, and
+#: differs from the digest-DML [50, 199] band (they overlap on
+#: 120-199, which is harmless: the lifecycles use separate tables —
+#: the differing endpoints are only so a band-constant typo in one
+#: lifecycle can't be masked by the other's oracle)
 BM25_DEL_LO = 120
 BM25_DEL_HI = 219
 

@@ -58,6 +58,11 @@ N_APPENDS = 6
 _LH_LOCK = threading.Lock()
 #: (appId, sf_dir, which) → table path
 _LH_MEMO: dict[tuple[str, str, str], str] = {}
+#: (sf_dir, which) → in-process lock for that one table's build, so a
+#: slow/hung rebuild of one table (possibly blocked on another
+#: process's flock) never stalls _ensure_table calls for UNRELATED
+#: tables in this process (ADVICE r11); _LH_LOCK only guards the dicts
+_LH_TABLE_LOCKS: dict[tuple[str, str], threading.Lock] = {}
 
 
 def _build_compact_table(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
@@ -238,6 +243,12 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
         hit = _LH_MEMO.get(key)
         if hit is not None:
             return hit
+        tlock = _LH_TABLE_LOCKS.setdefault((sf_dir, which), threading.Lock())
+    with tlock:
+        with _LH_LOCK:
+            hit = _LH_MEMO.get(key)  # built while we waited on tlock
+            if hit is not None:
+                return hit
         # Cross-process exclusive lock with a double-checked freshness
         # re-read: when a fingerprint change makes every process see a
         # stale table at once (each new session's first contact after
@@ -246,7 +257,8 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
         # skip. Without this, two concurrent graders both rebuild and
         # the second's rename-aside swap rmtree's files the first's
         # in-flight scan still references (the r11 concurrent
-        # double-run caught exactly this).
+        # double-run caught exactly this). Blocking on the flock holds
+        # only THIS table's tlock, never the module-wide _LH_LOCK.
         import fcntl
 
         root.mkdir(parents=True, exist_ok=True)
@@ -298,7 +310,8 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
 
             _fcntl.flock(lockf, _fcntl.LOCK_UN)
             lockf.close()
-        _LH_MEMO[key] = str(dest)
+        with _LH_LOCK:
+            _LH_MEMO[key] = str(dest)
         return str(dest)
 
 

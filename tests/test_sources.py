@@ -1539,10 +1539,12 @@ def test_dv_delete_writes_zero_files_and_merges(spark, tmp_path):
     n_data_dirs = len(os.listdir(os.path.join(path, "data")))
 
     res = mt.delete_rows_dv(spark, path, "k", 100, 199)
-    assert res == {
-        "version": 1, "rows_deleted": 100, "files_touched": res["files_touched"],
-        "files_rewritten": 0, "files_carried": 4,
-    }
+    assert res["version"] == 1 and res["rows_deleted"] == 100
+    assert res["files_rewritten"] == 0 and res["files_carried"] == 4
+    # 400 rows range-split into 4 files: the 100-199 band intersects
+    # 1 file exactly on boundaries, 2 when the sampled split lands
+    # inside the band (ADVICE r11: assert the value, not itself)
+    assert 1 <= res["files_touched"] <= 2
     # zero bytes written: no new data dir, file list verbatim
     assert len(os.listdir(os.path.join(path, "data"))) == n_data_dirs
     assert mt._read_manifest(path, 1)["files"] == mt._read_manifest(path, 0)["files"]
