@@ -282,12 +282,18 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
                         f.replace(str(tmp), str(dest), 1)
                         for f in m["files"]
                     ]
-                    for keyed in ("stats", "bloom", "dv"):
+                    for keyed in ("stats", "bloom", "dv", "partitions"):
                         if keyed in m:
                             m[keyed] = {
                                 k.replace(str(tmp), str(dest), 1): v
                                 for k, v in m[keyed].items()
                             }
+                    # DV sidecar bitmap paths are absolute too
+                    for e in m.get("dv", {}).values():
+                        if "sidecar" in e:
+                            e["sidecar"] = e["sidecar"].replace(
+                                str(tmp), str(dest), 1
+                            )
                     mf.write_text(json.dumps(m))
                 trash = None
                 if dest.exists():
@@ -1349,4 +1355,188 @@ def q_llm_curate_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.length("text")).cast("bigint").alias("chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 12, wave 1: hive PARTITION COLUMNS (the first-line prune) and
+# the DV-density AUTO-COMPACTION policy, each graded end-to-end.
+# ---------------------------------------------------------------------------
+
+#: partition + clustering shape for the partitioned-orders lifecycle
+PP_PRIORITY = "1-URGENT"
+PP_KEY_LO, PP_KEY_HI = 1, 3000
+N_PART_RANGE = 4
+#: auto-compact lifecycle: DV-delete the low 3/40 of the orderkey
+#: space (≈60% of the first of 8 range files at EVERY sf — the policy
+#: triggers at sf0.001 pytest scale and sf0.01 grading scale alike)
+AC_FRAC_NUM, AC_FRAC_DEN = 3, 40
+AC_THRESHOLD = 0.30
+
+
+@_register_builder(
+    "orders_partitioned",
+    fp_params=[PP_PRIORITY, PP_KEY_LO, PP_KEY_HI, N_PART_RANGE],
+)
+def _build_partitioned_table(
+    spark: SparkSession, sf_dir: str, tmp: Path
+) -> None:
+    """One overwrite: orders hive-partitioned by o_orderpriority with
+    per-file o_orderkey min/max stats — every file is (priority ×
+    key-range) pure, so BOTH prune tiers have something to cut."""
+    from frafka_spark.sources.manifest_table import write_table_with_stats
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(N_PART_RANGE, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_table_with_stats(
+        o,
+        str(tmp),
+        ["o_orderkey"],
+        mode="overwrite",
+        partition_by=["o_orderpriority"],
+    )
+
+
+@query(
+    "q_scan_partition_pruned",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderpriority = '{PP_PRIORITY}'
+      AND o_orderkey BETWEEN {PP_KEY_LO} AND {PP_KEY_HI}
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVE PARTITION COLUMNS, graded end-to-end: orders written
+    ``partition_by=["o_orderpriority"]`` (each data file belongs to
+    exactly one priority, recorded in the manifest) and range-
+    clustered on o_orderkey with file stats; the graded read resolves
+    one priority through ``read_table_pruned`` — the PARTITION prune
+    cuts 4/5 of the files before any stats span is even consulted —
+    then applies the key band as a residual. The lifecycle pytest
+    pins the physical contract the differential can't see: files of
+    other priorities are pruned by the partition rule (probe counts),
+    the stats rule still prunes within the surviving partition, and
+    the layout survives appends/compact (the DML property sweep runs
+    the whole DML surface on a partitioned table).
+
+    Exactness: the partition value is an exact string equality on
+    both engines; counts are longs, half-up cents summed as BIGINTs.
+
+    Scale shape: partition pruning is THE first-line prune of every
+    warehouse (Hive/Delta/Iceberg/BigQuery): exact, O(files) manifest
+    metadata, zero footer reads — on a 100 TB table partitioned by
+    day/source, a one-partition query plans against 1/N of the file
+    list before stats, bloom, or z-order even run. Values ride the
+    manifest (not dir-name parsing) and the columns stay IN the data
+    files, so the read path needs no per-file literal injection.
+    """
+    from frafka_spark.sources.manifest_table import read_table_pruned
+
+    path = _ensure_table(spark, sf_dir, "orders_partitioned")
+    t = read_table_pruned(
+        spark, path, "o_orderpriority", PP_PRIORITY, PP_PRIORITY
+    )
+    return (
+        t.filter(F.col("o_orderkey").between(PP_KEY_LO, PP_KEY_HI))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
+
+
+@_register_builder(
+    "orders_autocompacted",
+    fp_params=[AC_FRAC_NUM, AC_FRAC_DEN, AC_THRESHOLD, N_RANGE_FILES],
+)
+def _build_autocompacted_table(
+    spark: SparkSession, sf_dir: str, tmp: Path
+) -> None:
+    """v0: range-clustered stats write (8 files); v1: DV delete of
+    the low 3/40 of the key space (≈60% of file 0's rows — dense);
+    v2: the auto_compact policy commit (file 0 rewritten DV-applied,
+    every other file carried verbatim, vector dropped)."""
+    from frafka_spark.sources.manifest_table import (
+        auto_compact,
+        delete_rows_dv,
+        write_table_with_stats,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(N_RANGE_FILES, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_table_with_stats(o, str(tmp), ["o_orderkey"], mode="overwrite")
+    maxk = o.agg(F.max("o_orderkey")).first()[0]
+    bound = maxk * AC_FRAC_NUM // AC_FRAC_DEN
+    delete_rows_dv(spark, str(tmp), "o_orderkey", 1, bound)
+    auto_compact(spark, str(tmp), max_deleted_fraction=AC_THRESHOLD)
+
+
+@query(
+    "q_scan_autocompacted",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders
+    WHERE NOT (o_orderkey BETWEEN 1 AND
+               (SELECT (max(o_orderkey) * {AC_FRAC_NUM}) // {AC_FRAC_DEN}
+                FROM orders))
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_autocompacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-DENSITY AUTO-COMPACTION, graded end-to-end: a fixed 3/40 of
+    the orderkey space is DV-deleted (≈60% of the first range file at
+    every sf — above the 30% policy threshold) and ``auto_compact``
+    rewrites EXACTLY that file DV-applied, carrying every other file
+    verbatim; the graded rollup over the post-policy table must equal
+    the oracle's NOT-BETWEEN reconstruction — auto-compaction is a
+    logical no-op by contract. The lifecycle pytest pins the policy
+    edge the differential can't see: exactly-on-threshold files stay,
+    strictly-above rewrite, the result equals a manual ``compact``,
+    and the policy is idempotent.
+
+    Exactness: the deleted bound is integer arithmetic on both
+    engines (``max*3 // 40`` — exact longs, no float division);
+    counts are longs, half-up cents summed as BIGINTs.
+
+    Scale shape: the valve that keeps merge-on-read honest at 100 TB
+    — vectors make deletes O(delta), but a file that accretes a dense
+    vector pays its anti-join forever; the policy converts exactly
+    the files past the read-amplification break-even back to clean
+    bytes (footer row counts only — no data read to DECIDE), one
+    bounded job per dense file instead of a table-sized OPTIMIZE.
+    Delta ships the same loop as auto-compaction + purge.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "orders_autocompacted")
+    t = read_table(spark, path)
+    return t.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
     )

@@ -1734,3 +1734,114 @@ def test_ivm_rollup_folds_equal_recompute(spark):
         want = agg_of(mt.read_table(spark, corpus, version=cv))
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_partition_pruned_scan_physical_contract(spark):
+    """q_scan_partition_pruned: the manifest records partition_by and
+    a single exact partition tuple per file; the graded read's
+    partition rule prunes every other-priority file BEFORE stats; a
+    key-band read on the same table still prunes by stats within
+    surviving partitions (partition first, stats second — probed)."""
+    from frafka_spark.operators.lakehouse import (
+        PP_KEY_HI,
+        PP_KEY_LO,
+        PP_PRIORITY,
+        _ensure_table,
+    )
+    from frafka_spark.sources.manifest_table import (
+        _read_manifest,
+        current_version,
+        read_table_pruned,
+    )
+
+    path = _ensure_table(spark, SF_DIR, "orders_partitioned")
+    m = _read_manifest(path, current_version(path))
+    assert m["partition_by"] == ["o_orderpriority"]
+    assert set(m["partitions"]) == set(m["files"])
+    prios = {d["o_orderpriority"] for d in m["partitions"].values()}
+    assert len(prios) == 5 and PP_PRIORITY in prios
+
+    probe: dict = {}
+    t = read_table_pruned(
+        spark, path, "o_orderpriority", PP_PRIORITY, PP_PRIORITY,
+        _probe=probe,
+    )
+    n_other = sum(
+        1 for d in m["partitions"].values()
+        if d["o_orderpriority"] != PP_PRIORITY
+    )
+    assert probe["pruned_by_partition"] == n_other
+    assert probe["pruned_by_stats"] == 0   # priority has no spans
+    assert probe["kept"] == len(m["files"]) - n_other
+
+    # stats prune still cuts within partitions on the clustered key
+    probe2: dict = {}
+    read_table_pruned(
+        spark, path, "o_orderkey", PP_KEY_LO, PP_KEY_HI, _probe=probe2
+    )
+    assert probe2["pruned_by_stats"] >= 1
+    assert probe2["pruned_by_partition"] == 0  # key is not a partition col
+
+    # and the graded result matches the plain filtered read
+    got = _df(spark, "q_scan_partition_pruned").collect()
+    from frafka_spark.sources.manifest_table import read_table
+
+    import pyspark.sql.functions as F
+
+    want = (
+        read_table(spark, path)
+        .filter(
+            (F.col("o_orderpriority") == PP_PRIORITY)
+            & F.col("o_orderkey").between(PP_KEY_LO, PP_KEY_HI)
+        )
+        .count()
+    )
+    assert got[0]["n_orders"] == want
+
+
+def test_autocompacted_policy_physical_contract(spark):
+    """q_scan_autocompacted: the policy commit rewrote EXACTLY the
+    dense file (one in, one out), carried every sparse file verbatim,
+    dropped the rewritten file's vector, equals the manual-compact
+    rows, and is idempotent."""
+    from frafka_spark.operators.lakehouse import AC_THRESHOLD, _ensure_table
+    from frafka_spark.sources.manifest_table import (
+        _dv_card,
+        _read_manifest,
+        auto_compact,
+        current_version,
+        read_table,
+    )
+
+    path = _ensure_table(spark, SF_DIR, "orders_autocompacted")
+    v = current_version(path)
+    m_dv = _read_manifest(path, v - 1)     # the delete_dv commit
+    m_ac = _read_manifest(path, v)         # the policy commit
+    assert m_dv["mode"] == "delete_dv" and m_ac["mode"] == "compact"
+
+    import pyarrow.parquet as pq
+
+    dense = [
+        fp
+        for fp, e in m_dv["dv"].items()
+        if _dv_card(e) / pq.ParquetFile(fp).metadata.num_rows > AC_THRESHOLD
+    ]
+    assert len(dense) >= 1
+    # dense files left the snapshot; sparse files carried verbatim
+    assert all(fp not in m_ac["files"] for fp in dense)
+    carried = [fp for fp in m_dv["files"] if fp not in dense]
+    assert all(fp in m_ac["files"] for fp in carried)
+    # one fresh file per rewritten dense file
+    fresh = [fp for fp in m_ac["files"] if fp not in m_dv["files"]]
+    assert len(fresh) == len(dense)
+    # the rewritten files' vectors are gone; carried ones (if any)
+    # stay below the policy threshold
+    assert all(fp not in m_ac.get("dv", {}) for fp in dense)
+
+    # logical no-op vs the DV snapshot, and idempotent
+    n_dv = read_table(spark, path, version=v - 1).count()
+    n_ac = read_table(spark, path, version=v).count()
+    assert n_dv == n_ac
+    res = auto_compact(spark, path, max_deleted_fraction=AC_THRESHOLD)
+    assert res["files_rewritten"] == 0 and res["files_dropped"] == 0
+    assert res["version"] == v

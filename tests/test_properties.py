@@ -1167,6 +1167,34 @@ def test_manifest_dml_sequence_matches_python_model(
     changes nothing, and v0 still time-travels to the original rows —
     the end-to-end invariant the per-operator lifecycle tests can't
     sweep across input shapes."""
+    _run_dml_sequence(spark, rows, dlo, dwidth, upd, partition_by=None)
+
+
+@settings(
+    max_examples=3, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 9)),
+        min_size=1,
+        max_size=60,
+    ),
+    dlo=st.integers(0, 500),
+    dwidth=st.integers(0, 120),
+    upd=st.lists(
+        st.tuples(st.integers(0, 600), st.integers(100, 109)), max_size=15
+    ),
+)
+def test_dml_sequence_on_partitioned_table(spark, rows, dlo, dwidth, upd):
+    """The SAME DML sweep on a table hive-partitioned by ``v``:
+    partition metadata must ride every commit (delete, merge,
+    compact) without changing a single visible row — partition
+    pruning is an optimization, never a semantics change (VERDICT
+    r11 #3)."""
+    _run_dml_sequence(spark, rows, dlo, dwidth, upd, partition_by=["v"])
+
+
+def _run_dml_sequence(spark, rows, dlo, dwidth, upd, partition_by):
     import shutil
     import tempfile
 
@@ -1175,7 +1203,9 @@ def test_manifest_dml_sequence_matches_python_model(
     path = tempfile.mkdtemp(prefix="dmlprop_")
     try:
         df = spark.createDataFrame(rows, "k long, v long").repartition(3)
-        mt.write_table_with_stats(df, path, ["k"], mode="overwrite")
+        mt.write_table_with_stats(
+            df, path, ["k"], mode="overwrite", partition_by=partition_by
+        )
 
         dhi = dlo + dwidth
         mt.delete_rows(spark, path, "k", dlo, dhi)
@@ -1200,6 +1230,12 @@ def test_manifest_dml_sequence_matches_python_model(
             model = updated + inserts
 
         mt.compact(spark, path, target_file_bytes=10_000)
+        if partition_by:
+            # compact rewrote THROUGH the partitioned writer: every
+            # file regains an exact partition tuple
+            m = mt._read_manifest(path, mt.current_version(path))
+            assert m.get("partition_by") == partition_by
+            assert set(m.get("partitions", {})) == set(m["files"])
 
         got = sorted((r.k, r.v) for r in mt.read_table(spark, path).collect())
         assert got == sorted(model)
@@ -1329,6 +1365,51 @@ def test_dv_sequence_matches_python_model(
     whole chain FOLDS v0 into the final snapshot (inserts minus
     deletes, multiset-exact) — the consumer-facing contract of the
     O(delta) fast path."""
+    _run_dv_sequence(spark, rows, d1lo, d1w, u2lo, u2w, bump, extra, d3lo, d3w)
+
+
+@settings(
+    max_examples=3, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 9)),
+        min_size=1,
+        max_size=60,
+    ),
+    d1lo=st.integers(0, 500),
+    d1w=st.integers(0, 120),
+    u2lo=st.integers(0, 500),
+    u2w=st.integers(0, 120),
+    bump=st.integers(1, 50),
+    extra=st.lists(
+        st.tuples(st.integers(600, 700), st.integers(0, 9)), max_size=15
+    ),
+    d3lo=st.integers(0, 700),
+    d3w=st.integers(0, 150),
+)
+def test_dv_sequence_with_sidecar_vectors(
+    spark, rows, d1lo, d1w, u2lo, u2w, bump, extra, d3lo, d3w
+):
+    """The SAME merge-on-read sweep with the inline threshold shrunk
+    to 2 positions, so virtually every vector takes the packed-bitmap
+    SIDECAR representation — the spill path must be semantically
+    invisible (VERDICT r11 #2)."""
+    from frafka_spark.sources import manifest_table as mt
+
+    saved = mt._DV_INLINE_MAX
+    mt._DV_INLINE_MAX = 2
+    try:
+        _run_dv_sequence(
+            spark, rows, d1lo, d1w, u2lo, u2w, bump, extra, d3lo, d3w
+        )
+    finally:
+        mt._DV_INLINE_MAX = saved
+
+
+def _run_dv_sequence(
+    spark, rows, d1lo, d1w, u2lo, u2w, bump, extra, d3lo, d3w
+):
     import shutil
     import tempfile
     from collections import Counter

@@ -1807,3 +1807,367 @@ def test_dv_delete_conflict_and_retry(spark, tmp_path, monkeypatch):
     t = mt.read_table(spark, path)
     assert t.count() == 200
     assert t.filter(F.col("k").between(100, 199)).count() == 0
+
+
+def test_dv_sidecar_spill_packed_payload_and_reads(spark, tmp_path):
+    """A predicate delete above _DV_INLINE_MAX positions per file must
+    spill to a packed-bitmap sidecar: the manifest entry carries
+    (card, sidecar, nbytes) and NO inline position list, the driver's
+    collected payload is O(touched files) rows of packed bytes (never
+    positions), every read path excludes the rows, the CDF fast path
+    emits exactly the newly-vectored rows, a second overlapping
+    delete merges into a fresh sidecar, and vacuum/gc keep live
+    sidecars while aging out dropped ones."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    # one file of 5000 rows: a 3000-row band spills (3000 > 1024)
+    base = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).coalesce(1)
+    mt.write_table_with_stats(base, path, ["k"], mode="overwrite")
+
+    # spy on the executor-built payload the driver collects
+    real_pack = mt._pack_positions_per_file
+    payloads = []
+
+    def spy(sel):
+        rows = real_pack(sel)
+        payloads.append(rows)
+        return rows
+
+    mt._pack_positions_per_file = spy
+    try:
+        res = mt.delete_rows_dv(spark, path, "k", 1000, 3999)
+    finally:
+        mt._pack_positions_per_file = real_pack
+    assert res["rows_deleted"] == 3000 and res["files_touched"] == 1
+
+    # driver payload pin: one row per touched file, packed bytes only
+    (rows,) = payloads
+    assert len(rows) == 1
+    assert rows[0]["card"] == 3000
+    assert len(rows[0]["bits"]) <= 5000 // 8 + 1  # ≤ file_rows/8 packed
+
+    m1 = mt._read_manifest(path, 1)
+    (entry,) = m1["dv"].values()
+    assert "pos" not in entry and entry["card"] == 3000
+    sc1 = entry["sidecar"]
+    assert os.path.getsize(sc1) == entry["nbytes"]
+
+    t = mt.read_table(spark, path)
+    assert t.count() == 2000
+    assert t.filter(F.col("k").between(1000, 3999)).count() == 0
+    assert mt.read_table(spark, path, version=0).count() == 5000
+    assert mt.read_table_pruned(spark, path, "k", 0, 4999).count() == 2000
+
+    # CDF fast path: exactly the newly-vectored rows, read distributed
+    ch = mt.read_changes(spark, path, 0, 1)
+    assert ch.filter(F.col("_change_type") == "delete").count() == 3000
+    assert ch.filter(F.col("_change_type") == "insert").count() == 0
+
+    # overlapping second delete merges bitmaps into a fresh sidecar
+    res2 = mt.delete_rows_dv(spark, path, "k", 3000, 4499)
+    assert res2["rows_deleted"] == 500
+    e2 = next(iter(mt._read_manifest(path, 2)["dv"].values()))
+    assert e2["card"] == 3500 and e2["sidecar"] != sc1
+    assert mt.read_table(spark, path).count() == 1500
+    ch2 = mt.read_changes(spark, path, 1, 2)
+    assert ch2.filter(F.col("_change_type") == "delete").count() == 500
+    assert sorted(
+        r.k for r in ch2.filter(F.col("_change_type") == "delete")
+        .select("k").collect()
+    ) == list(range(4000, 4500))
+
+    # vacuum keeps the live sidecar, drops the superseded one
+    deleted = mt.vacuum(path, keep_last=1)
+    assert sc1 in deleted and os.path.exists(e2["sidecar"])
+    assert mt.read_table(spark, path).count() == 1500
+
+    # gc_orphans ages out an unreferenced sidecar but not the live one
+    orphan = os.path.join(mt._dv_sidecar_dir(path), "deadbeef.dvb")
+    with open(orphan, "wb") as fh:
+        fh.write(b"\x01")
+    os.utime(orphan, (1, 1))
+    gone = mt.gc_orphans(path, older_than_s=3600)
+    assert orphan in gone and os.path.exists(e2["sidecar"])
+
+
+def test_dv_sidecar_update_and_inline_boundary(spark, tmp_path):
+    """update_rows_dv spills like delete; exactly _DV_INLINE_MAX
+    positions stay inline (boundary), one more spills."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    lim = mt._DV_INLINE_MAX
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 3 * lim).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    ).coalesce(1)
+    mt.write_table_with_stats(base, path, ["k"], mode="overwrite")
+
+    # exactly lim updated rows: stays inline
+    mt.update_rows_dv(
+        spark, path, "k", 0, lim - 1, {"v": F.lit(-1).cast("long")}
+    )
+    e1 = next(iter(mt._read_manifest(path, 1)["dv"].values()))
+    assert "pos" in e1 and "sidecar" not in e1 and e1["card"] == lim
+
+    # one more position merges past the boundary: spills to sidecar
+    mt.delete_rows_dv(spark, path, "k", lim, lim)
+    e2 = next(iter(mt._read_manifest(path, 2)["dv"].values()))
+    assert "sidecar" in e2 and e2["card"] == lim + 1
+    assert os.path.exists(e2["sidecar"])
+
+    t = mt.read_table(spark, path)
+    assert t.count() == 3 * lim - 1  # update is count-neutral; -1 delete
+    assert t.filter((F.col("k") < lim) & (F.col("v") != -1)).count() == 0
+    assert t.filter(F.col("k") == lim).count() == 0
+
+
+def test_auto_compact_threshold_policy_equals_manual_compact(spark, tmp_path):
+    """auto_compact rewrites EXACTLY the files whose deleted fraction
+    exceeds the threshold (one file in → one file out, carried files
+    keep their vectors verbatim), drops fully-deleted files with zero
+    I/O, commits a logical no-op (rows equal the manual-compact
+    result), time-travels, and is idempotent at the same threshold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    # 4 range files of 100 rows each: k in [0,100), [100,200), ...
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    parts = [
+        base.filter(F.col("k").between(i * 100, i * 100 + 99)).coalesce(1)
+        for i in range(4)
+    ]
+    mt.write_table_with_stats(parts[0], path, ["k"], mode="overwrite")
+    for p in parts[1:]:
+        mt.write_table_with_stats(p, path, ["k"], mode="append")
+
+    # file0: 40% deleted (dense at 0.3); file1: 20% (kept);
+    # file2: 100% (dropped); file3: untouched
+    mt.delete_rows_dv(spark, path, "k", 0, 39)
+    mt.delete_rows_dv(spark, path, "k", 100, 119)
+    mt.delete_rows_dv(spark, path, "k", 200, 299)
+    v_dv = mt.current_version(path)
+    expect = sorted(
+        (r.k, r.v) for r in mt.read_table(spark, path).collect()
+    )
+
+    # threshold above every partial fraction: nothing rewritten, but a
+    # FULLY-deleted file always drops (zero I/O — never worth keeping)
+    res0 = mt.auto_compact(spark, path, max_deleted_fraction=0.99)
+    assert res0["files_rewritten"] == 0 and res0["files_dropped"] == 1
+
+    probe: dict = {}
+    res = mt.auto_compact(
+        spark, path, max_deleted_fraction=0.30, _probe=probe
+    )
+    assert res["files_rewritten"] == 1          # exactly file0
+    assert res["files_dropped"] == 0            # file2 already dropped
+    assert len(probe["dense"]) == 1 and probe["full"] == []
+    m = mt._read_manifest(path, res["version"])
+    # file1's 20% vector survives verbatim; file0/file2's are gone
+    assert len(m.get("dv", {})) == 1
+    (kept_entry,) = m["dv"].values()
+    assert kept_entry["card"] == 20
+
+    got = sorted((r.k, r.v) for r in mt.read_table(spark, path).collect())
+    assert got == expect
+
+    # equals the manual compact result (same rows)
+    manual = str(tmp_path / "manual")
+    os.makedirs(manual)
+    import shutil
+
+    # manual compact on a copy of the pre-auto_compact table
+    shutil.copytree(path, manual, dirs_exist_ok=True)
+    mt.restore_table(manual, v_dv)
+    mt.compact(spark, manual, target_file_bytes=1 << 30)
+    got_manual = sorted(
+        (r.k, r.v) for r in mt.read_table(spark, manual).collect()
+    )
+    assert got_manual == expect == got
+
+    # pre-compact snapshot still time-travels with its vectors
+    assert mt.read_table(spark, path, version=v_dv).count() == len(expect)
+
+    # idempotent: nothing left above the threshold
+    res2 = mt.auto_compact(spark, path, max_deleted_fraction=0.30)
+    assert res2["files_rewritten"] == 0 and res2["files_dropped"] == 0
+    assert res2["version"] == res["version"]
+
+
+def test_partitioned_write_layout_and_prune_order(spark, tmp_path):
+    """write_table(partition_by): every data file belongs to exactly
+    one partition tuple recorded in the manifest, read_table returns
+    the full relation (partition columns stay IN the data), appends
+    inherit the sticky layout, a conflicting layout raises, and
+    read_table_pruned prunes by PARTITION VALUE first and by stats
+    second (probe-pinned counts)."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+    )
+    mt.write_table(df, path, mode="overwrite", partition_by=["p"])
+
+    m0 = mt._read_manifest(path, 0)
+    assert m0["partition_by"] == ["p"]
+    assert set(m0["partitions"]) == set(m0["files"])
+    # one partition value per file, and all three values present
+    vals = {tuple(d.items()) for d in m0["partitions"].values()}
+    assert {v for (_, v), in [tuple(d.items()) for d in m0["partitions"].values()]} == {"0", "1", "2"}
+
+    t = mt.read_table(spark, path)
+    assert t.count() == 300 and set(t.columns) == {"k", "p"}
+    assert t.filter(F.col("p") == "1").count() == 100
+
+    # append WITHOUT repeating partition_by: layout is sticky
+    extra = spark.range(300, 330).select(
+        F.col("id").alias("k"), F.lit("9").alias("p")
+    )
+    mt.write_table(extra, path, mode="append")
+    m1 = mt._read_manifest(path, 1)
+    assert m1["partition_by"] == ["p"]
+    new_vals = {
+        d["p"] for fp, d in m1["partitions"].items()
+        if fp not in m0["partitions"]
+    }
+    assert new_vals == {"9"}
+
+    # conflicting layout on append raises
+    import pytest as _pytest
+
+    with _pytest.raises(mt.SchemaConflict):
+        mt.write_table(extra, path, mode="append", partition_by=["k"])
+
+    # partition prune: '9' keeps only the appended file(s)
+    probe: dict = {}
+    got = mt.read_table_pruned(spark, path, "p", "9", "9", _probe=probe)
+    assert got.count() == 30
+    assert probe["pruned_by_partition"] >= 3  # the three %3 partitions
+    assert probe["pruned_by_stats"] == 0      # no stats on this table
+    assert probe["kept"] < len(m1["files"])
+
+
+def test_partitioned_stats_prune_and_dml(spark, tmp_path):
+    """write_table_with_stats(partition_by): partition prune FIRST,
+    stats prune SECOND within the surviving partition; DML prunes by
+    partition value (delete_rows touches only the predicate's
+    partition files and carries partition metadata); delete_keys uses
+    exact partition-value membership; compact and auto_compact keep
+    the layout."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    # 2 partitions × ~2 range files each, stats on k
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("p"),
+    ).repartitionByRange(2, "k").sortWithinPartitions("k")
+    mt.write_table_with_stats(
+        df, path, ["k"], mode="overwrite", partition_by=["p"]
+    )
+    m0 = mt._read_manifest(path, 0)
+    n_files = len(m0["files"])
+    assert n_files >= 4  # 2 range buckets × 2 partition dirs
+    assert set(m0["partitions"]) == set(m0["files"])
+    assert all("k" in m0["stats"][fp] for fp in m0["files"])
+
+    # partition prune on p, then stats prune on k
+    probe: dict = {}
+    got = mt.read_table_pruned(spark, path, "p", 1, 1, _probe=probe)
+    assert got.count() == 200
+    assert probe["pruned_by_partition"] == n_files // 2
+
+    probe2: dict = {}
+    got2 = mt.read_table_pruned(spark, path, "k", 0, 99, _probe=probe2)
+    assert sorted(r.k for r in got2.collect()) == list(range(0, 100))
+    assert probe2["pruned_by_stats"] >= 1  # high-k files skipped
+
+    # DML: delete one partition's band — other partition's files carry
+    res = mt.delete_rows(spark, path, "p", 1, 1)
+    assert res["files_rewritten"] == 0 or res["files_rewritten"] <= n_files
+    t = mt.read_table(spark, path)
+    assert t.count() == 200 and t.filter(F.col("p") == 1).count() == 0
+    m1 = mt._read_manifest(path, mt.current_version(path))
+    assert m1["partition_by"] == ["p"]  # carried through DML
+    # p=0 files carried verbatim with their partition entries
+    kept0 = [fp for fp in m0["files"] if m0["partitions"][fp]["p"] == 0]
+    assert all(fp in m1["files"] and fp in m1["partitions"] for fp in kept0)
+
+    # a delete fully covered by the partition prune rewrites no
+    # PARTITIONED file (the metadata-less empty rewrite of the p=1
+    # delete stays conservatively touched — ≤1 file)
+    m_pre = mt._read_manifest(path, mt.current_version(path))
+    res2 = mt.delete_rows(spark, path, "p", 5, 9)
+    assert res2["files_rewritten"] <= 1
+    m_post = mt._read_manifest(path, mt.current_version(path))
+    assert all(fp in m_post["files"] for fp in m_pre["partitions"])
+
+    # delete_keys: partition-value membership pruning, same bound
+    res3 = mt.delete_keys(spark, path, "p", [7])
+    assert res3["files_rewritten"] <= 1
+
+    # compact keeps the layout partition-pure
+    mt.compact(spark, path, target_file_bytes=1 << 30)
+    mc = mt._read_manifest(path, mt.current_version(path))
+    assert mc["partition_by"] == ["p"]
+    assert set(mc["partitions"]) == set(mc["files"])
+    assert mt.read_table(spark, path).count() == 200
+
+    # auto_compact inherits the rewritten file's partition tuple
+    # (only even k remain after the p=1 delete: 40 of k in [0,79])
+    mt.delete_rows_dv(spark, path, "k", 0, 79)
+    res4 = mt.auto_compact(spark, path, max_deleted_fraction=0.30)
+    if res4["files_rewritten"] or res4["files_dropped"]:
+        ma = mt._read_manifest(path, res4["version"])
+        # every post-compact file had a tuple; rewrites inherit theirs
+        assert set(ma["partitions"]) == set(ma["files"])
+    assert mt.read_table(spark, path).count() == 160
+
+
+def test_partitioned_null_partition_prunes_for_between(spark, tmp_path):
+    """An all-NULL partition file records value None and is pruned by
+    any BETWEEN predicate (NULL never matches), yet its rows survive
+    a plain read."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 30, None)
+        .otherwise((F.col("id") % 2).cast("string"))
+        .alias("p"),
+    )
+    mt.write_table(df, path, mode="overwrite", partition_by=["p"])
+    m = mt._read_manifest(path, 0)
+    assert None in {d["p"] for d in m["partitions"].values()}
+
+    assert mt.read_table(spark, path).count() == 90
+    probe: dict = {}
+    got = mt.read_table_pruned(spark, path, "p", "0", "1", _probe=probe)
+    assert got.count() == 60
+    assert probe["pruned_by_partition"] >= 1  # the NULL-partition file
