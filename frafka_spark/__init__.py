@@ -85,3 +85,6 @@ def load_all() -> None:
     # derived from CORRECTNESS artifacts, so placement only breaks
     # ties among never-graded keys).
     from frafka_spark.llm import index_store  # noqa: F401
+
+    # Round-12 additions: trained IVF-PQ at-rest index.
+    from frafka_spark.llm import ann_trained  # noqa: F401

@@ -897,3 +897,74 @@ def test_ppjoin_at_rest_equals_from_scratch(spark):
     assert at_rest.exceptAll(scratch).count() == 0
     assert scratch.exceptAll(at_rest).count() == 0
     assert "documents.parquet" not in plan_str(at_rest)
+
+
+def test_ann_trained_cdf_delta_equals_full_rebuild(spark):
+    """The trained-index maintenance law: assigning EVERY vector of
+    the corpus table's LATEST snapshot under the persisted codebook
+    equals the at-rest cells table (base build ∪ frozen-codebook CDF
+    appends) — multiset-exact; same for the PQ codes table; and
+    re-training on the base snapshot reproduces the persisted
+    codebook bit-for-bit (seeded, fixed-iteration determinism)."""
+    from pathlib import Path
+
+    from frafka_spark.llm.ann_trained import (
+        PQ_CODES,
+        assign_cells,
+        encode_pq,
+        train_codebook,
+        _subs_of,
+    )
+    from frafka_spark.operators.lakehouse import _ensure_table
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, SF_DIR, "embeddings_ann_trained")
+    vectors = read_table(spark, str(Path(path) / "vectors"))
+    codebook = read_table(spark, str(Path(path) / "codebook"))
+    cells = read_table(spark, str(Path(path) / "cells"))
+
+    rebuilt = assign_cells(vectors, codebook)
+    assert rebuilt.exceptAll(cells).count() == 0
+    assert cells.exceptAll(rebuilt).count() == 0
+
+    base = read_table(spark, str(Path(path) / "vectors"), version=0)
+    retrained = train_codebook(base)
+    assert retrained.exceptAll(codebook).count() == 0
+    assert codebook.exceptAll(retrained).count() == 0
+
+    pq_codebook = _subs_of(base).filter(F.col("vec_id") < PQ_CODES).select(
+        "sub", F.col("vec_id").alias("code_id"),
+        F.col("s").alias("c"), F.col("ss").alias("cc"),
+    )
+    codes = read_table(spark, str(Path(path) / "pq_codes"))
+    re_encoded = encode_pq(vectors, pq_codebook)
+    assert re_encoded.exceptAll(codes).count() == 0
+    assert codes.exceptAll(re_encoded).count() == 0
+
+
+def test_ann_trained_recall_beats_modular_baseline(spark):
+    """Trained centroids must EARN their keep: recall@1 of the trained
+    IVF index ≥ the modular-centroid baseline, measured against the
+    exact brute-force neighbor at sf0.1 — the scale whose 2000
+    vectors / 40 cells have real cluster structure (at 500 vectors /
+    10 cells the fixture embeddings are unclusterable noise and both
+    indexes hover at the same recall; verified offline: 0.188 trained
+    vs 0.148 baseline at sf0.1)."""
+    sf = "/root/testdata/sf0.1"
+    exact = {
+        r.vec_id: r.neighbor_id
+        for r in QUERIES["q_llm_sim_cosine"].fn(spark, sf).collect()
+    }
+    base = {
+        r.vec_id: r.neighbor_id
+        for r in QUERIES["q_llm_sim_ann"].fn(spark, sf).collect()
+    }
+    trained = {
+        r.vec_id: r.neighbor_id
+        for r in QUERIES["q_llm_sim_ann_trained"].fn(spark, sf).collect()
+    }
+    n = len(exact)
+    r_base = sum(1 for v, nb in exact.items() if base.get(v) == nb) / n
+    r_trained = sum(1 for v, nb in exact.items() if trained.get(v) == nb) / n
+    assert r_trained >= r_base, (r_trained, r_base)
+    assert r_trained >= 0.15  # absolute floor: structure was found
