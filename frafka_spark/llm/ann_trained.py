@@ -431,3 +431,39 @@ def q_llm_pq_codes_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes.select(
         "vec_id", "sub", "code_id", half_up(F.col("d2"), 6).alias("qerr")
     )
+
+
+def _adc_at_rest_oracle() -> str:
+    """q_llm_pq_adc's oracle verbatim — ADC over the at-rest codes
+    must BE the ADC over a fresh encode (the codes table is
+    hash-proven equal to the encode relation)."""
+    from frafka_spark.registry import QUERIES
+
+    return QUERIES["q_llm_pq_adc"].oracle
+
+
+@query("q_llm_pq_adc_at_rest", oracle=_adc_at_rest_oracle())
+def q_llm_pq_adc_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC SEARCH served from the AT-REST PQ codes: the asymmetric-
+    distance scan (query-side exact LUT parts summed at each corpus
+    vector's STORED codes, audited against the exact brute-force
+    top-1) reads the code table the trained-index lifecycle maintains
+    — the corpus floats are never re-read and the encode pass never
+    re-runs, which is the entire economics of PQ at 100 TB: the index
+    stores M·log₂K bits per vector and search touches only those.
+    Shares ``q_llm_pq_adc``'s oracle verbatim, closing the last leg
+    of the IVF-PQ serving path (cells: q_llm_sim_ann_trained; codes:
+    q_llm_pq_codes_at_rest; search: this key).
+
+    Exactness: identical to q_llm_pq_adc — the at-rest codes are
+    hash-proven equal to the fresh encode, and the LUT/audit legs are
+    the same fixed-order arithmetic.
+    """
+    from frafka_spark.llm.pq import adc_audit
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "embeddings_ann_trained")
+    codes = read_table(spark, str(Path(path) / "pq_codes")).select(
+        "vec_id", "sub", "code_id"
+    )
+    return adc_audit(spark, sf_dir, codes)

@@ -319,6 +319,18 @@ def q_llm_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = _subs_shared(spark, sf_dir)
     codes = _codebook(subs)
     assign = _assignments(spark, sf_dir, subs=subs, codes=codes)
+    return adc_audit(spark, sf_dir, assign)
+
+
+def adc_audit(
+    spark: SparkSession, sf_dir: str, assign: DataFrame
+) -> DataFrame:
+    """The ADC search + exact-audit relation over ANY (vec_id, sub,
+    code_id) code relation — q_llm_pq_adc's body, factored so the
+    AT-REST codes table (llm/ann_trained.py) serves the identical
+    search without re-encoding the corpus."""
+    subs = _subs_shared(spark, sf_dir)
+    codes = _codebook(subs)
     wide = assign.groupBy("vec_id").agg(
         *[
             F.max(F.when(F.col("sub") == k, F.col("code_id"))).alias(f"k{k}")

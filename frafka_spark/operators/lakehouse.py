@@ -295,6 +295,14 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
                                 str(tmp), str(dest), 1
                             )
                     mf.write_text(json.dumps(m))
+                # txn-catalog snapshots pin absolute table paths
+                for cf in tmp.glob("**/_catalog/v*.json"):
+                    c = json.loads(cf.read_text())
+                    for e in c.get("tables", {}).values():
+                        e["path"] = e["path"].replace(
+                            str(tmp), str(dest), 1
+                        )
+                    cf.write_text(json.dumps(c))
                 trash = None
                 if dest.exists():
                     trash = root / (

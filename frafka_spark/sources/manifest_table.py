@@ -250,6 +250,7 @@ def write_table(
     mode: str = "append",
     retries: int = 3,
     partition_by: list[str] | None = None,
+    manifest_extra: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the committed version.
 
@@ -360,6 +361,11 @@ def write_table(
             manifest["constraints"] = constraints
         if dv_prev:
             manifest["dv"] = dv_prev
+        if manifest_extra:
+            # caller-owned marker keys (e.g. a txn_catalog txn_id) —
+            # never allowed to shadow protocol keys
+            for k, v2 in manifest_extra.items():
+                manifest.setdefault(k, v2)
         try:
             _commit(path, version, manifest)
             return version
@@ -2481,6 +2487,7 @@ def write_table_with_stats(
     stats_cols: list[str],
     mode: str = "append",
     partition_by: list[str] | None = None,
+    manifest_extra: dict | None = None,
 ) -> int:
     """``write_table`` + per-file min/max column statistics in the
     manifest, enabling ``read_table_pruned`` to skip files the way
@@ -2563,6 +2570,9 @@ def write_table_with_stats(
         manifest["constraints"] = constraints
     if carried_dv:
         manifest["dv"] = carried_dv
+    if manifest_extra:
+        for k, v2 in manifest_extra.items():
+            manifest.setdefault(k, v2)
     _commit(path, version, manifest)
     return version
 

@@ -2171,3 +2171,151 @@ def test_partitioned_null_partition_prunes_for_between(spark, tmp_path):
     got = mt.read_table_pruned(spark, path, "p", "0", "1", _probe=probe)
     assert got.count() == 60
     assert probe["pruned_by_partition"] >= 1  # the NULL-partition file
+
+
+def test_txn_catalog_crash_between_table_commits(spark, tmp_path):
+    """VERDICT r11 #4, as two real PROCESSES: a writer process commits
+    the corpus append (stamped with its txn id) and DIES before the
+    index apply and the catalog publish. The catalog reader must see
+    the PRE-transaction snapshot of BOTH tables (the corpus's
+    uncatalogued head is invisible); exactly-once recovery under the
+    same txn id ADOPTS the crashed commit (the corpus applier must
+    never re-run), applies the index delta, and one atomic catalog
+    create publishes the pair."""
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+    from frafka_spark.sources import txn_catalog as tc
+
+    root = str(tmp_path)
+    corpus = os.path.join(root, "corpus")
+    index = os.path.join(root, "index")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("grp")
+    )
+    mt.write_table(base, corpus, mode="overwrite")
+    mt.write_table(
+        base.groupBy("grp").agg(F.count("*").alias("n")),
+        index, mode="overwrite",
+    )
+    tc.catalog_commit(root, {
+        "corpus": {"path": corpus, "version": 0},
+        "index": {"path": index, "version": 0},
+    }, txn_id="init")
+
+    # the writer process: corpus commit stamped "crawl-9", then CRASH
+    script = """
+import os, sys, uuid
+sys.path.insert(0, %r)
+import pyarrow as pa, pyarrow.parquet as pq
+from frafka_spark.sources import manifest_table as mt
+corpus = sys.argv[1]
+prev = mt.current_version(corpus)
+m = mt._read_manifest(corpus, prev)
+cdir = os.path.join(corpus, "data", uuid.uuid4().hex)
+os.makedirs(cdir)
+fp = os.path.join(cdir, "part-00000.parquet")
+pq.write_table(pa.table({
+    "k": pa.array([100, 101], pa.int64()),
+    "grp": pa.array([0, 1], pa.int64()),
+}), fp)
+mt._commit(corpus, prev + 1, {
+    "version": prev + 1, "mode": "append",
+    "files": m["files"] + [fp], "schema": m["schema"], "parent": prev,
+    "txn_id": "crawl-9",
+})
+os._exit(1)  # crash BEFORE index apply and catalog publish
+""" % (os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(mt.__file__)))),)
+    out = subprocess.run(
+        [sys.executable, "-c", script, corpus],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 1, out.stderr
+
+    # table head advanced, but the CATALOG still pins the old pair:
+    # a catalog reader sees the pre-transaction snapshot of BOTH
+    assert mt.current_version(corpus) == 1
+    v, snap = tc.catalog_current(root)
+    assert v == 0 and snap["tables"]["corpus"]["version"] == 0
+    assert tc.read_catalog_table(spark, root, "corpus").count() == 40
+    assert tc.read_catalog_table(spark, root, "index").count() == 4
+
+    # recovery: same txn id — corpus ADOPTED, index applied, published
+    def corpus_applier(pinned):
+        raise AssertionError("stamped corpus commit must be adopted")
+
+    def index_applier(pinned):
+        to = tc.txn_table_version(corpus, "crawl-9", pinned)
+        delta = mt.read_changes(spark, corpus, pinned, to).filter(
+            F.col("_change_type") == "insert"
+        )
+        return mt.write_table(
+            delta.groupBy("grp").agg(F.count("*").alias("n")),
+            index, mode="append", manifest_extra={"txn_id": "crawl-9"},
+        )
+
+    cv = tc.run_txn(root, "crawl-9", {
+        "corpus": corpus_applier, "index": index_applier,
+    })
+    assert cv == 1
+    assert tc.read_catalog_table(spark, root, "corpus").count() == 42
+    assert tc.read_catalog_table(spark, root, "index").count() == 6
+
+    # re-running the SAME transaction is a published no-op
+    assert tc.run_txn(root, "crawl-9", {
+        "corpus": corpus_applier, "index": index_applier,
+    }) == 1
+
+
+def test_txn_catalog_commit_rules(spark, tmp_path):
+    """Catalog invariants: versions are O_EXCL-atomic, a stale parent
+    raises CommitConflict, unpublished/backwards table versions are
+    rejected, and pinned reads ignore later table commits."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+    from frafka_spark.sources import txn_catalog as tc
+
+    root = str(tmp_path)
+    t1 = os.path.join(root, "t1")
+    mt.write_table(
+        spark.range(0, 10).withColumnRenamed("id", "k"), t1,
+        mode="overwrite",
+    )
+    assert tc.catalog_commit(
+        root, {"t1": {"path": t1, "version": 0}}
+    ) == 0
+
+    # a version the table never committed is rejected
+    with _pytest.raises(ValueError, match="no committed"):
+        tc.catalog_commit(root, {"t1": {"path": t1, "version": 3}})
+
+    mt.write_table(
+        spark.range(10, 20).withColumnRenamed("id", "k"), t1,
+        mode="append",
+    )
+    # stale parent loses
+    with _pytest.raises(mt.CommitConflict):
+        tc.catalog_commit(
+            root, {"t1": {"path": t1, "version": 1}}, parent=5
+        )
+    assert tc.catalog_commit(
+        root, {"t1": {"path": t1, "version": 1}}, parent=0
+    ) == 1
+    # backwards table versions never publish
+    with _pytest.raises(ValueError, match="backwards"):
+        tc.catalog_commit(root, {"t1": {"path": t1, "version": 0}})
+
+    # pinned catalog read ignores the table's later commits
+    assert tc.read_catalog_table(
+        spark, root, "t1", catalog_version=0
+    ).count() == 10
+    assert tc.read_catalog_table(spark, root, "t1").count() == 20
