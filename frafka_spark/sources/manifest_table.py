@@ -189,6 +189,18 @@ def _carry_partitions(new_manifest: dict, prev_manifest: dict) -> None:
             new_manifest["partitions"] = kept
 
 
+def _carry_partitions_append(new_manifest: dict, prev_manifest: dict) -> None:
+    """Carry partition metadata across an APPEND-shaped commit (every
+    previous file kept): layout list and per-file tuples carry
+    verbatim; files the commit added without partition metadata stay
+    conservative (always read)."""
+    if prev_manifest.get("partition_by") and "partition_by" not in new_manifest:
+        new_manifest["partition_by"] = prev_manifest["partition_by"]
+    parts = _partitions_of(prev_manifest)
+    if parts and "partitions" not in new_manifest:
+        new_manifest["partitions"] = parts
+
+
 def _span_keep_files(
     manifest: dict, col: str, lo, hi, _probe: dict | None = None
 ) -> list[str]:
@@ -900,6 +912,9 @@ def add_column(path: str, name: str, data_type) -> int:
         manifest["constraints"] = m["constraints"]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
+    for carried in ("partition_by", "partitions"):
+        if m.get(carried) and carried not in manifest:
+            manifest[carried] = m[carried]
     _commit(path, version, manifest)
     return version
 
@@ -919,6 +934,11 @@ def drop_column(path: str, name: str) -> int:
         raise KeyError(f"no column {name!r} in {names}")
     if len(names) == 1:
         raise SchemaConflict("cannot drop the only column")
+    if name in (m.get("partition_by") or []):
+        raise SchemaConflict(
+            f"cannot drop partition column {name!r}; repartition the "
+            "table first (mode='overwrite' with a new partition_by)"
+        )
     # CHECK constraints are carried through evolution; one that
     # references the dropped column would make every later append
     # fail analysis — reject the drop instead (Delta does the same).
@@ -964,6 +984,9 @@ def drop_column(path: str, name: str) -> int:
         manifest["constraints"] = m["constraints"]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
+    for carried in ("partition_by", "partitions"):
+        if m.get(carried) and carried not in manifest:
+            manifest[carried] = m[carried]
     _commit(path, version, manifest)
     return version
 
@@ -988,6 +1011,18 @@ def rename_column(path: str, old: str, new: str) -> int:
     mapping = dict(_mapping_of(m))
     physical = mapping.pop(old, old)
     mapping[new] = physical
+    # partition layout follows the rename: the list and every file's
+    # tuple re-key so partition pruning and sticky appends keep
+    # working under the new logical name
+    part_extra: dict = {}
+    if m.get("partition_by"):
+        part_extra["partition_by"] = [
+            new if c == old else c for c in m["partition_by"]
+        ]
+        part_extra["partitions"] = {
+            fp: {(new if c == old else c): v for c, v in d.items()}
+            for fp, d in _partitions_of(m).items()
+        }
     from pyspark.sql.types import StructField, StructType
 
     new_schema = StructType(
@@ -1006,6 +1041,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         "schema": new_schema.json(),
         "parent": prev,
         "column_mapping": mapping,
+        **part_extra,
     }
     if m.get("stats"):
         manifest["stats"] = {
@@ -1018,6 +1054,9 @@ def rename_column(path: str, old: str, new: str) -> int:
         manifest["constraints"] = m["constraints"]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
+    for carried in ("partition_by", "partitions"):
+        if m.get(carried) and carried not in manifest:
+            manifest[carried] = m[carried]
     _commit(path, version, manifest)
     return version
 
@@ -2309,6 +2348,8 @@ def write_table_with_bloom(
         manifest["constraints"] = constraints
     if carried_dv:
         manifest["dv"] = carried_dv
+    if prev is not None:
+        _carry_partitions_append(manifest, _read_manifest(path, prev))
     _commit(path, version, manifest)
     return version
 
@@ -2707,6 +2748,8 @@ def write_stream_batch(
         manifest["constraints"] = constraints
     if carried_dv:
         manifest["dv"] = carried_dv
+    if prev is not None:
+        _carry_partitions_append(manifest, _read_manifest(path, prev))
     _commit(path, version, manifest)
     return version
 

@@ -2319,3 +2319,110 @@ def test_txn_catalog_commit_rules(spark, tmp_path):
         spark, root, "t1", catalog_version=0
     ).count() == 10
     assert tc.read_catalog_table(spark, root, "t1").count() == 20
+
+
+def test_partitioned_multi_column_and_repartition_overwrite(spark, tmp_path):
+    """Two-column partition tuples record and prune independently;
+    overwrite with a DIFFERENT partition_by REPLACES the layout (the
+    explicit repartition path the append-conflict error points at)."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("a"),
+        (F.col("id") % 3).alias("b"),
+    )
+    mt.write_table(df, path, mode="overwrite", partition_by=["a", "b"])
+    m = mt._read_manifest(path, 0)
+    assert m["partition_by"] == ["a", "b"]
+    tuples = {(d["a"], d["b"]) for d in m["partitions"].values()}
+    assert tuples == {(x, y) for x in (0, 1) for y in (0, 1, 2)}
+    assert mt.read_table(spark, path).count() == 120
+
+    # prune on the SECOND partition column alone
+    probe: dict = {}
+    got = mt.read_table_pruned(spark, path, "b", 2, 2, _probe=probe)
+    assert got.count() == 40
+    assert probe["pruned_by_partition"] == sum(
+        1 for d in m["partitions"].values() if d["b"] != 2
+    )
+
+    # repartitioning is an explicit overwrite with the new list
+    mt.write_table(df, path, mode="overwrite", partition_by=["b"])
+    m1 = mt._read_manifest(path, 1)
+    assert m1["partition_by"] == ["b"]
+    assert {tuple(d) for d in m1["partitions"].values()} == {("b",)}
+    assert mt.read_table(spark, path).count() == 120
+    # appends now follow the NEW layout
+    mt.write_table(
+        spark.range(200, 210).select(
+            F.col("id").alias("k"),
+            F.lit(7).cast("long").alias("a"),
+            F.lit(9).cast("long").alias("b"),
+        ),
+        path, mode="append",
+    )
+    m2 = mt._read_manifest(path, 2)
+    assert m2["partition_by"] == ["b"]
+    new_vals = {
+        d["b"] for fp, d in m2["partitions"].items()
+        if fp not in m1["partitions"]
+    }
+    assert new_vals == {9}
+
+
+def test_partition_layout_survives_evolution_and_stream_batches(
+    spark, tmp_path
+):
+    """Partition metadata must ride EVERY metadata-carrying commit:
+    ADD/RENAME COLUMN (rename of the partition column re-keys the
+    layout), exactly-once stream batches, bloom appends; dropping a
+    partition column is rejected; pruning works under the renamed
+    name."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    mt.write_table(df, path, mode="overwrite", partition_by=["p"])
+
+    mt.add_column(path, "w", "double")
+    m = mt._read_manifest(path, mt.current_version(path))
+    assert m["partition_by"] == ["p"] and m.get("partitions")
+
+    mt.rename_column(path, "p", "bucket")
+    m = mt._read_manifest(path, mt.current_version(path))
+    assert m["partition_by"] == ["bucket"]
+    assert all("bucket" in d for d in m["partitions"].values())
+    probe: dict = {}
+    got = mt.read_table_pruned(spark, path, "bucket", 1, 1, _probe=probe)
+    assert got.count() == 20 and probe["pruned_by_partition"] >= 1
+
+    with _pytest.raises(mt.SchemaConflict, match="partition column"):
+        mt.drop_column(path, "bucket")
+
+    # stream batch and bloom append keep the layout alive
+    extra = spark.range(100, 110).select(
+        F.col("id").alias("k"),
+        F.lit(5).cast("long").alias("bucket"),
+        F.lit(None).cast("double").alias("w"),
+    )
+    mt.write_stream_batch(extra, 7, path)
+    m = mt._read_manifest(path, mt.current_version(path))
+    assert m["partition_by"] == ["bucket"] and m.get("partitions")
+    mt.write_table_with_bloom(extra, path, ["k"])
+    m = mt._read_manifest(path, mt.current_version(path))
+    assert m["partition_by"] == ["bucket"]
+    # earlier files' tuples still prune; the metadata-less appends are
+    # conservatively kept
+    probe2: dict = {}
+    mt.read_table_pruned(spark, path, "bucket", 1, 1, _probe=probe2)
+    assert probe2["pruned_by_partition"] >= 1
+    assert mt.read_table(spark, path).count() == 80
