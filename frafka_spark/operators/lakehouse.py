@@ -1548,3 +1548,85 @@ def q_scan_autocompacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_cents"),
     )
+
+
+@_register_builder(
+    "orders_deleted_dv_spilled", fp_params=[AC_FRAC_NUM, AC_FRAC_DEN]
+)
+def _build_deleted_dv_spilled_table(
+    spark: SparkSession, sf_dir: str, tmp: Path
+) -> None:
+    """v0: range-clustered stats write (8 files); v1: DV delete of the
+    low 3/40 of the key space and NOTHING else — at sf0.01 that is
+    ~1.1k positions in one file, past the inline threshold, so the
+    snapshot SERVES through a packed-bitmap sidecar (at sf0.001 the
+    same fraction stays inline — the two representations must be
+    indistinguishable to readers)."""
+    from frafka_spark.sources.manifest_table import (
+        delete_rows_dv,
+        write_table_with_stats,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(N_RANGE_FILES, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_table_with_stats(o, str(tmp), ["o_orderkey"], mode="overwrite")
+    maxk = o.agg(F.max("o_orderkey")).first()[0]
+    bound = maxk * AC_FRAC_NUM // AC_FRAC_DEN
+    delete_rows_dv(spark, str(tmp), "o_orderkey", 1, bound)
+
+
+@query(
+    "q_scan_deleted_dv_spilled",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders
+    WHERE NOT (o_orderkey BETWEEN 1 AND
+               (SELECT (max(o_orderkey) * {AC_FRAC_NUM}) // {AC_FRAC_DEN}
+                FROM orders))
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_deleted_dv_spilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIDECAR deletion vectors SERVING reads, graded end-to-end: the
+    DV delete names enough positions (a fixed 3/40 of the key space —
+    ≈60% of the first range file at every sf) that the vector SPILLS
+    past the inline threshold at grading scale, so the scan's
+    broadcast anti-join pairs come from a packed-bitmap sidecar file
+    unpacked ON THE EXECUTORS — and the rollup must still equal the
+    oracle's NOT-BETWEEN reconstruction exactly. At smoke scale the
+    same fraction stays inline, which is the representation-
+    transparency contract: readers cannot tell how a vector is
+    stored. (q_scan_autocompacted is the companion key that then
+    FOLDS this state away; here the snapshot is deliberately left
+    serving through the vector.)
+
+    Exactness: integer bound (max·3 // 40 — exact longs both
+    engines); counts are longs, half-up cents summed as BIGINTs.
+
+    Scale shape: the GDPR-erasure steady state at 100 TB — a large
+    predicate delete costs O(files) packed manifest/sidecar bytes
+    (never a driver position list, VERDICT r11 #2), and every read
+    until the next auto_compact pays one broadcast anti-join whose
+    build side streams executor→JVM from the sidecars. The plan pin
+    (test_plans.py) holds it to BroadcastHashJoin LeftAnti with no
+    sort-merge fallback.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "orders_deleted_dv_spilled")
+    t = read_table(spark, path)
+    return t.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+    )

@@ -1845,3 +1845,36 @@ def test_autocompacted_policy_physical_contract(spark):
     res = auto_compact(spark, path, max_deleted_fraction=AC_THRESHOLD)
     assert res["files_rewritten"] == 0 and res["files_dropped"] == 0
     assert res["version"] == v
+
+
+def test_spilled_dv_scan_plan_and_representation(spark):
+    """q_scan_deleted_dv_spilled: at grading scale the vector is a
+    SIDECAR (card past the inline threshold, bitmap file on disk, no
+    inline positions), the graded plan applies it as ONE broadcast
+    anti-join (never a sort-merge), and the file list is verbatim the
+    parent's (zero data files written)."""
+    import os
+
+    from frafka_spark.operators.lakehouse import _ensure_table
+    from frafka_spark.sources.manifest_table import (
+        _DV_INLINE_MAX,
+        _read_manifest,
+        current_version,
+    )
+
+    path = _ensure_table(spark, SF_DIR, "orders_deleted_dv_spilled")
+    v = current_version(path)
+    m = _read_manifest(path, v)
+    assert m["files"] == _read_manifest(path, v - 1)["files"]
+    entries = list(m["dv"].values())
+    assert len(entries) >= 1
+    spilled = [e for e in entries if "sidecar" in e]
+    assert spilled, entries  # past the threshold at sf0.01
+    for e in spilled:
+        assert e["card"] > _DV_INLINE_MAX and "pos" not in e
+        assert os.path.getsize(e["sidecar"]) == e["nbytes"]
+
+    df = _df(spark, "q_scan_deleted_dv_spilled")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
