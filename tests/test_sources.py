@@ -2426,3 +2426,44 @@ def test_partition_layout_survives_evolution_and_stream_batches(
     mt.read_table_pruned(spark, path, "bucket", 1, 1, _probe=probe2)
     assert probe2["pruned_by_partition"] >= 1
     assert mt.read_table(spark, path).count() == 80
+
+
+def test_dv_mixed_inline_and_sidecar_entries_in_one_snapshot(
+    spark, tmp_path
+):
+    """One snapshot can hold BOTH representations (a small vector on
+    one file, a spilled one on another): the pairs relation unions
+    the inline list with the executor-unpacked sidecar and the read
+    excludes exactly both sets; the CDF fast path emits both files'
+    deltas."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    # two range files: k in [0, 3000) and [3000, 6000)
+    lo = spark.range(0, 3000).select(F.col("id").alias("k")).coalesce(1)
+    hi = spark.range(3000, 6000).select(F.col("id").alias("k")).coalesce(1)
+    mt.write_table_with_stats(lo, path, ["k"], mode="overwrite")
+    mt.write_table_with_stats(hi, path, ["k"], mode="append")
+
+    # 10 positions in file A (inline) + 2000 in file B (sidecar),
+    # one commit each; the second commit must keep A's inline entry
+    mt.delete_rows_dv(spark, path, "k", 100, 109)
+    mt.delete_rows_dv(spark, path, "k", 3500, 5499)
+    m = mt._read_manifest(path, mt.current_version(path))
+    kinds = sorted(
+        "sidecar" if "sidecar" in e else "inline" for e in m["dv"].values()
+    )
+    assert kinds == ["inline", "sidecar"]
+
+    t = mt.read_table(spark, path)
+    assert t.count() == 6000 - 10 - 2000
+    assert t.filter(F.col("k").between(100, 109)).count() == 0
+    assert t.filter(F.col("k").between(3500, 5499)).count() == 0
+
+    ch = mt.read_changes(spark, path, 1, 3)
+    dels = sorted(
+        r.k for r in ch.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == list(range(100, 110)) + list(range(3500, 5500))
