@@ -334,6 +334,7 @@ def write_table(
             # under the pre-race mapping, so a changed mapping forces
             # a loud conflict instead of silently mis-mapped bytes.)
             files_mapping = mapping
+            files_part_cols = part_cols
             if part_cols:
                 # the data frame is written under PHYSICAL names; the
                 # manifest's partition values stay keyed LOGICAL
@@ -353,6 +354,15 @@ def write_table(
             raise CommitConflict(
                 f"concurrent writer changed the column mapping of {path}; "
                 "re-run the write against the new snapshot"
+            )
+        elif part_cols != files_part_cols:
+            # our files were laid out (and their tuples recorded)
+            # under the pre-race layout — recording them under the
+            # winner's layout would mislabel partitions silently
+            raise CommitConflict(
+                f"concurrent writer repartitioned {path} "
+                f"({files_part_cols} → {part_cols}); re-run the write "
+                "against the new snapshot"
             )
         version = 0 if prev is None else prev + 1
         manifest = {

@@ -106,6 +106,14 @@ def test_python_boundary_inventory(spark):
         # registered); hashing stays JVM-side, the probe is one
         # vectorized numpy gather per Arrow batch (llm/dedup.py).
         "q_llm_dedup_bloom_incr",
+        # the snapshot deliberately SERVES through a spilled sidecar
+        # deletion vector: decoding the packed bitmap file into the
+        # anti-join's (file, position) pairs is storage-layer decode
+        # with no relational form, one numpy unpackbits per sidecar
+        # on the executors (manifest_table._dv_pairs_df); inline
+        # vectors take the pure-JVM createDataFrame path, which is
+        # why no OTHER dv key appears here.
+        "q_scan_deleted_dv_spilled",
     }
     for name in sorted(QUERIES):
         nodes = python_eval_nodes(_df(spark, name))
