@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from frafka_spark.functions.determinism import half_up, sql_half_up
 from frafka_spark.llm.index_store import CRAWL_MOD
-from frafka_spark.llm.pq import PQ_CODES, PQ_M, PQ_SUBDIM
+from frafka_spark.llm.pq import PQ_CODES, PQ_M, PQ_QUERY_N, PQ_SUBDIM
 from frafka_spark.llm.similarity import CENTROID_MOD, _dot, _vectors
 from frafka_spark.operators.lakehouse import _ensure_table, _register_builder
 from frafka_spark.registry import query
@@ -274,20 +274,17 @@ def _iter_ctes(i: int, prev_cents: str) -> str:
     )"""
 
 
-def _trained_oracle() -> str:
-    """The full training replay + at-rest serving twin in SQL: seeds →
-    KM_ITERS unrolled Lloyd rounds on the base → final assignment of
-    EVERY vector under the trained codebook → within-cell top-1
-    cosine. Hash-matching this end-to-end gates all three halves:
-    training determinism, frozen-codebook CDF maintenance, and
-    at-rest serving."""
+def _training_ctes() -> str:
+    """The shared oracle CTE chain: vectors → base split → seeds →
+    KM_ITERS unrolled Lloyd rounds → the trained ``cells`` relation
+    (every vector's emb, norm, cent_id) — the from-scratch twin of
+    the at-rest cells table, reused by every trained-index oracle."""
     rounds = ",".join(
         _iter_ctes(i, "c0" if i == 1 else f"c{i - 1}")
         for i in range(1, KM_ITERS + 1)
     )
     final = f"c{KM_ITERS}"
-    return f"""
-    WITH vecs AS (
+    return f"""vecs AS (
         SELECT vec_id, label, embedding::DOUBLE[] AS emb,
                sqrt(list_dot_product(embedding::DOUBLE[],
                                      embedding::DOUBLE[])) AS norm
@@ -316,7 +313,15 @@ def _trained_oracle() -> str:
     ),
     cells AS (
         SELECT vec_id, emb, norm, cent_id FROM scored WHERE rk = 1
-    ),
+    )"""
+
+
+def _trained_oracle() -> str:
+    """The full training replay + at-rest serving twin in SQL:
+    hash-matching this end-to-end gates all three halves — training
+    determinism, frozen-codebook CDF maintenance, at-rest serving."""
+    return f"""
+    WITH {_training_ctes()},
     pairs AS (
         SELECT a.vec_id, a.cent_id, b.vec_id AS neighbor_id,
                list_dot_product(a.emb, b.emb) / (a.norm * b.norm) AS cos,
@@ -467,3 +472,248 @@ def q_llm_pq_adc_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "sub", "code_id"
     )
     return adc_audit(spark, sf_dir, codes)
+
+
+def _ivfpq_oracle() -> str:
+    """The COMPOSED search replay: trained cells (the shared training
+    CTE chain) + PQ encode + per-query LUT, then — for each query in
+    the fixed window — ADC ranking RESTRICTED to the query's trained
+    cell, audited against the exact L2 top-1 within the same cell.
+    Distances are the identical three-dot sequential folds; the ADC
+    total is the fixed-order four-term sum; argmins tiebreak on
+    vec_id."""
+    qwin = f"vec_id >= {PQ_CODES} AND vec_id < {PQ_CODES + PQ_QUERY_N}"
+    return f"""
+    WITH {_training_ctes()},
+    subs AS MATERIALIZED (
+        SELECT vec_id, sub,
+               emb[(sub - 1) * {PQ_SUBDIM} + 1 : sub * {PQ_SUBDIM}] AS s
+        FROM vecs
+        CROSS JOIN (SELECT unnest(generate_series(1, {PQ_M})) AS sub)
+    ),
+    pcodes AS MATERIALIZED (
+        SELECT sub, vec_id AS code_id, s AS c
+        FROM subs WHERE vec_id < {PQ_CODES}
+    ),
+    pscored AS (
+        SELECT v.vec_id, v.sub, k.code_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id, v.sub
+                   ORDER BY list_dot_product(v.s, v.s)
+                                - 2 * list_dot_product(v.s, k.c)
+                                + list_dot_product(k.c, k.c) ASC,
+                            k.code_id ASC
+               ) AS rn
+        FROM subs v JOIN pcodes k ON k.sub = v.sub
+    ),
+    wide AS MATERIALIZED (
+        SELECT vec_id,
+               max(CASE WHEN sub = 1 THEN code_id END) AS k1,
+               max(CASE WHEN sub = 2 THEN code_id END) AS k2,
+               max(CASE WHEN sub = 3 THEN code_id END) AS k3,
+               max(CASE WHEN sub = 4 THEN code_id END) AS k4
+        FROM pscored WHERE rn = 1 GROUP BY vec_id
+    ),
+    lut AS MATERIALIZED (
+        SELECT q.vec_id AS q_id, q.sub, k.code_id,
+               list_dot_product(q.s, q.s)
+                   - 2 * list_dot_product(q.s, k.c)
+                   + list_dot_product(k.c, k.c) AS part
+        FROM subs q JOIN pcodes k ON k.sub = q.sub
+        WHERE q.{qwin}
+    ),
+    queries AS (
+        SELECT vec_id AS q_id, cent_id AS q_cent, emb AS qemb,
+               list_dot_product(emb, emb) AS qq
+        FROM cells WHERE {qwin}
+    ),
+    cand AS (
+        SELECT q.q_id, q.q_cent, q.qemb, q.qq,
+               c.vec_id, c.emb
+        FROM queries q JOIN cells c
+          ON c.cent_id = q.q_cent AND c.vec_id <> q.q_id
+    ),
+    adc AS (
+        SELECT d.q_id, d.q_cent, d.vec_id,
+               l1.part + l2.part + l3.part + l4.part AS d_adc,
+               row_number() OVER (
+                   PARTITION BY d.q_id
+                   ORDER BY l1.part + l2.part + l3.part + l4.part ASC,
+                            d.vec_id ASC
+               ) AS rn
+        FROM cand d
+        JOIN wide w ON w.vec_id = d.vec_id
+        JOIN lut l1 ON l1.q_id = d.q_id AND l1.sub = 1
+                   AND l1.code_id = w.k1
+        JOIN lut l2 ON l2.q_id = d.q_id AND l2.sub = 2
+                   AND l2.code_id = w.k2
+        JOIN lut l3 ON l3.q_id = d.q_id AND l3.sub = 3
+                   AND l3.code_id = w.k3
+        JOIN lut l4 ON l4.q_id = d.q_id AND l4.sub = 4
+                   AND l4.code_id = w.k4
+    ),
+    cellexact AS (
+        SELECT q_id, vec_id,
+               qq - 2 * list_dot_product(qemb, emb)
+                  + list_dot_product(emb, emb) AS d_true,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY qq - 2 * list_dot_product(qemb, emb)
+                               + list_dot_product(emb, emb) ASC,
+                            vec_id ASC
+               ) AS rn
+        FROM cand
+    )
+    SELECT a.q_id, CAST(a.q_cent AS INT) AS cent_id,
+           a.vec_id AS adc_id, e.vec_id AS exact_id,
+           (a.vec_id = e.vec_id) AS hit,
+           {sql_half_up('a.d_adc', 6)} AS adc_d,
+           {sql_half_up('e.d_true', 6)} AS exact_d
+    FROM adc a JOIN cellexact e ON e.q_id = a.q_id AND e.rn = 1
+    WHERE a.rn = 1
+    """
+
+
+@query("q_llm_ivfpq_search", oracle=_ivfpq_oracle())
+def q_llm_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED IVF-PQ search — the full billion-vector serving
+    path, every input AT REST: each query (the fixed PQ window)
+    probes its TRAINED cell (read from the cells table — the trained
+    codebook's assignment), candidates are ONLY that cell's members,
+    and ranking is ADC over the candidates' STORED codes (read from
+    the pq_codes table; the query-side LUT and the PQ code vectors
+    come from the cells table's embeddings) — audited per query
+    against the exact L2 top-1 within the same cell, which isolates
+    PQ quantization error from IVF recall. The oracle replays
+    training + encode + probe + ADC from scratch, so the hash gates
+    the ENTIRE pipeline: k-means determinism, frozen-codebook cell
+    maintenance, code maintenance, and the search arithmetic, in one
+    key. (q_llm_pq_adc_at_rest is the unpruned full-scan twin;
+    q_llm_sim_ann_trained the exact-distance within-cell twin.)
+
+    Exactness: cell membership is the trained assignment both sides;
+    LUT parts and true distances are the identical three-dot
+    sequential folds; the ADC total is the fixed-order four-term sum;
+    argmins tiebreak on vec_id; reported distances ride the pinned
+    half-up.
+
+    Scale shape: THE IVF-PQ economics — search cost is |Q| · (k
+    centroid probes + |cell| LUT lookups) instead of |Q| · corpus
+    float reads: at 10⁹ vectors with 4096 cells, one query touches
+    ~250k 4-byte codes instead of 256 GB of floats. Everything data-
+    sized stays at rest (cells partitionable by cent_id for locality);
+    the only broadcast legs are the |Q|-bounded LUT and query set —
+    the codebook discipline. nprobe>1 is the same plan with a top-p
+    centroid probe instead of top-1 (q_llm_sim_ann_probe2's shape).
+    """
+    from frafka_spark.llm.dedup import memoized_result
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "embeddings_ann_trained")
+
+    def build() -> DataFrame:
+        cells = read_table(spark, str(Path(path) / "cells"))
+        codes = read_table(spark, str(Path(path) / "pq_codes"))
+        qwin = (F.col("vec_id") >= PQ_CODES) & (
+            F.col("vec_id") < PQ_CODES + PQ_QUERY_N
+        )
+        queries = cells.filter(qwin).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("cent_id").alias("q_cent"),
+            F.col("emb").alias("qemb"),
+            _dot(F.col("emb"), F.col("emb")).alias("qq"),
+        )
+        # PQ code vectors and the query LUT, both from the AT-REST
+        # cells embeddings (bit-identical to the fixture's floats)
+        pcodes = _subs_of(
+            cells.filter(F.col("vec_id") < PQ_CODES).select("vec_id", "emb")
+        ).select(
+            "sub", F.col("vec_id").alias("code_id"),
+            F.col("s").alias("c"), F.col("ss").alias("cc"),
+        )
+        lut = (
+            _subs_of(queries.select(F.col("q_id").alias("vec_id"),
+                                    F.col("qemb").alias("emb")))
+            .join(F.broadcast(pcodes), "sub")
+            .select(
+                F.col("vec_id").alias("q_id"),
+                "sub",
+                "code_id",
+                (
+                    F.col("ss")
+                    - F.lit(2) * _dot(F.col("s"), F.col("c"))
+                    + F.col("cc")
+                ).alias("part"),
+            )
+        )
+        cand = cells.select("vec_id", "cent_id", "emb").join(
+            F.broadcast(queries),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        wide = codes.groupBy("vec_id").agg(
+            *[
+                F.max(
+                    F.when(F.col("sub") == k, F.col("code_id"))
+                ).alias(f"k{k}")
+                for k in range(1, PQ_M + 1)
+            ]
+        )
+        adc = cand.join(wide, "vec_id")
+        for k in range(1, PQ_M + 1):
+            leg = lut.filter(F.col("sub") == k).select(
+                "q_id",
+                F.col("code_id").alias(f"k{k}"),
+                F.col("part").alias(f"p{k}"),
+            )
+            adc = adc.join(F.broadcast(leg), ["q_id", f"k{k}"])
+        adc_top = (
+            adc.select(
+                "q_id", "q_cent",
+                F.struct(
+                    (
+                        F.col("p1") + F.col("p2")
+                        + F.col("p3") + F.col("p4")
+                    ).alias("d_adc"),
+                    F.col("vec_id"),
+                ).alias("s"),
+            )
+            .groupBy("q_id", "q_cent")
+            .agg(F.min("s").alias("m"))
+            .select(
+                "q_id", "q_cent",
+                F.col("m.vec_id").alias("adc_id"),
+                F.col("m.d_adc").alias("d_adc"),
+            )
+        )
+        exact_top = (
+            cand.select(
+                "q_id",
+                F.struct(
+                    (
+                        F.col("qq")
+                        - F.lit(2) * _dot(F.col("qemb"), F.col("emb"))
+                        + _dot(F.col("emb"), F.col("emb"))
+                    ).alias("d_true"),
+                    F.col("vec_id"),
+                ).alias("s"),
+            )
+            .groupBy("q_id")
+            .agg(F.min("s").alias("m"))
+            .select(
+                "q_id",
+                F.col("m.vec_id").alias("exact_id"),
+                F.col("m.d_true").alias("d_true"),
+            )
+        )
+        return adc_top.join(F.broadcast(exact_top), "q_id").select(
+            "q_id",
+            F.col("q_cent").cast("int").alias("cent_id"),
+            "adc_id",
+            "exact_id",
+            (F.col("adc_id") == F.col("exact_id")).alias("hit"),
+            half_up(F.col("d_adc"), 6).alias("adc_d"),
+            half_up(F.col("d_true"), 6).alias("exact_d"),
+        )
+
+    return memoized_result(spark, sf_dir, "ivfpq_search", build)

@@ -2689,6 +2689,7 @@ def write_stream_batch(
     batch_id: int,
     path: str,
     stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int | None:
     """Exactly-once micro-batch sink into the manifest table — the
     ``foreachBatch`` body that unifies the streaming layer (A12's
@@ -2706,6 +2707,13 @@ def write_stream_batch(
     which makes a time-range read of a streaming table skip most of
     its history for free.
 
+    ``partition_by`` makes each batch's files partition-pure with
+    their tuples recorded (same stickiness as ``write_table``: omit
+    it and the table's existing layout applies) — without it a
+    stream into a partitioned table still carries the old files'
+    metadata but its own appends accrete unprunable files, degrading
+    the first-line prune batch by batch.
+
     Use: ``stream.writeStream.foreachBatch(
     lambda df, bid: write_stream_batch(df, bid, path)).start()``.
     The atomic manifest create is the transaction boundary — there is
@@ -2720,6 +2728,8 @@ def write_stream_batch(
     retired: list[str] = []
     constraints: dict = {}
     carried_dv: dict = {}
+    carried_parts: dict = {}
+    part_cols = partition_by
     if prev is not None:
         pm = _read_manifest(path, prev)
         _check_append_schema(df, pm)
@@ -2730,7 +2740,30 @@ def write_stream_batch(
         constraints = pm.get("constraints", {})
         carried_dv = _dv_of(pm)
         _enforce_constraints(df, pm)
-    new_files = _write_data_files(_to_physical(df, mapping), path)
+        prev_part = pm.get("partition_by")
+        if prev_part:
+            if partition_by is not None and list(partition_by) != list(
+                prev_part
+            ):
+                raise SchemaConflict(
+                    f"stream batch partitioned by {partition_by} onto a "
+                    f"table partitioned by {prev_part}"
+                )
+            part_cols = prev_part  # layout is sticky
+            carried_parts = _partitions_of(pm)
+    new_parts: dict = {}
+    if part_cols:
+        phys_part = [mapping.get(c, c) for c in part_cols]
+        new_files, parts_phys = _write_data_files_partitioned(
+            _to_physical(df, mapping), path, phys_part
+        )
+        inv_part = dict(zip(phys_part, part_cols))
+        new_parts = {
+            fp: {inv_part[pc]: v for pc, v in d.items()}
+            for fp, d in parts_phys.items()
+        }
+    else:
+        new_files = _write_data_files(_to_physical(df, mapping), path)
     version = 0 if prev is None else prev + 1
     manifest = {
         "version": version,
@@ -2740,6 +2773,9 @@ def write_stream_batch(
         "parent": prev,
         "batch_id": batch_id,
     }
+    if part_cols:
+        manifest["partition_by"] = list(part_cols)
+        manifest["partitions"] = {**carried_parts, **new_parts}
     if stats_cols:
         phys_cols = [mapping.get(c, c) for c in stats_cols]
         inverse = dict(zip(phys_cols, stats_cols))

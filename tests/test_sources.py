@@ -2467,3 +2467,44 @@ def test_dv_mixed_inline_and_sidecar_entries_in_one_snapshot(
         r.k for r in ch.filter(F.col("_change_type") == "delete").collect()
     )
     assert dels == list(range(100, 110)) + list(range(3500, 5500))
+
+
+def test_stream_batches_write_partition_pure_files(spark, tmp_path):
+    """write_stream_batch(partition_by): each micro-batch's files are
+    partition-pure with recorded tuples (the layout inherits sticky
+    after batch 0), redelivery stays a no-op, and the partition prune
+    cuts across ALL batches' files — the streamed table serves the
+    first-line prune exactly like a batch one."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    for bid in range(3):
+        batch = spark.range(bid * 100, bid * 100 + 100).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+        )
+        v = mt.write_stream_batch(
+            batch, bid, path,
+            partition_by=["p"] if bid == 0 else None,  # sticky after 0
+        )
+        assert v == bid
+
+    m = mt._read_manifest(path, 2)
+    assert m["partition_by"] == ["p"]
+    assert set(m["partitions"]) == set(m["files"])
+
+    # redelivered batch: no-op
+    dup = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    assert mt.write_stream_batch(dup, 1, path) is None
+    assert mt.current_version(path) == 2
+
+    probe: dict = {}
+    got = mt.read_table_pruned(spark, path, "p", 1, 1, _probe=probe)
+    assert got.count() == 150
+    assert probe["pruned_by_partition"] == sum(
+        1 for d in m["partitions"].values() if d["p"] != 1
+    )
+    assert probe["pruned_by_partition"] >= 3  # one p=0 file per batch
