@@ -717,3 +717,130 @@ def q_llm_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return memoized_result(spark, sf_dir, "ivfpq_search", build)
+
+
+DRIFT_FACTOR = 1.5  # crawl distortion > 1.5× base distortion ⇒ stale
+
+
+@query(
+    "q_llm_codebook_drift",
+    oracle=f"""
+    WITH {{training}},
+    d2 AS (
+        SELECT l.vec_id, l.cent_id,
+               list_dot_product(l.emb, l.emb)
+               - 2 * list_dot_product(l.emb, c.cvec)
+               + list_dot_product(c.cvec, c.cvec) AS d2,
+               (l.vec_id % {{crawl_mod}} = 0
+                AND l.vec_id % {{centroid_mod}} <> 0
+                AND l.vec_id >= {{pq_codes}}) AS is_crawl
+        FROM cells l JOIN c{KM_ITERS} c USING (cent_id)
+    ),
+    per_cell AS (
+        SELECT cent_id,
+               count(*) FILTER (WHERE NOT is_crawl) AS n_base,
+               count(*) FILTER (WHERE is_crawl) AS n_crawl,
+               {{h_base}} AS base_mean_d2,
+               {{h_crawl}} AS crawl_mean_d2
+        FROM d2 GROUP BY cent_id
+    )
+    SELECT CAST(cent_id AS BIGINT) AS cent_id,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_crawl AS BIGINT) AS n_crawl,
+           base_mean_d2, crawl_mean_d2,
+           floor(crawl_mean_d2 / base_mean_d2 * 10000.0 + 0.5) / 10000.0
+               AS drift_ratio,
+           (crawl_mean_d2 > {DRIFT_FACTOR} * base_mean_d2) AS stale
+    FROM per_cell
+    WHERE n_base > 0 AND n_crawl > 0
+    """.format(
+        training=_training_ctes(),
+        crawl_mod=CRAWL_MOD,
+        centroid_mod=CENTROID_MOD,
+        pq_codes=PQ_CODES,
+        h_base="floor(avg(d2) FILTER (WHERE NOT is_crawl) * 10000.0 + 0.5)"
+        " / 10000.0",
+        h_crawl="floor(avg(d2) FILTER (WHERE is_crawl) * 10000.0 + 0.5)"
+        " / 10000.0",
+    ),
+    defer_round=12,
+)
+def q_llm_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook DRIFT monitor — the operational answer to "when must
+    the frozen codebook retrain?" (the one lifecycle edge the trained
+    index leaves manual): per cell, compare the mean quantization
+    distortion (squared L2 to the assigned centroid) of the CRAWL
+    cohort — vectors assigned incrementally under the FROZEN codebook
+    — against the BASE cohort the codebook was trained on. A cell
+    whose crawl distortion exceeds {DRIFT_FACTOR}× its training-time
+    distortion is flagged ``stale``: its region of the embedding space
+    has moved, and the next maintenance window should retrain (a
+    rebuild by definition — committed as a new table version readers
+    pin across).
+
+    Everything reads AT REST: cells and codebook come from the
+    maintained manifest tables; no training pass re-runs. The oracle
+    replays training from scratch and recomputes both cohorts'
+    distortions, so the hash also re-gates that the persisted state
+    still equals the from-scratch build.
+
+    Exactness: d2 is the identical three-dot sequential fold both
+    sides; cohort membership is a pure vec_id predicate; means are
+    half-up-rounded at 4 decimals before the ratio/flag comparisons,
+    so the stale flag compares identical doubles on both engines.
+
+    Scale shape: one join of the cells table against the broadcast
+    codebook (k rows) and one hash aggregate on cent_id — O(corpus)
+    map work, shuffle ∝ cells. The monitor is what a 100 TB vector
+    pipeline runs after every ingest window: cells are only
+    re-trained when THIS report says so, never on a timer.
+    """
+    from frafka_spark.llm.dedup import memoized_result
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "embeddings_ann_trained")
+
+    def build() -> DataFrame:
+        cells = read_table(spark, str(Path(path) / "cells"))
+        cents = read_table(spark, str(Path(path) / "codebook"))
+        d2 = (
+            _dot(F.col("emb"), F.col("emb"))
+            - 2 * _dot(F.col("emb"), F.col("cvec"))
+            + _dot(F.col("cvec"), F.col("cvec"))
+        )
+        is_crawl = (
+            (F.col("vec_id") % CRAWL_MOD == 0)
+            & (F.col("vec_id") % CENTROID_MOD != 0)
+            & (F.col("vec_id") >= PQ_CODES)
+        )
+        scored = cells.join(F.broadcast(cents), "cent_id").select(
+            "cent_id", d2.alias("d2"), is_crawl.alias("is_crawl")
+        )
+        per_cell = scored.groupBy("cent_id").agg(
+            F.count(F.when(~F.col("is_crawl"), 1)).alias("n_base"),
+            F.count(F.when(F.col("is_crawl"), 1)).alias("n_crawl"),
+            half_up(F.avg(F.when(~F.col("is_crawl"), F.col("d2"))), 4).alias(
+                "base_mean_d2"
+            ),
+            half_up(F.avg(F.when(F.col("is_crawl"), F.col("d2"))), 4).alias(
+                "crawl_mean_d2"
+            ),
+        )
+        return per_cell.filter(
+            (F.col("n_base") > 0) & (F.col("n_crawl") > 0)
+        ).select(
+            F.col("cent_id").cast("bigint").alias("cent_id"),
+            "n_base",
+            "n_crawl",
+            "base_mean_d2",
+            "crawl_mean_d2",
+            half_up(F.col("crawl_mean_d2") / F.col("base_mean_d2"), 4).alias(
+                "drift_ratio"
+            ),
+            (
+                F.col("crawl_mean_d2")
+                > F.lit(DRIFT_FACTOR) * F.col("base_mean_d2")
+            ).alias("stale"),
+        )
+
+    return memoized_result(spark, sf_dir, "codebook_drift", build)

@@ -1,0 +1,377 @@
+"""Importance-based data selection — DSIR weights/resampling and MMR
+diverse top-k (round-12 additions to the training-data family, beyond
+SURVEY §2 in the spirit of the B10-ext rows).
+
+- **DSIR** (Data Selection via Importance Resampling — Xie et al.
+  2023, arXiv:2302.03169, public): score every raw document by how
+  much it looks like a TARGET domain, using hashed n-gram bucket
+  distributions. ``log w(d) = Σ_tokens log(p_target(b)/p_raw(b))``
+  with add-1 smoothing over ``DSIR_BUCKETS`` buckets. The fixture's
+  target is ``lang = 'en'`` (the majority/high-resource slice); in a
+  real pipeline the target counts come from the trusted corpus
+  (Wikipedia/books) and the raw side from the crawl.
+- **MMR** (Maximal Marginal Relevance — Carbonell & Goldstein 1998,
+  public): greedy diverse top-k per label over the embedding table —
+  each step picks ``argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)``,
+  the canonical redundancy-penalized selection used to pick diverse
+  exemplars / dedup retrieval results.
+
+Scale shapes:
+
+- DSIR is two hash aggregates and a 256-row broadcast: the token
+  explode collapses to per-bucket counts (ONE aggregate computes the
+  raw and target counts together via a conditional sum — map-side
+  partials, shuffle ∝ 256 × partitions), the log-ratio table is 256
+  rows broadcast back onto the token stream, and the per-doc sum is
+  one more hash aggregate on doc_id. No vocabulary is ever built:
+  the bucket space is fixed, which is the entire point of the
+  hashing trick at 100 TB.
+- MMR's greedy loop is inherently sequential IN k, so it runs per
+  label group executor-side (``applyInPandas``: one shuffle on
+  label, then an O(|group|·k) loop — no driver state). At 100 TB the
+  label is an IVF cell / shard key so every group is bounded; k and
+  λ are knobs. Dot products accumulate dim-sequentially (left-to-
+  right, matching DuckDB's ``list_dot_product``) so scores are
+  bitwise-identical to the oracle and ranking needs no float slack.
+
+Determinism: bucket = first 2 hex chars of md5(word) on both engines;
+counts are exact; per-bucket log-ratios are pure functions of exact
+ints (libm log may differ by 1 ulp — the per-doc sums feed 4-decimal
+half-up rounding, leaving ~1e-10 headroom). The MMR oracle unrolls
+the k=4 greedy recursion into four windowed argmax layers (same trick
+family as q_llm_pack's recursive-CTE replay; unrolling keeps every
+layer a plain QUALIFY).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frafka_spark.functions.determinism import half_up
+from frafka_spark.io import table
+from frafka_spark.registry import query
+
+DSIR_BUCKETS = 256  # 2 hex digits of md5(word)
+DSIR_TARGET_LANG = "en"  # fixture stand-in for the trusted corpus
+DSIR_TOP = 20  # report size for the weights query
+MMR_K = 4  # selections per label
+MMR_LAM = 0.7  # relevance weight λ
+MMR_MU = 0.3  # diversity weight (1−λ), a SEPARATE literal so both
+# engines parse the identical decimal instead of computing 1−0.7
+
+
+def _dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, log_w) for every document.
+
+    Shares the cached ``_words`` token table with tfidf/simhash (the
+    explode is the expensive pass; everything after is per-bucket).
+    The fixture recovers each token's lang via a doc_id join against
+    the documents projection — a co-partitioned join on the natural
+    key; a production pipeline carries lang through the explode.
+    """
+    from frafka_spark.llm.dedup import _words
+
+    toks = _words(spark, sf_dir).select(
+        "doc_id", F.substring(F.md5("word"), 1, 2).alias("b")
+    )
+    lang = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tb = toks.join(lang, "doc_id")
+    counts = tb.groupBy("b").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + float(DSIR_BUCKETS)))
+            - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + float(DSIR_BUCKETS)))
+        ).alias("lr"),
+    )
+    return toks.join(F.broadcast(lr), "b").groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.sum("lr").alias("log_w")
+    )
+
+
+# Shared oracle CTE: per-doc DSIR log-weights (mirrors _dsir_log_weights).
+_DSIR_W_SQL = f"""
+    toks AS (
+        SELECT doc_id, substring(md5(word), 1, 2) AS b
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+    ),
+    counts AS (
+        SELECT t.b,
+               count(*) AS c_raw,
+               sum(CASE WHEN d.lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                   AS c_tgt
+        FROM toks t JOIN documents d USING (doc_id)
+        GROUP BY t.b
+    ),
+    totals AS (
+        SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM counts
+    ),
+    lr AS (
+        SELECT b,
+               ln((c_tgt + 1.0) / (n_tgt + {DSIR_BUCKETS}.0))
+             - ln((c_raw + 1.0) / (n_raw + {DSIR_BUCKETS}.0)) AS lr
+        FROM counts, totals
+    ),
+    dsir_w AS (
+        SELECT t.doc_id, count(*) AS n_tokens, sum(l.lr) AS log_w
+        FROM toks t JOIN lr l ON t.b = l.b
+        GROUP BY t.doc_id
+    )
+"""
+
+
+@query(
+    "q_llm_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_W_SQL}
+    SELECT d.doc_id, d.source, d.lang,
+           CAST(w.n_tokens AS BIGINT) AS n_tokens,
+           floor(w.log_w * 10000.0 + 0.5) / 10000.0 AS log_weight,
+           floor(w.log_w / w.n_tokens * 1000000.0 + 0.5) / 1000000.0
+               AS log_weight_per_tok
+    FROM dsir_w w JOIN documents d USING (doc_id)
+    ORDER BY w.log_w DESC, d.doc_id
+    LIMIT {DSIR_TOP}
+    """,
+    defer_round=12,
+)
+def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{DSIR_TOP} most target-like documents by DSIR log importance
+    weight (hashed unigram buckets, add-1 smoothing) — the ranking a
+    quality-focused crawl selection sorts by. Ranking uses the raw
+    double sums (distinct docs are never within float skew of each
+    other); display values are half-up rounded."""
+    w = _dsir_log_weights(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return (
+        w.join(d, "doc_id")
+        .orderBy(F.col("log_w").desc(), "doc_id")
+        .limit(DSIR_TOP)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            half_up(F.col("log_w"), 4).alias("log_weight"),
+            half_up(F.col("log_w") / F.col("n_tokens"), 6).alias(
+                "log_weight_per_tok"
+            ),
+        )
+    )
+
+
+@query(
+    "q_llm_dsir_select",
+    oracle=f"""
+    WITH {_DSIR_W_SQL},
+    ranked AS (
+        SELECT d.source, w.log_w,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY w.log_w DESC, w.doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY d.source) AS n
+        FROM dsir_w w JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE rn <= (n + 1) // 2) AS BIGINT)
+               AS n_keep,
+           floor(avg(log_w) FILTER (WHERE rn <= (n + 1) // 2)
+                 * 10000.0 + 0.5) / 10000.0 AS kept_avg_logw,
+           floor(avg(log_w) FILTER (WHERE rn > (n + 1) // 2)
+                 * 10000.0 + 0.5) / 10000.0 AS dropped_avg_logw
+    FROM ranked
+    GROUP BY source
+    """,
+    defer_round=12,
+)
+def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection stage: within each source keep the top half of
+    documents by importance weight (a fixed per-source budget — the
+    deterministic stand-in for gumbel-top-k resampling, which no SQL
+    oracle could replay) and report the kept/dropped weight split.
+
+    One window over the per-doc weights (partitioned by source — no
+    global sort) feeding one per-source aggregate; at 100 TB both
+    stages shuffle on source, the same key, so AQE coalesces them."""
+    from pyspark.sql import Window
+
+    w = _dsir_log_weights(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    win = Window.partitionBy("source").orderBy(
+        F.col("log_w").desc(), F.col("doc_id")
+    )
+    ranked = (
+        w.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(win))
+        .withColumn("n", F.count("*").over(Window.partitionBy("source")))
+        .withColumn("kept", F.col("rn") <= (F.col("n") + 1) / 2)
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep"),
+        half_up(
+            F.avg(F.when(F.col("kept"), F.col("log_w"))), 4
+        ).alias("kept_avg_logw"),
+        half_up(
+            F.avg(F.when(~F.col("kept"), F.col("log_w"))), 4
+        ).alias("dropped_avg_logw"),
+    )
+
+
+_MMR_OUT = "label int, rank int, vec_id bigint, score double"
+
+
+def _make_mmr(k: int, lam: float, mu: float):
+    """Greedy MMR over one label group, anchor-relevance.
+
+    Dot products accumulate dim-by-dim left-to-right (vectorized
+    ACROSS rows, sequential ACROSS dims) so every score is bitwise
+    what DuckDB's list_dot_product produces — ranking ties are then
+    genuinely vec_id ties on both engines."""
+    import numpy as np
+
+    def _seq_dot(mat: "np.ndarray", v: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(mat.shape[0], dtype=np.float64)
+        for d in range(mat.shape[1]):
+            acc = acc + mat[:, d] * v[d]
+        return acc
+
+    def _mmr_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        label = int(pdf["label"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(list(pdf["emb"]), dtype=np.float64)
+        norms = np.array(
+            [np.sqrt(_seq_dot(row[None, :], row)[0]) for row in mat]
+        )
+        a = 0  # anchor = min vec_id (sorted above)
+        rel = _seq_dot(mat, mat[a]) / (norms * norms[a])
+        selected: list[int] = []
+        maxsim = np.full(len(ids), -np.inf)
+        out = []
+        for rank in range(1, min(k, len(ids)) + 1):
+            if rank == 1:
+                score = rel.copy()
+            else:
+                score = lam * rel - mu * maxsim
+            score[selected] = -np.inf
+            # argmax with vec_id tiebreak: ids are sorted ascending,
+            # np.argmax returns the FIRST max — exactly the tiebreak.
+            pick = int(np.argmax(score))
+            out.append((label, rank, int(ids[pick]), float(score[pick])))
+            selected.append(pick)
+            sim = _seq_dot(mat, mat[pick]) / (norms * norms[pick])
+            maxsim = np.maximum(maxsim, sim)
+        return pd.DataFrame(
+            out, columns=["label", "rank", "vec_id", "score"]
+        )
+
+    return _mmr_group
+
+
+@query(
+    "q_llm_mmr",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    avec AS (
+        SELECT v.label, v.emb AS aemb, v.norm AS anorm
+        FROM vecs v
+        JOIN (SELECT label, min(vec_id) AS aid FROM vecs GROUP BY label) a
+          ON v.vec_id = a.aid
+    ),
+    cand AS (
+        SELECT v.label, v.vec_id, v.emb, v.norm,
+               list_dot_product(v.emb, a.aemb) / (v.norm * a.anorm) AS rel
+        FROM vecs v JOIN avec a ON v.label = a.label
+    ),
+    s1 AS (
+        SELECT label, vec_id, emb, norm, rel, rel AS score1 FROM cand
+        QUALIFY row_number() OVER (
+            PARTITION BY label ORDER BY rel DESC, vec_id) = 1
+    ),
+    s2 AS (
+        SELECT c.label, c.vec_id, c.emb, c.norm, c.rel,
+               {MMR_LAM} * c.rel - {MMR_MU} *
+                   (list_dot_product(c.emb, s.emb) / (c.norm * s.norm))
+                   AS score2
+        FROM cand c JOIN s1 s ON c.label = s.label
+        WHERE c.vec_id <> s.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY c.label ORDER BY score2 DESC, c.vec_id) = 1
+    ),
+    s3 AS (
+        SELECT c.label, c.vec_id, c.emb, c.norm, c.rel,
+               {MMR_LAM} * c.rel - {MMR_MU} * greatest(
+                   list_dot_product(c.emb, s1.emb) / (c.norm * s1.norm),
+                   list_dot_product(c.emb, s2.emb) / (c.norm * s2.norm))
+                   AS score3
+        FROM cand c
+        JOIN s1 ON c.label = s1.label
+        JOIN s2 ON c.label = s2.label
+        WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id)
+        QUALIFY row_number() OVER (
+            PARTITION BY c.label ORDER BY score3 DESC, c.vec_id) = 1
+    ),
+    s4 AS (
+        SELECT c.label, c.vec_id, c.rel,
+               {MMR_LAM} * c.rel - {MMR_MU} * greatest(
+                   list_dot_product(c.emb, s1.emb) / (c.norm * s1.norm),
+                   list_dot_product(c.emb, s2.emb) / (c.norm * s2.norm),
+                   list_dot_product(c.emb, s3.emb) / (c.norm * s3.norm))
+                   AS score4
+        FROM cand c
+        JOIN s1 ON c.label = s1.label
+        JOIN s2 ON c.label = s2.label
+        JOIN s3 ON c.label = s3.label
+        WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id)
+        QUALIFY row_number() OVER (
+            PARTITION BY c.label ORDER BY score4 DESC, c.vec_id) = 1
+    )
+    SELECT label, rank, vec_id,
+           floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM (
+        SELECT label, 1 AS rank, vec_id, score1 AS score FROM s1
+        UNION ALL SELECT label, 2, vec_id, score2 FROM s2
+        UNION ALL SELECT label, 3, vec_id, score3 FROM s3
+        UNION ALL SELECT label, 4, vec_id, score4 FROM s4
+    )
+    """,
+    defer_round=12,
+)
+def q_llm_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-{MMR_K} per label: rank 1 is the label's anchor
+    (min vec_id — the stand-in query vector), each later rank is
+    ``argmax λ·cos(c, anchor) − (1−λ)·max_sel cos(c, s)``.
+
+    The engine side is the GENERAL greedy loop (any k) per label
+    group; the oracle unrolls k={MMR_K} into four windowed-argmax
+    layers — same replay-the-recurrence discipline as q_llm_pack."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    out = e.groupBy("label").applyInPandas(
+        _make_mmr(MMR_K, MMR_LAM, MMR_MU), _MMR_OUT
+    )
+    return out.select(
+        "label", "rank", "vec_id", half_up(F.col("score"), 6).alias("score")
+    )

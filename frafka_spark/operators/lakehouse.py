@@ -278,10 +278,23 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
                 # multi-table builds
                 for mf in tmp.glob("**/_manifest/v*.json"):
                     m = json.loads(mf.read_text())
-                    m["files"] = [
-                        f.replace(str(tmp), str(dest), 1)
-                        for f in m["files"]
-                    ]
+                    if "meta" in m:
+                        # sidecar-mode manifest: the file list lives in
+                        # parquet sidecars (retargeted below); the JSON
+                        # only names the sidecars and removed paths
+                        m["meta"]["sidecars"] = [
+                            s.replace(str(tmp), str(dest), 1)
+                            for s in m["meta"]["sidecars"]
+                        ]
+                        m["meta"]["removed"] = [
+                            f.replace(str(tmp), str(dest), 1)
+                            for f in m["meta"]["removed"]
+                        ]
+                    else:
+                        m["files"] = [
+                            f.replace(str(tmp), str(dest), 1)
+                            for f in m["files"]
+                        ]
                     for keyed in ("stats", "bloom", "dv", "partitions"):
                         if keyed in m:
                             m[keyed] = {
@@ -295,6 +308,26 @@ def _ensure_table(spark: SparkSession, sf_dir: str, which: str) -> str:
                                 str(tmp), str(dest), 1
                             )
                     mf.write_text(json.dumps(m))
+                # metadata sidecars carry absolute data-file paths in
+                # their ``file`` column — rewrite each parquet in place
+                for sc in tmp.glob("**/_manifest/meta/*.parquet"):
+                    import pyarrow as pa
+                    import pyarrow.parquet as pq
+
+                    t0 = pq.read_table(sc)
+                    t1 = pa.table(
+                        {
+                            "file": pa.array(
+                                [
+                                    f.replace(str(tmp), str(dest), 1)
+                                    for f in t0.column("file").to_pylist()
+                                ],
+                                pa.string(),
+                            ),
+                            "meta": t0.column("meta"),
+                        }
+                    )
+                    pq.write_table(t1, sc)
                 # txn-catalog snapshots pin absolute table paths
                 for cf in tmp.glob("**/_catalog/v*.json"):
                     c = json.loads(cf.read_text())
@@ -1629,4 +1662,205 @@ def q_scan_deleted_dv_spilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("price_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 12, continuation wave: METADATA SIDECARS (Iceberg manifest
+# files) graded end-to-end — the layer that keeps commit metadata
+# O(delta) and prune planning distributed once a table's file count
+# outgrows an inline JSON manifest.
+# ---------------------------------------------------------------------------
+
+#: enough range files that the snapshot crosses META_SIDECAR_MIN_FILES
+#: (64) and the manifest REALLY spills at every fixture sf
+MS_N_FILES = 96
+MS_SPLIT_MOD = 7  # v0 = keys % 7 != 0 (overwrite), v1 = the rest (append)
+#: v2's narrow copy-on-write delete band sits INSIDE the graded band
+#: at every sf (orderkeys are dense 0..N-1; sf0.001 tops out at 1499)
+#: so the graded hash actually witnesses the delete
+MS_DEL_LO, MS_DEL_HI = 1251, 1350
+MS_BAND_LO, MS_BAND_HI = 1201, 1480  # the graded pruned read
+
+
+@_register_builder(
+    "orders_meta_sidecar",
+    fp_params=[MS_N_FILES, MS_SPLIT_MOD, MS_DEL_LO, MS_DEL_HI],
+)
+def _build_meta_sidecar_table(
+    spark: SparkSession, sf_dir: str, tmp: Path
+) -> None:
+    """Three commits against a {MS_N_FILES}-file snapshot (> the 64
+    spill threshold, so per-file metadata lives in parquet sidecars
+    from v0 on): v0 range-clustered overwrite of keys % 7 != 0, v1
+    append of the remainder (writes a sidecar for ONLY its own files
+    — the O(delta) commit), v2 a narrow copy-on-write delete (retires
+    the touched files via the removed list, carried sidecars reused
+    byte-for-byte)."""
+    from frafka_spark.sources.manifest_table import (
+        delete_rows,
+        write_table_with_stats,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def clustered(df: DataFrame, n: int) -> DataFrame:
+        return df.repartitionByRange(n, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        )
+
+    write_table_with_stats(
+        clustered(o.filter(F.col("o_orderkey") % MS_SPLIT_MOD != 0), MS_N_FILES),
+        str(tmp),
+        ["o_orderkey"],
+        mode="overwrite",
+    )
+    write_table_with_stats(
+        clustered(
+            o.filter(F.col("o_orderkey") % MS_SPLIT_MOD == 0), MS_N_FILES // 6
+        ),
+        str(tmp),
+        ["o_orderkey"],
+        mode="append",
+    )
+    delete_rows(spark, str(tmp), "o_orderkey", MS_DEL_LO, MS_DEL_HI)
+
+
+@query(
+    "q_scan_meta_pruned",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderkey BETWEEN {MS_BAND_LO} AND {MS_BAND_HI}
+      AND o_orderkey NOT BETWEEN {MS_DEL_LO} AND {MS_DEL_HI}
+    GROUP BY o_orderpriority
+    """,
+    defer_round=12,
+)
+def q_scan_meta_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA SIDECARS graded end-to-end: a {MS_N_FILES}-file
+    snapshot whose manifest JSON carries NO inline file list — per-
+    file paths/stats live in parquet sidecars (Iceberg's manifest
+    files), appends write sidecars for only their new files, and the
+    copy-on-write delete retires files via a removed-list. The graded
+    read resolves a key band through ``read_table_pruned``, which in
+    sidecar mode plans the prune AS A SPARK JOB over the metadata
+    parquet (``_span_keep_files_distributed``) — only surviving paths
+    reach the driver. The lifecycle pytest pins the physical contract
+    the differential can't see: the raw manifest has no ``files``
+    key, the append's sidecar covers exactly its own files, the probe
+    reports distributed planning with real prune counts.
+
+    Exactness: prune verdicts share one predicate function with the
+    driver-side loop (``_keep_verdict``), so pruning can't diverge;
+    the residual BETWEEN applies either way; counts are longs,
+    half-up cents summed as BIGINTs.
+
+    Scale shape: THE fix for the last driver-sized bottleneck in the
+    table format — at a million files an inline manifest is a 100 MB
+    JSON parsed per read and rewritten per commit, while sidecar mode
+    keeps the commit JSON O(1), commit metadata O(new files), and
+    prune planning a distributed columnar scan returning O(matching
+    files). This is exactly Iceberg's manifest-file/manifest-list
+    split, re-expressed on parquet.
+    """
+    from frafka_spark.sources.manifest_table import read_table_pruned
+
+    path = _ensure_table(spark, sf_dir, "orders_meta_sidecar")
+    t = read_table_pruned(spark, path, "o_orderkey", MS_BAND_LO, MS_BAND_HI)
+    return t.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+#: partition-evolution lifecycle: v0 priority-partitioned half, v1 the
+#: metadata-only spec change, v2 status-partitioned other half
+PE_STATUS = "F"
+
+
+@_register_builder("orders_partition_evolved", fp_params=[PE_STATUS])
+def _build_partition_evolved_table(
+    spark: SparkSession, sf_dir: str, tmp: Path
+) -> None:
+    """v0: even orderkeys partitioned by o_orderpriority; v1:
+    ``evolve_partitioning`` → ["o_orderstatus"] (zero files touched);
+    v2: odd orderkeys appended under the NEW spec. The snapshot ends
+    with files of BOTH layouts, each carrying its own tuple."""
+    from frafka_spark.sources.manifest_table import (
+        evolve_partitioning,
+        write_table,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    write_table(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        str(tmp),
+        mode="overwrite",
+        partition_by=["o_orderpriority"],
+    )
+    evolve_partitioning(str(tmp), ["o_orderstatus"])
+    write_table(o.filter(F.col("o_orderkey") % 2 == 1), str(tmp), mode="append")
+
+
+@query(
+    "q_scan_partition_evolved",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderstatus = '{PE_STATUS}'
+    GROUP BY o_orderpriority
+    """,
+    defer_round=12,
+)
+def q_scan_partition_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION graded end-to-end: the table switched specs
+    (priority → status) as a METADATA-ONLY commit between two appends,
+    so its snapshot holds files of both layouts; the graded read
+    resolves one status through ``read_table_pruned``, which prunes
+    the new-spec files by their status tuples, keeps the old-spec
+    files conservatively (they carry no status tuple), and applies
+    the residual everywhere — the result must equal the plain SQL over
+    ALL orders. The lifecycle pytest pins the physical contract: v1
+    moved zero data files, old files keep priority tuples, probes on
+    either spec's column prune only that spec's files, and appending
+    an explicitly different layout still raises without an evolution
+    commit.
+
+    Scale shape: Iceberg's spec-per-file contract — repartitioning a
+    100 TB table (daily → hourly, adding a source column) is one O(1)
+    metadata commit, never a history rewrite; every reader stays
+    correct under mixed layouts because pruning consults each file's
+    OWN recorded tuple.
+    """
+    from frafka_spark.sources.manifest_table import read_table_pruned
+
+    path = _ensure_table(spark, sf_dir, "orders_partition_evolved")
+    t = read_table_pruned(spark, path, "o_orderstatus", PE_STATUS, PE_STATUS)
+    return (
+        t.filter(F.col("o_orderstatus") == PE_STATUS)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("price_cents"),
+        )
     )

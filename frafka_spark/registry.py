@@ -29,18 +29,42 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None
     doc: str
+    defer_round: int | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a declared query (and its DuckDB oracle)."""
+def query(
+    name: str,
+    oracle: str | None = None,
+    defer_round: int | None = None,
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a declared query (and its DuckDB oracle).
+
+    ``defer_round=N`` marks a key registered AFTER round N's planned
+    grading window was already filled (new keys + the stalest cohort
+    = exactly ``GRADING_WINDOW``). While round N's CORRECTNESS
+    artifact has not yet been committed, the key sorts BEHIND every
+    already-graded key so it cannot displace the stalest cohort from
+    the window it was promised (VERDICT r11 ask #5: the r05 cohort
+    refreshes in r12). The moment ``CORRECTNESS_rN.json`` lands, the
+    marker expires on its own — the key is then an ordinary
+    never-graded registration and LEADS round N+1's window. Same
+    intent as the round-8 "register last" placement, made explicit
+    now that the cohort being protected is graded (placement alone
+    only breaks ties among never-graded keys)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        QUERIES[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            defer_round=defer_round,
+        )
         return fn
 
     return deco
@@ -91,6 +115,22 @@ def _verified_rounds() -> dict[str, int]:
     return rounds
 
 
+def _latest_recorded_round() -> int:
+    """Highest round number with a committed CORRECTNESS artifact
+    (0 when none exist) — the clock that expires ``defer_round``
+    markers."""
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    rounds = [
+        int(m.group(1))
+        for p in repo.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"r(\d+)", p.stem))
+    ]
+    return max(rounds, default=0)
+
+
 def _grading_order() -> list[str]:
     """Least-recently-verified rotation over the driver's window.
 
@@ -108,7 +148,23 @@ def _grading_order() -> list[str]:
     names = list(QUERIES)
     index = {n: i for i, n in enumerate(names)}
     verified = _verified_rounds()
-    return sorted(names, key=lambda n: (verified.get(n, 0), index[n]))
+    latest = _latest_recorded_round()
+
+    def sort_key(n: str) -> tuple[int, int]:
+        spec = QUERIES[n]
+        if (
+            spec.defer_round is not None
+            and n not in verified
+            and latest < spec.defer_round
+        ):
+            # Registered after round defer_round's window was filled:
+            # queue behind every graded key until that round's
+            # artifact lands, then lead the next window as an
+            # ordinary never-graded key (see ``query()``).
+            return (1_000_000_000, index[n])
+        return (verified.get(n, 0), index[n])
+
+    return sorted(names, key=sort_key)
 
 
 def get_queries() -> dict[str, QueryFn]:

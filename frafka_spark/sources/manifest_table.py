@@ -32,6 +32,7 @@ create-exclusive, swap the manifest creation for a conditional PUT
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import uuid
@@ -104,9 +105,183 @@ def current_version(path: str) -> int | None:
     return max(versions) if versions else None
 
 
-def _read_manifest(path: str, version: int) -> dict:
+def _read_manifest_raw(path: str, version: int) -> dict:
+    """The manifest JSON as committed — per-file metadata may live in
+    parquet sidecars (the ``meta`` key) rather than inline."""
     with open(_manifest_path(path, version)) as fh:
         return json.load(fh)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    """Manifest with per-file metadata ALWAYS inline: sidecar-mode
+    manifests (see ``_spill_meta``) are rehydrated transparently, so
+    every consumer keeps reading ``files``/``stats``/``partitions``
+    as plain keys. The ``meta`` key is consumed here and removed —
+    no caller can accidentally carry a stale sidecar list forward."""
+    manifest = _read_manifest_raw(path, version)
+    meta = manifest.pop("meta", None)
+    if meta is None:
+        return manifest
+    removed = set(meta.get("removed", ()))
+    files: list[str] = []
+    stats: dict = {}
+    parts: dict = {}
+    for sc in meta["sidecars"]:
+        for fp, fmeta in _read_meta_sidecar(sc):
+            if fp in removed:
+                continue
+            files.append(fp)
+            if fmeta.get("stats"):
+                stats[fp] = fmeta["stats"]
+            if fmeta.get("parts"):
+                parts[fp] = fmeta["parts"]
+    manifest["files"] = files
+    if stats:
+        manifest["stats"] = stats
+    if parts:
+        manifest["partitions"] = parts
+    return manifest
+
+
+#: spill per-file metadata (files/stats/partitions) to a parquet
+#: sidecar once a snapshot references more files than this — the
+#: Iceberg manifest-file discipline: the commit JSON stays O(1),
+#: appends write O(new files) metadata (carried sidecars are REUSED
+#: byte-for-byte), and pruning can read the metadata distributed.
+META_SIDECAR_MIN_FILES = 64
+
+#: metadata-compaction trigger: when more than this fraction of the
+#: sidecar-covered files are dead, the commit rewrites the sidecar
+#: list (drops fully-removed sidecars, folds the removed set) — the
+#: DV-compaction discipline applied to the metadata layer.
+META_REMOVED_COMPACT_FRAC = 0.5
+
+
+def _meta_sidecar_dir(path: str) -> str:
+    return os.path.join(_manifest_dir(path), "meta")
+
+
+def _read_meta_sidecar(sc_path: str) -> tuple[tuple[str, dict], ...]:
+    """(file, metadata) rows of one immutable metadata sidecar,
+    LRU-cached by path (sidecars are written once under a fresh uuid
+    and never mutated)."""
+    return _read_meta_sidecar_cached(sc_path)
+
+
+@functools.lru_cache(maxsize=32)
+def _read_meta_sidecar_cached(sc_path: str) -> tuple[tuple[str, dict], ...]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(sc_path)
+    return tuple(
+        (fp, json.loads(meta))
+        for fp, meta in zip(
+            tbl.column("file").to_pylist(), tbl.column("meta").to_pylist()
+        )
+    )
+
+
+def _meta_sidecar_rows(files, stats: dict, parts: dict):
+    return [
+        (
+            fp,
+            json.dumps(
+                {
+                    "stats": stats.get(fp) or None,
+                    "parts": parts.get(fp) or None,
+                },
+                sort_keys=True,
+            ),
+        )
+        for fp in files
+    ]
+
+
+def _write_meta_sidecar(path: str, rows) -> str:
+    """One parquet sidecar under _manifest/meta (uuid-named → never
+    overwritten; a lost commit race merely orphans it for gc)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_meta_sidecar_dir(path), exist_ok=True)
+    sc_path = os.path.join(
+        _meta_sidecar_dir(path), f"{uuid.uuid4().hex}.parquet"
+    )
+    tbl = pa.table(
+        {
+            "file": pa.array([r[0] for r in rows], pa.string()),
+            "meta": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, sc_path)
+    return sc_path
+
+
+def _spill_meta(path: str, manifest: dict) -> None:
+    """Move per-file metadata out of the manifest JSON into parquet
+    sidecars when the snapshot is large (or its parent already spilled
+    — sidecar mode is sticky except across ``overwrite``, which
+    re-evaluates from scratch).
+
+    Append-shaped commits write a sidecar for ONLY the new files and
+    reuse the parent's sidecars verbatim; removals (DML/compaction)
+    go to a ``removed`` list folded back by the compaction trigger.
+    At 100 TB this is what keeps commit metadata O(delta): a
+    million-file table's ingest commit writes a few KB of new
+    parquet + an O(1) JSON, never a 100 MB file list."""
+    manifest.pop("meta", None)  # always recomputed from the parent
+    files = manifest.get("files")
+    if files is None:
+        return
+    parent = manifest.get("parent")
+    parent_raw = None
+    if parent is not None and os.path.exists(_manifest_path(path, parent)):
+        parent_raw = _read_manifest_raw(path, parent)
+    parent_meta = (parent_raw or {}).get("meta")
+    if manifest.get("mode") == "overwrite":
+        parent_meta = None  # layout resets; re-evaluate the threshold
+    if parent_meta is None and len(files) <= META_SIDECAR_MIN_FILES:
+        return  # small table: stay inline
+    stats = manifest.get("stats", {})
+    parts = manifest.get("partitions", {})
+    file_set = set(files)
+    if parent_meta is None:
+        # transition (or overwrite): one sidecar covers the snapshot
+        sidecars = [_write_meta_sidecar(path, _meta_sidecar_rows(files, stats, parts))]
+        removed: list[str] = []
+    else:
+        covered: set[str] = set()
+        sidecars = list(parent_meta["sidecars"])
+        for sc in sidecars:
+            covered.update(fp for fp, _ in _read_meta_sidecar(sc))
+        new_files = [fp for fp in files if fp not in covered]
+        removed = sorted(covered - file_set)
+        if new_files:
+            sidecars.append(
+                _write_meta_sidecar(
+                    path, _meta_sidecar_rows(new_files, stats, parts)
+                )
+            )
+        if len(removed) > META_REMOVED_COMPACT_FRAC * max(len(files), 1):
+            # metadata compaction: drop dead sidecars, fold removals
+            kept_scs = []
+            for sc in sidecars:
+                sc_files = [fp for fp, _ in _read_meta_sidecar(sc)]
+                if any(fp in file_set for fp in sc_files):
+                    kept_scs.append(sc)
+            sidecars = kept_scs
+            live_covered: set[str] = set()
+            for sc in sidecars:
+                live_covered.update(fp for fp, _ in _read_meta_sidecar(sc))
+            removed = sorted(live_covered - file_set)
+    manifest["meta"] = {
+        "sidecars": sidecars,
+        "removed": removed,
+        "n_files": len(files),
+    }
+    del manifest["files"]
+    manifest.pop("stats", None)
+    manifest.pop("partitions", None)
 
 
 def _write_data_files(df: DataFrame, path: str) -> list[str]:
@@ -214,26 +389,83 @@ def _span_keep_files(
     keep: list[str] = []
     pruned_part = pruned_stats = 0
     for fp in manifest["files"]:
-        pv = parts.get(fp, {})
-        if col in pv:
-            v = pv[col]
-            # lo is None marks an all-NULL change-set key (merge
-            # paths): it matches nothing, so every valued partition
-            # prunes; a NULL partition never matches BETWEEN either
-            if v is None or lo is None or v < lo or v > hi:
-                pruned_part += 1
-                continue
-        span = stats.get(fp, {}).get(col)
-        if span is not None and (
-            lo is None or span[1] < lo or span[0] > hi
-        ):
+        verdict = _keep_verdict(
+            parts.get(fp, {}), stats.get(fp, {}).get(col), col, lo, hi
+        )
+        if verdict == "part":
+            pruned_part += 1
+        elif verdict == "stats":
             pruned_stats += 1
-            continue
-        keep.append(fp)
+        else:
+            keep.append(fp)
     if _probe is not None:
         _probe["pruned_by_partition"] = pruned_part
         _probe["pruned_by_stats"] = pruned_stats
         _probe["kept"] = len(keep)
+    return keep
+
+
+def _keep_verdict(pv: dict, span, col: str, lo, hi) -> str:
+    """One file's prune decision ('part' | 'stats' | 'keep') — shared
+    verbatim by the driver-side loop and the distributed metadata
+    scan, so the two paths cannot diverge."""
+    if col in pv:
+        v = pv[col]
+        # lo is None marks an all-NULL change-set key (merge paths):
+        # it matches nothing, so every valued partition prunes; a
+        # NULL partition never matches BETWEEN either
+        if v is None or lo is None or v < lo or v > hi:
+            return "part"
+    if span is not None and (lo is None or span[1] < lo or span[0] > hi):
+        return "stats"
+    return "keep"
+
+
+def _span_keep_files_distributed(
+    spark: SparkSession,
+    raw_manifest: dict,
+    col: str,
+    lo,
+    hi,
+    _probe: dict | None = None,
+) -> list[str]:
+    """The sidecar-mode twin of ``_span_keep_files``: evaluate the
+    per-file prune over the metadata sidecars AS A SPARK JOB — the
+    file-metadata table is read columnar and filtered on executors,
+    and only the SURVIVING paths (plus two counters) come back to the
+    driver. At a million files this is the difference between parsing
+    a 100 MB JSON on the driver and collecting a handful of matching
+    paths from a metadata scan — Iceberg's distributed planning."""
+    import pandas as pd
+
+    meta = raw_manifest["meta"]
+    removed = set(meta.get("removed", ()))
+    sdf = spark.read.parquet(*meta["sidecars"])
+
+    def verdicts(batches):
+        for pdf in batches:
+            mask = ~pdf["file"].isin(removed)
+            pdf = pdf[mask]
+            out_v = []
+            for m in pdf["meta"]:
+                fm = json.loads(m)
+                pv = fm.get("parts") or {}
+                span = (fm.get("stats") or {}).get(col)
+                out_v.append(_keep_verdict(pv, span, col, lo, hi))
+            yield pd.DataFrame({"file": pdf["file"], "verdict": out_v})
+
+    scanned = sdf.mapInPandas(verdicts, "file string, verdict string")
+    rows = scanned.filter("verdict <> 'keep'").groupBy("verdict").count()
+    counts = {r["verdict"]: r["count"] for r in rows.collect()}
+    keep = sorted(
+        r["file"]
+        for r in scanned.filter("verdict = 'keep'").collect()
+    )
+    if _probe is not None:
+        _probe["pruned_by_partition"] = int(counts.get("part", 0))
+        _probe["pruned_by_stats"] = int(counts.get("stats", 0))
+        _probe["kept"] = len(keep)
+        _probe["distributed"] = True
     return keep
 
 
@@ -243,6 +475,7 @@ def _commit(path: str, version: int, manifest: dict) -> None:
     import time
 
     os.makedirs(_manifest_dir(path), exist_ok=True)
+    _spill_meta(path, manifest)  # large snapshots: metadata → sidecars
     target = _manifest_path(path, version)
     try:
         fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
@@ -1912,6 +2145,52 @@ def update_rows_dv(
     }
 
 
+def evolve_partitioning(path: str, new_cols: list[str] | None) -> int:
+    """PARTITION EVOLUTION (Iceberg-style): change the layout FUTURE
+    appends are written under, as a metadata-only commit — zero data
+    files move. Existing files keep the partition tuples they were
+    recorded with, and pruning stays correct under MIXED layouts
+    because ``_keep_verdict`` consults each file's OWN tuple (a file
+    without the probed column simply falls through to its stats).
+    ``new_cols=None`` un-partitions future appends.
+
+    This replaces the "repartition = full overwrite" rule for the
+    common case: at 100 TB, switching a table from daily to hourly
+    partitioning (or adding a source column) must not rewrite history
+    — readers prune old files by the old spec and new files by the
+    new one, exactly Iceberg's spec-per-file contract."""
+    prev = current_version(path)
+    if prev is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    manifest = _read_manifest(path, prev)
+    if new_cols:
+        import json as _json
+
+        schema_cols = {
+            f["name"]
+            for f in _json.loads(manifest["schema"]).get("fields", [])
+        }
+        missing = [c for c in new_cols if c not in schema_cols]
+        if missing:
+            raise SchemaConflict(
+                f"partition evolution names absent columns {missing}"
+            )
+    version = prev + 1
+    new_manifest = dict(manifest)
+    new_manifest["version"] = version
+    new_manifest["parent"] = prev
+    new_manifest["mode"] = "evolve-partitioning"
+    new_manifest.pop("committed_at", None)
+    if new_cols:
+        new_manifest["partition_by"] = list(new_cols)
+    else:
+        new_manifest.pop("partition_by", None)
+    # per-file tuples persist untouched — they describe the FILES,
+    # not the current spec
+    _commit(path, version, new_manifest)
+    return version
+
+
 def restore_table(path: str, version: int) -> int:
     """RESTORE the table to an earlier snapshot AS A NEW COMMIT —
     Delta's ``RESTORE TABLE ... TO VERSION AS OF``: the new manifest
@@ -2129,21 +2408,27 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     live: set[str] = set()
     dropped: set[str] = set()
 
-    def refs(manifest: dict) -> set[str]:
-        # DV sidecar bitmaps are snapshot state exactly like data
-        # files — a kept manifest keeps its sidecars alive
-        return set(manifest["files"]) | {
-            e["sidecar"]
-            for e in _dv_of(manifest).values()
-            if "sidecar" in e
-        }
+    def refs(v: int) -> set[str]:
+        # DV sidecar bitmaps and metadata sidecars are snapshot state
+        # exactly like data files — a kept manifest keeps both alive
+        manifest = _read_manifest(path, v)
+        raw_meta = _read_manifest_raw(path, v).get("meta", {})
+        return (
+            set(manifest["files"])
+            | {
+                e["sidecar"]
+                for e in _dv_of(manifest).values()
+                if "sidecar" in e
+            }
+            | set(raw_meta.get("sidecars", ()))
+        )
 
     for v in range(latest - keep_last + 1, latest + 1):
         if os.path.exists(_manifest_path(path, v)):
-            live.update(refs(_read_manifest(path, v)))
+            live.update(refs(v))
     for v in range(0, latest - keep_last + 1):
         if os.path.exists(_manifest_path(path, v)):
-            dropped.update(refs(_read_manifest(path, v)))
+            dropped.update(refs(v))
     # Delete ONLY files referenced by a dropped manifest and by no
     # kept one. Files the manifests have never referenced are left
     # alone: they may belong to an IN-FLIGHT writer whose commit
@@ -2157,8 +2442,8 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
             os.remove(fp)
             deleted.append(fp)
         parent = os.path.dirname(fp)
-        if parent == _dv_sidecar_dir(path):
-            continue  # shared sidecar dir — never sweep wholesale
+        if parent in (_dv_sidecar_dir(path), _meta_sidecar_dir(path)):
+            continue  # shared sidecar dirs — never sweep wholesale
         if os.path.isdir(parent) and not any(
             f.endswith(".parquet") for f in os.listdir(parent)
         ):
@@ -2416,13 +2701,25 @@ def gc_orphans(path: str, older_than_s: float = 7 * 24 * 3600) -> list[str]:
     import time
 
     referenced: set[str] = set()
+    referenced_scs: set[str] = set()
     mdir = _manifest_dir(path)
     if os.path.isdir(mdir):
         for name in os.listdir(mdir):
             if name.startswith("v") and name.endswith(".json"):
                 with open(os.path.join(mdir, name)) as fh:
                     m = json.load(fh)
-                referenced.update(m["files"])
+                meta = m.pop("meta", None)
+                if meta is not None:
+                    # sidecar-mode manifest: its DATA refs live in the
+                    # metadata sidecars (removed files stay referenced
+                    # — an older manifest may still carry them)
+                    referenced_scs.update(meta.get("sidecars", ()))
+                    for sc in meta.get("sidecars", ()):
+                        referenced.update(
+                            fp for fp, _ in _read_meta_sidecar(sc)
+                        )
+                else:
+                    referenced.update(m["files"])
                 referenced.update(
                     e["sidecar"]
                     for e in _dv_of(m).values()
@@ -2430,6 +2727,22 @@ def gc_orphans(path: str, older_than_s: float = 7 * 24 * 3600) -> list[str]:
                 )
     cutoff = time.time() - older_than_s
     deleted: list[str] = []
+    # orphaned metadata sidecars (a crashed/raced commit staged one
+    # but never won its version) age out under the same retention
+    mscdir = _meta_sidecar_dir(path)
+    if os.path.isdir(mscdir):
+        for f in sorted(os.listdir(mscdir)):
+            fp = os.path.join(mscdir, f)
+            if (
+                f.endswith(".parquet")
+                and fp not in referenced_scs
+                and os.path.getmtime(fp) < cutoff
+            ):
+                try:
+                    os.remove(fp)
+                except OSError:
+                    continue
+                deleted.append(fp)
     # orphaned DV sidecars (a crashed delete_dv staged its bitmap but
     # never committed the manifest) age out under the same retention
     scdir = _dv_sidecar_dir(path)
@@ -2655,8 +2968,17 @@ def read_table_pruned(
     v = current_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
-    manifest = _read_manifest(path, v)
-    keep = _span_keep_files(manifest, col, lo, hi, _probe=_probe)
+    raw = _read_manifest_raw(path, v)
+    if "meta" in raw:
+        # sidecar-mode snapshot: plan the prune distributed — the
+        # driver never materializes the full file list
+        keep = _span_keep_files_distributed(
+            spark, raw, col, lo, hi, _probe=_probe
+        )
+        manifest = raw  # schema/mapping/dv stay inline in the JSON
+    else:
+        manifest = raw
+        keep = _span_keep_files(manifest, col, lo, hi, _probe=_probe)
     df = _read_snapshot_files(
         spark,
         keep,

@@ -25,6 +25,7 @@ import pytest
 from frafka_spark.registry import (
     GRADING_WINDOW,
     QUERIES,
+    _latest_recorded_round,
     _verified_rounds,
     get_oracle_sql,
     get_queries,
@@ -33,6 +34,16 @@ from frafka_spark.registry import (
 from tests.conftest import SF_DIR
 
 REPO = Path(__file__).resolve().parent.parent
+
+
+def _defer_active(name: str, verified: dict[str, int]) -> bool:
+    """Mirror of the registry's defer predicate (see registry.query)."""
+    spec = QUERIES[name]
+    return (
+        spec.defer_round is not None
+        and name not in verified
+        and _latest_recorded_round() < spec.defer_round
+    )
 
 # Types the driver's pandas canonicalizer hashes reliably.
 _SAFE = (
@@ -69,10 +80,18 @@ def test_grading_order_is_lru_rotation():
     """
     names = list(get_queries())
     verified = _verified_rounds()
-    rounds = [verified.get(n, 0) for n in names]
+    deferred = {n for n in names if _defer_active(n, verified)}
+    live = [n for n in names if n not in deferred]
+    rounds = [verified.get(n, 0) for n in live]
     # ascending by last-verified round ⇒ never-verified (round 0)
     # queries form a prefix and least-recently-verified fill the window
     assert rounds == sorted(rounds), "grading order must ascend by last-verified round"
+    # actively-deferred keys (registered after this round's window was
+    # filled) must sit at the very END — behind every graded key — so
+    # they cannot displace the stalest cohort from the current window
+    assert set(names[len(live):]) == deferred, (
+        "actively-deferred keys must form the suffix of queries() order"
+    )
 
 
 def test_oracle_order_matches_query_order():
@@ -101,13 +120,23 @@ def test_correctness_union_covers_registry():
     if not seen:  # round 1: no driver artifact yet
         pytest.skip("no CORRECTNESS_r*.json present")
     names = list(get_queries())
-    never = set(QUERIES) - seen
+    verified = _verified_rounds()
+    deferred = {n for n in names if _defer_active(n, verified)}
+    never = set(QUERIES) - seen - deferred
     # minimal deferral: the never-graded form a strict prefix of the
-    # grading order — nothing already-graded may jump the queue
+    # grading order — nothing already-graded may jump the queue.
+    # Actively-deferred keys are the one documented exception: they
+    # queue at the END (behind the graded cohort they must not
+    # displace) and become ordinary never-graded leads the moment
+    # their round's CORRECTNESS artifact is committed.
     prefix = set(names[: len(never)])
     assert prefix == never, (
         f"never-graded queries are not a prefix of queries() order: "
         f"{sorted(never - prefix)} displaced by {sorted(prefix - never)}"
+    )
+    assert len(deferred) <= GRADING_WINDOW, (
+        f"{len(deferred)} actively-deferred keys exceed one grading "
+        f"window — they would not all get a first driver row next round"
     )
     assert len(never) <= 2 * GRADING_WINDOW, (
         f"{len(never)} never-graded queries exceed two grading windows "

@@ -6,6 +6,8 @@ multimodal decode plumbing.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -968,3 +970,72 @@ def test_ann_trained_recall_beats_modular_baseline(spark):
     r_trained = sum(1 for v, nb in exact.items() if trained.get(v) == nb) / n
     assert r_trained >= r_base, (r_trained, r_base)
     assert r_trained >= 0.15  # absolute floor: structure was found
+
+
+def test_dsir_upweights_target_language(spark):
+    """DSIR's defining property: documents from the TARGET slice
+    (lang='en') must receive a higher mean log importance weight than
+    the rest of the corpus — the weights exist to tilt sampling
+    toward the target domain."""
+    from frafka_spark.llm.importance import DSIR_TARGET_LANG, _dsir_log_weights
+
+    w = _dsir_log_weights(spark, SF_DIR)
+    d = table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    per = (
+        w.join(d, "doc_id")
+        .groupBy(F.col("lang") == DSIR_TARGET_LANG)
+        .agg(F.avg(F.col("log_w") / F.col("n_tokens")).alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in per}
+    assert means[True] > means[False], means
+
+
+def test_dsir_select_budget_is_half_per_source(spark):
+    """The selection stage keeps exactly ceil(n/2) docs per source."""
+    rows = QUERIES["q_llm_dsir_select"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_keep == (r.n_docs + 1) // 2, r
+
+
+def test_mmr_selection_properties(spark):
+    """Rank 1 is the label's anchor (min vec_id, score ≈ 1); marginal
+    scores are non-increasing with rank (greedy argmax over a
+    shrinking candidate set with a growing diversity penalty); no
+    vec_id repeats within a label."""
+    import collections
+
+    out = QUERIES["q_llm_mmr"].fn(spark, SF_DIR).collect()
+    by_label = collections.defaultdict(list)
+    for r in out:
+        by_label[r.label].append(r)
+    anchors = {
+        r.label: r.a
+        for r in table(spark, SF_DIR, "embeddings")
+        .groupBy("label")
+        .agg(F.min("vec_id").alias("a"))
+        .collect()
+    }
+    for label, rows in by_label.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert rows[0].vec_id == anchors[label]
+        assert abs(rows[0].score - 1.0) < 1e-6
+        scores = [r.score for r in rows[1:]]
+        assert scores == sorted(scores, reverse=True), (label, scores)
+        ids = [r.vec_id for r in rows]
+        assert len(set(ids)) == len(ids)
+
+
+def test_codebook_drift_report_is_consistent(spark):
+    """Every drift row covers a real cell with both cohorts present,
+    and the ratio is the rounded quotient of the reported means."""
+    rows = QUERIES["q_llm_codebook_drift"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_base > 0 and r.n_crawl > 0
+        assert r.base_mean_d2 > 0 and r.crawl_mean_d2 > 0
+        expect = math.floor(r.crawl_mean_d2 / r.base_mean_d2 * 10000 + 0.5) / 10000
+        assert abs(r.drift_ratio - expect) < 1e-9, r
+        assert r.stale == (r.crawl_mean_d2 > 1.5 * r.base_mean_d2), r

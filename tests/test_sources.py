@@ -2508,3 +2508,229 @@ def test_stream_batches_write_partition_pure_files(spark, tmp_path):
         1 for d in m["partitions"].values() if d["p"] != 1
     )
     assert probe["pruned_by_partition"] >= 3  # one p=0 file per batch
+
+
+def test_meta_sidecar_spill_rehydrate_and_delta_append(spark, tmp_path, monkeypatch):
+    """Above META_SIDECAR_MIN_FILES the manifest JSON stops inlining
+    per-file metadata: files/stats move to parquet sidecars, reads
+    rehydrate transparently, and an APPEND writes a sidecar for ONLY
+    its new files while reusing the parent's byte-for-byte — the
+    O(delta) commit-metadata property (Iceberg manifest files)."""
+    from frafka_spark.sources import manifest_table as mt
+
+    monkeypatch.setattr(mt, "META_SIDECAR_MIN_FILES", 2)
+    path = str(tmp_path / "big")
+    df1 = spark.range(0, 100).withColumnRenamed("id", "k").repartition(4)
+    assert mt.write_table_with_stats(df1, path, ["k"], mode="overwrite") == 0
+
+    raw0 = mt._read_manifest_raw(path, 0)
+    assert "meta" in raw0 and "files" not in raw0 and "stats" not in raw0
+    assert raw0["meta"]["n_files"] == 4 and raw0["meta"]["removed"] == []
+    m0 = mt._read_manifest(path, 0)
+    assert len(m0["files"]) == 4 and len(m0["stats"]) == 4
+    assert mt.read_table(spark, path).count() == 100
+
+    df2 = spark.range(100, 150).withColumnRenamed("id", "k").repartition(2)
+    assert mt.write_table_with_stats(df2, path, ["k"], mode="append") == 1
+    raw1 = mt._read_manifest_raw(path, 1)
+    scs0, scs1 = raw0["meta"]["sidecars"], raw1["meta"]["sidecars"]
+    assert scs1[: len(scs0)] == scs0  # carried sidecars reused verbatim
+    assert len(scs1) == len(scs0) + 1
+    assert len(mt._read_meta_sidecar(scs1[-1])) == 2  # O(new files) only
+    assert mt.read_table(spark, path).count() == 150
+    assert mt.read_table(spark, path, version=0).count() == 100  # time travel
+
+
+def test_meta_sidecar_distributed_prune_and_probe(spark, tmp_path, monkeypatch):
+    """read_table_pruned over a sidecar-mode table plans the prune as
+    a Spark metadata scan (probe records distributed=True) and skips
+    the same files the driver-side loop would — result equals the
+    full read's residual filter."""
+    from frafka_spark.sources import manifest_table as mt
+
+    monkeypatch.setattr(mt, "META_SIDECAR_MIN_FILES", 2)
+    path = str(tmp_path / "pruned")
+    for i, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 300)]):
+        df = (
+            spark.range(lo, hi)
+            .withColumnRenamed("id", "k")
+            .sort("k")
+            .coalesce(2)
+        )
+        mt.write_table_with_stats(
+            df, path, ["k"], mode="overwrite" if i == 0 else "append"
+        )
+    probe: dict = {}
+    got = mt.read_table_pruned(spark, path, "k", 120, 180, _probe=probe)
+    assert probe.get("distributed") is True
+    assert probe["pruned_by_stats"] >= 3  # the two foreign commits skip
+    assert probe["kept"] <= 2
+    assert sorted(r.k for r in got.collect()) == list(range(120, 181))
+
+
+def test_meta_sidecar_partition_prune_and_dml(spark, tmp_path, monkeypatch):
+    """Partition tuples ride the sidecars too (partition prune before
+    stats prune, distributed), and copy-on-write DML on a sidecar-mode
+    table records removals without rewriting carried sidecars."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    monkeypatch.setattr(mt, "META_SIDECAR_MIN_FILES", 2)
+    path = str(tmp_path / "part")
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    mt.write_table(df, path, mode="overwrite", partition_by=["p"])
+    raw0 = mt._read_manifest_raw(path, 0)
+    assert "meta" in raw0 and "partitions" not in raw0
+    probe: dict = {}
+    got = mt.read_table_pruned(spark, path, "p", 1, 1, _probe=probe)
+    assert probe.get("distributed") is True
+    assert probe["pruned_by_partition"] >= 2
+    assert got.count() == 30
+
+    # copy-on-write delete: removals land in meta.removed; carried
+    # sidecars stay; the rewritten partition's rows survive minus the
+    # deleted keys
+    mt.delete_rows(spark, path, "k", 10, 19)
+    raw1 = mt._read_manifest_raw(path, 1)
+    assert "meta" in raw1
+    # the table has no k stats, so the copy-on-write delete rewrote
+    # EVERY file — >50% of the covered files died, which must fire
+    # the metadata compaction: dead sidecars dropped, removals folded
+    assert raw1["meta"]["removed"] == []
+    assert not set(raw1["meta"]["sidecars"]) & set(
+        raw0["meta"]["sidecars"]
+    ), "fully-dead parent sidecars must be compacted away"
+    assert mt.read_table(spark, path).filter("k BETWEEN 10 AND 19").count() == 0
+    assert mt.read_table(spark, path).count() == 80
+    assert mt.read_table(spark, path, version=0).count() == 90
+
+
+def test_meta_sidecar_compaction_and_vacuum(spark, tmp_path, monkeypatch):
+    """An overwrite collapses the sidecar list to one; vacuum deletes
+    sidecars referenced only by dropped manifests and keeps live ones;
+    gc_orphans ages out a staged-but-never-committed sidecar."""
+    import os as _os
+
+    from frafka_spark.sources import manifest_table as mt
+
+    monkeypatch.setattr(mt, "META_SIDECAR_MIN_FILES", 2)
+    path = str(tmp_path / "life")
+    df = spark.range(0, 40).withColumnRenamed("id", "k").repartition(3)
+    mt.write_table(df, path, mode="overwrite")
+    mt.write_table(df, path, mode="append")
+    raw1 = mt._read_manifest_raw(path, 1)
+    assert len(raw1["meta"]["sidecars"]) == 2
+    mt.write_table(df, path, mode="overwrite")  # v2: fresh layout
+    raw2 = mt._read_manifest_raw(path, 2)
+    assert len(raw2["meta"]["sidecars"]) == 1
+    dead_scs = set(raw1["meta"]["sidecars"])
+    live_scs = set(raw2["meta"]["sidecars"])
+
+    # stage an orphan (simulated crashed commit), old enough to GC
+    orphan = mt._write_meta_sidecar(path, [("x.parquet", "{}")])
+    _os.utime(orphan, (1, 1))
+
+    mt.vacuum(path, keep_last=1)
+    assert all(not _os.path.exists(sc) for sc in dead_scs)
+    assert all(_os.path.exists(sc) for sc in live_scs)
+    assert mt.read_table(spark, path).count() == 40
+
+    gone = mt.gc_orphans(path, older_than_s=60)
+    assert orphan in gone and not _os.path.exists(orphan)
+    assert all(_os.path.exists(sc) for sc in live_scs)
+
+
+def test_meta_sidecar_lifecycle_contract(spark):
+    """The graded orders_meta_sidecar lifecycle's physical contract:
+    no inline file list at any version, the append's sidecar covers
+    only its own files, the delete retires files via removed, and the
+    graded band's prune plans distributed with real skip counts."""
+    from frafka_spark.operators.lakehouse import (
+        MS_BAND_HI,
+        MS_BAND_LO,
+        MS_N_FILES,
+        _ensure_table,
+    )
+    from frafka_spark.sources import manifest_table as mt
+
+    path = _ensure_table(spark, SF_DIR, "orders_meta_sidecar")
+    raws = [mt._read_manifest_raw(path, v) for v in (0, 1, 2)]
+    for raw in raws:
+        assert "meta" in raw and "files" not in raw and "stats" not in raw
+    assert len(raws[0]["meta"]["sidecars"]) == 1
+    scs1 = raws[1]["meta"]["sidecars"]
+    assert scs1[0] == raws[0]["meta"]["sidecars"][0]  # carried verbatim
+    assert len(scs1) == 2
+    append_rows = mt._read_meta_sidecar(scs1[1])
+    assert 0 < len(append_rows) <= MS_N_FILES // 6  # O(delta) metadata
+    assert raws[2]["meta"]["removed"], "v2 delete must retire files"
+
+    probe: dict = {}
+    mt.read_table_pruned(
+        spark, path, "o_orderkey", MS_BAND_LO, MS_BAND_HI, _probe=probe
+    )
+    assert probe.get("distributed") is True
+    assert probe["pruned_by_stats"] >= MS_N_FILES // 2
+    assert probe["kept"] <= 12
+
+
+def test_partition_evolution_mixed_layouts(spark, tmp_path):
+    """evolve_partitioning is metadata-only: files of the old spec
+    keep their old tuples, new appends record the new spec's, pruning
+    works per-file under the mix, and an explicit conflicting layout
+    on append still raises without an evolution commit."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "evolve")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("p"),
+        (F.col("id") % 2).alias("q"),
+    )
+    mt.write_table(
+        df.filter("k < 30").coalesce(1),
+        path,
+        mode="overwrite",
+        partition_by=["p"],
+    )
+    files_v0 = set(mt._read_manifest(path, 0)["files"])
+    assert len(files_v0) == 3  # one file per partition value
+
+    assert mt.evolve_partitioning(path, ["q"]) == 1
+    m1 = mt._read_manifest(path, 1)
+    assert set(m1["files"]) == files_v0  # zero data movement
+    assert m1["partition_by"] == ["q"]
+
+    mt.write_table(df.filter("k >= 30").coalesce(1), path, mode="append")
+    m2 = mt._read_manifest(path, 2)
+    parts = m2["partitions"]
+    old_tuples = {fp: parts[fp] for fp in files_v0}
+    new_tuples = {fp: parts[fp] for fp in set(m2["files"]) - files_v0}
+    assert all(set(t) == {"p"} for t in old_tuples.values())
+    assert all(set(t) == {"q"} for t in new_tuples.values())
+
+    # prune on the OLD spec's column: only old-spec files prune
+    probe: dict = {}
+    got = mt.read_table_pruned(spark, path, "p", 1, 1, _probe=probe)
+    assert got.count() == 20 and probe["pruned_by_partition"] == 2
+    # prune on the NEW spec's column: only new-spec files prune
+    probe = {}
+    got = mt.read_table_pruned(spark, path, "q", 0, 0, _probe=probe)
+    assert got.count() == 30 and probe["pruned_by_partition"] == 1
+
+    # conflicting explicit layout still needs an evolution commit
+    with _pytest.raises(mt.SchemaConflict):
+        mt.write_table(df, path, mode="append", partition_by=["p"])
+    # evolution to an absent column is rejected
+    with _pytest.raises(mt.SchemaConflict):
+        mt.evolve_partitioning(path, ["nope"])
+    # un-partition future appends
+    assert mt.evolve_partitioning(path, None) == 3
+    mt.write_table(df.limit(5), path, mode="append")
+    assert mt.read_table(spark, path).count() == 65
