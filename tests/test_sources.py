@@ -2734,3 +2734,50 @@ def test_partition_evolution_mixed_layouts(spark, tmp_path):
     assert mt.evolve_partitioning(path, None) == 3
     mt.write_table(df.limit(5), path, mode="append")
     assert mt.read_table(spark, path).count() == 65
+
+
+def test_meta_sidecar_distributed_matches_driver(spark, tmp_path, monkeypatch):
+    """The distributed prune's inlined worker predicate must decide
+    exactly like the driver-side _keep_verdict loop: same kept file
+    set, same probe counts, on a table exercising BOTH prune tiers
+    and a removed list."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.sources import manifest_table as mt
+
+    monkeypatch.setattr(mt, "META_SIDECAR_MIN_FILES", 2)
+    path = str(tmp_path / "same")
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    mt.write_table_with_stats(
+        df.filter("k < 60").repartitionByRange(3, "k").sortWithinPartitions("k"),
+        path,
+        ["k"],
+        mode="overwrite",
+        partition_by=["p"],
+    )
+    mt.write_table_with_stats(
+        df.filter("k >= 60").repartitionByRange(3, "k").sortWithinPartitions("k"),
+        path,
+        ["k"],
+        mode="append",
+    )
+    mt.delete_rows(spark, path, "k", 20, 25)
+
+    v = mt.current_version(path)
+    raw = mt._read_manifest_raw(path, v)
+    assert "meta" in raw
+    for col, lo, hi in [("k", 10, 40), ("p", 1, 1), ("k", 200, 300)]:
+        p_drv: dict = {}
+        keep_drv = sorted(
+            mt._span_keep_files(mt._read_manifest(path, v), col, lo, hi,
+                                _probe=p_drv)
+        )
+        p_dist: dict = {}
+        keep_dist = mt._span_keep_files_distributed(
+            spark, raw, col, lo, hi, _probe=p_dist
+        )
+        assert keep_dist == keep_drv, (col, lo, hi)
+        for key in ("pruned_by_partition", "pruned_by_stats", "kept"):
+            assert p_dist[key] == p_drv[key], (col, key, p_dist, p_drv)
