@@ -2442,3 +2442,121 @@ def ppjoin_pairs_over(pre: DataFrame, docsets: DataFrame) -> DataFrame:
     return jac.filter(jaccard >= NGRAM_THRESHOLD).select(
         "doc_a", "doc_b", half_up(jaccard, 4).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document boilerplate removal — the C4/CCNet/Dolma "duplicate
+# line" pass. Whole-document dedup (exact/near, above) keeps one copy
+# of a repeated DOCUMENT; this pass removes repeated SPANS that recur
+# across otherwise-distinct documents (navigation chrome, license
+# headers, share buttons) from every document that carries them. The
+# fixture corpus is single-line text, so the "paragraph" unit is a
+# fixed window of SEG_WORDS consecutive words — same algorithm, same
+# shapes, segmentation swapped for the newline split real corpora use.
+# ---------------------------------------------------------------------------
+
+SEG_WORDS = 8  # words per segment (the paragraph analog)
+SEG_DUP_MIN_DOCS = 2  # segment is boilerplate when seen in >= this many docs
+
+
+@query(
+    "q_llm_dedup_lines",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, CAST(seg_id AS INT) AS seg_id,
+               array_to_string(
+                   w[(seg_id-1)*{SEG_WORDS}+1 : (seg_id-1)*{SEG_WORDS}+{SEG_WORDS}],
+                   ' ') AS seg
+        FROM words,
+             unnest(generate_series(
+                 1, CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT))) u(seg_id)
+    ),
+    freq AS (
+        SELECT md5(seg) AS h,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM segs GROUP BY md5(seg)
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS INT) AS n_segs,
+           CAST(sum(CASE WHEN f.n_docs >= {SEG_DUP_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS INT) AS n_dropped,
+           coalesce(string_agg(
+               CASE WHEN f.n_docs < {SEG_DUP_MIN_DOCS} THEN s.seg END,
+               ' ' ORDER BY s.seg_id), '') AS cleaned_text
+    FROM segs s JOIN freq f ON f.h = md5(s.seg)
+    GROUP BY s.doc_id
+    """,
+    defer_round=12,
+)
+def q_llm_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global duplicate-segment removal (the C4/CCNet "duplicate
+    line" / Dolma paragraph-dedup pass): segment every document into
+    consecutive SEG_WORDS-word windows, count in how many DISTINCT
+    documents each exact segment occurs corpus-wide, and drop EVERY
+    occurrence of a segment seen in >= SEG_DUP_MIN_DOCS documents
+    (boilerplate is noise in all its copies, so no copy is kept —
+    C4's rule, unlike whole-doc dedup's keep-one). Returns per doc
+    the segment counts and the reassembled cleaned text (original
+    order; '' when nothing survives).
+
+    Scale shape: one explode to O(words/SEG_WORDS) segment rows, a
+    digest-keyed count-distinct (one shuffle — md5 as the shuffle
+    key, never the segment text), a digest-keyed join back (both
+    sides already hash-partitioned on the digest), and a final
+    doc_id group to reassemble. At 100 TB the exact global frequency
+    relation is the same one exact dedup builds; a pipeline that
+    cannot afford it swaps the count for the at-rest digest/bloom
+    membership index (see ``q_llm_dedup_bloom_incr`` and
+    llm/index_store.py) with identical downstream shape. The words
+    array is materialized in its own projection before the explode
+    (the shingle-pipeline codegen rule: inlined, the split
+    re-executes per segment).
+    """
+    d = table(spark, sf_dir, "documents")
+    w = fan_out(d, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n_segs = F.ceil(F.size("w") / float(SEG_WORDS)).cast("int")
+    segs = (
+        w.select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(1), n_segs)).alias("seg_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("seg_id").cast("int").alias("seg_id"),
+            F.concat_ws(
+                " ",
+                F.slice("w", (F.col("seg_id") - 1) * SEG_WORDS + 1, SEG_WORDS),
+            ).alias("seg"),
+        )
+        .withColumn("h", F.md5("seg"))
+        .cache()
+    )
+    segs = materialize_once(segs, spark, sf_dir, "dupline_segs")
+    freq = segs.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = segs.join(freq, "h").withColumn(
+        "is_dup", F.col("n_docs") >= SEG_DUP_MIN_DOCS
+    )
+    kept_struct = F.when(
+        ~F.col("is_dup"), F.struct("seg_id", "seg")
+    )  # collect_list skips NULLs -> only surviving segments collect
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_segs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["seg"],
+            ),
+        ).alias("cleaned_text"),
+    )

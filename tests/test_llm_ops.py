@@ -1054,3 +1054,44 @@ def test_quality_train_separates_target_language(spark):
     assert all(
         en_rate > r.n_flagged / r.n_docs for r in by.values()
     ), (en_rate, by)
+
+
+def test_dedup_lines_matches_python_model(spark):
+    """q_llm_dedup_lines vs a complete per-doc Python model: segment
+    into 8-word windows, count distinct-doc frequency, drop EVERY
+    copy of any segment seen in >= 2 docs (the C4 rule — no survivor
+    copy, unlike whole-doc dedup), reassemble in original order."""
+    from frafka_spark.llm.dedup import SEG_DUP_MIN_DOCS, SEG_WORDS
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_DIR, "documents").collect()
+    }
+    segs_by_doc = {
+        d: [
+            " ".join(ws[i : i + SEG_WORDS])
+            for i in range(0, len(ws), SEG_WORDS)
+        ]
+        for d, ws in ((d, t.split(" ")) for d, t in docs.items())
+    }
+    ndocs: dict[str, set] = {}
+    for d, segs in segs_by_doc.items():
+        for s in segs:
+            ndocs.setdefault(s, set()).add(d)
+    res = {
+        r["doc_id"]: r
+        for r in QUERIES["q_llm_dedup_lines"].fn(spark, SF_DIR).collect()
+    }
+    assert set(res) == set(docs)
+    n_modified = 0
+    for d, segs in segs_by_doc.items():
+        kept = [s for s in segs if len(ndocs[s]) < SEG_DUP_MIN_DOCS]
+        row = res[d]
+        assert row["n_segs"] == len(segs)
+        assert row["n_dropped"] == len(segs) - len(kept)
+        assert row["cleaned_text"] == " ".join(kept)
+        if row["n_dropped"]:
+            n_modified += 1
+    # fixture has planted cross-doc duplication: the pass must bite
+    # on some docs and leave the majority untouched
+    assert 0 < n_modified < len(docs)
