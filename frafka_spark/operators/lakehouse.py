@@ -1864,3 +1864,107 @@ def q_scan_partition_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot retention (VACUUM) — the storage-bound end of the table
+# lifecycle. Copy-on-write DML and OPTIMIZE keep every superseded
+# file on disk so old versions stay time-travelable; at 100 TB that
+# history IS the storage bill, and retention is the knob that trades
+# it away. q_scan_vacuumed grades the whole arc: write → CoW delete →
+# compact → vacuum(keep_last=1), with the graded read proving vacuum
+# is a logical no-op on the surviving snapshot while the lifecycle
+# pytest pins the physical half (old manifests and every
+# now-unreferenced data file actually gone, pinned readers failing
+# loudly — the Delta VACUUM contract).
+# ---------------------------------------------------------------------------
+
+# distinct key band from AC's low-3/40: vacuum deletes the TOP 5/40
+VAC_FRAC_NUM, VAC_FRAC_DEN = 35, 40
+
+
+@_register_builder("orders_vacuumed", fp_params=[VAC_FRAC_NUM, VAC_FRAC_DEN])
+def _build_vacuumed_table(spark: SparkSession, sf_dir: str, tmp: Path) -> None:
+    """v0: range-clustered stats write (8 files); v1: copy-on-write
+    DELETE of the top 5/40 of the key space (rewrites only the
+    span-intersecting tail files); v2: full compact; then
+    ``vacuum(keep_last=1)`` drops the v0/v1 manifests and physically
+    removes every data file only they referenced."""
+    from frafka_spark.sources.manifest_table import (
+        compact,
+        current_version,
+        delete_rows,
+        vacuum,
+        write_table_with_stats,
+    )
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(N_RANGE_FILES, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_table_with_stats(o, str(tmp), ["o_orderkey"], mode="overwrite")
+    maxk = o.agg(F.max("o_orderkey")).first()[0]
+    lo = maxk * VAC_FRAC_NUM // VAC_FRAC_DEN + 1
+    delete_rows(spark, str(tmp), "o_orderkey", lo, maxk)
+    compact(spark, str(tmp))
+    deleted = vacuum(str(tmp), keep_last=1)
+    # the builder itself guarantees the retention pass had teeth: the
+    # CoW delete and the compact both strand files, so a vacuum that
+    # removes nothing means the lifecycle under grade never happened
+    if not deleted:
+        raise RuntimeError("vacuum deleted no files — lifecycle broken")
+    if current_version(str(tmp)) != 2:
+        raise RuntimeError("expected exactly v0..v2 before retention")
+
+
+@query(
+    "q_scan_vacuumed",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderkey <= (SELECT (max(o_orderkey) * {VAC_FRAC_NUM})
+                                // {VAC_FRAC_DEN} FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    defer_round=12,
+)
+def q_scan_vacuumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT RETENTION graded end-to-end: after a copy-on-write
+    DELETE of the top 5/40 of the key space and a full compact,
+    ``vacuum(keep_last=1)`` physically deletes every data file and
+    manifest only the superseded snapshots referenced — and the
+    graded rollup over what remains must equal the oracle's
+    reconstruction exactly (retention is a logical no-op on the
+    kept snapshot). The lifecycle pytest pins the physical
+    contract the differential can't see: the deleted-file list is
+    non-empty, pre-retention versions fail loudly, and the on-disk
+    parquet set is exactly the kept manifest's file set (plus
+    sidecar state the kept snapshot still references).
+
+    Exactness: integer band bound (max·35 // 40 — exact longs both
+    engines); counts are longs, half-up cents summed as BIGINTs.
+
+    Scale shape: retention never reads data — it walks manifests
+    (O(versions · files-per-manifest) driver work) and unlinks; the
+    in-flight-writer race is handled by deleting only files a
+    DROPPED manifest referenced, never unknown files (those belong
+    to uncommitted writers and age out via ``gc_orphans``), the
+    same split Delta's VACUUM retention window exists for.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    path = _ensure_table(spark, sf_dir, "orders_vacuumed")
+    t = read_table(spark, path)
+    return t.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+    )

@@ -2781,3 +2781,41 @@ def test_meta_sidecar_distributed_matches_driver(spark, tmp_path, monkeypatch):
         assert keep_dist == keep_drv, (col, lo, hi)
         for key in ("pruned_by_partition", "pruned_by_stats", "kept"):
             assert p_dist[key] == p_drv[key], (col, key, p_dist, p_drv)
+
+
+def test_vacuumed_lifecycle_physical_contract(spark):
+    """q_scan_vacuumed's physical half (invisible to the oracle
+    differential): after write -> CoW delete -> compact ->
+    vacuum(keep_last=1), only the final manifest exists, pinned
+    readers fail loudly, and the on-disk parquet set is exactly the
+    kept snapshot's file set."""
+    import glob as _glob
+    import os
+
+    from frafka_spark.operators.lakehouse import _ensure_table
+    from frafka_spark.sources.manifest_table import (
+        _manifest_path,
+        _read_manifest,
+        current_version,
+        read_table,
+    )
+    from tests.conftest import SF_DIR
+
+    path = _ensure_table(spark, SF_DIR, "orders_vacuumed")
+    v = current_version(path)
+    assert v == 2  # v0 write, v1 delete, v2 compact
+    for old in range(v):
+        assert not os.path.exists(_manifest_path(path, old))
+        with pytest.raises(FileNotFoundError):
+            read_table(spark, path, version=old)
+    kept = set(_read_manifest(path, v)["files"])
+    on_disk = {
+        p
+        for p in _glob.glob(os.path.join(path, "**", "*.parquet"),
+                            recursive=True)
+    }
+    assert on_disk == kept
+    # retention is a logical no-op on the kept snapshot: the table
+    # still serves the post-delete, post-compact row set
+    n = read_table(spark, path).count()
+    assert n > 0
