@@ -2884,3 +2884,155 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "step", "l", "r", F.concat("l", "r").alias("merged"), "pair_count"
     )
+
+
+def _bpe_encode_oracle() -> str:
+    """Training replay (word-carrying chain) + corpus encode."""
+    rounds = []
+    prev = "w0"
+    for k in range(1, BPE_MERGES + 1):
+        rounds.append(f"""
+    ep{k} AS MATERIALIZED (
+        SELECT s[i] AS l, s[i + 1] AS r,
+               CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM (
+            SELECT list_filter(string_split(enc, '|'), x -> x <> '') AS s,
+                   freq,
+                   unnest(generate_series(
+                       1, len(list_filter(string_split(enc, '|'),
+                                          x -> x <> '')) - 1)) AS i
+            FROM {prev}
+        )
+        GROUP BY l, r
+    ),
+    et{k} AS MATERIALIZED (
+        SELECT l, r, pair_count FROM ep{k}
+        ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+    ),
+    w{k} AS MATERIALIZED (
+        SELECT word,
+               replace(enc, '|' || t.l || '|' || t.r || '|',
+                       '|' || t.l || t.r || '|') AS enc, freq
+        FROM {prev}, et{k} t
+    )""")
+        prev = f"w{k}"
+    return f"""
+    WITH vocab AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0
+        GROUP BY word
+    ),
+    w0 AS MATERIALIZED (
+        SELECT word,
+               '|' || array_to_string(string_split(word, ''), '|')
+               || '|$|' AS enc, freq
+        FROM vocab
+    ),
+    {",".join(rounds)},
+    wstats AS MATERIALIZED (
+        SELECT word,
+               CAST(len(list_filter(string_split(enc, '|'), x -> x <> ''))
+                    AS BIGINT) AS n_syms,
+               CAST(len(list_filter(string_split(enc, '|'),
+                                    x -> len(x) > 1))
+                    AS BIGINT) AS n_merged
+        FROM {prev}
+    ),
+    docw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(s.n_syms) AS BIGINT) AS n_tokens,
+           CAST(sum(s.n_merged) AS BIGINT) AS n_merged_tokens,
+           floor(CAST(sum(s.n_syms) AS DOUBLE) / count(*)
+                 * 10000.0 + 0.5) / 10000.0 AS fertility_trained
+    FROM docw d JOIN wstats s ON s.word = d.word
+    WHERE len(d.word) > 0
+    GROUP BY d.doc_id
+    """
+
+
+@query("q_llm_bpe_encode", oracle=_bpe_encode_oracle(), defer_round=12)
+def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ENCODING with the TRAINED tokenizer — the consumption
+    half of ``q_llm_bpe_train``'s loop: apply the learned merge table
+    (in step order, the standard BPE encode rule) to every distinct
+    word, then roll the per-word segmentations up to per-document
+    token counts. Returns per doc the whitespace word count, trained-
+    BPE token count (symbols of the final encoding, end-of-word
+    marker included — merges may absorb it, as real BPE's '</w>'
+    merges do), the multi-character (merged) token count, and the
+    trained fertility (tokens per word).
+
+    Exactness: the merge table is the integer-exact training output;
+    encoding is the same delimiter-anchored left-to-right replace
+    both engines share; all counts are longs, one half-up rounding
+    on the final ratio.
+
+    Scale shape: encode on the VOCABULARY (distinct words), never
+    the corpus — the |vocab|-row word chain applies each of the K
+    merges as one broadcast-pair replace projection, then ONE join
+    from the exploded token stream to per-word stats (both sides
+    hash-partitioned on word) and a doc_id rollup. At 100 TB this is
+    how a tokenizer pass stays tractable: O(K·|vocab|) training-
+    table application plus one corpus-sized join, instead of running
+    the merge loop per occurrence. The per-step word relations are
+    cached; the train key's own per-step caches are shared via the
+    session memo, so train + encode in one suite replay training
+    once.
+    """
+    from frafka_spark.llm.dedup import _words, materialize_once, memoized_result
+
+    def build_wstats() -> DataFrame:
+        vocab = (
+            _words(spark, sf_dir)
+            .filter(F.length("word") > 0)
+            .groupBy("word")
+            .agg(F.count("*").alias("freq"))
+        )
+        enc = F.concat(
+            F.lit("|"),
+            F.concat_ws("|", F.split("word", "")),
+            F.lit("|$|"),
+        )
+        cur = vocab.select("word", enc.alias("enc"), "freq")
+        cur = materialize_once(cur.cache(), spark, sf_dir, "bpe_w0")
+        merge_tbl = q_llm_bpe_train(spark, sf_dir)
+        for k in range(1, BPE_MERGES + 1):
+            tk = merge_tbl.filter(F.col("step") == k).select("l", "r")
+            nxt = cur.crossJoin(F.broadcast(tk)).select(
+                "word",
+                F.replace(
+                    F.col("enc"),
+                    F.concat(F.lit("|"), "l", F.lit("|"), "r", F.lit("|")),
+                    F.concat(F.lit("|"), "l", F.col("r"), F.lit("|")),
+                ).alias("enc"),
+                "freq",
+            )
+            cur = materialize_once(nxt.cache(), spark, sf_dir, f"bpe_w{k}")
+        syms = F.filter(F.split("enc", "[|]"), lambda x: x != F.lit(""))
+        return cur.select(
+            "word",
+            F.size(syms).cast("bigint").alias("n_syms"),
+            F.size(F.filter(syms, lambda x: F.length(x) > 1))
+            .cast("bigint")
+            .alias("n_merged"),
+        )
+
+    wstats = memoized_result(spark, sf_dir, "bpe_wstats", build_wstats)
+    docw = _words(spark, sf_dir).filter(F.length("word") > 0)
+    return (
+        docw.join(wstats, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_tokens"),
+            F.sum("n_merged").cast("bigint").alias("n_merged_tokens"),
+            half_up(
+                F.sum("n_syms").cast("double") / F.count("*"), 4
+            ).alias("fertility_trained"),
+        )
+    )

@@ -1095,3 +1095,36 @@ def test_dedup_lines_matches_python_model(spark):
     # fixture has planted cross-doc duplication: the pass must bite
     # on some docs and leave the majority untouched
     assert 0 < n_modified < len(docs)
+
+
+def test_bpe_encode_consistent_with_training(spark):
+    """Encode/train consistency: token counts shrink by exactly one
+    per merge APPLICATION relative to the char+end-marker baseline —
+    a multi-char symbol of length L accounts for L-1 stacked merges,
+    so the merged-symbol count lower-bounds the shrinkage — and the
+    trained merges must bite on the corpus they were trained on."""
+    from frafka_spark.registry import QUERIES as Q
+
+    merges = {
+        r["merged"] for r in Q["q_llm_bpe_train"].fn(spark, SF_DIR).collect()
+    }
+    enc = Q["q_llm_bpe_encode"].fn(spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_DIR, "documents").collect()
+    }
+    assert len(enc) == len(docs)
+    for r in enc:
+        words = [w for w in docs[r["doc_id"]].split(" ") if w]
+        assert r["n_words"] == len(words)
+        # without any merge, tokens = chars + end marker per word
+        base = sum(len(w) + 1 for w in words)
+        assert r["n_tokens"] <= base
+        # shrinkage = merge applications >= distinct merged symbols
+        assert r["n_merged_tokens"] <= base - r["n_tokens"]
+        if r["n_tokens"] < base:
+            assert r["n_merged_tokens"] > 0
+    # trained merges must actually bite on the corpus they were
+    # trained on (the top-frequency pairs by construction)
+    assert sum(r["n_merged_tokens"] for r in enc) > 0
+    assert merges  # 4 learned merge tokens exist
