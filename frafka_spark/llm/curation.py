@@ -236,3 +236,78 @@ def q_llm_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing: rank documents by their language-
+# model score and cut the ranking into head / middle / tail terciles.
+# CCNet's pipeline does exactly this with a KenLM perplexity per
+# paragraph; here the in-engine bigram NLL (q_llm_doc_nll) is the
+# score, which keeps the whole pass — LM training, scoring, ranking —
+# inside the engine with no external model artifact.
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS = 3
+_PPL_NAMES = "CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+
+
+def _ppl_bucket_oracle() -> str:
+    # curation imports before text in load_all(); the composed oracle
+    # needs text's q_llm_doc_nll registration, so force it first
+    # (no cycle: text never imports curation)
+    import frafka_spark.llm.text  # noqa: F401
+    from frafka_spark.registry import QUERIES
+
+    return f"""
+    WITH nll AS ({QUERIES['q_llm_doc_nll'].oracle}),
+    ranked AS (
+        SELECT doc_id, n_bigrams, avg_nll,
+               ntile({PPL_BUCKETS}) OVER (
+                   ORDER BY avg_nll ASC, doc_id ASC) AS nt
+        FROM nll
+    )
+    SELECT doc_id, n_bigrams, avg_nll,
+           CAST(nt AS INT) AS bucket,
+           {_PPL_NAMES} AS bucket_name
+    FROM ranked
+    """
+
+
+@query("q_llm_ppl_bucket", oracle=_ppl_bucket_oracle(), defer_round=12)
+def q_llm_ppl_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model bucketing: rank every document by
+    its in-engine bigram NLL (``q_llm_doc_nll`` — lower = more
+    fluent under the corpus's own LM) and cut the ranking into
+    head / middle / tail terciles. CCNet trains on head+middle and
+    drops (or down-weights) tail; the bucket column is the artifact
+    that decision consumes.
+
+    Exactness: the NLL is the integer-micro-unit score the composed
+    key already hash-matches; the tercile cut is ``ntile`` over a
+    TOTAL order (score, then doc_id) so bucket boundaries cannot
+    differ between engines even on tied scores.
+
+    Scale shape: the score is one corpus join against the bigram
+    model (q_llm_doc_nll's shape); the global ranking is the one
+    genuinely serial step — a single-partition sort of (score,
+    doc_id) pairs, ~16 bytes/doc, fine to 10⁹ docs. A 100-TB
+    pipeline that cannot afford it swaps ntile for fixed score
+    thresholds learned from a sample (CCNet itself uses per-shard
+    cutoffs), changing this plan only in the last projection.
+    """
+    from frafka_spark.registry import QUERIES
+
+    nll = QUERIES["q_llm_doc_nll"].fn(spark, sf_dir)
+    w = Window.orderBy(F.col("avg_nll").asc(), F.col("doc_id").asc())
+    nt = F.ntile(PPL_BUCKETS).over(w)
+    return nll.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_nll",
+        nt.cast("int").alias("bucket"),
+    ).withColumn(
+        "bucket_name",
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail"),
+    )

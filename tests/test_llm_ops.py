@@ -1128,3 +1128,19 @@ def test_bpe_encode_consistent_with_training(spark):
     # trained on (the top-frequency pairs by construction)
     assert sum(r["n_merged_tokens"] for r in enc) > 0
     assert merges  # 4 learned merge tokens exist
+
+
+def test_ppl_buckets_are_balanced_and_ordered(spark):
+    """CCNet bucketing semantics: terciles are size-balanced (ntile)
+    and mean NLL strictly increases head -> middle -> tail."""
+    from frafka_spark.registry import QUERIES as Q
+
+    rows = Q["q_llm_ppl_bucket"].fn(spark, SF_DIR).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["bucket_name"], []).append(r["avg_nll"])
+    sizes = {k: len(v) for k, v in by.items()}
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    means = {k: sum(v) / len(v) for k, v in by.items()}
+    assert means["head"] < means["middle"] < means["tail"]
