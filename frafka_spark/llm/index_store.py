@@ -1480,3 +1480,179 @@ def q_llm_index_txn_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-frequency index — the at-rest half of q_llm_dedup_lines
+# (C4/CCNet duplicate-line removal). The removal decision needs the
+# corpus-wide per-segment document frequency; a pipeline that
+# re-derives it per run re-reads all text. At rest it is per-doc
+# segment-occurrence rows (doc_id, source, seg_id, digest) — a pure
+# per-doc function, so the table maintains by appending the CDF
+# delta's rows — and the GLOBAL frequency is derived from the
+# at-rest rows at query time (the ppjoin discipline: global state is
+# computed from per-doc state, never stored stale).
+# ---------------------------------------------------------------------------
+
+#: corpus/crawl split for the segment-index lifecycle (distinct from
+#: digest %5, pipeline %4, curation/bloom %7)
+SEGIDX_MOD = 6
+
+
+def segment_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, seg_id, segment digest) occurrence rows for
+    ANY docs relation — the generic form of q_llm_dedup_lines's
+    segmentation (same SEG_WORDS windows, digest in place of text:
+    the removal decision needs equality, never the bytes). Per-doc,
+    hence incrementally maintainable."""
+    from frafka_spark.llm.dedup import SEG_WORDS
+
+    w = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    n_segs = F.ceil(F.size("w") / float(SEG_WORDS)).cast("int")
+    return (
+        w.select(
+            "doc_id",
+            "source",
+            "w",
+            F.explode(F.sequence(F.lit(1), n_segs)).alias("seg_id"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("seg_id").cast("int").alias("seg_id"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "w", (F.col("seg_id") - 1) * SEG_WORDS + 1, SEG_WORDS
+                    ),
+                )
+            ).alias("h"),
+        )
+    )
+
+
+@_register_builder("documents_segfreq_indexed", fp_params=[SEGIDX_MOD])
+def _build_segfreq_index_tables(
+    spark: SparkSession, sf_dir: str, tmp: Path
+) -> None:
+    """corpus v0 = base docs (doc_id % SEGIDX_MOD != 0), v1 = crawl
+    append; seg_index v0 = segment_rows(corpus v0) — the one full
+    build — then v1 appends segment_rows(CDF delta) ONLY."""
+    from frafka_spark.sources.manifest_table import (
+        read_changes,
+        read_table,
+        write_table,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus, index = tmp / "corpus", tmp / "seg_index"
+    write_table(
+        d.filter(F.col("doc_id") % SEGIDX_MOD != 0), str(corpus),
+        mode="overwrite",
+    )
+    write_table(
+        d.filter(F.col("doc_id") % SEGIDX_MOD == 0), str(corpus),
+        mode="append",
+    )
+    write_table(
+        segment_rows(read_table(spark, str(corpus), version=0)),
+        str(index),
+        mode="overwrite",
+    )
+    delta = read_changes(spark, str(corpus), 0, 1).filter(
+        F.col("_change_type") == "insert"
+    )
+    write_table(segment_rows(delta), str(index), mode="append")
+
+
+def _segfreq_oracle() -> str:
+    from frafka_spark.llm.dedup import SEG_DUP_MIN_DOCS, SEG_WORDS
+
+    return f"""
+    WITH words AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   w[(seg_id-1)*{SEG_WORDS}+1 : (seg_id-1)*{SEG_WORDS}+{SEG_WORDS}],
+                   ' ')) AS h
+        FROM words,
+             unnest(generate_series(
+                 1, CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT))) u(seg_id)
+    ),
+    freq AS (
+        SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM segs GROUP BY h
+    ),
+    per_doc AS (
+        SELECT s.doc_id, s.source,
+               CAST(count(*) AS BIGINT) AS n_segs,
+               CAST(sum(CASE WHEN f.n_docs >= {SEG_DUP_MIN_DOCS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM segs s JOIN freq f USING (h)
+        GROUP BY s.doc_id, s.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_segs) AS BIGINT) AS n_segs,
+           CAST(sum(n_dropped) AS BIGINT) AS n_dropped_segs,
+           CAST(sum(CASE WHEN n_dropped > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_touched
+    FROM per_doc
+    GROUP BY source
+    """
+
+
+@query("q_llm_dedup_lines_at_rest", oracle=_segfreq_oracle(), defer_round=12)
+def q_llm_dedup_lines_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-line (boilerplate-segment) accounting answered from
+    the AT-REST segment index: per source, how many documents, total
+    segments, segments the C4 rule would drop (digest seen in >=
+    SEG_DUP_MIN_DOCS distinct docs), and documents touched. The query
+    reads ONLY the maintained index table — the documents fixture is
+    never scanned — so the flat-fixture oracle hash-matches if and
+    only if base-build + CDF-delta append equals a full rebuild.
+
+    Plan shape: distinct-doc count per digest (one 16-byte-key
+    shuffle), join back on the digest, per-doc then per-source
+    rollups — all over digest-width index rows; the corpus text is
+    read exactly once per document's LIFETIME, at ingest.
+
+    Scale shape: this is how the line-dedup pass runs at 100 TB —
+    the frequency relation is maintained per crawl in O(delta), and
+    the removal decision (and this audit) consumes index rows, not
+    text. Exact longs throughout; md5 bit-identical across engines.
+    """
+    from frafka_spark.sources.manifest_table import read_table
+
+    from frafka_spark.llm.dedup import SEG_DUP_MIN_DOCS
+
+    path = _ensure_table(spark, sf_dir, "documents_segfreq_indexed")
+    idx = read_table(spark, str(Path(path) / "seg_index"))
+    freq = idx.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs_h")
+    )
+    per_doc = (
+        idx.join(freq, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segs"),
+            F.sum(
+                F.when(F.col("n_docs_h") >= SEG_DUP_MIN_DOCS, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_segs").cast("bigint").alias("n_segs"),
+        F.sum("n_dropped").cast("bigint").alias("n_dropped_segs"),
+        F.sum(F.when(F.col("n_dropped") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_touched"),
+    )

@@ -1144,3 +1144,28 @@ def test_ppl_buckets_are_balanced_and_ordered(spark):
     assert max(sizes.values()) - min(sizes.values()) <= 1
     means = {k: sum(v) / len(v) for k, v in by.items()}
     assert means["head"] < means["middle"] < means["tail"]
+
+
+def test_segfreq_index_maintained_equals_rebuild(spark):
+    """q_llm_dedup_lines_at_rest's maintenance law: the base-build +
+    CDF-delta-append segment index multiset-equals segment_rows over
+    the corpus's latest snapshot, and the graded plan reads only the
+    index table, never the documents fixture."""
+    from pathlib import Path
+
+    from frafka_spark.llm.index_store import segment_rows
+    from frafka_spark.operators.lakehouse import _ensure_table
+    from frafka_spark.plans.inspect import plan_str
+    from frafka_spark.sources import manifest_table as mt
+
+    path = _ensure_table(spark, SF_DIR, "documents_segfreq_indexed")
+    corpus = str(Path(path) / "corpus")
+    maintained = mt.read_table(spark, str(Path(path) / "seg_index"))
+    rebuilt = segment_rows(mt.read_table(spark, corpus))
+    assert maintained.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(maintained).count() == 0
+
+    df = QUERIES["q_llm_dedup_lines_at_rest"].fn(spark, SF_DIR)
+    p = plan_str(df)
+    assert "documents.parquet" not in p
+    assert "seg_index" in p

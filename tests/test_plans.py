@@ -114,6 +114,12 @@ def test_python_boundary_inventory(spark):
         # vectors take the pure-JVM createDataFrame path, which is
         # why no OTHER dv key appears here.
         "q_scan_deleted_dv_spilled",
+        # MMR's greedy selection is a non-associative sequential
+        # recurrence (each pick changes every candidate's max-to-
+        # selected penalty) — like q_llm_pack, the per-label
+        # applyInPandas loop IS the operator; the oracle unrolls the
+        # fixed k instead (llm/importance.py).
+        "q_llm_mmr",
     }
     for name in sorted(QUERIES):
         nodes = python_eval_nodes(_df(spark, name))
