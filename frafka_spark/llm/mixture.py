@@ -372,3 +372,174 @@ def q_llm_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("ts", F.lit(0.0), lambda a, b: a + b), 4
         ).alias("kl_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023): up-weight the
+# domains the proxy model finds HARD (excess loss over the best
+# domain) with one exponentiated-gradient step, then smooth toward
+# uniform. The published recipe's proxy-model loss is approximated by
+# the in-engine bigram NLL (the same substitution q_llm_ppl_bucket
+# makes for CCNet), which keeps the whole step — loss measurement,
+# EG update, smoothing — inside the engine.
+# ---------------------------------------------------------------------------
+
+DOREMI_ETA = 1.0  # EG step size on the excess loss
+DOREMI_SMOOTH = 0.2  # uniform-mixture smoothing weight
+
+
+def _doremi_oracle() -> str:
+    import frafka_spark.llm.text  # noqa: F401  (load order: mixture < text)
+    from frafka_spark.llm.text import _bigram_sql
+
+    return f"""
+    WITH bi AS ({_bigram_sql()}),
+    counts AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        FROM bi GROUP BY w1, w2
+    ),
+    firsts AS (
+        SELECT w1, CAST(sum(n) AS BIGINT) AS n_first FROM counts GROUP BY w1
+    ),
+    probs AS (
+        SELECT c.w1, c.w2,
+               CAST(floor(-ln(CAST(c.n AS DOUBLE) / f.n_first) * 10000 + 0.5)
+                    AS BIGINT) AS nll_e4
+        FROM counts c JOIN firsts f ON f.w1 = c.w1
+    ),
+    per AS (
+        SELECT s.source,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(p.nll_e4) AS BIGINT) AS sum_e4
+        FROM bi d
+        JOIN probs p ON p.w1 = d.w1 AND p.w2 = d.w2
+        JOIN (SELECT doc_id, source FROM documents) s ON s.doc_id = d.doc_id
+        GROUP BY s.source
+    ),
+    scored AS (
+        SELECT source, n_bigrams,
+               CAST((2 * sum_e4 + n_bigrams) // (2 * n_bigrams) AS BIGINT)
+                   AS avg_e4
+        FROM per
+    ),
+    m AS (
+        SELECT CAST(min(avg_e4) AS BIGINT) AS min_e4,
+               CAST(count(*) AS BIGINT) AS n_src
+        FROM scored
+    ),
+    raws AS (
+        SELECT source, n_bigrams, avg_e4, min_e4, n_src,
+               CAST(floor(exp({DOREMI_ETA} * (avg_e4 - min_e4) / 10000.0)
+                          * 1000000 + 0.5) AS BIGINT) AS raw_e6
+        FROM scored, m
+    ),
+    z AS (SELECT CAST(sum(raw_e6) AS BIGINT) AS z6 FROM raws)
+    SELECT source, n_bigrams,
+           CAST(avg_e4 AS DOUBLE) / 10000.0 AS avg_nll,
+           CAST(avg_e4 - min_e4 AS DOUBLE) / 10000.0 AS excess_nll,
+           floor(1.0 / n_src * 1000000 + 0.5) / 1000000.0 AS weight_uniform,
+           floor(((1.0 - {DOREMI_SMOOTH}) * raw_e6 / z6
+                  + {DOREMI_SMOOTH} / n_src) * 1000000 + 0.5) / 1000000.0
+               AS weight_doremi
+    FROM raws, z
+    """
+
+
+@query("q_llm_doremi_step", oracle=_doremi_oracle(), defer_round=12)
+def q_llm_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi domain-reweighting step: per-source excess bigram
+    NLL over the easiest source, exponentiated-gradient update
+    ``raw ∝ exp(η·excess)``, normalization, and uniform smoothing
+    ``α = (1−c)·w + c/n`` — the mixture a group-DRO run would feed
+    the next proxy epoch, here collapsed to the one deterministic
+    step a fixed loss vector admits (k identical-loss EG steps equal
+    one with k·η, so a fixed η IS the fixed-iteration-count trick).
+
+    Exactness: the loss is the e4-integer NLL chain q_llm_doc_nll
+    pins (order-free long sums, integer half-up mean); the excess is
+    a difference of exact e4 ints; ``exp`` is quantized to an e6
+    LONG per source immediately (one ulp-sensitive libm call per
+    SOURCE, absorbed by half-up like the ln discipline), so the
+    normalizer is an exact integer sum — no cross-row float fold
+    anywhere — and every output ratio is a deterministic double of
+    two exact longs, rounded once.
+
+    Scale shape: the corpus collapses to |sources| rows via the
+    cached bigram relation and one (w1,w2)-keyed model join (the
+    doc_nll plan) plus a doc_id-keyed source join; the EG step runs
+    on the |sources|-row result with two broadcast scalars (min,
+    normalizer). At 100 TB only the loss measurement touches data —
+    exactly how DoReMi runs (per-domain losses stream out of the
+    proxy training job; the reweighting arithmetic is trivial).
+    """
+    import frafka_spark.llm.text  # noqa: F401
+    from frafka_spark.llm.text import _bigrams
+
+    bi = _bigrams(spark, sf_dir)
+    counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    firsts = counts.groupBy("w1").agg(F.sum("n").alias("n_first"))
+    nll_e4 = F.floor(
+        -F.log(F.col("n").cast("double") / F.col("n_first")) * 10000
+        + F.lit(0.5)
+    )
+    probs = counts.join(firsts, "w1").select(
+        "w1", "w2", nll_e4.alias("nll_e4")
+    )
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    per = (
+        bi.join(probs, ["w1", "w2"])
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("nll_e4").cast("bigint").alias("sum_e4"),
+        )
+    )
+    scored = per.select(
+        "source",
+        "n_bigrams",
+        F.expr("(2 * sum_e4 + n_bigrams) div (2 * n_bigrams)")
+        .cast("bigint")
+        .alias("avg_e4"),
+    )
+    m = scored.agg(
+        F.min("avg_e4").cast("bigint").alias("min_e4"),
+        F.count("*").cast("bigint").alias("n_src"),
+    )
+    raws = scored.crossJoin(F.broadcast(m)).withColumn(
+        "raw_e6",
+        F.floor(
+            F.exp(
+                F.lit(DOREMI_ETA)
+                * (F.col("avg_e4") - F.col("min_e4"))
+                / 10000.0
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    z = raws.agg(F.sum("raw_e6").cast("bigint").alias("z6"))
+    return raws.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_bigrams",
+        (F.col("avg_e4").cast("double") / 10000.0).alias("avg_nll"),
+        ((F.col("avg_e4") - F.col("min_e4")).cast("double") / 10000.0).alias(
+            "excess_nll"
+        ),
+        (
+            F.floor(1.0 / F.col("n_src") * 1000000 + F.lit(0.5)) / 1000000.0
+        ).alias("weight_uniform"),
+        (
+            F.floor(
+                (
+                    F.lit(1.0 - DOREMI_SMOOTH)
+                    * F.col("raw_e6")
+                    / F.col("z6")
+                    + F.lit(DOREMI_SMOOTH) / F.col("n_src")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("weight_doremi"),
+    )

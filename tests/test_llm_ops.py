@@ -1169,3 +1169,24 @@ def test_segfreq_index_maintained_equals_rebuild(spark):
     p = plan_str(df)
     assert "documents.parquet" not in p
     assert "seg_index" in p
+
+
+def test_doremi_step_properties(spark):
+    """EG-step invariants: weights are a probability simplex, every
+    smoothed weight is at least the uniform floor's smoothed share,
+    the easiest source has excess 0, and ordering follows excess
+    loss (higher excess -> weakly higher weight)."""
+    from frafka_spark.llm.mixture import DOREMI_SMOOTH
+    from frafka_spark.registry import QUERIES as Q
+
+    rows = Q["q_llm_doremi_step"].fn(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n >= 2
+    total = sum(r["weight_doremi"] for r in rows)
+    assert abs(total - 1.0) < 1e-4  # simplex up to per-row rounding
+    floor_share = DOREMI_SMOOTH / n
+    assert all(r["weight_doremi"] >= floor_share - 1e-9 for r in rows)
+    assert min(r["excess_nll"] for r in rows) == 0.0
+    by_excess = sorted(rows, key=lambda r: r["excess_nll"])
+    ws = [r["weight_doremi"] for r in by_excess]
+    assert all(a <= b + 1e-9 for a, b in zip(ws, ws[1:]))
