@@ -1892,3 +1892,32 @@ def test_spilled_dv_scan_plan_and_representation(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_lines_is_hint_free_digest_join(spark):
+    """q_llm_dedup_lines: segments (O(words/8) per doc), the global
+    frequency relation and the join back are all corpus-sized — no
+    hint broadcast may appear anywhere (size-based AQE at fixture
+    scale is fine; hints are not), and the join/aggregate chain keys
+    on the 16-byte digest, never the segment text."""
+    spark.catalog.clearCache()
+    plan = _plan_without_auto_broadcast(spark, "q_llm_dedup_lines")
+    assert "BroadcastExchange" not in plan, plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_doremi_broadcasts_only_scalar_sides(spark):
+    """q_llm_doremi_step: the corpus meets the model in KEYED joins
+    (with size-based broadcast off they must plan as SortMergeJoin);
+    the only hint broadcasts are the scalar frames (min/count and
+    the e6 normalizer — one row each; shared subtrees may re-expand
+    them, so the pin bounds the count loosely rather than exactly —
+    the pq_adc lesson) and never a cartesian."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan_without_auto_broadcast(spark, "q_llm_doremi_step")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan, plan  # corpus-sized joins stay keyed
+    exch = re.findall(r"\(\d+\) BroadcastExchange", plan)
+    assert len(exch) <= 4, (exch, plan)
