@@ -2560,3 +2560,162 @@ def q_llm_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE overlap audit of the near-dup candidates — the summarization-
+# eval metric repurposed the way dedup teams actually use it: a
+# second, order-sensitive-at-bigram-level opinion on every LSH
+# candidate pair before a destructive drop. Jaccard (what the LSH
+# pipeline verifies) treats a document as a shingle SET; ROUGE's
+# clipped-multiset n-gram recall distinguishes "same vocabulary"
+# from "same text" (reordered boilerplate scores high ROUGE-1 but
+# low ROUGE-2), so the pair table gains exactly the signal set
+# similarity cannot carry.
+# ---------------------------------------------------------------------------
+
+
+def _rouge_oracle() -> str:
+    from frafka_spark.registry import QUERIES
+
+    import frafka_spark.llm.text as _t  # registration order safety
+
+    bigram_sql = _t._bigram_sql()
+    return f"""
+    WITH pairs AS ({QUERIES['q_llm_dedup_near'].oracle}),
+    uni AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE len(word) > 0
+        GROUP BY doc_id, word
+    ),
+    nuni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM uni
+             GROUP BY doc_id),
+    bi AS (
+        SELECT doc_id, w1 || ' ' || w2 AS bg, CAST(count(*) AS BIGINT) AS c
+        FROM ({bigram_sql}) GROUP BY doc_id, w1 || ' ' || w2
+    ),
+    nbi AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM bi
+            GROUP BY doc_id),
+    ov1 AS (
+        SELECT p.doc_a, p.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        FROM pairs p
+        JOIN uni a ON a.doc_id = p.doc_a
+        JOIN uni b ON b.doc_id = p.doc_b AND b.word = a.word
+        GROUP BY p.doc_a, p.doc_b
+    ),
+    ov2 AS (
+        SELECT p.doc_a, p.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        FROM pairs p
+        JOIN bi a ON a.doc_id = p.doc_a
+        JOIN bi b ON b.doc_id = p.doc_b AND b.bg = a.bg
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           na.n AS n1_a, nb.n AS n1_b,
+           coalesce(o1.ov, 0) AS r1_overlap,
+           floor(2.0 * coalesce(o1.ov, 0) / (na.n + nb.n) * 10000 + 0.5)
+               / 10000.0 AS rouge1_f,
+           coalesce(o2.ov, 0) AS r2_overlap,
+           floor(2.0 * coalesce(o2.ov, 0) / (na2.n + nb2.n) * 10000 + 0.5)
+               / 10000.0 AS rouge2_f
+    FROM pairs p
+    JOIN nuni na ON na.doc_id = p.doc_a
+    JOIN nuni nb ON nb.doc_id = p.doc_b
+    JOIN nbi na2 ON na2.doc_id = p.doc_a
+    JOIN nbi nb2 ON nb2.doc_id = p.doc_b
+    LEFT JOIN ov1 o1 ON o1.doc_a = p.doc_a AND o1.doc_b = p.doc_b
+    LEFT JOIN ov2 o2 ON o2.doc_a = p.doc_a AND o2.doc_b = p.doc_b
+    """
+
+
+@query("q_llm_rouge", oracle=_rouge_oracle(), defer_round=12)
+def q_llm_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 F1 for every verified LSH near-dup pair:
+    clipped-multiset n-gram overlap ``Σ min(c_a, c_b)``, with
+    ``F1 = 2·overlap / (n_a + n_b)`` (algebraically equal to the
+    harmonic mean of clip-precision and clip-recall, computed from
+    exact longs in one step so only ONE rounding exists per score).
+    ROUGE-2's bigram multiset is order-sensitive where Jaccard's
+    shingle set is not — reordered boilerplate keeps rouge1_f high
+    while rouge2_f collapses, the triage signal a keep/drop review
+    wants next to the Jaccard column.
+
+    Scale shape: the pair table is the LSH candidate output
+    (bounded by Σ|bucket|², the pipeline's own cost axis), so both
+    overlap joins key on (doc_id, gram) against the shared cached
+    token/bigram relations, with the pair side broadcast; all
+    overlaps and lengths are exact longs.
+    """
+    from frafka_spark.llm.text import _bigrams
+
+    pairs = q_llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    uni = (
+        _words(spark, sf_dir)
+        .filter(F.length("word") > 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    nuni = uni.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    bi = (
+        _bigrams(spark, sf_dir)
+        .groupBy("doc_id", F.concat_ws(" ", "w1", "w2").alias("bg"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    nbi = bi.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+
+    def overlap(counts: DataFrame, gram: str) -> DataFrame:
+        a = counts.select(
+            F.col("doc_id").alias("doc_a"), gram, F.col("c").alias("ca")
+        )
+        b = counts.select(
+            F.col("doc_id").alias("doc_b"), gram, F.col("c").alias("cb")
+        )
+        return (
+            a.join(F.broadcast(pairs), "doc_a")
+            .join(b, ["doc_b", gram])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("ov"))
+        )
+
+    ov1 = overlap(uni, "word")
+    ov2 = overlap(bi, "bg")
+    na = nuni.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n1_a"))
+    nb = nuni.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n1_b"))
+    na2 = nbi.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n2_a"))
+    nb2 = nbi.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n2_b"))
+    out = (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .join(na2, "doc_a")
+        .join(nb2, "doc_b")
+        .join(ov1, ["doc_a", "doc_b"], "left")
+        .withColumnRenamed("ov", "r1_overlap")
+        .join(ov2, ["doc_a", "doc_b"], "left")
+        .withColumnRenamed("ov", "r2_overlap")
+    )
+    r1 = F.coalesce(F.col("r1_overlap"), F.lit(0))
+    r2 = F.coalesce(F.col("r2_overlap"), F.lit(0))
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "n1_a",
+        "n1_b",
+        r1.alias("r1_overlap"),
+        (
+            F.floor(
+                2.0 * r1 / (F.col("n1_a") + F.col("n1_b")) * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("rouge1_f"),
+        r2.alias("r2_overlap"),
+        (
+            F.floor(
+                2.0 * r2 / (F.col("n2_a") + F.col("n2_b")) * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("rouge2_f"),
+    )

