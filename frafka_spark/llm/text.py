@@ -3036,3 +3036,141 @@ def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility_trained"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out LM evaluation: train the bigram model on the TRAIN split
+# only and score the VAL split with add-1 smoothing — the leakage-
+# free twin of q_llm_doc_nll (which deliberately scores the corpus
+# under its own model). The difference is the whole point: an eval
+# number computed on training data is the mistake q_llm_split_leakage
+# measures; this key is the correct protocol, OOV mass included.
+# ---------------------------------------------------------------------------
+
+_SPLIT_CASE_SQL = """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                          < 'cccd' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                          < 'e666' THEN 'val'
+                     ELSE 'test' END"""
+
+
+def _heldout_oracle() -> str:
+    return f"""
+    WITH bi AS ({_bigram_sql()}),
+    sp AS (
+        SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents
+    ),
+    tb AS (
+        SELECT b.w1, b.w2 FROM bi b
+        JOIN sp ON sp.doc_id = b.doc_id AND sp.split = 'train'
+    ),
+    counts AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY w1, w2
+    ),
+    firsts AS (
+        SELECT w1, CAST(sum(c) AS BIGINT) AS n_first FROM counts GROUP BY w1
+    ),
+    v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM tb),
+    vb AS (
+        SELECT b.doc_id, b.w1, b.w2 FROM bi b
+        JOIN sp ON sp.doc_id = b.doc_id AND sp.split = 'val'
+    ),
+    scored AS (
+        SELECT vb.doc_id,
+               CASE WHEN c.c IS NULL THEN 1 ELSE 0 END AS unseen,
+               CAST(floor(
+                   CASE WHEN f.n_first IS NULL THEN ln(CAST(v.v AS DOUBLE))
+                        ELSE -ln((CAST(coalesce(c.c, 0) AS DOUBLE) + 1)
+                                 / (f.n_first + v.v))
+                   END * 10000 + 0.5) AS BIGINT) AS nll_e4
+        FROM vb
+        LEFT JOIN counts c ON c.w1 = vb.w1 AND c.w2 = vb.w2
+        LEFT JOIN firsts f ON f.w1 = vb.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(unseen) AS BIGINT) AS n_unseen,
+           CAST((2 * sum(nll_e4) + count(*)) // (2 * count(*)) AS DOUBLE)
+               / 10000.0 AS avg_nll
+    FROM scored GROUP BY doc_id
+    """
+
+
+@query("q_llm_heldout_nll", oracle=_heldout_oracle(), defer_round=12)
+def q_llm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram NLL: the model's counts come from the TRAIN
+    split only (q_llm_split's stable hash rule), scoring runs on the
+    VAL split with add-1 smoothing over the train successor
+    vocabulary V — an unseen bigram under a seen history costs
+    ``-ln(1/(n_first+V))``-ish mass, an unseen history backs off to
+    the uniform ``ln V``. This is the leakage-free eval protocol
+    next to ``q_llm_doc_nll``'s corpus-self-scored diagnostic, and
+    the per-doc ``n_unseen`` column is the OOV-rate report that
+    explains a bad number.
+
+    Exactness: the same e4-integer NLL discipline as doc_nll (one
+    ulp-absorbed ln per MODEL ROW, order-free long sums, integer
+    half-up mean); the split rule is the registered stable-hash
+    assignment, bit-identical across engines.
+
+    Scale shape: model counts are one (w1,w2) aggregate over the
+    train slice of the shared cached bigram relation; scoring is a
+    (w1,w2)-keyed LEFT join of the val slice against the model plus
+    a broadcast scalar V — the doc_nll plan with a split predicate
+    pushed into each side. Nothing new shuffles at 100 TB.
+    """
+    bi = _bigrams(spark, sf_dir)
+    hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(hk < "cccd", "train").when(hk < "e666", "val").otherwise("test")
+    )
+    sp = table(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    tb = bi.join(sp.filter(F.col("split") == "train"), "doc_id").select(
+        "w1", "w2"
+    )
+    counts = tb.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c"))
+    firsts = counts.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("n_first")
+    )
+    v = tb.agg(F.countDistinct("w2").cast("bigint").alias("v"))
+    vb = bi.join(sp.filter(F.col("split") == "val"), "doc_id").select(
+        "doc_id", "w1", "w2"
+    )
+    nll = F.when(
+        F.col("n_first").isNull(),
+        F.log(F.col("v").cast("double")),
+    ).otherwise(
+        -F.log(
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") + 1)
+            / (F.col("n_first") + F.col("v"))
+        )
+    )
+    scored = (
+        vb.join(counts, ["w1", "w2"], "left")
+        .join(firsts, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("unseen"),
+            F.floor(nll * 10000 + F.lit(0.5)).cast("bigint").alias("nll_e4"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("unseen").cast("bigint").alias("n_unseen"),
+            F.expr("(2 * sum(nll_e4) + count(*)) div (2 * count(*))")
+            .cast("double")
+            .alias("avg_e4"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_unseen",
+            (F.col("avg_e4") / 10000.0).alias("avg_nll"),
+        )
+    )

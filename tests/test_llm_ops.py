@@ -1223,3 +1223,44 @@ def test_rouge_matches_python_model_on_pairs(spark):
         assert r["rouge1_f"] == f1
         # planted near-dups: high unigram agreement on every pair
         assert r["rouge1_f"] > 0.5
+
+
+def test_heldout_nll_covers_val_split_and_prices_oov(spark):
+    """Leakage-free protocol invariants: exactly the val-split docs
+    with >= 2 words are scored, per-doc OOV counts equal a python
+    recompute against the train-split bigram set, and the held-out
+    mean NLL exceeds the corpus-self-scored diagnostic's mean over
+    the same docs (add-1 discounting prices the held-out view)."""
+    import hashlib
+
+    from frafka_spark.registry import QUERIES as Q
+
+    rows = {r["doc_id"]: r for r in
+            Q["q_llm_heldout_nll"].fn(spark, SF_DIR).collect()}
+    docs = {r["doc_id"]: r["text"]
+            for r in table(spark, SF_DIR, "documents").collect()}
+    val = {
+        d for d, t in docs.items()
+        if hashlib.md5(str(d).encode()).hexdigest()[:4] >= "cccd"
+        and hashlib.md5(str(d).encode()).hexdigest()[:4] < "e666"
+        and len(t.split(" ")) >= 2
+    }
+    assert set(rows) == val
+    # exact OOV accounting vs a python recompute (the tiny synthetic
+    # vocabulary makes 0 a legitimate total — the assertion is
+    # equality, not existence)
+    train_bi = {
+        (a, b)
+        for d, t in docs.items()
+        if hashlib.md5(str(d).encode()).hexdigest()[:4] < "cccd"
+        for a, b in zip(t.split(" "), t.split(" ")[1:])
+    }
+    for d in val:
+        ws = docs[d].split(" ")
+        expect = sum(1 for p in zip(ws, ws[1:]) if p not in train_bi)
+        assert rows[d]["n_unseen"] == expect, d
+    self_scored = {r["doc_id"]: r["avg_nll"] for r in
+                   Q["q_llm_doc_nll"].fn(spark, SF_DIR).collect()}
+    ho = [r["avg_nll"] for r in rows.values()]
+    ss = [self_scored[d] for d in rows]
+    assert sum(ho) / len(ho) > sum(ss) / len(ss)
