@@ -2451,12 +2451,12 @@ def ppjoin_pairs_over(pre: DataFrame, docsets: DataFrame) -> DataFrame:
 # across otherwise-distinct documents (navigation chrome, license
 # headers, share buttons) from every document that carries them. The
 # fixture corpus is single-line text, so the "paragraph" unit is a
-# fixed window of SEG_WORDS consecutive words — same algorithm, same
+# fixed window of LINE_SEG_WORDS consecutive words — same algorithm, same
 # shapes, segmentation swapped for the newline split real corpora use.
 # ---------------------------------------------------------------------------
 
-SEG_WORDS = 8  # words per segment (the paragraph analog)
-SEG_DUP_MIN_DOCS = 2  # segment is boilerplate when seen in >= this many docs
+LINE_SEG_WORDS = 8  # words per segment (the paragraph analog)
+LINE_DUP_MIN_DOCS = 2  # segment is boilerplate when seen in >= this many docs
 
 
 @query(
@@ -2468,11 +2468,11 @@ SEG_DUP_MIN_DOCS = 2  # segment is boilerplate when seen in >= this many docs
     segs AS (
         SELECT doc_id, CAST(seg_id AS INT) AS seg_id,
                array_to_string(
-                   w[(seg_id-1)*{SEG_WORDS}+1 : (seg_id-1)*{SEG_WORDS}+{SEG_WORDS}],
+                   w[(seg_id-1)*{LINE_SEG_WORDS}+1 : (seg_id-1)*{LINE_SEG_WORDS}+{LINE_SEG_WORDS}],
                    ' ') AS seg
         FROM words,
              unnest(generate_series(
-                 1, CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT))) u(seg_id)
+                 1, CAST(ceil(len(w) / {LINE_SEG_WORDS}.0) AS BIGINT))) u(seg_id)
     ),
     freq AS (
         SELECT md5(seg) AS h,
@@ -2481,10 +2481,10 @@ SEG_DUP_MIN_DOCS = 2  # segment is boilerplate when seen in >= this many docs
     )
     SELECT s.doc_id,
            CAST(count(*) AS INT) AS n_segs,
-           CAST(sum(CASE WHEN f.n_docs >= {SEG_DUP_MIN_DOCS} THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN f.n_docs >= {LINE_DUP_MIN_DOCS} THEN 1 ELSE 0 END)
                 AS INT) AS n_dropped,
            coalesce(string_agg(
-               CASE WHEN f.n_docs < {SEG_DUP_MIN_DOCS} THEN s.seg END,
+               CASE WHEN f.n_docs < {LINE_DUP_MIN_DOCS} THEN s.seg END,
                ' ' ORDER BY s.seg_id), '') AS cleaned_text
     FROM segs s JOIN freq f ON f.h = md5(s.seg)
     GROUP BY s.doc_id
@@ -2494,15 +2494,15 @@ SEG_DUP_MIN_DOCS = 2  # segment is boilerplate when seen in >= this many docs
 def q_llm_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global duplicate-segment removal (the C4/CCNet "duplicate
     line" / Dolma paragraph-dedup pass): segment every document into
-    consecutive SEG_WORDS-word windows, count in how many DISTINCT
+    consecutive LINE_SEG_WORDS-word windows, count in how many DISTINCT
     documents each exact segment occurs corpus-wide, and drop EVERY
-    occurrence of a segment seen in >= SEG_DUP_MIN_DOCS documents
+    occurrence of a segment seen in >= LINE_DUP_MIN_DOCS documents
     (boilerplate is noise in all its copies, so no copy is kept —
     C4's rule, unlike whole-doc dedup's keep-one). Returns per doc
     the segment counts and the reassembled cleaned text (original
     order; '' when nothing survives).
 
-    Scale shape: one explode to O(words/SEG_WORDS) segment rows, a
+    Scale shape: one explode to O(words/LINE_SEG_WORDS) segment rows, a
     digest-keyed count-distinct (one shuffle — md5 as the shuffle
     key, never the segment text), a digest-keyed join back (both
     sides already hash-partitioned on the digest), and a final
@@ -2519,7 +2519,7 @@ def q_llm_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = fan_out(d, "doc_id").select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    n_segs = F.ceil(F.size("w") / float(SEG_WORDS)).cast("int")
+    n_segs = F.ceil(F.size("w") / float(LINE_SEG_WORDS)).cast("int")
     segs = (
         w.select(
             "doc_id",
@@ -2531,7 +2531,7 @@ def q_llm_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seg_id").cast("int").alias("seg_id"),
             F.concat_ws(
                 " ",
-                F.slice("w", (F.col("seg_id") - 1) * SEG_WORDS + 1, SEG_WORDS),
+                F.slice("w", (F.col("seg_id") - 1) * LINE_SEG_WORDS + 1, LINE_SEG_WORDS),
             ).alias("seg"),
         )
         .withColumn("h", F.md5("seg"))
@@ -2542,7 +2542,7 @@ def q_llm_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs")
     )
     flagged = segs.join(freq, "h").withColumn(
-        "is_dup", F.col("n_docs") >= SEG_DUP_MIN_DOCS
+        "is_dup", F.col("n_docs") >= LINE_DUP_MIN_DOCS
     )
     kept_struct = F.when(
         ~F.col("is_dup"), F.struct("seg_id", "seg")

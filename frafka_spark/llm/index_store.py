@@ -1502,15 +1502,15 @@ SEGIDX_MOD = 6
 def segment_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, source, seg_id, segment digest) occurrence rows for
     ANY docs relation — the generic form of q_llm_dedup_lines's
-    segmentation (same SEG_WORDS windows, digest in place of text:
+    segmentation (same LINE_SEG_WORDS windows, digest in place of text:
     the removal decision needs equality, never the bytes). Per-doc,
     hence incrementally maintainable."""
-    from frafka_spark.llm.dedup import SEG_WORDS
+    from frafka_spark.llm.dedup import LINE_SEG_WORDS
 
     w = docs.select(
         "doc_id", "source", F.split("text", " ").alias("w")
     )
-    n_segs = F.ceil(F.size("w") / float(SEG_WORDS)).cast("int")
+    n_segs = F.ceil(F.size("w") / float(LINE_SEG_WORDS)).cast("int")
     return (
         w.select(
             "doc_id",
@@ -1526,7 +1526,7 @@ def segment_rows(docs: DataFrame) -> DataFrame:
                 F.concat_ws(
                     " ",
                     F.slice(
-                        "w", (F.col("seg_id") - 1) * SEG_WORDS + 1, SEG_WORDS
+                        "w", (F.col("seg_id") - 1) * LINE_SEG_WORDS + 1, LINE_SEG_WORDS
                     ),
                 )
             ).alias("h"),
@@ -1569,7 +1569,7 @@ def _build_segfreq_index_tables(
 
 
 def _segfreq_oracle() -> str:
-    from frafka_spark.llm.dedup import SEG_DUP_MIN_DOCS, SEG_WORDS
+    from frafka_spark.llm.dedup import LINE_DUP_MIN_DOCS, LINE_SEG_WORDS
 
     return f"""
     WITH words AS (
@@ -1578,11 +1578,11 @@ def _segfreq_oracle() -> str:
     segs AS (
         SELECT doc_id, source,
                md5(array_to_string(
-                   w[(seg_id-1)*{SEG_WORDS}+1 : (seg_id-1)*{SEG_WORDS}+{SEG_WORDS}],
+                   w[(seg_id-1)*{LINE_SEG_WORDS}+1 : (seg_id-1)*{LINE_SEG_WORDS}+{LINE_SEG_WORDS}],
                    ' ')) AS h
         FROM words,
              unnest(generate_series(
-                 1, CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT))) u(seg_id)
+                 1, CAST(ceil(len(w) / {LINE_SEG_WORDS}.0) AS BIGINT))) u(seg_id)
     ),
     freq AS (
         SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
@@ -1591,7 +1591,7 @@ def _segfreq_oracle() -> str:
     per_doc AS (
         SELECT s.doc_id, s.source,
                CAST(count(*) AS BIGINT) AS n_segs,
-               CAST(sum(CASE WHEN f.n_docs >= {SEG_DUP_MIN_DOCS}
+               CAST(sum(CASE WHEN f.n_docs >= {LINE_DUP_MIN_DOCS}
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         FROM segs s JOIN freq f USING (h)
         GROUP BY s.doc_id, s.source
@@ -1612,7 +1612,7 @@ def q_llm_dedup_lines_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-line (boilerplate-segment) accounting answered from
     the AT-REST segment index: per source, how many documents, total
     segments, segments the C4 rule would drop (digest seen in >=
-    SEG_DUP_MIN_DOCS distinct docs), and documents touched. The query
+    LINE_DUP_MIN_DOCS distinct docs), and documents touched. The query
     reads ONLY the maintained index table — the documents fixture is
     never scanned — so the flat-fixture oracle hash-matches if and
     only if base-build + CDF-delta append equals a full rebuild.
@@ -1629,7 +1629,7 @@ def q_llm_dedup_lines_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from frafka_spark.sources.manifest_table import read_table
 
-    from frafka_spark.llm.dedup import SEG_DUP_MIN_DOCS
+    from frafka_spark.llm.dedup import LINE_DUP_MIN_DOCS
 
     path = _ensure_table(spark, sf_dir, "documents_segfreq_indexed")
     idx = read_table(spark, str(Path(path) / "seg_index"))
@@ -1642,7 +1642,7 @@ def q_llm_dedup_lines_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_segs"),
             F.sum(
-                F.when(F.col("n_docs_h") >= SEG_DUP_MIN_DOCS, 1).otherwise(0)
+                F.when(F.col("n_docs_h") >= LINE_DUP_MIN_DOCS, 1).otherwise(0)
             )
             .cast("bigint")
             .alias("n_dropped"),

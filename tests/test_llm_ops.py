@@ -1061,7 +1061,7 @@ def test_dedup_lines_matches_python_model(spark):
     into 8-word windows, count distinct-doc frequency, drop EVERY
     copy of any segment seen in >= 2 docs (the C4 rule — no survivor
     copy, unlike whole-doc dedup), reassemble in original order."""
-    from frafka_spark.llm.dedup import SEG_DUP_MIN_DOCS, SEG_WORDS
+    from frafka_spark.llm.dedup import LINE_DUP_MIN_DOCS, LINE_SEG_WORDS
 
     docs = {
         r["doc_id"]: r["text"]
@@ -1069,8 +1069,8 @@ def test_dedup_lines_matches_python_model(spark):
     }
     segs_by_doc = {
         d: [
-            " ".join(ws[i : i + SEG_WORDS])
-            for i in range(0, len(ws), SEG_WORDS)
+            " ".join(ws[i : i + LINE_SEG_WORDS])
+            for i in range(0, len(ws), LINE_SEG_WORDS)
         ]
         for d, ws in ((d, t.split(" ")) for d, t in docs.items())
     }
@@ -1085,7 +1085,7 @@ def test_dedup_lines_matches_python_model(spark):
     assert set(res) == set(docs)
     n_modified = 0
     for d, segs in segs_by_doc.items():
-        kept = [s for s in segs if len(ndocs[s]) < SEG_DUP_MIN_DOCS]
+        kept = [s for s in segs if len(ndocs[s]) < LINE_DUP_MIN_DOCS]
         row = res[d]
         assert row["n_segs"] == len(segs)
         assert row["n_dropped"] == len(segs) - len(kept)
