@@ -2650,50 +2650,91 @@ def q_llm_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from frafka_spark.llm.text import _bigrams
 
-    pairs = q_llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
-    uni = (
+    pairs = memoized_result(
+        spark,
+        sf_dir,
+        "near_pairs",
+        lambda: q_llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b"),
+    )
+    # Semi-join prefilter (guide §3.2): every downstream join is INNER
+    # on pair membership, so only documents that appear in a verified
+    # pair can survive — filtering the gram stream BEFORE the per-doc
+    # aggregate turns a corpus-sized aggregate into a pair-member-
+    # sized one. The member list is O(pairs), broadcast. Unigrams and
+    # bigrams ride ONE union-tagged stream (g = 1|2) so the count
+    # aggregate, the totals aggregate and the overlap join each run
+    # once instead of per gram order — half the exchanges of the
+    # two-pipeline formulation at identical arithmetic.
+    # No .distinct(): a semi-join build side needs no dedup (the hash
+    # relation dedupes keys itself) and the extra exchange costs more
+    # than the duplicate ids it removes.
+    members = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    grams = (
         _words(spark, sf_dir)
         .filter(F.length("word") > 0)
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").cast("bigint").alias("c"))
+        .select("doc_id", F.col("word").alias("gram"), F.lit(1).alias("g"))
+        .unionAll(
+            _bigrams(spark, sf_dir).select(
+                "doc_id",
+                F.concat_ws(" ", "w1", "w2").alias("gram"),
+                F.lit(2).alias("g"),
+            )
+        )
     )
-    nuni = uni.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
-    bi = (
-        _bigrams(spark, sf_dir)
-        .groupBy("doc_id", F.concat_ws(" ", "w1", "w2").alias("bg"))
+    # localCheckpoint (NOT cache): three consumers (totals and both
+    # overlap sides) reference this relation, and Catalyst expands
+    # every reference into a copy of the build subtree — without the
+    # truncation the semi-join + aggregate executed three times per
+    # pass (measured). eager=False keeps construction job-free.
+    counts = (
+        grams.join(F.broadcast(members), "doc_id", "left_semi")
+        .groupBy("doc_id", "g", "gram")
         .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    nbi = bi.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
-
-    def overlap(counts: DataFrame, gram: str) -> DataFrame:
-        a = counts.select(
-            F.col("doc_id").alias("doc_a"), gram, F.col("c").alias("ca")
+    # Per-member totals; n2 NULL (no bigrams at all) reproduces the
+    # two-pipeline inner join against the bigram totals, which dropped
+    # such pairs — filtered below.
+    totals = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("c"))).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("g") == 2, F.col("c"))).cast("bigint").alias("n2"),
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), "g", "gram", F.col("c").alias("ca")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), "g", "gram", F.col("c").alias("cb")
+    )
+    ov = (
+        ca.join(F.broadcast(pairs), "doc_a")
+        .join(cb, ["doc_b", "g", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("g") == 1, F.least("ca", "cb")))
+            .cast("bigint")
+            .alias("r1_overlap"),
+            F.sum(F.when(F.col("g") == 2, F.least("ca", "cb")))
+            .cast("bigint")
+            .alias("r2_overlap"),
         )
-        b = counts.select(
-            F.col("doc_id").alias("doc_b"), gram, F.col("c").alias("cb")
-        )
-        return (
-            a.join(F.broadcast(pairs), "doc_a")
-            .join(b, ["doc_b", gram])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("ov"))
-        )
-
-    ov1 = overlap(uni, "word")
-    ov2 = overlap(bi, "bg")
-    na = nuni.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n1_a"))
-    nb = nuni.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n1_b"))
-    na2 = nbi.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n2_a"))
-    nb2 = nbi.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n2_b"))
+    )
+    ta = totals.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n1").alias("n1_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    tb = totals.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n1").alias("n1_b"),
+        F.col("n2").alias("n2_b"),
+    )
     out = (
-        pairs.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .join(na2, "doc_a")
-        .join(nb2, "doc_b")
-        .join(ov1, ["doc_a", "doc_b"], "left")
-        .withColumnRenamed("ov", "r1_overlap")
-        .join(ov2, ["doc_a", "doc_b"], "left")
-        .withColumnRenamed("ov", "r2_overlap")
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(F.col("n2_a").isNotNull() & F.col("n2_b").isNotNull())
+        .join(ov, ["doc_a", "doc_b"], "left")
     )
     r1 = F.coalesce(F.col("r1_overlap"), F.lit(0))
     r2 = F.coalesce(F.col("r2_overlap"), F.lit(0))

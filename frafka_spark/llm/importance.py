@@ -62,8 +62,10 @@ MMR_MU = 0.3  # diversity weight (1−λ), a SEPARATE literal so both
 # engines parse the identical decimal instead of computing 1−0.7
 
 
-def _dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_tokens, log_w) for every document.
+def _dsir_log_weights_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, log_w) for every document — the full logical
+    plan BEFORE lineage truncation (consumers go through
+    ``_dsir_log_weights``).
 
     Shares the cached ``_words`` token table with tfidf/simhash (the
     explode is the expensive pass; everything after is per-bucket).
@@ -97,6 +99,24 @@ def _dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.join(F.broadcast(lr), "b").groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"), F.sum("lr").alias("log_w")
     )
+
+
+def _dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized DSIR per-doc weight table (guide §2.4): four
+    consumers (the weights report, the selection stage, the LR
+    feature builder, the resampling mix) each re-ran the token-stream
+    aggregate before this leg existed. localCheckpoint truncates the
+    lineage so composing queries carry an O(1)-node leaf instead of a
+    copy of the bucket-model subtree per reference; eager=False keeps
+    plan construction job-free (the queries() contract). O(n_docs)
+    rows of three scalars — cache-safe at corpus scale."""
+    from frafka_spark.llm.dedup import materialize_once, shared_lookup
+
+    memo = shared_lookup(spark, sf_dir, "dsir_log_weights")
+    if memo is not None:
+        return memo
+    leg = _dsir_log_weights_plan(spark, sf_dir).localCheckpoint(eager=False)
+    return materialize_once(leg, spark, sf_dir, "dsir_log_weights")
 
 
 # Shared oracle CTE: per-doc DSIR log-weights (mirrors _dsir_log_weights).
@@ -391,7 +411,7 @@ LR_RATE = 2.0  # learning rate literal, identical on both engines
 LR_W_SCALE = 100.0  # puts the DSIR per-token weight on a ±1-ish scale
 
 
-def _lr_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lr_feats_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, y, x0, x1, x2) per document: x1 is the DSIR per-token
     log importance weight — the discriminative signal, so the trained
     filter is the STACKED model a real pipeline runs (hashed-ngram
@@ -428,6 +448,27 @@ def _lr_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("x1r") - F.col("m1")) / F.col("s1")).alias("x1"),
         ((F.col("x2r") - F.col("m2")) / F.col("s2")).alias("x2"),
     )
+
+
+def _lr_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized, lineage-truncated LR feature table.
+
+    The unrolled gradient-descent chain references this relation
+    2·LR_STEPS+1 times; with a full lineage each reference expands
+    into a copy of the ~150-node feature subtree, so the composed
+    plan was O(steps² · |feats|) nodes — measured ~1.4 s of DRIVER
+    analysis per construction and a matching AQE replanning tax at
+    run time (guide §3.3: very wide plans make planning itself the
+    bottleneck; materialise/truncate). localCheckpoint collapses the
+    leg to one leaf; eager=False keeps construction job-free. Rows
+    are (lang, y, x0, x1, x2) per doc — O(n_docs) scalars."""
+    from frafka_spark.llm.dedup import materialize_once, shared_lookup
+
+    memo = shared_lookup(spark, sf_dir, "lr_feats")
+    if memo is not None:
+        return memo
+    leg = _lr_feats_plan(spark, sf_dir).localCheckpoint(eager=False)
+    return materialize_once(leg, spark, sf_dir, "lr_feats")
 
 
 _LR_FEATS_SQL = f"""
@@ -541,7 +582,7 @@ def q_llm_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a single pass; minibatching or LBFGS changes the step count,
     never the relational shape.
     """
-    feats = _lr_feats(spark, sf_dir).cache()
+    feats = _lr_feats(spark, sf_dir)
     w = {"w0": F.lit(0.0), "w1": F.lit(0.0), "w2": F.lit(0.0)}
     cur = None  # 1-row weights frame after step 1
     for k in range(1, LR_STEPS + 1):

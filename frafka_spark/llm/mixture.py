@@ -473,26 +473,22 @@ def q_llm_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxy training job; the reweighting arithmetic is trivial).
     """
     import frafka_spark.llm.text  # noqa: F401
-    from frafka_spark.llm.text import _bigrams
+    from frafka_spark.llm.text import _doc_nll_agg
 
-    bi = _bigrams(spark, sf_dir)
-    counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("n"))
-    firsts = counts.groupBy("w1").agg(F.sum("n").alias("n_first"))
-    nll_e4 = F.floor(
-        -F.log(F.col("n").cast("double") / F.col("n_first")) * 10000
-        + F.lit(0.5)
-    )
-    probs = counts.join(firsts, "w1").select(
-        "w1", "w2", nll_e4.alias("nll_e4")
-    )
+    # Per-source loss = Σ of the per-doc (n_bigrams, sum_e4) partials
+    # from the shared _doc_nll_agg leg — exact long sums regrouped by
+    # a coarser key, so the corpus-sized (w1,w2) model join runs once
+    # per session instead of once per consumer (guide §2.4), and this
+    # query's own work is one doc_id equi-join plus a |sources|-row
+    # aggregate.
+    perdoc = _doc_nll_agg(spark, sf_dir)
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     per = (
-        bi.join(probs, ["w1", "w2"])
-        .join(src, "doc_id")
+        perdoc.join(src, "doc_id")
         .groupBy("source")
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("nll_e4").cast("bigint").alias("sum_e4"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.sum("sum_e4").cast("bigint").alias("sum_e4"),
         )
     )
     scored = per.select(

@@ -669,17 +669,36 @@ def q_llm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (high avg_nll = improbable word transitions = mashing/boilerplate
     candidates).
 
+    The per-doc (n_bigrams, sum_e4) aggregate lives in the shared
+    ``_doc_nll_agg`` leg (three consumers: this report, the CCNet
+    bucketing that ranks it, and DoReMi's per-source roll-up).
+    Determinism: each NLL is scaled to an e4 integer per row
+    (``floor(x*1e4 + 0.5)`` — ln values never sit on exact decimal
+    halves, unlike SUMS of decimals, which do), summed as plain longs
+    (order-independent), and the mean is computed with integer
+    half-up division — ``round(sum/cnt, 4)`` on a double here WOULD
+    tie-break differently across engines, because an average of exact
+    4-decimal values lands exactly on 5th-decimal halves.
+    """
+    agg = _doc_nll_agg(spark, sf_dir)
+    avg_e4 = F.expr("(2 * sum_e4 + n_bigrams) div (2 * n_bigrams)")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        (avg_e4.cast("double") / 10000.0).alias("avg_nll"),
+    )
+
+
+def _doc_nll_agg_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full logical plan of the per-doc bigram-NLL aggregate —
+    (doc_id, n_bigrams BIGINT, sum_e4 BIGINT) — BEFORE lineage
+    truncation (the plan-pin target; consumers go through
+    ``_doc_nll_agg``).
+
     The corpus model (counts → conditional probabilities) is derived
     from the SAME cached bigram relation the per-doc lookups read, so
     the corpus is exploded once; the (w1, w2)-keyed model join
-    shuffles both sides on the pair key. Determinism: each NLL is
-    scaled to an e4 integer per row (``floor(x*1e4 + 0.5)`` — ln
-    values never sit on exact decimal halves, unlike SUMS of
-    decimals, which do), summed as plain longs (order-independent),
-    and the mean is computed with integer half-up division —
-    ``round(sum/cnt, 4)`` on a double here WOULD tie-break
-    differently across engines, because an average of exact
-    4-decimal values lands exactly on 5th-decimal halves.
+    shuffles both sides on the pair key.
     """
     bi = _bigrams(spark, sf_dir)
     counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("n"))
@@ -688,20 +707,33 @@ def q_llm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.log(F.col("n").cast("double") / F.col("n_first")) * 10000 + F.lit(0.5)
     )
     probs = counts.join(firsts, "w1").select("w1", "w2", nll_e4.alias("nll_e4"))
-    agg = (
+    return (
         bi.join(probs, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("nll_e4").alias("sum_e4"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("nll_e4").cast("bigint").alias("sum_e4"),
         )
     )
-    avg_e4 = F.expr("(2 * sum_e4 + n_bigrams) div (2 * n_bigrams)")
-    return agg.select(
-        "doc_id",
-        "n_bigrams",
-        (avg_e4.cast("double") / 10000.0).alias("avg_nll"),
-    )
+
+
+def _doc_nll_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized per-doc bigram-NLL aggregate (guide §2.4: one
+    exchange serves every consumer instead of each query re-running
+    the model join). localCheckpoint, not cache: the DoReMi and
+    bucketing compositions reference this relation inside larger
+    trees, and Catalyst expands every reference into a full copy of
+    the build subtree — truncating the lineage keeps their logical
+    plans O(rows-out)-sized. eager=False keeps plan construction
+    job-free (the queries() contract). O(n_docs) rows of three longs:
+    cache-safe at any corpus scale the per-doc report itself is."""
+    from frafka_spark.llm.dedup import materialize_once, shared_lookup
+
+    memo = shared_lookup(spark, sf_dir, "doc_nll_agg")
+    if memo is not None:
+        return memo
+    leg = _doc_nll_agg_plan(spark, sf_dir).localCheckpoint(eager=False)
+    return materialize_once(leg, spark, sf_dir, "doc_nll_agg")
 
 
 @query(
