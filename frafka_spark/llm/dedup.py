@@ -1037,13 +1037,27 @@ def q_llm_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     of document length. Both engines implement standard Levenshtein,
     so the distances — and the hash — match exactly.
     """
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.substring("text", 1, FUZZY_PREFIX).alias("prefix"),
-        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("w1"),
-        (F.col("n_chars") / 50).cast("bigint").alias("band"),
-    )
+    # Session-memoized cached block-key projection: both self-join
+    # sides consume it, and each reference otherwise re-scans the
+    # corpus text column (the widest column in the table) just to
+    # recompute prefix/w1/band. O(docs) rows of a 120-char prefix +
+    # two small keys.
+    d = shared_lookup(spark, sf_dir, "fuzzy_block_keys")
+    if d is None:
+        d = materialize_once(
+            table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                "lang",
+                F.substring("text", 1, FUZZY_PREFIX).alias("prefix"),
+                F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("w1"),
+                (F.col("n_chars") / 50).cast("bigint").alias("band"),
+            )
+            .cache(),
+            spark,
+            sf_dir,
+            "fuzzy_block_keys",
+        )
     a = d.alias("a")
     b = d.alias("b")
     # threshold-bounded Levenshtein: banded DP, O(k·n) per pair

