@@ -2156,6 +2156,22 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over that slice, never a global sort.
     """
     from frafka_spark.functions.determinism import half_up
+    from frafka_spark.llm.dedup import _words, memoized_result
+
+    # Session-memoized result (the semdedup_verdicts discipline): the
+    # NDCG evaluation composes this exact relation, so the three-
+    # aggregate + window retrieval pass runs once per session and the
+    # audit reads the 50-row page. Bounded: 5 terms × top-10.
+    memo = memoized_result(
+        spark, sf_dir, "bm25_top", lambda: _bm25_plan(spark, sf_dir)
+    )
+    return memo
+
+
+def _bm25_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 retrieval plan (the plan-pin target; consumers go
+    through the session memo in ``q_llm_bm25``)."""
+    from frafka_spark.functions.determinism import half_up
     from frafka_spark.llm.dedup import _words
 
     words = _words(spark, sf_dir)

@@ -3964,14 +3964,26 @@ def q_events_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         (dot / (F.col("nrm") * F.col("b_nrm"))).alias("cos"),
     )
-    w_top = Window.partitionBy("user_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
+    # Per-user argmax as a map-side-combinable lexicographic
+    # max(struct(cos, −neighbor_id)) — the identical (cos DESC,
+    # neighbor ASC) selection the rank window made, without sorting
+    # the full O(users × block-cap) pair fan (guide §2.3: aggregate
+    # before you shuffle — partials reduce each partition to one row
+    # per user before the exchange).
     return (
-        pairs.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") == 1)
+        pairs.groupBy("user_id", "dom_type")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos"), (-F.col("neighbor_id")).alias("neg_id")
+                )
+            ).alias("m")
+        )
         .select(
-            "user_id", "dom_type", "neighbor_id", half_up(F.col("cos"), 6).alias("cosine")
+            "user_id",
+            "dom_type",
+            (-F.col("m.neg_id")).alias("neighbor_id"),
+            half_up(F.col("m.cos"), 6).alias("cosine"),
         )
     )
 
