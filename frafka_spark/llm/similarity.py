@@ -66,10 +66,19 @@ _SQL_VECS = """
 
 MAX_GEMM_BUILD_ROWS = 1_000_000  # ~512 MB of float64 at dim 64
 
+# (app id, sf_dir) → broadcast handle: the matrix build (count +
+# collect + broadcast) is the expensive leg of both GEMM consumers
+# (q_llm_sim_cosine, q_llm_hard_negatives) and is deterministic per
+# session+sf_dir, so it runs once per session like _corpus_bloom.
+_UNIT_MATRIX_CACHE: dict = {}
+_UNIT_MATRIX_LOCK = __import__("threading").Lock()
+
 
 def _broadcast_unit_matrix(spark: SparkSession, sf_dir: str):
     """Bounded GEMM build side: (ids, labels, row-normalized matrix),
-    broadcast once — analogous to a broadcast join's build side.
+    broadcast once per session — analogous to a broadcast join's
+    build side (session-memoized: two declared queries and repeated
+    suite passes re-invoked the collect + broadcast otherwise).
 
     This is the ONLY driver-side collect in the engine, and it is
     deliberately bounded: the build side of a brute-force scorer must
@@ -78,6 +87,12 @@ def _broadcast_unit_matrix(spark: SparkSession, sf_dir: str):
     scale-path pointer instead of silently OOMing the driver.
     """
     import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _UNIT_MATRIX_LOCK:
+        hit = _UNIT_MATRIX_CACHE.get(key)
+        if hit is not None:
+            return hit
 
     v = _vectors(spark, sf_dir).select("vec_id", "label", "emb")
     n = v.count()
@@ -92,7 +107,12 @@ def _broadcast_unit_matrix(spark: SparkSession, sf_dir: str):
     labels = np.array([r["label"] for r in rows], dtype=np.int32)
     mat = np.array([r["emb"] for r in rows], dtype=np.float64)
     unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    return spark.sparkContext.broadcast((ids, labels, unit))
+    bcast = spark.sparkContext.broadcast((ids, labels, unit))
+    with _UNIT_MATRIX_LOCK:
+        prior = _UNIT_MATRIX_CACHE.setdefault(key, bcast)
+        if prior is not bcast:  # lost the race — drop the duplicate
+            bcast.unpersist()
+        return prior
 
 
 @query(
