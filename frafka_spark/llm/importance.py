@@ -540,6 +540,74 @@ def _lr_train_sql() -> str:
 _LR_CTES, _LR_FINAL = _lr_train_sql()
 
 
+def _lr_train_spark_sql() -> str:
+    """The engine-side GD chain as ONE SQL statement (mirrors the
+    DataFrame construction expression-for-expression; ``D`` suffixes
+    pin every literal to DOUBLE so the arithmetic is byte-identical
+    to the ``F.lit`` doubles it replaces). Built once at import.
+
+    Why SQL and not the DataFrame loop: classic PySpark runs the
+    analyzer EAGERLY on every Dataset construction, so the unrolled
+    8-step chain (~30 intermediate frames, each embedding the whole
+    chain so far) paid O(steps²) analysis — measured 0.59 s of
+    construction per call at steady state vs 0.68 s of execution.
+    One ``spark.sql`` call parses and analyzes the tree once
+    (guide §3.3: with very wide plans, planning itself becomes the
+    bottleneck). Every CTE is referenced exactly once (previous
+    weights ride ``first()`` carries through each gradient
+    aggregate), so the optimizer inlines them into the same linear
+    plan the DataFrame loop produced — broadcast hints keep the
+    1-row weight relations on BroadcastNestedLoopJoin build sides,
+    exactly as ``F.broadcast(cur)`` did."""
+    ctes = []
+    prev = None
+    for k in range(1, LR_STEPS + 1):
+        if prev is None:
+            ctes.append(
+                "g1 AS (SELECT avg(x0 * (y - 0.5D)) AS g0, "
+                "avg(x1 * (y - 0.5D)) AS g1, "
+                "avg(x2 * (y - 0.5D)) AS g2 FROM feats)"
+            )
+            ctes.append(
+                f"w1 AS (SELECT {LR_RATE}D * g0 AS w0, "
+                f"{LR_RATE}D * g1 AS w1, {LR_RATE}D * g2 AS w2 FROM g1)"
+            )
+        else:
+            sig = "1.0D / (1.0D + exp(-(w0 * x0 + w1 * x1 + w2 * x2)))"
+            ctes.append(
+                f"g{k} AS (SELECT /*+ BROADCAST({prev}) */ "
+                f"avg(x0 * (y - {sig})) AS g0, "
+                f"avg(x1 * (y - {sig})) AS g1, "
+                f"avg(x2 * (y - {sig})) AS g2, "
+                "first(w0) AS pw0, first(w1) AS pw1, first(w2) AS pw2 "
+                f"FROM feats CROSS JOIN {prev})"
+            )
+            ctes.append(
+                f"w{k} AS (SELECT pw0 + {LR_RATE}D * g0 AS w0, "
+                f"pw1 + {LR_RATE}D * g1 AS w1, "
+                f"pw2 + {LR_RATE}D * g2 AS w2 FROM g{k})"
+            )
+        prev = f"w{k}"
+    z = "w0 * x0 + w1 * x1 + w2 * x2"
+    return (
+        "WITH feats AS (SELECT * FROM {feats}),\n"
+        + ",\n".join(ctes)
+        + f"""
+    SELECT /*+ BROADCAST({prev}) */ lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(avg(1.0D / (1.0D + exp(-({z})))) * 10000.0D + 0.5D)
+               / 10000.0D AS avg_p,
+           CAST(sum(CASE WHEN {z} > 0D THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM feats CROSS JOIN {prev}
+    GROUP BY lang
+    """
+    )
+
+
+_LR_SPARK_SQL = _lr_train_spark_sql()
+
+
 @query(
     "q_llm_quality_train",
     oracle=f"""
@@ -583,56 +651,4 @@ def q_llm_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the relational shape.
     """
     feats = _lr_feats(spark, sf_dir)
-    w = {"w0": F.lit(0.0), "w1": F.lit(0.0), "w2": F.lit(0.0)}
-    cur = None  # 1-row weights frame after step 1
-    for k in range(1, LR_STEPS + 1):
-        if k == 1:
-            resid = F.col("y") - F.lit(0.5)
-            g = feats.agg(
-                F.avg(F.col("x0") * resid).alias("g0"),
-                F.avg(F.col("x1") * resid).alias("g1"),
-                F.avg(F.col("x2") * resid).alias("g2"),
-            )
-            cur = g.select(
-                (F.lit(LR_RATE) * F.col("g0")).alias("w0"),
-                (F.lit(LR_RATE) * F.col("g1")).alias("w1"),
-                (F.lit(LR_RATE) * F.col("g2")).alias("w2"),
-            )
-        else:
-            joined = feats.crossJoin(F.broadcast(cur))
-            sig = F.lit(1.0) / (
-                F.lit(1.0)
-                + F.exp(
-                    -(
-                        F.col("w0") * F.col("x0")
-                        + F.col("w1") * F.col("x1")
-                        + F.col("w2") * F.col("x2")
-                    )
-                )
-            )
-            resid = F.col("y") - sig
-            g = joined.agg(
-                F.avg(F.col("x0") * resid).alias("g0"),
-                F.avg(F.col("x1") * resid).alias("g1"),
-                F.avg(F.col("x2") * resid).alias("g2"),
-                F.first("w0").alias("pw0"),
-                F.first("w1").alias("pw1"),
-                F.first("w2").alias("pw2"),
-            )
-            cur = g.select(
-                (F.col("pw0") + F.lit(LR_RATE) * F.col("g0")).alias("w0"),
-                (F.col("pw1") + F.lit(LR_RATE) * F.col("g1")).alias("w1"),
-                (F.col("pw2") + F.lit(LR_RATE) * F.col("g2")).alias("w2"),
-            )
-    scored = feats.crossJoin(F.broadcast(cur))
-    z = (
-        F.col("w0") * F.col("x0")
-        + F.col("w1") * F.col("x1")
-        + F.col("w2") * F.col("x2")
-    )
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return scored.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        half_up(F.avg(p), 4).alias("avg_p"),
-        F.sum(F.when(z > 0, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
-    )
+    return spark.sql(_LR_SPARK_SQL, feats=feats)
