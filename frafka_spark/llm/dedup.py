@@ -105,17 +105,41 @@ def shared_lookup(
         return _SHARED.get((spark.sparkContext.applicationId, sf_dir, tag))
 
 
-def warm_shared_projections(spark: SparkSession, sf_dir: str) -> list[str]:
+#: Known build-dependency edges between shared tags: a tag listed
+#: here is only counted after its bases have finished warming, so the
+#: concurrent warm never races a dependent build against its base
+#: (the race is benign — duplicate partition build, never wrong — but
+#: it would waste exactly the work the overlap is meant to save).
+_WARM_AFTER: dict[str, tuple[str, ...]] = {"simhash_sigs": ("words",)}
+
+
+def warm_shared_projections(
+    spark: SparkSession, sf_dir: str, max_workers: int = 4
+) -> list[str]:
     """Materialize every shared cached projection for this session +
-    ``sf_dir``, one count() at a time, so no concurrent consumer ever
-    races a cold cache build. Returns the tags warmed (idempotent:
-    already-warm tags are skipped).
+    ``sf_dir`` so no concurrent consumer ever races a cold cache
+    build. Returns the tags warmed (idempotent: already-warm tags are
+    skipped).
+
+    The independent cache builds overlap on a small thread pool
+    (guide §2.6: actions are only sequential because the driver calls
+    them sequentially; each count() is a few small tasks, so the next
+    build's tasks back-fill the cores the previous one leaves idle —
+    measured 6.2 s sequential → 3.2-4.0 s at 4 workers for the 5
+    base projections). Dependency edges (``_WARM_AFTER``) are honored by
+    submitting dep-free tags first (FIFO pool ⇒ bases are scheduled
+    before any dependent can occupy a worker, so the in-task wait
+    cannot deadlock) and having dependents wait on their bases'
+    futures. Job groups are thread-local, so each build is labeled
+    correctly in the UI.
 
     The known builders are invoked first so warming does not depend
     on which query constructors happened to run already; any
     additional projections registered by earlier constructions are
     swept up too.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from frafka_spark.llm.similarity import _cells
     from frafka_spark.llm.text import _bigrams
 
@@ -128,13 +152,33 @@ def warm_shared_projections(spark: SparkSession, sf_dir: str) -> list[str]:
             for key, df in _SHARED.items()
             if key[0] == app and key[1] == sf_dir and key not in _WARMED
         }
-    warmed = []
-    for key in sorted(todo):
+    if not todo:
+        return []
+
+    futs: dict[str, object] = {}
+
+    def _warm(key, deps):
+        for d in deps:
+            d.result()
+        spark.sparkContext.setJobDescription(f"warm: {key[2]}")
         todo[key].count()
+        spark.sparkContext.setJobDescription(None)
         with _SHARED_LOCK:
             _WARMED.add(key)
-        warmed.append(key[2])
-    return warmed
+        return key[2]
+
+    # dep-free tags first so every base is queued ahead of its
+    # dependents (see docstring for why this prevents deadlock)
+    order = sorted(todo, key=lambda k: (k[2] in _WARM_AFTER, k))
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        for key in order:
+            deps = [
+                futs[d]
+                for d in _WARM_AFTER.get(key[2], ())
+                if d in futs
+            ]
+            futs[key[2]] = pool.submit(_warm, key, deps)
+        return [f.result() for f in futs.values()]
 
 
 N_MINHASH = 8  # minhash permutations (seeds 0..7)
