@@ -1225,6 +1225,24 @@ def test_rouge_matches_python_model_on_pairs(spark):
         assert r["rouge1_f"] > 0.5
 
 
+def test_rouge_counts_leg_is_session_memoized(spark):
+    """The ROUGE gram-count leg is built (and physically planned) once
+    per session: reconstruction returns the SAME shared checkpoint
+    relation instead of re-planning the semi-join/aggregate subtree,
+    and the audit's rows are identical either way."""
+    from frafka_spark.llm.dedup import shared_lookup
+    from frafka_spark.registry import QUERIES as Q
+
+    first = Q["q_llm_rouge"].fn(spark, SF_DIR)
+    leg = shared_lookup(spark, SF_DIR, "rouge_counts")
+    assert leg is not None
+    second = Q["q_llm_rouge"].fn(spark, SF_DIR)
+    assert shared_lookup(spark, SF_DIR, "rouge_counts") is leg
+    a = sorted(tuple(r) for r in first.collect())
+    b = sorted(tuple(r) for r in second.collect())
+    assert a and a == b
+
+
 def test_heldout_nll_covers_val_split_and_prices_oov(spark):
     """Leakage-free protocol invariants: exactly the val-split docs
     with >= 2 words are scored, per-doc OOV counts equal a python
