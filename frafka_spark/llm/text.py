@@ -1268,7 +1268,11 @@ def q_llm_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     ranked = range_partitioned_row_number(
-        d, [F.col("n_chars").asc(), F.col("doc_id").asc()], out="rn", total="n"
+        d,
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        out="rn",
+        total="n",
+        memo=(spark, sf_dir, "length_deciles_ranked"),
     )
     decile = ((F.col("rn") - 1) * 10 / F.col("n")).cast("bigint") + 1
     return (
@@ -2403,10 +2407,16 @@ def q_llm_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_vocab"),
     )
     r1 = range_partitioned_row_number(
-        d, [F.col("n_chars").desc(), F.col("doc_id").asc()], out="r1"
+        d,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        out="r1",
+        memo=(spark, sf_dir, "rrf_ranked_r1"),
     )
     r = range_partitioned_row_number(
-        r1, [F.col("n_vocab").desc(), F.col("doc_id").asc()], out="r2"
+        r1,
+        [F.col("n_vocab").desc(), F.col("doc_id").asc()],
+        out="r2",
+        memo=(spark, sf_dir, "rrf_ranked_r2"),
     )
     fused = (
         F.floor(F.lit(1000000000000.0) / (F.lit(60.0) + F.col("r1")))

@@ -1370,6 +1370,7 @@ def q_events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("n").desc(), F.col("user_id").asc()],
         out="rn",
         total="n_users",
+        memo=(spark, sf_dir, "pareto_ranked"),
     )
     decile = ((F.col("rn") - 1) * 10 / F.col("n_users")).cast("bigint") + 1
     deciles = ranked.groupBy(decile.alias("user_decile")).agg(
@@ -1527,7 +1528,10 @@ def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     ranked = range_partitioned_row_number(
-        per_user, [F.col("n").asc(), F.col("user_id").asc()], out="rnk"
+        per_user,
+        [F.col("n").asc(), F.col("user_id").asc()],
+        out="rnk",
+        memo=(spark, sf_dir, "gini_ranked"),
     )
     return ranked.agg(
         F.count("*").cast("bigint").alias("n_users"),
@@ -1732,7 +1736,11 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     ranked = range_partitioned_row_number(
-        melted, ["metric", "val", "user_id"], out="_rn", total="_n"
+        melted,
+        ["metric", "val", "user_id"],
+        out="_rn",
+        total="_n",
+        memo=(spark, sf_dir, "rfm_ranked"),
     )
     # blocks are contiguous because 'metric' leads the total order;
     # block indexes follow the metric strings' sort order f < m < r

@@ -59,6 +59,7 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         s,
         [F.col("nk").desc_nulls_last(), F.col("bal").asc(), F.col("s_suppkey").asc()],
         out="sort_pos",
+        memo=(spark, sf_dir, "sort_multi_ranked"),
     )
 
 

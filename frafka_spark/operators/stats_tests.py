@@ -32,9 +32,18 @@ from frafka_spark.registry import query
 
 
 def range_partitioned_cumsum(
-    df: DataFrame, order_by: list, cols: list[str]
+    df: DataFrame,
+    order_by: list,
+    cols: list[str],
+    memo: tuple | None = None,
 ) -> DataFrame:
     """Global running sums WITHOUT a single-task global window.
+
+    ``memo``: optional ``(spark, sf_dir, tag)`` — same contract as
+    ``range_partitioned_row_number``: the lazy localCheckpoint pays
+    physical planning per CONSTRUCTION, so deterministic callers
+    register the built frame in the shared-projection memo and pay
+    it once per session.
 
     The cumulative-aggregate twin of
     ``windows.range_partitioned_row_number`` (same mechanics, same
@@ -50,6 +59,13 @@ def range_partitioned_cumsum(
     each requested column.
     """
     from frafka_spark.io import shuffle_width
+
+    if memo is not None:
+        from frafka_spark.llm.dedup import shared_lookup
+
+        hit = shared_lookup(*memo)
+        if hit is not None:
+            return hit
 
     ranged = df.repartitionByRange(shuffle_width(df), *order_by).withColumn(
         "_pid", F.spark_partition_id()
@@ -81,7 +97,15 @@ def range_partitioned_cumsum(
     out = local.join(F.broadcast(offsets), "_pid")
     for c in cols:
         out = out.withColumn(f"cum_{c}", F.col(f"_cum_{c}") + F.col(f"_off_{c}"))
-    return out.drop("_pid", *[f"_cum_{c}" for c in cols], *[f"_off_{c}" for c in cols])
+    out = out.drop(
+        "_pid", *[f"_cum_{c}" for c in cols], *[f"_off_{c}" for c in cols]
+    )
+    if memo is not None:
+        from frafka_spark.llm.dedup import materialize_once
+
+        spark, sf_dir, tag = memo
+        return materialize_once(out, spark, sf_dir, tag)
+    return out
 
 
 @query(
@@ -159,7 +183,9 @@ def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_c"
         ),
     )
-    cum = range_partitioned_cumsum(pv, ["value"], ["a_c", "t"])
+    cum = range_partitioned_cumsum(
+        pv, ["value"], ["a_c", "t"], memo=(spark, sf_dir, "ks_drift_cumsum")
+    )
     tot = pv.agg(
         F.sum("a_c").alias("n_a"), F.sum(F.col("t") - F.col("a_c")).alias("n_b")
     )
@@ -261,7 +287,9 @@ def q_events_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_c"
         ),
     )
-    cum = range_partitioned_cumsum(pv, ["value"], ["t"])
+    cum = range_partitioned_cumsum(
+        pv, ["value"], ["t"], memo=(spark, sf_dir, "mwu_cumsum")
+    )
     td = F.col("t").cast("decimal(19,0)")
     folds = cum.agg(
         F.sum("a_c").alias("n_a"),

@@ -183,7 +183,11 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     df = range_partitioned_row_number(
-        c, ["c_acctbal", "c_custkey"], out="_rn", total="_n"
+        c,
+        ["c_acctbal", "c_custkey"],
+        out="_rn",
+        total="_n",
+        memo=(spark, sf_dir, "win_ntile_ranked"),
     )
     quartile = F.expr(
         """CAST(1 + CASE
@@ -277,9 +281,24 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def range_partitioned_row_number(
-    df: DataFrame, order_by: list, out: str = "rn", total: str | None = None
+    df: DataFrame,
+    order_by: list,
+    out: str = "rn",
+    total: str | None = None,
+    memo: tuple | None = None,
 ) -> DataFrame:
     """Global row_number WITHOUT the single-task global sort.
+
+    ``memo``: optional ``(spark, sf_dir, tag)`` — register the ranked
+    relation in the session's shared-projection memo
+    (``shared_lookup`` / ``materialize_once``) so reconstruction
+    returns the first-built frame. Even a LAZY localCheckpoint pays
+    full analysis + physical planning of its subtree at CONSTRUCTION
+    time (measured ~0.3-0.4 s driver CPU per call at sf0.1 — the
+    ``_lr_feats`` lesson, guide §3.3 planning-cost note), so callers
+    whose ``df``/``order_by`` are deterministic per (session,
+    sf_dir) — every declared query using this helper — pass a tag
+    and pay it once per session.
 
     The scale replacement for ``Window.orderBy(...)`` with no
     partition key (which moves ALL rows to one task — Spark itself
@@ -298,6 +317,13 @@ def range_partitioned_row_number(
     result to be deterministic.
     """
     from frafka_spark.io import shuffle_width
+
+    if memo is not None:
+        from frafka_spark.llm.dedup import shared_lookup
+
+        hit = shared_lookup(*memo)
+        if hit is not None:
+            return hit
 
     ranged = df.repartitionByRange(shuffle_width(df), *order_by).withColumn(
         "_pid", F.spark_partition_id()
@@ -336,13 +362,19 @@ def range_partitioned_row_number(
         )
         offsets = offsets.withColumn(total, F.sum("_cnt").over(w_all))
     offsets = offsets.drop("_cnt")
-    return (
+    result = (
         local.join(F.broadcast(offsets), "_pid")
         # bigint: a global rank at the scale this function targets
         # overflows int32
         .withColumn(out, (F.col("_offset") + F.col("_local_rn")).cast("bigint"))
         .drop("_pid", "_local_rn", "_offset")
     )
+    if memo is not None:
+        from frafka_spark.llm.dedup import materialize_once
+
+        spark, sf_dir, tag = memo
+        return materialize_once(result, spark, sf_dir, tag)
+    return result
 
 
 @query(
@@ -371,7 +403,10 @@ def q_win_rank_global_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     ranked = range_partitioned_row_number(
-        o, ["o_totalprice", "o_orderkey"], out="rn"
+        o,
+        ["o_totalprice", "o_orderkey"],
+        out="rn",
+        memo=(spark, sf_dir, "win_rank_global_ranked"),
     )
     return ranked.select(
         "o_orderkey",

@@ -250,6 +250,41 @@ def test_range_partitioned_row_number_equals_global(spark):
     assert all("o_totalprice" not in w for w in win_specs), win_specs
 
 
+def test_range_partitioned_helpers_memoize_per_session(spark):
+    """With a ``memo`` triple, both range-partitioned helpers build
+    (and physically plan) their checkpoint leg once per session:
+    reconstruction returns the SAME registered frame; without a memo
+    every call still builds a fresh frame; results are identical
+    either way."""
+    from frafka_spark.io import table
+    from frafka_spark.llm.dedup import shared_lookup
+    from frafka_spark.operators.stats_tests import range_partitioned_cumsum
+    from frafka_spark.operators.windows import range_partitioned_row_number
+
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    order = ["o_totalprice", "o_orderkey"]
+    tag = "test_rpn_memo"
+    first = range_partitioned_row_number(o, order, out="rn", memo=(spark, SF_DIR, tag))
+    assert shared_lookup(spark, SF_DIR, tag) is first
+    second = range_partitioned_row_number(o, order, out="rn", memo=(spark, SF_DIR, tag))
+    assert second is first
+    plain = range_partitioned_row_number(o, order, out="rn")
+    assert plain is not first
+    a = sorted(tuple(r) for r in first.collect())
+    b = sorted(tuple(r) for r in plain.collect())
+    assert a and a == b
+
+    base = o.groupBy("o_totalprice").agg(F.count("*").alias("t"))
+    ctag = "test_rpc_memo"
+    c1 = range_partitioned_cumsum(
+        base, ["o_totalprice"], ["t"], memo=(spark, SF_DIR, ctag)
+    )
+    c2 = range_partitioned_cumsum(
+        base, ["o_totalprice"], ["t"], memo=(spark, SF_DIR, ctag)
+    )
+    assert c2 is c1 and shared_lookup(spark, SF_DIR, ctag) is c1
+
+
 def test_shuffle_width_clamps_plain_session_default(spark):
     """ADVICE r2: a plain session's default 200 must not fan tiny
     fixtures into 200 partitions — clamp to defaultParallelism × 2.
