@@ -2891,57 +2891,67 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SentencePiece et al., vocab-counted variants) stay tractable.
     The per-round DataFrames are cached: each round's plan reads the
     previous round's materialized vocab, never a re-derivation chain.
+    The K-row merge table itself rides ``memoized_result`` (the BM25-
+    page discipline): without it, every re-execution of the output
+    union re-ran all K winner aggregates plus the K pair aggregates
+    over the cached rounds — 8 aggregate jobs per pass for a 4-row
+    artifact (warm 0.95 s → 0.03 s at sf0.1).
     """
-    from frafka_spark.llm.dedup import _words, materialize_once
+    from frafka_spark.llm.dedup import _words, materialize_once, memoized_result
 
-    vocab = (
-        _words(spark, sf_dir)
-        .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
-    enc = F.concat(
-        F.lit("|"),
-        F.concat_ws("|", F.split("word", "")),
-        F.lit("|$|"),
-    )
-    cur = vocab.select(enc.alias("enc"), "freq")
-    cur = materialize_once(cur.cache(), spark, sf_dir, "bpe_v0")
-    merges = []
-    for k in range(1, BPE_MERGES + 1):
-        syms = F.filter(F.split("enc", "[|]"), lambda x: x != F.lit(""))
-        pairs = F.transform(
-            F.sequence(F.lit(1), F.size(F.col("s")) - 1),
-            lambda i: F.struct(
-                F.element_at("s", i).alias("l"),
-                F.element_at("s", i + 1).alias("r"),
-            ),
+    def build() -> DataFrame:
+        vocab = (
+            _words(spark, sf_dir)
+            .filter(F.length("word") > 0)
+            .groupBy("word")
+            .agg(F.count("*").alias("freq"))
         )
-        pk = (
-            cur.select(syms.alias("s"), "freq")
-            .select(F.explode(pairs).alias("p"), "freq")
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        enc = F.concat(
+            F.lit("|"),
+            F.concat_ws("|", F.split("word", "")),
+            F.lit("|$|"),
         )
-        tk = pk.orderBy(
-            F.col("pair_count").desc(), F.col("l").asc(), F.col("r").asc()
-        ).limit(1)
-        merges.append(tk.select(F.lit(k).alias("step"), "l", "r", "pair_count"))
-        nxt = cur.crossJoin(F.broadcast(tk.select("l", "r"))).select(
-            F.replace(
-                F.col("enc"),
-                F.concat(F.lit("|"), "l", F.lit("|"), "r", F.lit("|")),
-                F.concat(F.lit("|"), "l", F.col("r"), F.lit("|")),
-            ).alias("enc"),
-            "freq",
+        cur = vocab.select(enc.alias("enc"), "freq")
+        cur = materialize_once(cur.cache(), spark, sf_dir, "bpe_v0")
+        merges = []
+        for k in range(1, BPE_MERGES + 1):
+            syms = F.filter(F.split("enc", "[|]"), lambda x: x != F.lit(""))
+            pairs = F.transform(
+                F.sequence(F.lit(1), F.size(F.col("s")) - 1),
+                lambda i: F.struct(
+                    F.element_at("s", i).alias("l"),
+                    F.element_at("s", i + 1).alias("r"),
+                ),
+            )
+            pk = (
+                cur.select(syms.alias("s"), "freq")
+                .select(F.explode(pairs).alias("p"), "freq")
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+            )
+            tk = pk.orderBy(
+                F.col("pair_count").desc(), F.col("l").asc(), F.col("r").asc()
+            ).limit(1)
+            merges.append(
+                tk.select(F.lit(k).alias("step"), "l", "r", "pair_count")
+            )
+            nxt = cur.crossJoin(F.broadcast(tk.select("l", "r"))).select(
+                F.replace(
+                    F.col("enc"),
+                    F.concat(F.lit("|"), "l", F.lit("|"), "r", F.lit("|")),
+                    F.concat(F.lit("|"), "l", F.col("r"), F.lit("|")),
+                ).alias("enc"),
+                "freq",
+            )
+            cur = materialize_once(nxt.cache(), spark, sf_dir, f"bpe_v{k}")
+        out = merges[0]
+        for m in merges[1:]:
+            out = out.unionAll(m)
+        return out.select(
+            "step", "l", "r", F.concat("l", "r").alias("merged"), "pair_count"
         )
-        cur = materialize_once(nxt.cache(), spark, sf_dir, f"bpe_v{k}")
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out.select(
-        "step", "l", "r", F.concat("l", "r").alias("merged"), "pair_count"
-    )
+
+    return memoized_result(spark, sf_dir, "bpe_merge_table", build)
 
 
 def _bpe_encode_oracle() -> str:
@@ -3031,16 +3041,23 @@ def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the final ratio.
 
     Scale shape: encode on the VOCABULARY (distinct words), never
-    the corpus — the |vocab|-row word chain applies each of the K
-    merges as one broadcast-pair replace projection, then ONE join
-    from the exploded token stream to per-word stats (both sides
+    the corpus — the trained merge table (K bounded rows, THE
+    tokenizer artifact) is collected once and applied to the
+    |vocab|-row word chain as K literal replace projections, then ONE
+    join from the exploded token stream to per-word stats (both sides
     hash-partitioned on word) and a doc_id rollup. At 100 TB this is
     how a tokenizer pass stays tractable: O(K·|vocab|) training-
     table application plus one corpus-sized join, instead of running
-    the merge loop per occurrence. The per-step word relations are
-    cached; the train key's own per-step caches are shared via the
-    session memo, so train + encode in one suite replay training
-    once.
+    the merge loop per occurrence. The K-row collect is the k-means-
+    centroid coordination shape — bounded by the merge count, never
+    the corpus; applying the merges as a per-step BROADCAST JOIN of
+    the memoized merge relation instead embedded that relation's full
+    cached-plan text in every step of the cached word chain, and the
+    nesting compounded to a 556 866-line physical plan whose
+    serialization alone cost ~10 s PER ACTION (guide §3.3 plan-size
+    discipline; literals collapse it to a flat projection chain).
+    The per-step word relations are cached and session-shared, so
+    train + encode in one suite replay training once.
     """
     from frafka_spark.llm.dedup import _words, materialize_once, memoized_result
 
@@ -3058,19 +3075,21 @@ def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = vocab.select("word", enc.alias("enc"), "freq")
         cur = materialize_once(cur.cache(), spark, sf_dir, "bpe_w0")
-        merge_tbl = q_llm_bpe_train(spark, sf_dir)
-        for k in range(1, BPE_MERGES + 1):
-            tk = merge_tbl.filter(F.col("step") == k).select("l", "r")
-            nxt = cur.crossJoin(F.broadcast(tk)).select(
+        merge_rows = sorted(
+            q_llm_bpe_train(spark, sf_dir).select("step", "l", "r").collect()
+        )
+        assert len(merge_rows) == BPE_MERGES
+        for step, left, right in merge_rows:
+            nxt = cur.select(
                 "word",
                 F.replace(
                     F.col("enc"),
-                    F.concat(F.lit("|"), "l", F.lit("|"), "r", F.lit("|")),
-                    F.concat(F.lit("|"), "l", F.col("r"), F.lit("|")),
+                    F.lit(f"|{left}|{right}|"),
+                    F.lit(f"|{left}{right}|"),
                 ).alias("enc"),
                 "freq",
             )
-            cur = materialize_once(nxt.cache(), spark, sf_dir, f"bpe_w{k}")
+            cur = materialize_once(nxt.cache(), spark, sf_dir, f"bpe_w{step}")
         syms = F.filter(F.split("enc", "[|]"), lambda x: x != F.lit(""))
         return cur.select(
             "word",
