@@ -1930,3 +1930,43 @@ def test_doremi_broadcasts_only_scalar_sides(spark):
     assert "SortMergeJoin" in plan, plan  # corpus-sized joins stay keyed
     exch = re.findall(r"\(\d+\) BroadcastExchange", plan)
     assert len(exch) <= 4, (exch, plan)
+
+
+def test_simhash_probe_pair_stream_not_reshuffled(spark):
+    """q_llm_dedup_simhash_probe: the 17 probe keys of a doc are
+    pairwise distinct, so each qualifying pair leaves the probe join
+    exactly once — the plan must not pay a distinct
+    Exchange+HashAggregate over the (doc_a, doc_b) pair stream."""
+    plan = _plan(spark, "q_llm_dedup_simhash_probe")
+    assert "hashpartitioning(doc_a" not in plan, plan
+
+
+def test_basket_lift_has_no_basket_self_join(spark):
+    """q_basket_lift: pairs generate IN-ROW from the per-basket
+    collect_set — the plan keys at most one exchange on the basket
+    key and never self-joins on it (the A-priori expansion shape)."""
+    plan = _plan(spark, "q_basket_lift")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("hashpartitioning(okey") <= 1, plan
+    assert "collect_set" in plan, plan
+
+
+def test_bpe_encode_plan_stays_flat(spark):
+    """q_llm_bpe_encode: the trained merge table is applied as K
+    literal replaces — re-introducing a per-step broadcast of the
+    memoized merge relation re-embeds its cached-plan text in every
+    cached step and compounds to a >500k-line plan (~10 s of
+    serialization per action). Pin the flat shape."""
+    df = _df(spark, "q_llm_bpe_encode")
+    plan = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(plan.splitlines()) < 5000, len(plan.splitlines())
+
+
+def test_report_artifacts_memoize_per_session(spark):
+    """The 3-row dedup-policy report and the K-row BPE merge table
+    ride memoized_result: repeated constructions must return the
+    SAME session-cached frame (no per-pass re-aggregation)."""
+    for name in ("q_llm_dedup_policy_compare", "q_llm_bpe_train"):
+        first = _df(spark, name)
+        assert _df(spark, name) is first, name
