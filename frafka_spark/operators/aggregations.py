@@ -1082,30 +1082,49 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential proves the distributed formulation implements the
     textbook definition, not one engine's builtin.
 
-    Scale shape: one cumulative-weight window partitioned by the
-    group key (each group sorts within its hash partition — no
-    global sort), the group-total as a frame-free window over the
-    same partitioning (one exchange serves both), then a min-filter
+    Scale shape: the cumulative weight rides
+    ``range_partitioned_cumsum`` over the TOTAL order (group, value,
+    tiebreak) — a ``Window.partitionBy(l_returnflag)`` puts each
+    group's entire timeline through ONE task (3 groups ⇒ parallelism
+    3, a straggler at any scale; guide §2.5), while the ranged form
+    sorts in cluster-width partitions and reconciles with offsets
+    bounded by width. Per-group running weight = global running
+    weight − the group's starting offset, where the 3-row
+    group-total/offset frame BROADCASTS; then the min-filter
     aggregate with map-side partials. Weights are integral
     (quantities), so every comparison is exact integer arithmetic —
-    the 2·cumw ≥ totw crossing cannot flip engine-to-engine. At
-    100 TB the one sort-exchange on the group key is the entire
-    cost; skewed groups take the salting utility like any keyed
-    window.
+    the 2·cumw ≥ totw crossing cannot flip engine-to-engine.
     """
-    li = table(spark, sf_dir, "lineitem")
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_tot = Window.partitionBy("l_returnflag")
-    wt = F.col("l_quantity").cast("bigint")
-    staged = li.select(
+    from frafka_spark.operators.stats_tests import range_partitioned_cumsum
+
+    li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("v"),
-        F.sum(wt).over(w_cum).alias("cumw"),
-        F.sum(wt).over(w_tot).alias("totw"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    # total order: (group, value, orderkey, linenumber) is unique, and
+    # restricted to one group it is exactly the original within-group
+    # (value, orderkey, linenumber) order — cumw is identical.
+    cum = range_partitioned_cumsum(
+        li,
+        ["l_returnflag", "v", "l_orderkey", "l_linenumber"],
+        ["w"],
+        memo=(spark, sf_dir, "wmedian_cumsum"),
+    )
+    gt = cum.groupBy("l_returnflag").agg(F.sum("w").alias("totw"))
+    w_off = Window.orderBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = gt.withColumn(
+        "_goff", F.coalesce(F.sum("totw").over(w_off), F.lit(0))
+    )
+    staged = cum.join(F.broadcast(offs), "l_returnflag").select(
+        "l_returnflag",
+        "v",
+        (F.col("cum_w") - F.col("_goff")).alias("cumw"),
+        "totw",
     )
     return (
         staged.filter(2 * F.col("cumw") >= F.col("totw"))

@@ -96,16 +96,21 @@ def q_events_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned half-up. ``COUNT(CASE ...) OVER (... AND 1 PRECEDING)``
     over an empty frame is 0 on both engines (first row → segment 0).
 
-    Scale shape: every stage is KEYED — the map-side-combined minute
-    rollup exchanges on (key, mi), the segmentation window on (key)
-    (running count — O(n) incremental frame), and the bounds
-    aggregate plus the episode join stay in the key family (four
-    keyed exchanges total, plan-pinned; no all-to-one stage, no
-    corpus broadcast). No per-row recursion, no unbounded-following
-    frame, nothing quadratic — the lo-row segmentation turns the
-    sequential machine into window + aggregates, which is why the
-    batch backfill of years of history is safe where replaying the
-    stream would not be.
+    Scale shape: every stage is KEYED and the plan is ONE linear
+    pipeline — the map-side-combined minute rollup exchanges on
+    (key, mi), the segmentation window on (key) (running count —
+    O(n) incremental frame), and the per-segment bounds are
+    FULL-FRAME WINDOW mins over (key, seg_id) rather than a separate
+    aggregate joined back: the join form re-executed the whole
+    rollup+window subtree on BOTH join children (Catalyst optimizes
+    trees, not DAGs), while the window form reads the segment rows
+    once (three keyed exchanges + the final episode aggregate,
+    plan-pinned; no all-to-one stage, no corpus broadcast, no
+    self-join). No per-row recursion, no unbounded-following frame,
+    nothing quadratic — the lo-row segmentation turns the sequential
+    machine into window + aggregates, which is why the batch backfill
+    of years of history is safe where replaying the stream would not
+    be.
     """
     e = table(spark, sf_dir, "events")
     obs = e.groupBy(
@@ -121,13 +126,23 @@ def q_events_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_id",
         F.count(F.when(F.col("v") < ALERT_LO, 1)).over(w_seg),
     )
-    bounds = seg.groupBy("key", "seg_id").agg(
-        F.min(F.when(F.col("v") > ALERT_HI, F.col("mi"))).alias("opened_mi"),
-        F.min(F.when(F.col("v") < ALERT_LO, F.col("mi"))).alias("closed_mi"),
+    # per-segment bounds as full-frame mins — identical semantics to
+    # aggregating (key, seg_id) bounds and joining them back onto the
+    # segment rows, without the second read of the segment subtree
+    w_b = Window.partitionBy("key", "seg_id")
+    bounded = seg.select(
+        "key",
+        "mi",
+        "v",
+        F.min(F.when(F.col("v") > ALERT_HI, F.col("mi")))
+        .over(w_b)
+        .alias("opened_mi"),
+        F.min(F.when(F.col("v") < ALERT_LO, F.col("mi")))
+        .over(w_b)
+        .alias("closed_mi"),
     )
     episodes = (
-        seg.join(bounds, ["key", "seg_id"])
-        .filter(
+        bounded.filter(
             F.col("opened_mi").isNotNull()
             & F.col("closed_mi").isNotNull()
             & (F.col("mi") >= F.col("opened_mi"))

@@ -1023,20 +1023,26 @@ def test_pq_broadcasts_only_the_codebook(spark):
 
 
 def test_alert_episodes_single_key_exchange(spark):
-    """q_events_alert_episodes: the segmentation window, the bounds
-    aggregate, and the episode join all live on the key family — at
-    most the four keyed exchanges the docstring declares (rollup,
-    window, bounds, join), no unbounded-FOLLOWING frame (the
-    interpolate lesson), no cartesian, and the minute rollup
-    partial-aggregates map-side."""
+    """q_events_alert_episodes: one LINEAR keyed pipeline — rollup,
+    segmentation window, full-frame bounds window, episode aggregate
+    (at most the four keyed exchanges the docstring declares), NO
+    join at all (the bounds-join form re-read the segment subtree on
+    both children), no unbounded-FOLLOWING frame (the interpolate
+    lesson), no cartesian, and the minute rollup partial-aggregates
+    map-side."""
     from frafka_spark.plans.inspect import shuffle_count
 
     df = _df(spark, "q_events_alert_episodes")
     assert has_partial_aggregation(df)
     assert shuffle_count(df) <= 4, plan_str(df)
     plan = plan_str(df)
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert "unboundedfollowing" not in plan.lower(), plan
+    # the interpolate lesson, precisely: the SHRINKING frame
+    # (currentrow → unboundedfollowing) re-aggregates per row — O(n²);
+    # the full-partition frame (unboundedpreceding → unboundedfollowing)
+    # the bounds windows use is computed ONCE per partition — O(n).
+    assert "currentrow$(), unboundedfollowing$()" not in plan.lower(), plan
 
 
 def test_pq_adc_broadcasts_only_query_bounded_sides(spark):
