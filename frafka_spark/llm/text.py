@@ -1112,38 +1112,82 @@ def q_llm_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The vocabulary cap IS the scale contract: an uncapped co-occur
     explodes as Σ_doc uniq², so every production collocation pipeline
-    counts pairs only over a fixed top-V vocabulary. Here the doc×word
-    incidence list (distinct words per doc — `array_distinct` before
-    the explode, so tf does not inflate the doc count) joins a
-    broadcast 30-row vocab, then self-joins on doc_id with ``w1 < w2``
-    — fan-out bounded by V²/2 per doc, never corpus². The vocab
+    counts pairs only over a fixed top-V vocabulary. The vocab
     selection orders (df DESC, w ASC) so boundary ties are
     deterministic. PMI's inputs are exact integer counts; both
     engines evaluate the identical ``ln((c·N)/(df₁·df₂))`` double
     expression, so round(·,4) hash-matches (the ``q_llm_entropy``
     ln-parity precedent).
+
+    Scale shape: the 30-word vocab folds to a ONE-ROW broadcast
+    array, each doc's distinct-word array intersects it IN-ROW
+    (``array_intersect`` — no token explode, no join back), and the
+    sorted intersection expands its own a<b pair combinations in-row
+    (the ``q_basket_lift`` A-priori expansion, ≤ V²/2 per doc). One
+    corpus-sized exchange remains — the pair-count aggregate, which
+    partial-aggregates map-side to ≤ V²/2 rows per partition; the
+    earlier doc_id self-join of the exploded incidence list paid a
+    corpus exchange for the join itself on top of that. df columns
+    rejoin from the broadcast vocab on the 435-row pair output.
     """
     d = table(spark, sf_dir, "documents")
-    # Per-doc distinct INSIDE the projection (array_distinct before
-    # the explode) — the corpus-wide `.distinct()` this replaces
-    # shuffled every token; deduping within the row costs zero
-    # exchanges and is exactly what the oracle's list_distinct does.
+    # Per-doc distinct INSIDE the projection (array_distinct, no
+    # explode): the token stream only ever explodes once, for the
+    # document-frequency aggregate that selects the vocab.
     words = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
     )
     dfreq = words.groupBy("word").agg(F.count("*").alias("df"))
     vocab = dfreq.orderBy(F.col("df").desc(), F.col("word").asc()).limit(30)
-    wv = words.join(F.broadcast(vocab), "word")
-    a = wv.select("doc_id", F.col("word").alias("w1"), F.col("df").alias("df1"))
-    b = wv.select("doc_id", F.col("word").alias("w2"), F.col("df").alias("df2"))
-    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
-    return (
-        a.join(b, ["doc_id"])
-        .filter(F.col("w1") < F.col("w2"))
-        .groupBy("w1", "w2", "df1", "df2")
+    vlist = vocab.agg(F.sort_array(F.collect_list("word")).alias("vws"))
+    ws = F.sort_array(
+        F.array_intersect(F.array_distinct(F.split("text", " ")), F.col("vws"))
+    )
+    # pair stream carries ONE int per pair, not two strings: both
+    # arrays are sorted asc, so 1-based vocab positions of ws are
+    # strictly increasing and p1*64+p2 encodes each w1<w2 pair
+    # uniquely (V=30 < 64). The Σ_doc uniq²/2 explode+partial-agg is
+    # the whole cost of this query — hashing a 4-byte code beats
+    # hashing two strings on every one of those rows; the 435-row
+    # aggregate output decodes back through the same broadcast vocab.
+    pos = F.transform(
+        F.col("ws"),
+        lambda x: F.array_position(F.col("vws"), x).cast("int"),
+    )
+    codes = F.flatten(
+        F.transform(
+            F.col("pos"),
+            lambda a, i: F.transform(
+                F.slice(F.col("pos"), i + F.lit(2), F.size(F.col("pos"))),
+                lambda b: a * F.lit(64) + b,
+            ),
+        )
+    )
+    pairs = (
+        d.crossJoin(F.broadcast(vlist))
+        .select(ws.alias("ws"), "vws")
+        .select(pos.alias("pos"))
+        .select(F.explode(codes).alias("code"))
+        .groupBy("code")
         .agg(F.count("*").alias("c12"))
         .filter(F.col("c12") >= 3)
+    )
+    decoded = (
+        pairs.crossJoin(F.broadcast(vlist))
+        .select(
+            F.element_at(F.col("vws"), (F.col("code") / 64).cast("int"))
+            .alias("w1"),
+            F.element_at(F.col("vws"), F.col("code") % 64).alias("w2"),
+            "c12",
+        )
+    )
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    v1 = vocab.select(F.col("word").alias("w1"), F.col("df").alias("df1"))
+    v2 = vocab.select(F.col("word").alias("w2"), F.col("df").alias("df2"))
+    return (
+        decoded.join(F.broadcast(v1), "w1")
+        .join(F.broadcast(v2), "w2")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "w1",
