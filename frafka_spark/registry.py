@@ -181,6 +181,41 @@ def _grading_order() -> list[str]:
 #: ``QUERIES[name].fn`` access (pytest) constructs fresh.
 _CONSTRUCTED: dict[tuple[str, str, str], DataFrame] = {}
 
+#: Min driver max-heap for the construction memo. Pinning a frame
+#: pins its whole JVM QueryExecution — analyzed/optimized/physical
+#: trees and, once an action has run, AQE's materialized stage state
+#: (shuffle statistics, broadcast relations). Across the full suite
+#: that is GBs of non-collectable heap: in the tuned 48g bench
+#: session it is exactly the point (31 s of construction per pass
+#: saved), but a plain default-heap (1g) session — the grading
+#: driver's shape — OOMs around query ~270 (measured: heap-space
+#: abort in the r12 full-suite sim). Below the floor we construct
+#: fresh, like r11 did: py4j then releases each query's JVM state as
+#: soon as the caller drops the frame. Never a correctness seam —
+#: both paths run the same plan against the same inputs. The floor is
+#: deliberately high: memo-on is a bench-session optimization (48g
+#: driver), and construct-fresh is the proven-safe default shape.
+_MEMO_HEAP_FLOOR_BYTES = 16 << 30
+_MEMO_ENABLED: dict[str, bool] = {}
+
+
+def _memo_enabled(spark: SparkSession) -> bool:
+    import os
+
+    app_id = spark.sparkContext.applicationId
+    hit = _MEMO_ENABLED.get(app_id)
+    if hit is None:
+        env = os.environ.get("SPARK_GRAFT_CONSTRUCT_MEMO", "").strip()
+        if env:
+            hit = env not in ("0", "false", "off")
+        else:
+            max_heap = int(
+                spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+            )
+            hit = max_heap >= _MEMO_HEAP_FLOOR_BYTES
+        _MEMO_ENABLED[app_id] = hit
+    return hit
+
 
 def _memo_construction(name: str, fn: QueryFn) -> QueryFn:
     import functools
@@ -192,6 +227,8 @@ def _memo_construction(name: str, fn: QueryFn) -> QueryFn:
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if not _memo_enabled(spark):
+            return fn(spark, sf_dir)
         key = (spark.sparkContext.applicationId, sf_dir, name)
         with lock:
             hit = _CONSTRUCTED.get(key)

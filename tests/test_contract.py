@@ -72,6 +72,47 @@ def test_all_query_schemas_driver_safe(spark):
     assert not offenders, f"driver-unsafe output columns: {offenders}"
 
 
+def test_construction_memo_heap_gate(spark, monkeypatch):
+    """The registry construction memo must respect the driver-heap
+    gate: pinning all declared frames pins their JVM QueryExecutions
+    (AQE stage state, broadcasts), which OOMs a plain default-heap
+    grading session (measured: heap-space abort ~query 270 of the
+    full-suite sim). Below the floor every construction is fresh so
+    py4j can release each query's JVM state; above it (the 48g bench
+    session) one plan object is shared per (session, sf, name)."""
+    import frafka_spark
+    from frafka_spark import registry
+
+    frafka_spark.load_all()
+    name = "q_scan_project"
+    fn = registry._memo_construction(name, registry.QUERIES[name].fn)
+    app = spark.sparkContext.applicationId
+
+    monkeypatch.setenv("SPARK_GRAFT_CONSTRUCT_MEMO", "0")
+    registry._MEMO_ENABLED.clear()
+    registry._CONSTRUCTED.pop((app, SF_DIR, name), None)
+    a = fn(spark, SF_DIR)
+    b = fn(spark, SF_DIR)
+    assert a is not b
+    assert (app, SF_DIR, name) not in registry._CONSTRUCTED
+
+    monkeypatch.setenv("SPARK_GRAFT_CONSTRUCT_MEMO", "1")
+    registry._MEMO_ENABLED.clear()
+    c = fn(spark, SF_DIR)
+    assert fn(spark, SF_DIR) is c
+
+    # Auto mode decides from the driver's max heap against the floor.
+    monkeypatch.delenv("SPARK_GRAFT_CONSTRUCT_MEMO")
+    registry._MEMO_ENABLED.clear()
+    heap = int(
+        spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    )
+    assert registry._memo_enabled(spark) is (
+        heap >= registry._MEMO_HEAP_FLOOR_BYTES
+    )
+    registry._MEMO_ENABLED.clear()
+
+
 def test_grading_order_is_lru_rotation():
     """Never-verified queries lead; the rest ascend by last-pass round.
 
