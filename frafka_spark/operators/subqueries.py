@@ -10,8 +10,9 @@ exists at any scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from frafka_spark.io import register_views
+from frafka_spark.io import register_views, table
 from frafka_spark.registry import query
 
 _SCALAR_SQL = """
@@ -95,26 +96,64 @@ FROM chain
 
 @query("q_cte_recursive", oracle=_RECURSIVE_SQL)
 def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive CTE (Spark 4's WITH RECURSIVE): walk a synthetic
-    customer hierarchy — parent(k) = k div 10, roots below 10 — from
-    the roots down, carrying root id, depth, and the materialized
-    path. The org-chart/BOM traversal every warehouse eventually
-    needs, expressed in the one SQL construct that iterates until a
-    fixpoint; the identical statement runs on both engines (the
-    parent derivation is spelled ``(k − k%10)/10`` to stay
-    dialect-neutral).
+    """Recursive hierarchy walk — parent(k) = k div 10, roots below
+    10 — carrying root id, depth, and the materialized path. The
+    oracle states it as the natural ``WITH RECURSIVE`` (org-chart/BOM
+    traversal); the engine computes the identical fixpoint in CLOSED
+    FORM, because this hierarchy is arithmetic: dropping the last
+    decimal digit IS ``k div 10`` for non-negative keys, so a key's
+    ancestor chain is exactly its decimal-string prefixes, its depth
+    is ``digits(k) − 1``, its root the leading digit, and the
+    materialized path the prefixes joined root-first. Membership in
+    the recursive fixpoint is then a per-key predicate — EVERY proper
+    prefix exists as a customer key — checked by ONE exploded
+    semi-join (key, ancestor-prefix) ⋈ customer keys with a
+    count-of-matches == digits−1 test (keys below 10 are anchors and
+    need no check; customer keys are unique, so count equals
+    distinct-match). Proven row-identical to the recursive statement
+    (exceptAll 0 both directions; the oracle re-proves it every run).
 
-    Scale shape: each recursion level is ONE equi-join of the
-    (pruned) customer scan against the previous frontier on the
-    parent key — a hash shuffle per level, no driver-side loop; the
-    fixture's key space bounds the depth at ⌈log₁₀(maxkey)⌉ ≈ 4
-    levels, and generally depth scales with log of the key range,
-    not row count. The recursion-level limit
-    (``spark.sql.cteRecursionLevelLimit``, default 100) is the
-    engine's runaway guard.
+    Scale shape: the ``WITH RECURSIVE`` execution re-scans and
+    re-joins customer once per level — ⌈log₁₀(key range)⌉ sequential
+    iterations, each a full scan + shuffle + union-loop barrier
+    (measured 1.65 s at sf0.1, 4.5× the rewrite). The closed form is
+    ONE scan, one ≤⌈log₁₀⌉-way in-row explode, one hash semi-join and
+    one aggregate — constant number of shuffles at ANY depth/scale
+    (guide §2.4/§3.2). The general engine construct (iterate until a
+    fixpoint with the level-limit guard) is still exercised: the
+    oracle runs it, and q_llm_pack's recursive-CTE oracle does too.
     """
-    register_views(spark, sf_dir)
-    return spark.sql(_RECURSIVE_SQL)
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    s = F.col("key").cast("string")
+    keyed = c.select("key", s.alias("s"), F.length(s).alias("n"))
+    ancestors = keyed.filter(F.col("n") > 1).select(
+        "key",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, n - 1),"
+                " i -> CAST(substring(s, 1, i) AS BIGINT))"
+            )
+        ).alias("anc"),
+    )
+    matched = (
+        ancestors.join(c.select(F.col("key").alias("anc")), "anc")
+        .groupBy("key")
+        .agg(F.count("*").alias("m"))
+    )
+    # Anchors (n == 1) pass unconditionally; deeper keys need every
+    # proper prefix present. A missing-join NULL m correctly fails
+    # the equality, dropping keys with absent ancestors.
+    qualified = keyed.join(matched, "key", "left").filter(
+        (F.col("n") == 1) | (F.col("m") == F.col("n") - 1)
+    )
+    return qualified.select(
+        "key",
+        F.expr("CAST(substring(s, 1, 1) AS BIGINT)").alias("root"),
+        (F.col("n") - 1).cast("int").alias("depth"),
+        F.expr(
+            "concat_ws('/', transform(sequence(1, n), i -> substring(s, 1, i)))"
+        ).alias("path"),
+    )
 
 
 _LATERAL_SQL = """

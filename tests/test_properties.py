@@ -1475,3 +1475,42 @@ def _run_dv_sequence(
         assert v0 == sorted(rows)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_cte_recursive_closed_form_equals_recursive_fixpoint(spark, tmp_path):
+    """The closed-form prefix rewrite of q_cte_recursive must equal the
+    WITH RECURSIVE fixpoint on adversarial data — specifically keys whose
+    ancestor chain has a HOLE (parent absent from customer) must drop,
+    exactly as the recursive join would never reach them."""
+    from frafka_spark.operators.subqueries import (
+        _RECURSIVE_SQL,
+        q_cte_recursive,
+    )
+
+    # 4501 breaks (450 and 45 absent); 9999 breaks (999/99/9? 9 present
+    # but 999 and 99 absent); 770/7700 chain fully present; 123 present.
+    keys = list(range(1, 10)) + list(range(10, 26)) + [123, 4501, 77, 770, 7700, 9999]
+    sf_dir = str(tmp_path / "sf_holes")
+    df = spark.createDataFrame([(int(k),) for k in keys], "c_custkey bigint")
+    df.write.parquet(f"{sf_dir}/customer.parquet")
+
+    got = sorted(
+        tuple(r) for r in q_cte_recursive(spark, sf_dir).collect()
+    )
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    try:
+        want = sorted(tuple(r) for r in spark.sql(_RECURSIVE_SQL).collect())
+    finally:
+        spark.catalog.dropTempView("customer")
+        from frafka_spark import io as _io
+
+        _io._VIEWS_REGISTERED.pop(_io._session_key(spark), None)
+
+    assert got == want
+    dropped = {k for k in keys} - {r[0] for r in got}
+    assert dropped == {4501, 9999}
+    by_key = {r[0]: r for r in got}
+    assert by_key[7700] == (7700, 7, 3, "7/77/770/7700")
