@@ -885,30 +885,60 @@ def q_llm_sim_ann_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     retraining the codebook.
 
     A member belongs to exactly ONE cell, so the probe→member join
-    cannot duplicate a candidate pair — no DISTINCT pass needed. The
-    probe list is the same broadcast-codebook crossJoin that builds
-    the index (rank ≤ {N_PROBES} instead of = 1); the candidate join
-    still keys on cent_id (the shuffle key), so the plan scales
-    exactly like the single-probe path with ~{N_PROBES}× the probe
-    rows. Per-query top-1 windows over candidate groups bounded by
-    Σ probed-cell sizes.
+    cannot duplicate a candidate pair — no DISTINCT pass needed.
+
+    Plan shape (guide §2.3/§2.4): the top-{N_PROBES} cell assignment
+    happens IN-ROW against the codebook pivoted to a one-row struct
+    array (the q_llm_embed_pq argmin discipline) — a comparator
+    array_sort mirrors the oracle's (ccos DESC, cent_id ASC) window
+    order exactly, so no |vecs|×|cells| crossJoin row fan and no
+    row_number sort-shuffle ever materialize; the probe stream stays
+    |vecs| rows wide until the {N_PROBES}-way explode. The candidate
+    join still keys on cent_id against the memoized cell index, and
+    the per-query top-1 is a map-side-combinable ``max(struct(cos,
+    −neighbor_id))`` partial aggregate (the q_events_user_similarity
+    discipline) instead of a rank window — candidates collapse to
+    ≤|queries| rows per partition before their only shuffle. Proven
+    row-identical to the window formulation (exceptAll 0 both ways);
+    the oracle keeps the windowed statement.
     """
     v = fan_out(_vectors(spark, sf_dir), "vec_id")
-    cents = v.filter((F.col("vec_id") % CENTROID_MOD) == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("emb").alias("cemb"),
-        F.col("norm").alias("cnorm"),
+    cbook = (
+        v.filter((F.col("vec_id") % CENTROID_MOD) == 0)
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("cent_id"),
+                        F.col("emb").alias("cemb"),
+                        F.col("norm").alias("cnorm"),
+                    )
+                )
+            ).alias("cbook")
+        )
     )
-    ccos = _dot(F.col("emb"), F.col("cemb")) / (F.col("norm") * F.col("cnorm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cent_id").asc()
+    # same dot / divide arithmetic as the window form, evaluated per
+    # codebook entry inside the row; comparator = (ccos DESC, cent_id
+    # ASC), i.e. the oracle's ORDER BY, with IEEE comparisons.
+    top_cells = F.expr(
+        f"""
+        slice(array_sort(
+          transform(cbook, c -> struct(
+            aggregate(zip_with(emb, c.cemb, (x, y) -> x * y), 0.0D,
+                      (acc, x) -> acc + x) / (norm * c.cnorm) AS ccos,
+            c.cent_id AS cent_id)),
+          (l, r) -> CASE WHEN l.ccos > r.ccos THEN -1
+                         WHEN l.ccos < r.ccos THEN 1
+                         WHEN l.cent_id < r.cent_id THEN -1
+                         WHEN l.cent_id > r.cent_id THEN 1
+                         ELSE 0 END), 1, {N_PROBES})"""
     )
-    probes = (
-        v.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", ccos)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= N_PROBES)
-        .select("vec_id", "emb", "norm", "cent_id")
+    probes = v.crossJoin(F.broadcast(cbook)).select(
+        "vec_id",
+        "emb",
+        "norm",
+        F.explode(top_cells.getField("cent_id")).alias("cent_id"),
     )
     members = _cells(spark, sf_dir).select(
         F.col("vec_id").alias("neighbor_id"),
@@ -917,9 +947,6 @@ def q_llm_sim_ann_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cent_id").alias("bcent"),
     )
     cos = _dot(F.col("emb"), F.col("bemb")) / (F.col("norm") * F.col("bnorm"))
-    w_top = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
     return (
         probes.join(
             members,
@@ -927,10 +954,19 @@ def q_llm_sim_ann_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("neighbor_id") != F.col("vec_id")),
         )
         .withColumn("cos", cos)
-        .withColumn("rnk", F.row_number().over(w_top))
-        .filter(F.col("rnk") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos").alias("cos"),
+                    (-F.col("neighbor_id")).alias("negid"),
+                )
+            ).alias("b")
+        )
         .select(
-            "vec_id", "neighbor_id", half_up(F.col("cos"), 6).alias("cosine")
+            "vec_id",
+            (-F.col("b.negid")).alias("neighbor_id"),
+            half_up(F.col("b.cos"), 6).alias("cosine"),
         )
     )
 
