@@ -36,6 +36,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 366 declared queries × whole-stage codegen × repeated bench
+        # passes overflow HotSpot's 240 MB default code cache — the
+        # JVM then DISABLES the JIT compiler mid-suite ("CodeHeap
+        # 'non-profiled nmethods' is full", observed in every full
+        # bench capture) and later passes run partly interpreted.
+        # Applied at gateway launch like spark.driver.memory above;
+        # sized for the full suite, env-overridable for smaller boxes.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize="
+            + os.environ.get("SPARK_GRAFT_CODECACHE", "512m"),
+        )
         .config("spark.ui.enabled", "false")
         # 32 MiB broadcast threshold: every dim table in the fixture star
         # schema broadcasts; at 100 TB the dims are still ≤ GBs vs a
