@@ -1021,28 +1021,37 @@ def q_llm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation signal (a low-novelty doc is mostly boilerplate already
     in the corpus).
 
-    Plan: reuses the session-cached shingle projection, one shuffle
-    to min-reduce first-seen per shingle (bounded by |distinct
-    shingles|), one join back on the shingle hash, one per-doc
-    aggregate. No all-pairs anything — this is the linear-pass
-    novelty formulation that works at corpus scale; "first" is
-    defined by doc_id order, which is ingestion order in the
+    Plan (r12 wave 3 — no shingle-stream join): reuses the
+    session-cached shingle projection; one shuffle min-reduces
+    first-seen per shingle, and because each doc's novel count is
+    BY DEFINITION the number of shingles whose first_doc is that
+    doc, ``first_seen.groupBy(first_doc).count()`` yields n_novel
+    directly — the old join of the full shingle stream back against
+    first_seen on the shingle hash only re-derived information the
+    min-reduce already held. n_shingles is a straight per-doc count
+    of the same cached projection, and the two aggregates meet in a
+    doc-granularity join (|docs| rows a side, AQE-broadcastable),
+    never a shingle-granularity one. No all-pairs anything; "first"
+    is defined by doc_id order, which is ingestion order in the
     fixtures (the streaming variant keeps the same min-reduce as
     state).
     """
     sh = _shingles(spark, sf_dir)
-    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    is_novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
-    return (
-        sh.join(first_seen, "sh")
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(is_novel).alias("n_novel"),
-            half_up(
-                F.sum(is_novel).cast("double") / F.count("*"), 6
-            ).alias("novelty"),
-        )
+        .agg(F.count("*").alias("n_novel_raw"))
+    )
+    n_novel = F.coalesce(F.col("n_novel_raw"), F.lit(0).cast("bigint"))
+    return totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_novel.alias("n_novel"),
+        half_up(
+            n_novel.cast("double") / F.col("n_shingles"), 6
+        ).alias("novelty"),
     )
 
 

@@ -2417,14 +2417,29 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator differentially verified only on a grid with real gaps
     is worth having; at sf0.01 ~80% of minute cells interpolate.
 
-    Scale shape: identical to gapfill's — one map-side-combined
-    rollup is the only pass over raw events; the dense grid and
-    both fill windows (one backward, one forward, both PARTITIONED
-    BY event_type over calendar-bounded partitions) run on
-    O(types × minutes) rows. The interpolation weight divides exact
-    integer epoch seconds; the endpoints are ``dec_avg`` values
-    (bitwise identical both engines), so the blend is identical
-    arithmetic and the display rounds through the explicit half-up.
+    Scale shape (r12 wave 3 — generate gaps from the observations,
+    don't join observations onto a pre-built grid): one map-side-
+    combined rollup is still the only pass over raw events; then a
+    SINGLE lag/lead window over the OBSERVED cells (the sparse
+    relation — 37% of the grid at sf0.1) hands every observation its
+    predecessor, and each observation emits its own minute plus the
+    gap minutes since that predecessor IN-ROW (``sequence`` +
+    ``explode``; the last observation per type also emits the
+    trailing edge to the global m1, the first inherits the leading
+    edge from m0). The previous form materialized the dense
+    types×minutes grid, LEFT-joined the observations back onto it,
+    and ran TWO opposite-order fill windows over the dense grid —
+    three dense-relation passes and a join that this form does not
+    have; the interpolation endpoints arrive on the exploded row
+    itself (pv/pt from the lag, nv/nt are the emitting row). The
+    interpolation weight divides exact integer epoch seconds; the
+    endpoints are ``dec_avg`` values (bitwise identical both
+    engines — same lag source rows as the old fill windows'), so
+    the blend is identical arithmetic and the display rounds
+    through the explicit half-up. Events with NULL value do not
+    occur in this corpus (asserted by the differential at every
+    sf); the dec_avg endpoints are therefore never NULL on an
+    observed cell.
     """
     from frafka_spark.functions.determinism import half_up
 
@@ -2433,61 +2448,79 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("minute", F.col("ts")).alias("mi")
     ).agg(F.count("*").alias("n_events"), dec_avg("value", "avg_value"))
     bounds = actual.agg(F.min("mi").alias("m0"), F.max("mi").alias("m1"))
-    grid = (
-        actual.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("m0", "m1", F.expr("interval 1 minute"))
-            ).alias("mi"),
-        )
-    )
-    joined = grid.join(
-        F.broadcast(actual), ["event_type", "mi"], "left"
-    ).withColumn(
-        "obs_mi", F.when(F.col("avg_value").isNotNull(), F.col("mi"))
-    )
-    wp = (
-        Window.partitionBy("event_type")
-        .orderBy("mi")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # Forward fill via a DESC-ordered RUNNING frame, not an unbounded-
-    # FOLLOWING frame: Spark executes [currentRow, unboundedFollowing]
-    # frames by rescanning the partition remainder per row — O(n²) per
-    # partition (324 s at sf0.1 on this 43,200-minute grid).  A
-    # last(ignorenulls) over ORDER BY mi DESC ROWS UNBOUNDED PRECEDING..
-    # CURRENT ROW is the identical "next observation at-or-after me"
-    # semantics in the O(n) incremental running-frame shape.
-    wf = (
-        Window.partitionBy("event_type")
-        .orderBy(F.desc("mi"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = joined.select(
+    one_min = F.expr("INTERVAL 1 MINUTE")
+    w = Window.partitionBy("event_type").orderBy("mi")
+    aug = actual.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         "mi",
         "n_events",
         "avg_value",
-        F.last("avg_value", ignorenulls=True).over(wp).alias("pv"),
-        F.last("obs_mi", ignorenulls=True).over(wp).alias("pt"),
-        F.last("avg_value", ignorenulls=True).over(wf).alias("nv"),
-        F.last("obs_mi", ignorenulls=True).over(wf).alias("nt"),
+        "m0",
+        "m1",
+        F.lag("mi").over(w).alias("pt"),
+        F.lag("avg_value").over(w).alias("pv"),
+        F.lead("mi").over(w).isNull().alias("is_last"),
     )
-    t = F.unix_timestamp("mi").cast("double")
-    pt = F.unix_timestamp("pt").cast("double")
-    nt = F.unix_timestamp("nt").cast("double")
-    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (t - pt) / (nt - pt)
-    return filled.select(
+    # Gap minutes strictly between the previous observation (or the
+    # global m0 before the first) and this one; the trailing edge
+    # after the last observation runs to the global m1. CaseWhen
+    # evaluates branches lazily per row, so sequence() never sees a
+    # start > stop pair.
+    gap_start = F.coalesce(F.col("pt") + one_min, F.col("m0"))
+    gap_end = F.col("mi") - one_min
+    # Empty array typed exactly like the sequences (ts may be NTZ —
+    # a literal cast would have to guess the timestamp flavor).
+    empty = F.slice(F.sequence(F.col("mi"), F.col("mi"), one_min), 1, 0)
+    gap_arr = F.when(
+        gap_start <= gap_end, F.sequence(gap_start, gap_end, one_min)
+    ).otherwise(empty)
+    tail_arr = F.when(
+        F.col("is_last") & (F.col("mi") < F.col("m1")),
+        F.sequence(F.col("mi") + one_min, F.col("m1"), one_min),
+    ).otherwise(empty)
+
+    def tag(arr, kind: int):
+        return F.transform(
+            arr,
+            lambda m: F.struct(
+                m.alias("g_mi"), F.lit(kind).alias("kind")
+            ),
+        )
+
+    cells = F.concat(
+        tag(gap_arr, 0),
+        F.array(
+            F.struct(F.col("mi").alias("g_mi"), F.lit(1).alias("kind"))
+        ),
+        tag(tail_arr, 2),
+    )
+    ex = aug.select(
         "event_type",
-        F.date_format("mi", "yyyy-MM-dd HH:mm").alias("bucket"),
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        F.col("avg_value").isNotNull().alias("is_observed"),
-        F.when(F.col("avg_value").isNotNull(), half_up(F.col("avg_value"), 4))
+        "mi",
+        "n_events",
+        "avg_value",
+        "pt",
+        "pv",
+        F.explode(cells).alias("c"),
+    )
+    t = F.unix_timestamp(F.col("c.g_mi")).cast("double")
+    pt = F.unix_timestamp("pt").cast("double")
+    nt = F.unix_timestamp("mi").cast("double")
+    interp = (
+        F.col("pv")
+        + (F.col("avg_value") - F.col("pv")) * (t - pt) / (nt - pt)
+    )
+    is_obs = F.col("c.kind") == 1
+    return ex.select(
+        "event_type",
+        F.date_format("c.g_mi", "yyyy-MM-dd HH:mm").alias("bucket"),
+        F.when(is_obs, F.col("n_events")).otherwise(F.lit(0)).alias(
+            "n_events"
+        ),
+        is_obs.alias("is_observed"),
+        F.when(is_obs, half_up(F.col("avg_value"), 4))
         .when(
-            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            (F.col("c.kind") == 0) & F.col("pv").isNotNull(),
             half_up(interp, 4),
         )
         .alias("value_interp"),
@@ -2539,9 +2572,15 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; the sweep is ONE cumulative window partitioned by
     event_type (each type's boundary stream sorts within its hash
     partition — no global sweep, the standard parallelization of
-    sweep lines by independent partitions); peak + first-peak-time
-    resolve with a per-type aggregate and a filter-join back on the
-    swept relation. Counts are exact integers end-to-end.
+    sweep lines by independent partitions); the per-type peak is a
+    FULL-PARTITION max window over the SAME partitioning — one more
+    O(n) pass on data already sorted in place, no extra exchange —
+    and the first-peak-time resolves with a filter + per-type
+    aggregate. The r12 wave-3 form: the original aggregate-then-
+    join-back made Catalyst re-execute the whole swept subtree
+    (2× events scan + exchange + sort + window) on BOTH join
+    children — trees, not DAGs. Counts are exact integers
+    end-to-end.
     """
     e = table(spark, sf_dir, "events").select("event_type", "ts")
     bounds = e.select(
@@ -2558,18 +2597,18 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Full-partition frame (NOT a shrinking/growing frame): Spark
+    # evaluates an unbounded-both-ends max in one linear pass per
+    # partition, and the spec shares w_sweep's partitioning, so both
+    # windows ride one Exchange + one Sort.
+    w_peak = Window.partitionBy("event_type")
     swept = bounds.select(
-        "event_type", "t", F.sum("delta").over(w_sweep).alias("live")
-    )
-    peak = swept.groupBy(F.col("event_type").alias("pt")).agg(
-        F.max("live").alias("peak_concurrency")
-    )
+        "event_type",
+        "t",
+        F.sum("delta").over(w_sweep).alias("live"),
+    ).withColumn("peak_concurrency", F.max("live").over(w_peak))
     return (
-        swept.join(
-            F.broadcast(peak),
-            (F.col("pt") == F.col("event_type"))
-            & (F.col("live") == F.col("peak_concurrency")),
-        )
+        swept.filter(F.col("live") == F.col("peak_concurrency"))
         .groupBy("event_type", "peak_concurrency")
         .agg(
             F.date_format(F.min("t"), "yyyy-MM-dd HH:mm:ss").alias(

@@ -1015,10 +1015,14 @@ def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed per group in a subquery, equi-joined back against the
     detail rows that achieved it.
 
-    Scale shape: one (part,supp)-keyed aggregate collapses lineitem
-    (the ONLY pass over the fact); the supplier→nation→region dim
-    chain and the part filter broadcast onto the collapsed pair
-    relation; the per-part regional min is then a WINDOW over that
+    Scale shape: a broadcast semi-join on the size-15 partkeys
+    prunes the fact scan to ~1/50 of its rows BEFORE anything
+    shuffles (guide §3.2 — the part filter restricts parts and the
+    per-part min never mixes parts, so pruning early is
+    answer-preserving); then one (part,supp)-keyed aggregate
+    collapses the surviving lineitems (the ONLY pass over the
+    fact); the supplier→nation→region dim chain and the part
+    columns broadcast onto the collapsed pair relation; the per-part regional min is then a WINDOW over that
     filtered relation (partitioned by partkey — groups bounded by
     suppliers-per-part), and the achiever filter compares in place.
     One window instead of a re-aggregate + self-join: the round-7
@@ -1033,6 +1037,20 @@ def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     — (part, supplier) is unique per row).
     """
     li = table(spark, sf_dir, "lineitem")
+    p15 = table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_brand"
+    )
+    # §3.2 semi-join prefilter (r12 wave 3): only ~1/50 of parts are
+    # size 15 and every non-size-15 pair row is dropped by the p15
+    # join below anyway — the per-part min never mixes parts — so
+    # dropping those lineitems BEFORE the pair aggregate cuts the
+    # only fact-table exchange by the same factor. Broadcast left_semi
+    # on the partkey: no row multiplication, no column added.
+    li = li.join(
+        F.broadcast(p15.select("p_partkey")),
+        li["l_partkey"] == p15["p_partkey"],
+        "left_semi",
+    )
     pair = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
@@ -1047,9 +1065,6 @@ def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    p15 = table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
-        "p_partkey", "p_brand"
     )
     regional = (
         pair.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
