@@ -703,6 +703,50 @@ _EXACT_JACCARD_SQL = f"""
     """
 
 
+def _pair_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (doc_a, doc_b, n_inter, n_a, n_b) over every
+    doc pair sharing at least one shingle — the inverted-index
+    self-join both exact-similarity queries (``q_llm_dedup_ngram``'s
+    Jaccard and ``q_llm_dedup_containment``'s containment) threshold
+    from. The leg qualifies for the memo on both r12 criteria:
+    multiple DECLARED consumers, and real sequential depth (shingle
+    self-join shuffle → pair aggregate → two size joins), unlike the
+    flat ``_tf`` aggregates where inline recompute won. Thresholds
+    stay in the consumers — the leg is the UNFILTERED pair relation,
+    so both cutoffs read one materialization.
+    """
+
+    def build() -> DataFrame:
+        sh = _shingles(spark, sf_dir)
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        s1 = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        s2 = sh.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        )
+        inter = (
+            s1.join(
+                s2,
+                (F.col("sh") == F.col("sh_b"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        return inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+            ),
+            "doc_a",
+        ).join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+            ),
+            "doc_b",
+        )
+
+    return memoized_result(spark, sf_dir, "shingle_pair_inter", build)
+
+
 @query("q_llm_dedup_ngram", oracle=_EXACT_JACCARD_SQL)
 def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard via inverted-index join (no cross join).
@@ -710,21 +754,12 @@ def q_llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs meet only through shared shingles — the exact-similarity
     baseline the MinHash pipeline approximates. The shingle join is
     the scalable formulation (shuffle on shingle hash; hot shingles
-    would be dropped as stop-shingles at 100 TB, see scale_notes).
+    would be dropped as stop-shingles at 100 TB, see scale_notes);
+    since r12 wave 3 the pair-intersection relation is the shared
+    ``_pair_intersections`` leg, materialized once per session for
+    this query and the containment twin.
     """
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    s1 = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    s2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = (
-        s1.join(s2, (F.col("sh") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    jac = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
-    )
+    jac = _pair_intersections(spark, sf_dir)
     jaccard = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
@@ -1299,27 +1334,11 @@ def q_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (one corpus-wide shuffle on the shingle hash, hot
     shingles droppable as stop-shingles, never all-pairs); the
     containment division is one extra projection over the same
-    intersection counts.
+    intersection counts — read from the shared
+    ``_pair_intersections`` leg since r12 wave 3 (one
+    materialization serves this query and the Jaccard twin).
     """
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    s1 = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    s2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = (
-        s1.join(s2, (F.col("sh") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    joined = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
-            "doc_b",
-        )
-    )
+    joined = _pair_intersections(spark, sf_dir)
     containment = F.col("n_inter").cast("double") / F.least("n_a", "n_b")
     jaccard = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
