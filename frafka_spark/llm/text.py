@@ -379,7 +379,23 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation keeping hot words (stopword skew) combiner-bounded.
     ln() differs from libm only in the last ulp — absorbed by the
     4-digit round (inputs are never representable-decimal ties).
+
+    The relation is session-memoized (r12 wave 3, the bm25_top
+    discipline): ``q_llm_keywords`` composes this exact relation for
+    its per-doc top-3, so the explode + two aggregates + join run
+    once per session and both declared consumers read one
+    materialization. ``_tfidf_plan`` keeps the raw plan for pins.
     """
+    from frafka_spark.llm.dedup import memoized_result
+
+    return memoized_result(
+        spark, sf_dir, "tfidf_rel", lambda: _tfidf_plan(spark, sf_dir)
+    )
+
+
+def _tfidf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TF-IDF plan (the plan-pin target; consumers go through
+    the session memo in ``q_llm_tfidf``)."""
     from frafka_spark.llm.dedup import _words
 
     d = table(spark, sf_dir, "documents")
@@ -1137,16 +1153,26 @@ def q_llm_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus exchange for the join itself on top of that. df columns
     rejoin from the broadcast vocab on the 435-row pair output.
     """
+    from frafka_spark.llm.dedup import memoized_result
+
     d = table(spark, sf_dir, "documents")
+
     # Per-doc distinct INSIDE the projection (array_distinct, no
     # explode): the token stream only ever explodes once, for the
-    # document-frequency aggregate that selects the vocab.
-    words = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
-    )
-    dfreq = words.groupBy("word").agg(F.count("*").alias("df"))
-    vocab = dfreq.orderBy(F.col("df").desc(), F.col("word").asc()).limit(30)
+    # document-frequency aggregate that selects the vocab. The 30-row
+    # vocab is session-memoized (r12 wave 3): it feeds THREE broadcast
+    # legs below (vlist, v1, v2), and un-memoized each broadcast
+    # build re-ran the corpus explode + df aggregate (trees, not
+    # DAGs — measured 3× the token pass per construction).
+    def build_vocab() -> DataFrame:
+        words = d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("word"),
+        )
+        dfreq = words.groupBy("word").agg(F.count("*").alias("df"))
+        return dfreq.orderBy(F.col("df").desc(), F.col("word").asc()).limit(30)
+
+    vocab = memoized_result(spark, sf_dir, "pmi_vocab", build_vocab)
     vlist = vocab.agg(F.sort_array(F.collect_list("word")).alias("vws"))
     ws = F.sort_array(
         F.array_intersect(F.array_distinct(F.split("text", " ")), F.col("vws"))
@@ -3252,11 +3278,21 @@ def q_llm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, bit-identical across engines.
 
     Scale shape: model counts are one (w1,w2) aggregate over the
-    train slice of the shared cached bigram relation; scoring is a
-    (w1,w2)-keyed LEFT join of the val slice against the model plus
-    a broadcast scalar V — the doc_nll plan with a split predicate
-    pushed into each side. Nothing new shuffles at 100 TB.
+    train slice of the shared cached bigram relation — cached as a
+    session leg (r12 wave 3), because every OTHER model relation is
+    a function of it: the history totals re-aggregate it and the
+    successor vocabulary V is ``countDistinct(w2)`` over its rows
+    (counts has exactly one row per (w1,w2), so that equals
+    countDistinct over the raw train bigrams). The previous form
+    derived firsts and V from the pre-aggregate train stream, which
+    re-executed the bigram⋈split join + aggregate on three plan
+    branches (trees, not DAGs). Scoring is a (w1,w2)-keyed LEFT
+    join of the val slice against the model plus a broadcast scalar
+    V — the doc_nll plan with a split predicate pushed into each
+    side. Nothing new shuffles at 100 TB.
     """
+    from frafka_spark.llm.dedup import memoized_result
+
     bi = _bigrams(spark, sf_dir)
     hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     split = (
@@ -3265,14 +3301,20 @@ def q_llm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = table(spark, sf_dir, "documents").select(
         "doc_id", split.alias("split")
     )
-    tb = bi.join(sp.filter(F.col("split") == "train"), "doc_id").select(
-        "w1", "w2"
-    )
-    counts = tb.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c"))
+
+    def build_counts() -> DataFrame:
+        tb = bi.join(sp.filter(F.col("split") == "train"), "doc_id").select(
+            "w1", "w2"
+        )
+        return tb.groupBy("w1", "w2").agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+
+    counts = memoized_result(spark, sf_dir, "heldout_counts", build_counts)
     firsts = counts.groupBy("w1").agg(
         F.sum("c").cast("bigint").alias("n_first")
     )
-    v = tb.agg(F.countDistinct("w2").cast("bigint").alias("v"))
+    v = counts.agg(F.countDistinct("w2").cast("bigint").alias("v"))
     vb = bi.join(sp.filter(F.col("split") == "val"), "doc_id").select(
         "doc_id", "w1", "w2"
     )
