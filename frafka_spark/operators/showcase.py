@@ -108,7 +108,20 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18 shape: large-volume customers — having-subquery semi-join."""
+    """Q18 shape: large-volume customers — having-subquery semi-join.
+
+    r12 wave 3 reorder (guide §3.2/§2.3): the HAVING set keeps ~1.5%
+    of orders, so the semi-join is applied to ORDERS first and the
+    lineitem detail join runs against the surviving slice (AQE
+    broadcasts it at fixture scale — the detail side then never
+    shuffles); the customer columns attach AFTER the per-order
+    aggregate, keyed on the ≤|big-orders| aggregate rows instead of
+    riding every detail row through the join chain. Grouping by
+    (o_custkey, o_orderkey, ...) before the customer join partitions
+    the rows identically to the old (c_custkey, c_name, ...) keys —
+    c_custkey = o_custkey and c_name is functional on it. The answer
+    is unchanged (same oracle, hash-verified tri-scale).
+    """
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -118,21 +131,19 @@ def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty") > 250)
         .select("l_orderkey")
     )
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li.withColumnRenamed("l_orderkey", "li_orderkey"),
-              F.col("li_orderkey") == o.o_orderkey)
-        .join(big, big.l_orderkey == o.o_orderkey, "left_semi")
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    o_big = o.join(big, big.l_orderkey == o.o_orderkey, "left_semi")
+    per_order = (
+        li.join(o_big, li.l_orderkey == o_big.o_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dec_sum("l_quantity", "total_qty"))
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.round("o_totalprice", 4).alias("totalprice"),
-            "total_qty",
-        )
+    )
+    return per_order.join(c, c.c_custkey == per_order.o_custkey).select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round("o_totalprice", 4).alias("totalprice"),
+        "total_qty",
     )
 
 
