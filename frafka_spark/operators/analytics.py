@@ -51,6 +51,41 @@ def funnel_stages(
     return out
 
 
+def funnel_user_stages(
+    events: DataFrame, stages: tuple[str, ...] = _FUNNEL_STAGES
+) -> DataFrame:
+    """Per-user funnel timestamps in ONE keyed pass: ``(user_id, _t0,
+    _t1, ... )`` where ``_t{i}`` is the user's first stage-``i`` event
+    at or after their ``_t{i-1}`` (NULL propagates down the chain —
+    no earlier stage, no later one).
+
+    The single-relation replacement for consuming every frame of
+    ``funnel_stages``: that chain is correct but each stage is a
+    separate aggregate JOINED to the previous one, so a consumer that
+    unions per-stage counts re-executes the shared prefix on every
+    branch (q_events_funnel's plan scanned events 7×, guide §2.4
+    one-read). Here non-stage rows are filtered before the single
+    user_id exchange (§2.3 shuffle fewer bytes), the chained mins are
+    full-partition window aggregates over that one layout (no sort —
+    the frame is unbounded), and one user-keyed aggregate collapses to
+    a per-user row that every consumer branch reads for free.
+    Equivalence with the chained-join form is pinned by
+    tests/test_properties.py::test_funnel_user_stages_equals_chain.
+    """
+    w = Window.partitionBy("user_id")
+    df = events.select("user_id", "event_type", "ts").filter(
+        F.col("event_type").isin(*stages)
+    )
+    for i, etype in enumerate(stages):
+        cond = F.col("event_type") == etype
+        if i > 0:
+            cond = cond & (F.col("ts") >= F.col(f"_t{i - 1}"))
+        df = df.withColumn(f"_t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+    return df.groupBy("user_id").agg(
+        *[F.min(f"_t{i}").alias(f"_t{i}") for i in range(len(stages))]
+    )
+
+
 @query(
     "q_events_funnel",
     oracle="""
@@ -88,26 +123,31 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel: view → click-after-view →
     purchase-after-click, counted per stage.
 
-    Each stage is a filtered per-user ``min(ts)`` aggregate joined to
-    the previous stage's timestamp — the ordered-sequence semantics
-    (a click only counts AFTER that user's first view) without any
-    window sort: per-user state is one timestamp, folded map-side.
-    All three stage relations hash-partition on ``user_id``, so the
-    chain is one shuffle layout deep regardless of event volume; the
-    final counts are three 1-row aggregates unioned with the entry
-    count joined back for conversion percentage.
+    The per-user stage timestamps come from ``funnel_user_stages`` —
+    one events scan, one ``user_id`` exchange, chained full-partition
+    window mins (the ordered-sequence semantics — a click only counts
+    AFTER that user's first view — with no window sort). The three
+    stage counts are then three ``count(non-null)`` columns of ONE
+    global aggregate over that per-user row, unpivoted with ``stack``;
+    the entry count rides the same row, so no branch re-executes the
+    chain (the former per-stage-aggregate + union form re-ran the
+    shared prefix on every union branch and again for the entry
+    crossJoin — 7 events scans in the plan, now 1; guide §2.4).
     """
-    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v, c, p = funnel_stages(e)
-    stages = (
-        v.agg(F.lit("1_view").alias("stage"), F.count("*").alias("n_users"))
-        .unionAll(c.agg(F.lit("2_click"), F.count("*")))
-        .unionAll(p.agg(F.lit("3_purchase"), F.count("*")))
+    e = table(spark, sf_dir, "events")
+    pu = funnel_user_stages(e)
+    counts = pu.agg(
+        F.count("_t0").alias("n0"),
+        F.count("_t1").alias("n1"),
+        F.count("_t2").alias("n2"),
     )
-    entry = stages.filter(F.col("stage") == "1_view").select(
-        F.col("n_users").alias("n_entry")
-    )
-    return stages.crossJoin(entry).select(
+    return counts.select(
+        F.expr(
+            "stack(3, '1_view', n0, '2_click', n1, '3_purchase', n2)"
+            " AS (stage, n_users)"
+        ),
+        F.col("n0").alias("n_entry"),
+    ).select(
         "stage",
         "n_users",
         half_up(F.col("n_users").cast("double") / F.col("n_entry"), 4).alias(
@@ -1285,27 +1325,33 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_events_funnel``'s conversion counts that tells you WHERE the
     funnel is slow, not just where it leaks.
 
-    Reuses the funnel's per-user stage timestamps (same chained
-    min-aggregate state, same single user_id hash layout — no window
-    sort anywhere), diffs them as exact integer microseconds, and
-    rank-interpolates percentiles from those exact integers (the
-    ``q_events_inter_arrival`` cross-engine parity). Per-step state
-    is the step's gap list — bounded by converting users, not events.
+    Reuses the funnel's per-user stage timestamps
+    (``funnel_user_stages`` — one events scan, one user_id exchange,
+    no window sort anywhere), diffs them as exact integer
+    microseconds, and rank-interpolates percentiles from those exact
+    integers (the ``q_events_inter_arrival`` cross-engine parity).
+    Both steps' gaps come off the SAME per-user row via ``stack`` —
+    ``_t1`` non-null implies ``_t0`` non-null (the chain nulls
+    propagate), so dropping null gaps is exactly the former
+    stage-join membership and no union branch re-executes the chain
+    (the former form re-ran the shared stage prefix on both
+    branches — 8 events scans in the plan, now 1; guide §2.4).
+    Per-step state is the step's gap list — bounded by converting
+    users, not events.
     """
-    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v, c, p = funnel_stages(e)
-    s1 = v.join(c, "user_id").select(
-        F.lit("1_view_to_click").alias("step"),
-        (F.unix_micros("_t1") - F.unix_micros("_t0")).alias("gap_us"),
-    )
-    s2 = c.join(p, "user_id").select(
-        F.lit("2_click_to_purchase").alias("step"),
-        (F.unix_micros("_t2") - F.unix_micros("_t1")).alias("gap_us"),
-    )
+    e = table(spark, sf_dir, "events")
+    pu = funnel_user_stages(e)
+    gaps = pu.select(
+        F.expr(
+            "stack(2,"
+            " '1_view_to_click', unix_micros(_t1) - unix_micros(_t0),"
+            " '2_click_to_purchase', unix_micros(_t2) - unix_micros(_t1))"
+            " AS (step, gap_us)"
+        )
+    ).filter(F.col("gap_us").isNotNull())
     pcts = F.percentile("gap_us", F.array(F.lit(0.5), F.lit(0.9)))
     return (
-        s1.unionByName(s2)
-        .groupBy("step")
+        gaps.groupBy("step")
         .agg(F.count("*").alias("n_users"), pcts.alias("_p"))
         .select(
             "step",
@@ -3287,7 +3333,13 @@ def q_events_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction), collapse to ≤types² weighted edges with map-side
     partials, then all graph arithmetic runs on the edge relation —
     bounded by the type vocabulary squared, independent of event
-    volume. The node spine and scalar n broadcast.
+    volume. The node spine and scalar n broadcast. The out-degree is
+    a full-partition window sum OVER the aggregated edge relation
+    (≤types² rows), not a separate aggregate joined back — the
+    joined-back form re-executed the per-user lag window subtree on
+    BOTH join children (guide §2.4 one-read; the
+    q_events_concurrency/alert_episodes discipline), doubling the
+    expensive pass for a value derivable in one keyed pipeline.
     """
     from frafka_spark.functions.determinism import half_up
 
@@ -3302,11 +3354,11 @@ def q_events_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", F.col("event_type").alias("dst"))
         .agg(F.count("*").alias("c"))
     )
-    outd = pairs.groupBy("src").agg(F.sum("c").alias("out_c"))
+    w_src = Window.partitionBy("src")
     nodes = e.select(F.col("event_type").alias("node")).distinct()
     nn = nodes.agg(F.count("*").alias("n"))
     contrib = (
-        pairs.join(outd, "src")
+        pairs.withColumn("out_c", F.sum("c").over(w_src))
         .crossJoin(F.broadcast(nn))
         .select(
             "dst",

@@ -242,6 +242,34 @@ def test_funnel_stages_monotonically_shrink(spark):
     assert p.collect()[0].user_id == 2
 
 
+def test_funnel_user_stages_equals_chain(spark):
+    """The single-pass windowed per-user funnel relation is row-for-row
+    the chained-join formulation: outer-joining the three
+    ``funnel_stages`` frames yields exactly ``funnel_user_stages``
+    (users with no stage-0 event never appear in the chain and carry
+    all-NULL stage columns in the windowed form)."""
+    from pyspark.sql import functions as F
+
+    from frafka_spark.io import table
+    from frafka_spark.operators.analytics import (
+        funnel_stages,
+        funnel_user_stages,
+    )
+    from tests.conftest import SF_DIR
+
+    e = table(spark, SF_DIR, "events").select("user_id", "event_type", "ts")
+    v, c, p = funnel_stages(e)
+    chained = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    single = funnel_user_stages(e).filter(F.col("_t0").isNotNull())
+    assert single.exceptAll(chained).count() == 0
+    assert chained.exceptAll(single).count() == 0
+    # the windowed form adds ONLY all-NULL rows beyond the chain
+    extras = funnel_user_stages(e).filter(F.col("_t0").isNull())
+    assert extras.filter(
+        F.col("_t1").isNotNull() | F.col("_t2").isNotNull()
+    ).count() == 0
+
+
 # ---- dec_sum: scaled-long exact-sum contract -----------------------
 
 
