@@ -752,24 +752,30 @@ def q_llm_embed_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-dots ``r_i = Σ_j q_ij`` are exact BIGINTs and the projection
     ``s_j = Σ_i q_ij·r_i`` accumulates exact products in
     DECIMAL(38,0) — no float fold anywhere until the single final
-    ÷1e12 + round. Scale shape: posexplode ×64 dims, but map-side
-    partials collapse both aggregates to ≤ dims (resp. ≤ vecs) rows
-    per partition before their exchanges; the q⋈r join keys on
-    vec_id — co-partitioned with the r aggregate's output, so AQE
-    reuses one exchange. Nothing is collected; no O(corpus)
-    broadcast (r is per-vector, joined not broadcast).
+    ÷1e12 + round. Scale shape: the row-dot is a per-row array fold
+    (``aggregate`` over the quantized array — exactly Σ_j of the same
+    BIGINTs the oracle's GROUP BY vec_id sums), so the corpus is
+    scanned ONCE and the only exchange is the ≤dims-row dim
+    aggregate's (map-side partials collapse it to ≤ dims rows per
+    partition first); the former q⋈r self-join — a second scan +
+    explode + per-vector aggregate + broadcast — is gone. Nothing is
+    collected; no O(corpus) broadcast.
     """
     v = _vectors(spark, sf_dir)
-    q = v.select(
-        "vec_id", F.posexplode("emb").alias("pos", "x")
+    # vec_id IS NOT NULL mirrors the replaced inner q⋈r join (and the
+    # oracle's JOIN ... USING (vec_id)), which drops a null-keyed row.
+    qv = v.filter(F.col("vec_id").isNotNull()).select(
+        F.expr(
+            "transform(emb, x -> CAST(floor(x * 1e6 + 0.5D) AS BIGINT))"
+        ).alias("qarr")
     ).select(
-        "vec_id",
-        (F.col("pos") + 1).cast("bigint").alias("dim"),
-        F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("bigint").alias("qx"),
+        F.expr("aggregate(qarr, 0L, (acc, x) -> acc + x)").alias("rowsum"),
+        F.posexplode("qarr").alias("pos", "qx"),
     )
-    r = q.groupBy("vec_id").agg(F.sum("qx").alias("rowsum"))
     return (
-        q.join(r, "vec_id")
+        qv.select(
+            (F.col("pos") + 1).cast("bigint").alias("dim"), "qx", "rowsum"
+        )
         .groupBy("dim")
         .agg(
             F.count("*").cast("bigint").alias("n_vecs"),
