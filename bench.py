@@ -28,6 +28,13 @@ the cold cost as its own field instead of hiding it):
   >2× with neighbor load, hence min — see ``passes`` for the spread);
 - ``cold_total_sec`` = prepare_sec + pass 1: what a fresh engine
   session pays to serve the whole suite once;
+- ``value_cold_seq`` (VERDICT r12 #1) — a COLD sequential per-query
+  pass from a FRESH SparkSession (the warm session is stopped; a new
+  applicationId structurally misses every session-keyed memo/cache);
+  the gateway JVM survives so JIT stays warm — this is the engine's
+  one-shot serve cost with JVM startup excluded. The full cold
+  per-query map is ``queries_cold`` in the sidecar; the stdout line
+  carries its top-10 + the stable comparison set;
 - ``oracle_suite_sec`` / ``suite_vs_oracle_ratio`` — the DuckDB
   oracle suite timed SEQUENTIALLY on the same box and tree right
   after the engine passes (VERDICT r9 #2: the graded ratio carries
@@ -64,6 +71,19 @@ from frafka_spark.session import get_spark
 #: a suite pass slower than this means the box is saturated by
 #: neighbor load (steady state is ~25-36 s; BENCH_r09's storm read 67+)
 SATURATION_SEC = 60.0
+
+#: Stable round-over-round comparison set (VERDICT r12 #2: the stdout
+#: ``queries`` map carried only the CURRENT top-10, so consecutive
+#: rounds shared one key and the driver's geomean was one sample).
+#: These are round 12's stdout top-10; the stdout map now always
+#: includes them at their current times IN ADDITION to the current
+#: top-10 — additions only, existing keys keep their meaning.
+COMPARE_KEYS = [
+    "q_llm_lsh_sweep", "q_agg_weighted_median", "q_llm_quality_train",
+    "q_agg_regr", "q_ts_interpolate", "q_win_range_frame_scaled",
+    "q_win_range_frame", "q_llm_fuzzy_join", "q_agg_profile",
+    "q_events_user_similarity",
+]
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -227,9 +247,13 @@ def main() -> None:
     # consumers duplicate partition builds). Timed and charged to the
     # headline number — a fresh session pays this.
     t0 = time.perf_counter()
-    warmed = warm_shared_projections(spark, sf_dir)
+    prepare_tags = warm_shared_projections(spark, sf_dir)
     prepare_sec = round(time.perf_counter() - t0, 3)
-    print(f"bench: prepared {warmed} in {prepare_sec}s", file=sys.stderr)
+    print(
+        f"bench: prepared {sorted(prepare_tags)} in {prepare_sec}s "
+        f"(per-tag {prepare_tags})",
+        file=sys.stderr,
+    )
 
     # The suite runs 8 queries at a time under the FAIR scheduler — a
     # resident engine serves a concurrent query stream, and most
@@ -280,6 +304,36 @@ def main() -> None:
             if name not in times or t < times[name]:
                 times[name] = t
 
+    # COLD sequential per-query pass (VERDICT r12 #1: the warm
+    # numbers above benefit from session caches, so they answer
+    # "steady-state serve cost" but not "one-shot serve cost"). The
+    # warm session is STOPPED and the suite served once from a fresh
+    # session: a new applicationId structurally misses every
+    # session-keyed memo and cache in the engine (shared projections,
+    # result legs, construction memo, bloom bitsets, lakehouse memos)
+    # instead of trusting a hand-maintained reset list. The gateway
+    # JVM survives, so JIT and the code cache stay warm — this
+    # isolates the ENGINE's cold serve cost (plan construction,
+    # shared-projection builds, first execution of every plan) from
+    # JVM startup, which ``cold_total_sec`` above already carries.
+    cold_loads = [round(os.getloadavg()[0], 2)]
+    spark.stop()
+    spark = get_spark(
+        app_name="frafka-spark-bench-cold", shuffle_partitions=8
+    )
+    queries = get_queries()
+    t0 = time.perf_counter()
+    cold_times: dict[str, float] = {}
+    for name in sorted(queries):
+        cold_times[name] = round(run(queries[name]), 3)
+    value_cold_seq = round(time.perf_counter() - t0, 3)
+    cold_loads.append(round(os.getloadavg()[0], 2))
+    print(
+        f"bench: cold sequential pass {value_cold_seq}s "
+        f"(loads {cold_loads})",
+        file=sys.stderr,
+    )
+
     # Same-tree denominator (VERDICT r9 #2): time the DuckDB oracle
     # suite sequentially on this box, right after the engine passes,
     # so the graded artifact carries its own ratio instead of quoting
@@ -296,9 +350,13 @@ def main() -> None:
         "unit": "sec",
         "timing": "warm_cache_min_of_passes",
         "prepare_sec": prepare_sec,
+        "prepare_tags": prepare_tags,
         "passes": passes,
         "loads_1min": loads,
         "cold_total_sec": cold_total,
+        "value_cold_seq": value_cold_seq,
+        "cold_seq_timing": "fresh_session_warm_jvm",
+        "cold_loads_1min": cold_loads,
         "oracle_suite_sec": oracle_sec,
         "oracle_n": oracle_n,
         "suite_vs_oracle_ratio": round(value / oracle_sec, 3),
@@ -310,13 +368,40 @@ def main() -> None:
     # round 1's output). Embedding the summary keeps the committed
     # artifact comparable with the driver's BENCH tail (VERDICT r2 #9).
     side = Path(__file__).resolve().parent / "bench_queries.json"
-    side.write_text(json.dumps({"suite": suite, "queries": times}, indent=1, sort_keys=True))
+    side.write_text(
+        json.dumps(
+            {"suite": suite, "queries": times, "queries_cold": cold_times},
+            indent=1,
+            sort_keys=True,
+        )
+    )
     print(json.dumps(times, sort_keys=True), file=sys.stderr)
+    print(json.dumps(cold_times, sort_keys=True), file=sys.stderr)
 
+    # stdout query map: current top-10 slowest PLUS the stable
+    # comparison set (VERDICT r12 #2) — additions only; the cold map
+    # mirrors the same keys from the cold pass.
     slowest = dict(
         sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
-    print(json.dumps({**suite, "queries": slowest}, separators=(",", ":")))
+    for k in COMPARE_KEYS:
+        if k in times:
+            slowest[k] = times[k]
+    slowest_cold = {
+        k: cold_times[k]
+        for k in sorted(
+            cold_times, key=lambda q: cold_times[q], reverse=True
+        )[:10]
+    }
+    for k in list(slowest):
+        if k in cold_times:
+            slowest_cold[k] = cold_times[k]
+    print(
+        json.dumps(
+            {**suite, "queries": slowest, "queries_cold": slowest_cold},
+            separators=(",", ":"),
+        )
+    )
 
 
 if __name__ == "__main__":

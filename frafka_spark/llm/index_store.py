@@ -1166,9 +1166,28 @@ def q_llm_dedup_ppjoin_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = read_table(spark, str(Path(path) / "shingles"))
 
     def build() -> DataFrame:
-        pre = ppjoin_prefix_of(sh)
-        docsets = sh.groupBy("doc_id").agg(
-            F.sort_array(F.collect_set("sh")).alias("shs")
+        # Mirror the from-scratch twin's LEG structure (r13, guide
+        # §2.4/§5): the prefix index lands on BOTH sides of the
+        # candidate self-join and the docset relation on both pair
+        # joins, so an uncached build re-executed the whole
+        # manifest-scan → df-count → rarity-window subtree four ways
+        # (measured 51.5 s cold vs the from-scratch key's 12.0 s —
+        # the ONLY difference was these legs). One cached build of
+        # each leg serves every reference, exactly like
+        # ``_prefix_shingles``/``ppjoin_docsets`` do from scratch.
+        pre = memoized_result(
+            spark,
+            sf_dir,
+            "ppjoin_prefix_index_at_rest",
+            lambda: ppjoin_prefix_of(sh),
+        )
+        docsets = memoized_result(
+            spark,
+            sf_dir,
+            "ppjoin_docsets_at_rest",
+            lambda: sh.groupBy("doc_id").agg(
+                F.sort_array(F.collect_set("sh")).alias("shs")
+            ),
         )
         return ppjoin_pairs_over(pre, docsets)
 

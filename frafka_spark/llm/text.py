@@ -380,12 +380,22 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln() differs from libm only in the last ulp — absorbed by the
     4-digit round (inputs are never representable-decimal ties).
 
-    The relation is session-memoized (r12 wave 3, the bm25_top
-    discipline): ``q_llm_keywords`` composes this exact relation for
-    its per-doc top-3, so the explode + two aggregates + join run
-    once per session and both declared consumers read one
-    materialization. ``_tfidf_plan`` keeps the raw plan for pins.
+    The declared key returns the RAW plan — every timed execution
+    runs the explode + two aggregates + join (VERDICT r12 #1: a
+    declared query's own result page must not be served from a
+    session memo, or the bench measures a cache read). The
+    multi-consumer LEG form lives in ``_tfidf_leg`` (the
+    materialized-view shape): ``q_llm_keywords`` composes that, so
+    the audit still reads one shared materialization without making
+    this key's own number a cache hit.
     """
+    return _tfidf_plan(spark, sf_dir)
+
+
+def _tfidf_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized TF-IDF relation for COMPOSING consumers
+    (``q_llm_keywords``) — the shared-leg discipline; the declared
+    ``q_llm_tfidf`` itself executes ``_tfidf_plan`` fresh."""
     from frafka_spark.llm.dedup import memoized_result
 
     return memoized_result(
@@ -1443,8 +1453,12 @@ def q_llm_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id (millions of small groups — distributed state, no
     single-task sort); at 100 TB this is the standard
     top-k-per-group shape ``q_topk_per_group`` already pins.
+
+    Reads the shared ``_tfidf_leg`` materialization (the
+    multi-consumer leg of the declared ``q_llm_tfidf`` relation —
+    same plan, one session-wide build).
     """
-    tfidf = q_llm_tfidf(spark, sf_dir)
+    tfidf = _tfidf_leg(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf_idf").desc(), F.col("word").asc()
     )
@@ -2254,17 +2268,23 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     and on doc_id for lengths. The per-term top-10 is a keyed
     window over that slice, never a global sort.
     """
-    from frafka_spark.functions.determinism import half_up
-    from frafka_spark.llm.dedup import _words, memoized_result
+    # The declared key executes the retrieval plan on every timed
+    # run (VERDICT r12 #1 — no result-page memo on a declared
+    # return). The NDCG evaluation composes the shared ``_bm25_leg``
+    # materialization instead, so the audit still reads one
+    # session-wide build of the 50-row page.
+    return _bm25_plan(spark, sf_dir)
 
-    # Session-memoized result (the semdedup_verdicts discipline): the
-    # NDCG evaluation composes this exact relation, so the three-
-    # aggregate + window retrieval pass runs once per session and the
-    # audit reads the 50-row page. Bounded: 5 terms × top-10.
-    memo = memoized_result(
+
+def _bm25_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized BM25 page for COMPOSING consumers
+    (``q_llm_ndcg``) — the shared-leg discipline; the declared
+    ``q_llm_bm25`` itself executes ``_bm25_plan`` fresh."""
+    from frafka_spark.llm.dedup import memoized_result
+
+    return memoized_result(
         spark, sf_dir, "bm25_top", lambda: _bm25_plan(spark, sf_dir)
     )
-    return memo
 
 
 def _bm25_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2985,14 +3005,14 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized (millions of rows), exactly how industrial BPE trainers
     (SentencePiece et al., vocab-counted variants) stay tractable.
     The per-round DataFrames are cached: each round's plan reads the
-    previous round's materialized vocab, never a re-derivation chain.
-    The K-row merge table itself rides ``memoized_result`` (the BM25-
-    page discipline): without it, every re-execution of the output
-    union re-ran all K winner aggregates plus the K pair aggregates
-    over the cached rounds — 8 aggregate jobs per pass for a 4-row
-    artifact (warm 0.95 s → 0.03 s at sf0.1).
+    previous round's materialized vocab, never a re-derivation chain
+    — those are shared LEGS (``q_llm_bpe_encode`` replays the same
+    rounds). The K-row merge table itself is NOT result-memoized
+    (VERDICT r12 #1 rolled back the r12 memo): every timed execution
+    re-runs the K winner aggregates + K pair aggregates over the
+    cached rounds, the honest serve cost of the declared artifact.
     """
-    from frafka_spark.llm.dedup import _words, materialize_once, memoized_result
+    from frafka_spark.llm.dedup import _words, materialize_once
 
     def build() -> DataFrame:
         vocab = (
@@ -3046,7 +3066,7 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step", "l", "r", F.concat("l", "r").alias("merged"), "pair_count"
         )
 
-    return memoized_result(spark, sf_dir, "bpe_merge_table", build)
+    return build()
 
 
 def _bpe_encode_oracle() -> str:

@@ -2351,54 +2351,64 @@ def q_events_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention triangle (`q_events_retention` counts WHO returns;
     this accumulates WHAT they're worth).
 
-    Scale shape: events collapse FIRST to (cohort_day, offset) cells
-    — value summed in exact decimal (order-independent; the
-    partial-aggregate discipline), actives as the usual expand-based
-    distinct — and the cumulative window then runs over the
-    COLLAPSED ≤days² relation, partitioned by cohort day (bounded
-    partitions, no fact-level window). The per-user normalization
-    divides two exact quantities and displays through the explicit
-    half-up; the cohort-size denominator joins from its own tiny
-    aggregate.
+    Scale shape (r13 rewrite, guide §2.4 one-read): the cohort day
+    attaches as a per-user full-partition window min — ONE events
+    scan and one user_id exchange, replacing the aggregate-join-back
+    that scanned events three times (cohort fed both the join and
+    the size aggregate, each reference re-executing its subtree).
+    Events then collapse to (cohort_day, offset) cells — value
+    summed in exact decimal (order-independent; the partial-
+    aggregate discipline), actives as the usual expand-based
+    distinct — and the cumulative window runs over the COLLAPSED
+    ≤days² relation, partitioned by cohort day (bounded partitions,
+    no fact-level window). The cohort-size denominator needs NO
+    join and no second pass: every user has an event on their own
+    first day, so cohort_size ≡ n_active at offset 0, read from the
+    same c_day partition with a full-frame window max (the
+    q_events_concurrency discipline) sharing the cumsum's exchange
+    and sort. The per-user normalization divides two exact
+    quantities and displays through the explicit half-up.
     """
     from frafka_spark.functions.determinism import dec_sum_dec, half_up
 
     e = table(spark, sf_dir, "events")
-    cohort = e.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("c_day")
-    )
-    joined = e.join(cohort, "user_id").select(
-        "c_day",
-        F.datediff(F.to_date("ts"), F.col("c_day")).alias("offset"),
-        "value",
-        "user_id",
-    )
+    w_user = Window.partitionBy("user_id")
+    tagged = e.select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    ).withColumn("c_day", F.min("day").over(w_user))
     # Per-cell sums stay DECIMAL so the cumulative window sum below is
     # exact/order-independent; the double cast happens ONCE after the
     # window, mirroring the oracle's CAST(sum(v) OVER ... AS DOUBLE).
-    daily = joined.groupBy("c_day", "offset").agg(
+    daily = tagged.select(
+        "c_day",
+        F.datediff("day", F.col("c_day")).alias("offset"),
+        "value",
+        "user_id",
+    ).groupBy("c_day", "offset").agg(
         dec_sum_dec("value", "v"),
         F.countDistinct("user_id").alias("n_active"),
     )
-    sized = cohort.groupBy("c_day").agg(F.count("*").alias("cohort_size"))
-    w_cum = (
-        Window.partitionBy("c_day")
-        .orderBy("offset")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_part = Window.partitionBy("c_day").orderBy("offset")
+    w_cum = w_part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w_part.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return (
-        daily.join(F.broadcast(sized), "c_day")
-        .select(
-            F.date_format("c_day", "yyyy-MM-dd").alias("cohort_day"),
-            F.col("offset").cast("int").alias("day_offset"),
-            "cohort_size",
-            "n_active",
-            half_up(
-                F.sum("v").over(w_cum).cast("double")
-                / F.col("cohort_size"),
-                4,
-            ).alias("cum_value_per_user"),
-        )
+    # cohort_size = members whose first day is c_day = distinct users
+    # active at their own offset 0 — the (c_day, 0) cell's n_active,
+    # which exists for every cohort (min-day membership is witnessed
+    # by at least one event on that day).
+    cohort_size = F.max(
+        F.when(F.col("offset") == 0, F.col("n_active"))
+    ).over(w_all)
+    return daily.select(
+        F.date_format("c_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("offset").cast("int").alias("day_offset"),
+        cohort_size.alias("cohort_size"),
+        "n_active",
+        half_up(
+            F.sum("v").over(w_cum).cast("double") / cohort_size,
+            4,
+        ).alias("cum_value_per_user"),
     )
 
 

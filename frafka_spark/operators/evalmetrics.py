@@ -337,9 +337,12 @@ def q_llm_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     NDCG is never the expensive part, which is the point of keeping
     it relational instead of a driver-side loop.
     """
-    from frafka_spark.registry import QUERIES
+    from frafka_spark.llm.text import _bm25_leg
 
-    bm = QUERIES["q_llm_bm25"].fn(spark, sf_dir)
+    # the shared multi-consumer leg of the declared BM25 relation
+    # (same plan, one session-wide build) — the declared key itself
+    # executes fresh per VERDICT r12 #1
+    bm = _bm25_leg(spark, sf_dir)
     rel = F.least(F.col("tf"), F.lit(NDCG_REL_CAP)).cast("int")
     g = bm.select(
         "word",

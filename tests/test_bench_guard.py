@@ -83,6 +83,31 @@ def test_suite_summary_is_coherent(sidecar):
     )
 
 
+def test_cold_pass_recorded(sidecar):
+    """VERDICT r12 #1: the artifact must carry a COLD sequential
+    per-query pass (fresh session) alongside the warm numbers — the
+    cold map covers every declared key, none failed, and the suite
+    summary's ``value_cold_seq`` is coherent with it (the wall
+    includes construction, so it must be at least the sum of spans
+    minus rounding)."""
+    suite = sidecar["suite"]
+    cold = sidecar["queries_cold"]
+    assert suite["value_cold_seq"] > 0
+    assert suite["cold_seq_timing"] == "fresh_session_warm_jvm"
+    assert not (_declared() - set(cold)), "cold pass missed declared keys"
+    failed = [q for q, sec in cold.items() if sec < 0]
+    assert not failed, f"cold pass recorded failures: {failed}"
+    assert suite["value_cold_seq"] >= 0.9 * sum(cold.values())
+
+
+def test_prepare_tags_recorded(sidecar):
+    """VERDICT r12 #9: per-tag prepare breakdown so a cache-build
+    regression is attributable instead of invisible in the total."""
+    tags = sidecar["suite"]["prepare_tags"]
+    assert isinstance(tags, dict) and tags
+    assert all(sec >= 0 for sec in tags.values())
+
+
 # ---------------------------------------------------------------------------
 # Storm-guard control flow (VERDICT r9 #1) — pure, no Spark session.
 # ---------------------------------------------------------------------------

@@ -1969,10 +1969,27 @@ def test_bpe_encode_plan_stays_flat(spark):
     assert len(plan.splitlines()) < 5000, len(plan.splitlines())
 
 
-def test_report_artifacts_memoize_per_session(spark):
-    """The 3-row dedup-policy report and the K-row BPE merge table
-    ride memoized_result: repeated constructions must return the
-    SAME session-cached frame (no per-pass re-aggregation)."""
-    for name in ("q_llm_dedup_policy_compare", "q_llm_bpe_train"):
+def test_declared_returns_are_not_result_memos(spark):
+    """VERDICT r12 #1 rollback: a DECLARED query's return must
+    execute its plan when timed — the four r12 result-page memos
+    (tfidf, bm25, bpe_train, dedup_policy_compare) are gone, so
+    repeated constructions build FRESH frames (shared multi-consumer
+    LEGS remain memoized — that is the materialized-view shape, and
+    ``test_rank_memo_identity``-style leg pins still hold)."""
+    for name in (
+        "q_llm_dedup_policy_compare",
+        "q_llm_bpe_train",
+        "q_llm_tfidf",
+        "q_llm_bm25",
+    ):
         first = _df(spark, name)
-        assert _df(spark, name) is first, name
+        assert _df(spark, name) is not first, name
+
+
+def test_composing_consumers_share_leg(spark):
+    """The multi-consumer legs the audits compose stay session-
+    memoized: keywords' TF-IDF leg and NDCG's BM25 page build once."""
+    from frafka_spark.llm.text import _bm25_leg, _tfidf_leg
+
+    assert _tfidf_leg(spark, SF_DIR) is _tfidf_leg(spark, SF_DIR)
+    assert _bm25_leg(spark, SF_DIR) is _bm25_leg(spark, SF_DIR)
