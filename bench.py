@@ -165,7 +165,10 @@ def _bench_named(names: list[str]) -> None:
     runs at round close.
     """
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="frafka-spark-bench-inc", shuffle_partitions=8)
+    spark = get_spark(
+        app_name="frafka-spark-bench-inc",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")),
+    )
     queries = get_queries()
     unknown = [n for n in names if n not in queries]
     if unknown:
@@ -224,9 +227,17 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # Shuffle width is a SCALE-DEPENDENT setting (guide §2.2): the
+    # local default of 8 matches sf0.1's KB-to-MB shuffles (and keeps
+    # the bench comparable round-over-round); a larger deployment
+    # overrides via env — AQE partition coalescing is on in the
+    # session factory, so an oversized setting self-corrects downward
+    # but an undersized one cannot widen, which is why this must not
+    # be hard-coded for the box it was tuned on.
+    shuf = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
     spark = get_spark(
         app_name="frafka-spark-bench",
-        shuffle_partitions=8,  # sf0.1 shuffles are KB-to-MB sized
+        shuffle_partitions=shuf,
         extra_conf={"spark.scheduler.mode": "FAIR"},
     )
     queries = get_queries()
@@ -319,7 +330,7 @@ def main() -> None:
     cold_loads = [round(os.getloadavg()[0], 2)]
     spark.stop()
     spark = get_spark(
-        app_name="frafka-spark-bench-cold", shuffle_partitions=8
+        app_name="frafka-spark-bench-cold", shuffle_partitions=shuf
     )
     queries = get_queries()
     t0 = time.perf_counter()

@@ -168,9 +168,9 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle buys 32-wide evaluation of the expensive expressions —
     on a cluster the input splits provide this for free).
     """
-    from frafka_spark.io import fan_out
+    from frafka_spark.io import fan_wide
 
-    li = fan_out(table(spark, sf_dir, "lineitem"), "l_orderkey")
+    li = fan_wide(table(spark, sf_dir, "lineitem"), "l_orderkey")
     return li.select(
         "l_orderkey",
         "l_linenumber",

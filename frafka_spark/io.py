@@ -177,6 +177,25 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     AQE-coalescible exchange that can collapse back to one
     partition; matching ``spark.sql.shuffle.partitions`` also lets
     downstream keyed aggregates/joins reuse the layout with no
-    extra exchange.
+    extra exchange. Pipelines with NO conf-width keyed consumer
+    should use ``fan_wide`` instead (measured: widening THIS helper
+    blanket-wise re-exchanged mixed-width joins and regressed the
+    LSH family ~1.6×, so the two widths stay separate helpers).
     """
     return df.repartition(shuffle_width(df), *keys)
+
+
+def fan_wide(df: DataFrame, *keys: str) -> DataFrame:
+    """``fan_out`` at the width of the actual cluster (r13, guide §2
+    scale-adaptive partitioning): fan-out exists to BUY parallelism,
+    and for a pipeline whose downstream is pure per-row compute (no
+    conf-width keyed join/aggregate that would want the conf layout)
+    capping the width at a shuffle conf tuned for small shuffles
+    idles the rest of the box — q_fn_math measured 0.76 → 0.51 s
+    going 8 → 32-wide at sf0.1 on local[32]. Width follows
+    ``defaultParallelism`` (the cluster), so an 8-core driver session
+    gets 8 and a 32-core bench session gets 32 from the same code."""
+    width = max(
+        shuffle_width(df), df.sparkSession.sparkContext.defaultParallelism
+    )
+    return df.repartition(width, *keys)

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frafka_spark.functions.determinism import half_up
-from frafka_spark.io import fan_out, table
+from frafka_spark.io import fan_out, fan_wide, table
 from frafka_spark.registry import query
 
 # Shared cached projections, keyed by (app id, sf_dir, tag). A
@@ -1280,7 +1280,7 @@ def q_llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     w = (
-        fan_out(d, "doc_id")
+        fan_wide(d, "doc_id")
         .select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= 3)
     )

@@ -841,7 +841,7 @@ def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals + a count per (group × partition), independent of row
     volume.
     """
-    from frafka_spark.io import fan_out
+    from frafka_spark.io import fan_wide
 
     # fan out on a HIGH-CARDINALITY key before the five decimal sums:
     # the single fixture file scans as ~3 tasks, and BigDecimal
@@ -849,7 +849,7 @@ def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into 3 groups x 32 partitions of constant state (measured
     # 1.9 s -> 1.3 s at sf0.1; input splits supply the width free on
     # a cluster). Fanning on the GROUP key would cap width at 3.
-    li = fan_out(table(spark, sf_dir, "lineitem"), "l_orderkey")
+    li = fan_wide(table(spark, sf_dir, "lineitem"), "l_orderkey")
     DEC6 = "decimal(38,6)"
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(

@@ -3622,43 +3622,27 @@ def q_events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized edge list. No window, no collect, no broadcast
     of a data-bounded side.
     """
-    e = table(spark, sf_dir, "events")
-    # Shared-subtree discipline: hu feeds 3 consumers (peru, hrs,
-    # capped), peru 3 (cap rank, h1, h2), edges 4 (deg + the triple
-    # self-join) — uncached, the events-scan→distinct→window→pair
-    # subtree re-executes per consumer (measured 5.3 s at sf0.1;
-    # cached 1.3 s). hu/peru are the collapsed incidence/degree
-    # relations (∝ users, not events); edges is 2000 rows by code
-    # constant.
-    hu = (
-        e.select(F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id")
-        .distinct()
-        .cache()
+    # Shared-subtree discipline (r13: lifted to SESSION legs in
+    # operators/graph.py — the same hu/peru/capped/pair-fan build
+    # also feeds the co-activity edge list behind label prop,
+    # modularity, PageRank and k-core, and previously executed once
+    # per module): hu feeds 3 consumers (peru, hrs, capped), peru 3
+    # (cap rank, h1, h2), edges 4 (deg + the triple self-join).
+    # hu/peru are the collapsed incidence/degree relations (∝ users,
+    # not events); the pair fan is the expensive Σ cap²/2 explode;
+    # edges is 2000 rows by code constant. The block cap (keep each
+    # hour's LP_BLOCK_CAP most-active users before pairing) lives in
+    # the shared leg.
+    from frafka_spark.operators.graph import (
+        _copair_counts,
+        _hour_user,
+        _user_hours,
     )
-    peru = hu.groupBy("user_id").agg(F.count("*").alias("h")).cache()
+
+    hu = _hour_user(spark, sf_dir)
+    peru = _user_hours(spark, sf_dir)
     hrs = hu.agg(F.countDistinct("hr").alias("nh"))
-    # Block cap: keep each hour's 512 most-active users (h desc,
-    # user_id tiebreak) before pairing — bounds the quadratic
-    # within-block fan-out to a code constant at any corpus scale.
-    w_blk = Window.partitionBy("hr").orderBy(
-        F.desc("h"), F.asc("user_id")
-    )
-    capped = (
-        hu.join(peru, "user_id")
-        .withColumn("rn", F.row_number().over(w_blk))
-        .filter(F.col("rn") <= 512)
-        .select("hr", "user_id")
-    )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = (
-        a.join(b, "hr")
-        .filter(F.col("a.user_id") < F.col("b.user_id"))
-        .groupBy(
-            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
-        )
-        .agg(F.count("*").alias("co"))
-    )
+    pairs = _copair_counts(spark, sf_dir)
     edges = (
         pairs.join(
             peru.select(F.col("user_id").alias("u1"), F.col("h").alias("h1")),

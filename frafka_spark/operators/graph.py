@@ -68,33 +68,85 @@ _EDGES_SQL = f"""hu AS MATERIALIZED (
     )"""
 
 
-def _coactivity_edges_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The edge build's full logical plan, BEFORE lineage truncation —
-    the plan-pin target (tests assert the sparsification runs as
-    TakeOrdered with no cartesian join here; consumers go through
-    ``_coactivity_edges``, whose localCheckpoint hides the build
-    behind an ExistingRDD scan)."""
-    e = table(spark, sf_dir, "events")
-    hu = e.select(
-        F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
-    ).distinct()
-    peru = hu.groupBy("user_id").agg(F.count("*").alias("h"))
-    w_blk = Window.partitionBy("hr").orderBy(F.desc("h"), F.asc("user_id"))
-    capped = (
-        hu.join(peru, "user_id")
-        .withColumn("rn", F.row_number().over(w_blk))
-        .filter(F.col("rn") <= LP_BLOCK_CAP)
-        .select("hr", "user_id")
+def _hour_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (hour, user) incidence — session-cached LEG shared by
+    the co-activity edge build and ``q_events_triangles`` (r13: both
+    previously derived it independently; the events scan + distinct
+    ran once per consumer)."""
+    from frafka_spark.llm.dedup import memoized_result
+
+    def build() -> DataFrame:
+        e = table(spark, sf_dir, "events")
+        return e.select(
+            F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+        ).distinct()
+
+    return memoized_result(spark, sf_dir, "graph_hour_user", build)
+
+
+def _user_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user distinct-hour counts over the shared incidence —
+    cached leg (consumed by the block-cap rank and, in triangles, by
+    both lift-join sides)."""
+    from frafka_spark.llm.dedup import memoized_result
+
+    return memoized_result(
+        spark,
+        sf_dir,
+        "graph_user_hours",
+        lambda: _hour_user(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("h")),
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    return (
-        a.join(b, "hr")
-        .filter(F.col("a.user_id") < F.col("b.user_id"))
-        .groupBy(
-            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+
+
+def _copair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u1 < u2, co) co-activity pair counts over the hour-capped
+    incidence — THE expensive fan (Σ cap²/2 rows per hour block
+    before its partial aggregate; ~31M at sf0.1). Session-cached LEG
+    (r13, guide §2.4): q_events_triangles and the top-K edge build
+    consumed structurally IDENTICAL pair aggregates built from
+    separate plans, so the fan executed twice per cold session; one
+    cached build now serves both (the multi-consumer
+    materialized-view shape — a real pipeline materializes the pair
+    relation once beside the graph)."""
+    from frafka_spark.llm.dedup import memoized_result
+
+    def build() -> DataFrame:
+        hu = _hour_user(spark, sf_dir)
+        peru = _user_hours(spark, sf_dir)
+        w_blk = Window.partitionBy("hr").orderBy(
+            F.desc("h"), F.asc("user_id")
         )
-        .agg(F.count("*").alias("co"))
+        capped = (
+            hu.join(peru, "user_id")
+            .withColumn("rn", F.row_number().over(w_blk))
+            .filter(F.col("rn") <= LP_BLOCK_CAP)
+            .select("hr", "user_id")
+        )
+        a = capped.alias("a")
+        b = capped.alias("b")
+        return (
+            a.join(b, "hr")
+            .filter(F.col("a.user_id") < F.col("b.user_id"))
+            .groupBy(
+                F.col("a.user_id").alias("u1"),
+                F.col("b.user_id").alias("u2"),
+            )
+            .agg(F.count("*").alias("co"))
+        )
+
+    return memoized_result(spark, sf_dir, "graph_copair_counts", build)
+
+
+def _coactivity_edges_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edge build's plan — the plan-pin target (tests assert the
+    sparsification runs as TakeOrdered with no cartesian join here;
+    consumers go through ``_coactivity_edges``, whose localCheckpoint
+    hides the build behind an ExistingRDD scan). r13: the pair fan
+    comes from the shared ``_copair_counts`` leg."""
+    return (
+        _copair_counts(spark, sf_dir)
         .orderBy(F.desc("co"), F.asc("u1"), F.asc("u2"))
         .limit(EDGE_TOP_K)
         .select("u1", "u2")

@@ -317,7 +317,7 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     match-or-bucket is the law the tests assert, the property that
     makes PIT joins safe to run unsupervised.
     """
-    from frafka_spark.io import fan_out
+    from frafka_spark.io import fan_wide
 
     dim = q_merge_scd2(spark, sf_dir).select(
         "custkey", "valid_from", "valid_to", "attr"
@@ -329,7 +329,7 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bench: 1.8 s -> 0.8 s at sf0.1); a multi-file 100 TB layout
     # gets this width from the scan itself.
     fact = (
-        fan_out(
+        fan_wide(
             table(spark, sf_dir, "lineitem").select(
                 "l_orderkey",
                 "l_linenumber",
