@@ -157,9 +157,9 @@ def time_oracle_suite(sf_dir: str) -> tuple[float, int]:
 
 def _bench_named(names: list[str]) -> None:
     """Incremental mode: ``python bench.py q_foo q_bar`` times ONLY
-    the named queries (sequential, min of 2 warm passes) and merges
-    them into the committed sidecar's per-query map, leaving the
-    suite summary untouched. This keeps the bench-guard invariant —
+    the named queries (sequential, min of 3 warm passes) and
+    MIN-merges them into the committed sidecar's per-query map,
+    leaving the suite summary untouched. This keeps the bench-guard invariant —
     every declared key benched from the current tree — affordable
     per-operator; the FULL capture (suite passes included) still
     runs at round close.
