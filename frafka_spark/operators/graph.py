@@ -103,13 +103,28 @@ def _user_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _copair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(u1 < u2, co) co-activity pair counts over the hour-capped
     incidence — THE expensive fan (Σ cap²/2 rows per hour block
-    before its partial aggregate; ~31M at sf0.1). Session-cached LEG
-    (r13, guide §2.4): q_events_triangles and the top-K edge build
-    consumed structurally IDENTICAL pair aggregates built from
-    separate plans, so the fan executed twice per cold session; one
-    cached build now serves both (the multi-consumer
+    before its partial aggregate; 6.3M raw pairs at sf0.1).
+    Session-cached LEG (r13, guide §2.4): q_events_triangles and the
+    top-K edge build consumed structurally IDENTICAL pair aggregates
+    built from separate plans, so the fan executed twice per cold
+    session; one cached build now serves both (the multi-consumer
     materialized-view shape — a real pipeline materializes the pair
-    relation once beside the graph)."""
+    relation once beside the graph).
+
+    The fan itself is generated IN-ROW (r13 wave 2, guide §2.4/§2.5):
+    each hour block collapses to ONE row carrying its sorted user
+    array, and the u1 < u2 pairs explode from array positions instead
+    of a capped⋈capped self-join — the join referenced the `capped`
+    window subtree twice (a cold session executed it once per side)
+    and its hr-keyed exchange carried so few BYTES that AQE coalesced
+    the fan onto a single task while it multiplied 95k rows into 6.3M
+    (the §2.5 trap: coalescing decides on input size, but this stage
+    EXPLODES). The block rows are explicitly repartitioned to cluster
+    width before the explode — 720 hour keys spread over
+    defaultParallelism — so the fan's CPU runs as wide as the box at
+    any scale, and the only exchanges left are the capped window's
+    and the (u1, u2) aggregate's."""
+    from frafka_spark.io import fan_wide
     from frafka_spark.llm.dedup import memoized_result
 
     def build() -> DataFrame:
@@ -124,15 +139,27 @@ def _copair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= LP_BLOCK_CAP)
             .select("hr", "user_id")
         )
-        a = capped.alias("a")
-        b = capped.alias("b")
-        return (
-            a.join(b, "hr")
-            .filter(F.col("a.user_id") < F.col("b.user_id"))
-            .groupBy(
-                F.col("a.user_id").alias("u1"),
-                F.col("b.user_id").alias("u2"),
+        # One sorted distinct-user array per hour block (groupBy(hr)
+        # rides the cap window's hr clustering — no new exchange),
+        # then every in-block u1 < u2 pair from array positions: the
+        # identical pair multiset the self-join produced, one capped
+        # subtree instead of two.
+        blocks = capped.groupBy("hr").agg(
+            F.array_sort(F.collect_list("user_id")).alias("us")
+        )
+        pair_structs = F.flatten(
+            F.transform(
+                "us",
+                lambda x, i: F.transform(
+                    F.slice(F.col("us"), i + F.lit(2), F.size("us")),
+                    lambda y: F.struct(x.alias("u1"), y.alias("u2")),
+                ),
             )
+        )
+        return (
+            fan_wide(blocks, "hr")
+            .select(F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.u1").alias("u1"), F.col("p.u2").alias("u2"))
             .agg(F.count("*").alias("co"))
         )
 
